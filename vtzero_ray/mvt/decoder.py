@@ -1,0 +1,251 @@
+"""Tile/layer/feature readers with vtzero's validation rules.
+
+Mirrors the read path of the reference:
+
+- tile iteration over repeated ``layers=3`` fields, other tile fields
+  silently skipped (/root/reference/include/vtzero/vector_tile.hpp:134-172);
+- layer header parse rejecting unknown fields, versions outside {1,2} and a
+  missing name (/root/reference/include/vtzero/layer.hpp:107-151);
+- feature parse enforcing: at most one tags and geometry field, geometry
+  required, type in [0,3], even tag count
+  (/root/reference/include/vtzero/feature.hpp:66-116);
+- property index bounds checks raising out-of-range errors
+  (/root/reference/include/vtzero/layer.hpp:294-323).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..exceptions import FormatError, OutOfRangeError, VersionError
+from . import codec
+from .pbf import WT_LEN, WT_VARINT, decode_packed_uint32, iter_fields
+from .builder import (
+    FEATURE_GEOMETRY,
+    FEATURE_ID,
+    FEATURE_TAGS,
+    FEATURE_TYPE,
+    LAYER_EXTENT,
+    LAYER_FEATURES,
+    LAYER_KEYS,
+    LAYER_NAME,
+    LAYER_VALUES,
+    LAYER_VERSION,
+    TILE_LAYERS,
+)
+
+
+def is_vector_tile(data: bytes) -> bool:
+    """First-byte sniff (vector_tile.hpp:284-286): layers field key 0x1a."""
+    return len(data) > 0 and data[0] == 0x1A
+
+
+class Feature:
+    """One parsed feature; geometry kept as raw bytes + lazily decoded."""
+
+    __slots__ = ("_layer", "id", "has_id", "geom_type", "geometry_data", "_tags", "_cmds")
+
+    def __init__(self, layer: "Layer", data) -> None:
+        self._layer = layer
+        self.id = 0
+        self.has_id = False
+        self.geom_type = codec.GEOM_UNKNOWN
+        self.geometry_data = b""
+        self._tags = None
+        self._cmds = None
+
+        for field, wt, value in iter_fields(data):
+            if field == FEATURE_ID and wt == WT_VARINT:
+                self.id = value
+                self.has_id = True
+            elif field == FEATURE_TAGS and wt == WT_LEN:
+                if self._tags is not None:
+                    raise FormatError("Feature has more than one tags field")
+                self._tags = decode_packed_uint32(bytes(value))
+            elif field == FEATURE_TYPE and wt == WT_VARINT:
+                if value < 0 or value > 3:
+                    raise FormatError("Unknown geometry type (spec 4.3.4)")
+                self.geom_type = value
+            elif field == FEATURE_GEOMETRY and wt == WT_LEN:
+                if self.geometry_data:
+                    raise FormatError("Feature has more than one geometry field")
+                self.geometry_data = bytes(value)
+            # unknown fields are skipped (feature.hpp:105)
+
+        # spec 4.2 "A feature MUST contain a geometry field."
+        if not self.geometry_data:
+            raise FormatError("Missing geometry field in feature (spec 4.2)")
+        if self._tags is None:
+            self._tags = np.empty(0, dtype=np.uint32)
+        if self._tags.shape[0] % 2 != 0:
+            raise FormatError("unpaired property key/value indexes (spec 4.4)")
+
+    @property
+    def num_properties(self) -> int:
+        return self._tags.shape[0] // 2
+
+    def geometry_cmds(self) -> np.ndarray:
+        if self._cmds is None:
+            self._cmds = decode_packed_uint32(self.geometry_data)
+        return self._cmds
+
+    def decode_geometry(self):
+        """Decode per spec 4.3; max_count = geometry byte size / 2
+        (geometry.hpp:397,415,433,450)."""
+        return codec.decode_geometry(
+            self.geometry_cmds(), self.geom_type, max_count=len(self.geometry_data) // 2
+        )
+
+    def tag_pairs(self):
+        t = self._tags
+        return zip(t[0::2].tolist(), t[1::2].tolist())
+
+    def properties_raw(self):
+        """Yield (key_bytes, value_blob) pairs, bounds-checked (M6/M7)."""
+        keys = self._layer.key_table()
+        vals = self._layer.value_table()
+        for kidx, vidx in self.tag_pairs():
+            if kidx >= len(keys):
+                raise OutOfRangeError(kidx)
+            if vidx >= len(vals):
+                raise OutOfRangeError(vidx)
+            yield keys[kidx], vals[vidx]
+
+    def properties(self) -> dict:
+        """Materialize a properties map (create_properties_map,
+        feature.hpp:298-311); value blobs decoded to Python scalars."""
+        from .values import decode_value
+
+        out = {}
+        for key, blob in self.properties_raw():
+            _, v = decode_value(blob)
+            out[key.decode("utf-8")] = v
+        return out
+
+
+class Layer:
+    """One parsed layer; key/value tables built lazily (layer.hpp:69-89)."""
+
+    __slots__ = ("data", "name", "version", "extent", "_feature_views",
+                 "_key_table", "_value_table", "_num_keys", "_num_values")
+
+    def __init__(self, data) -> None:
+        self.data = bytes(data)
+        self.name = None
+        self.version = 1
+        self.extent = 4096
+        self._feature_views: list = []
+        self._key_table = None
+        self._value_table = None
+        self._num_keys = 0
+        self._num_values = 0
+
+        for field, wt, value in iter_fields(self.data):
+            if field == LAYER_VERSION and wt == WT_VARINT:
+                self.version = value
+            elif field == LAYER_NAME and wt == WT_LEN:
+                self.name = bytes(value)
+            elif field == LAYER_FEATURES and wt == WT_LEN:
+                self._feature_views.append(value)
+            elif field == LAYER_KEYS and wt == WT_LEN:
+                self._num_keys += 1
+            elif field == LAYER_VALUES and wt == WT_LEN:
+                self._num_values += 1
+            elif field == LAYER_EXTENT and wt == WT_VARINT:
+                self.extent = value
+            else:
+                raise FormatError(
+                    f"unknown field in layer (tag={field}, type={wt})"
+                )
+
+        # only versions 1 and 2 supported (layer.hpp:142-145)
+        if self.version < 1 or self.version > 2:
+            raise VersionError(self.version)
+        # 4.1 "A layer MUST contain a name field."
+        if self.name is None:
+            raise FormatError("missing name field in layer (spec 4.1)")
+
+    @property
+    def num_features(self) -> int:
+        return len(self._feature_views)
+
+    def _init_tables(self) -> None:
+        keys: list[bytes] = []
+        vals: list[bytes] = []
+        for field, wt, value in iter_fields(self.data):
+            if field == LAYER_KEYS and wt == WT_LEN:
+                keys.append(bytes(value))
+            elif field == LAYER_VALUES and wt == WT_LEN:
+                vals.append(bytes(value))
+        self._key_table = keys
+        self._value_table = vals
+
+    def key_table(self) -> list[bytes]:
+        if self._key_table is None:
+            self._init_tables()
+        return self._key_table
+
+    def value_table(self) -> list[bytes]:
+        if self._value_table is None:
+            self._init_tables()
+        return self._value_table
+
+    def key(self, idx: int) -> bytes:
+        t = self.key_table()
+        if idx >= len(t):
+            raise OutOfRangeError(idx)
+        return t[idx]
+
+    def value(self, idx: int) -> bytes:
+        t = self.value_table()
+        if idx >= len(t):
+            raise OutOfRangeError(idx)
+        return t[idx]
+
+    def features(self):
+        for view in self._feature_views:
+            yield Feature(self, view)
+
+    def get_feature_by_id(self, feature_id: int) -> Feature | None:
+        """Linear scan, first match (layer.hpp:405-420)."""
+        for f in self.features():
+            if f.has_id and f.id == feature_id:
+                return f
+        return None
+
+
+class VectorTile:
+    """Parsed tile: ordered collection of named layers (vector_tile.hpp:32-55)."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = bytes(data)
+
+    def count_layers(self) -> int:
+        return sum(
+            1 for f, wt, _ in iter_fields(self.data) if f == TILE_LAYERS and wt == WT_LEN
+        )
+
+    def layers(self):
+        for field, wt, value in iter_fields(self.data):
+            if field == TILE_LAYERS and wt == WT_LEN:
+                yield Layer(value)
+
+    def layer_views(self):
+        """Raw layer payload bytes, undecoded (for add_existing_layer)."""
+        for field, wt, value in iter_fields(self.data):
+            if field == TILE_LAYERS and wt == WT_LEN:
+                yield bytes(value)
+
+    def get_layer(self, index: int) -> Layer | None:
+        for i, layer in enumerate(self.layers()):
+            if i == index:
+                return layer
+        return None
+
+    def get_layer_by_name(self, name: str | bytes) -> Layer | None:
+        if isinstance(name, str):
+            name = name.encode("utf-8")
+        for layer in self.layers():
+            if layer.name == name:
+                return layer
+        return None
