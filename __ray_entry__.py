@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship tiling pipeline on sf0.001. ``queries()``
+exposes one callable per implemented operator/pipeline (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL where expressible.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
+
+Column-name contract: every computed column is named identically in the Ray
+result and the SQL (AS ...), since the driver hash-compares by sorted
+column name.
 """
 
 from __future__ import annotations
@@ -18,27 +17,452 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF1 = "/root/testdata/sf0.001"
+
+# Deterministic geo derivation shared between Python and SQL — single
+# source of truth lives in vtzero_ray.sources.pages.
+from vtzero_ray.sources.pages import SQL_LAT_US, SQL_LON_US, SQL_URL
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: pages → geoparse → tile assignment → MVT encode
+    → vtzero-check validation, at sf0.001."""
+    from vtzero_ray.pipelines.tiling import tiles_pipeline
+
+    return tiles_pipeline(SF1)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_pages_text_identity(sf_dir: str):
+    """Per-row invariant (input_hint): byte-identical text per url after the
+    geoparse stage (which must only append columns)."""
+    from vtzero_ray.sources.pages import read_pages
+    from vtzero_ray.stages.geoparse import geoparse
+
+    ds = geoparse(read_pages(sf_dir, include_html=False))
+    return ds.select_columns(["url", "text"])
+
+
+def _q_geoparse(sf_dir: str):
+    """Regex geoparse of lon/lat from page text (M-stage parser)."""
+    from vtzero_ray.sources.pages import read_pages
+    from vtzero_ray.stages.geoparse import geoparse
+
+    ds = geoparse(read_pages(sf_dir, include_html=False))
+    return ds.select_columns(["url", "lat", "lon"])
+
+
+def _q_tile_assignment_z6(sf_dir: str):
+    """Per-tile page counts at z=6 (the groupby(z,x,y) shuffle, A2)."""
+    from vtzero_ray.pipelines.tiling import features_dataset
+
+    ds = features_dataset(sf_dir, zooms=(6,))
+    agg = ds.groupby(["z", "x", "y"]).count()
+    return agg.rename_columns({"count()": "n_pages"}) if "count()" in agg.schema().names else agg
+
+
+def _q_tile_assignment_z12(sf_dir: str):
+    from vtzero_ray.pipelines.tiling import features_dataset
+
+    ds = features_dataset(sf_dir, zooms=(12,))
+    agg = ds.groupby(["z", "x", "y"]).count()
+    return agg.rename_columns({"count()": "n_pages"}) if "count()" in agg.schema().names else agg
+
+
+def _q_tile_pixel_coords(sf_dir: str):
+    """Tile-local integer pixel coords at z=6 (extent 4096) — the
+    geometry-input projection (M14 cursor inputs)."""
+    from vtzero_ray.pipelines.tiling import features_dataset
+
+    ds = features_dataset(sf_dir, zooms=(6,))
+    return ds.select_columns(["url", "x", "y", "px", "py"])
+
+
+def _q_lang_page_counts(sf_dir: str):
+    """Simple grouped aggregate over the pages table (A1-style stats)."""
+    from vtzero_ray.sources.pages import read_pages
+
+    ds = read_pages(sf_dir, include_html=False)
+    agg = ds.groupby("lang").count()
+    return agg.rename_columns({"count()": "n_pages"}) if "count()" in agg.schema().names else agg
+
+
+def _q_tiles_encoded(sf_dir: str):
+    """Full encode: tile keys + feature counts + validation grade (rows-only
+    check; MVT bytes are not SQL-expressible)."""
+    from vtzero_ray.pipelines.tiling import tiles_pipeline
+
+    t = tiles_pipeline(sf_dir, zooms=(6,))
+    return t.select_columns(["z", "x", "y", "n_features", "check_code"])
+
+
+# -- text analysis -----------------------------------------------------------
+
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _q_token_stats(sf_dir: str):
+    from vtzero_ray.functions.textstats import TokenStats
+
+    ds = _docs(sf_dir).map_batches(TokenStats, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.select_columns(["doc_id", "n_tokens", "n_bpe_tokens", "n_chars"])
+
+
+def _q_quality_score(sf_dir: str):
+    from vtzero_ray.functions.textstats import QualityScore
+
+    ds = _docs(sf_dir).map_batches(QualityScore, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.select_columns(
+        ["doc_id", "stop_ratio", "mean_token_len", "alpha_ratio", "quality_score"]
+    )
+
+
+def _q_langid(sf_dir: str):
+    from vtzero_ray.functions.textstats import LangId
+
+    ds = _docs(sf_dir).map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.select_columns(
+        ["doc_id", "hits_de", "hits_en", "hits_es", "hits_fr", "hits_zh", "lang_pred"]
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    from vtzero_ray.functions.textstats import Fingerprint
+
+    ds = _docs(sf_dir).map_batches(Fingerprint, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.select_columns(["doc_id", "md5"])
+
+
+# -- dedup -------------------------------------------------------------------
+
+def _q_dedup_exact(sf_dir: str):
+    from vtzero_ray.functions.dedup import dedup_exact
+
+    return dedup_exact(_docs(sf_dir))
+
+
+def _q_minhash_lsh(sf_dir: str):
+    from vtzero_ray.functions.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_docs(sf_dir))
+
+
+def _q_simhash(sf_dir: str):
+    from vtzero_ray.functions.dedup import simhash_signatures
+
+    return simhash_signatures(_docs(sf_dir))
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    import ray.data as rd
+
+    from vtzero_ray.functions.dedup import embedding_near_dups
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_dups(ds, threshold=0.35)
+
+
+# -- similarity search -------------------------------------------------------
+
+def _q_ann_bruteforce(sf_dir: str):
+    import ray.data as rd
+
+    from vtzero_ray.functions.ann import topk_bruteforce
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return topk_bruteforce(ds, sf_dir, k=5, n_queries=10)
+
+
+def _q_ann_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from vtzero_ray.functions.ann import topk_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return topk_lsh(ds, sf_dir, k=5, n_queries=10)
+
+
+# -- spatial joins -----------------------------------------------------------
+
+def _geo_pages(sf_dir: str):
+    from vtzero_ray.sources.pages import read_pages
+    from vtzero_ray.stages.geoparse import geoparse
+
+    return geoparse(read_pages(sf_dir, include_html=False)).select_columns(
+        ["url", "lat", "lon"]
+    )
+
+
+def _q_pip_join(sf_dir: str):
+    from vtzero_ray.stages.joins import PIPJoin
+
+    ds = _geo_pages(sf_dir).map_batches(PIPJoin, batch_format="pyarrow",
+                                        concurrency=(1, 4))
+    return ds.select_columns(["url", "admin_id"])
+
+
+def _q_knn_join(sf_dir: str):
+    from vtzero_ray.stages.joins import KNNJoin
+
+    ds = _geo_pages(sf_dir).map_batches(KNNJoin, batch_format="pyarrow",
+                                        concurrency=(1, 4))
+    return ds.select_columns(["url", "poi_id", "poi_d2"])
+
+
+# -- relational / streaming-shaped -------------------------------------------
+
+def _q_pricing_summary(sf_dir: str):
+    from vtzero_ray.pipelines.relational import pricing_summary
+
+    return pricing_summary(sf_dir)
+
+
+def _q_orders_by_segment(sf_dir: str):
+    from vtzero_ray.pipelines.relational import orders_by_segment
+
+    return orders_by_segment(sf_dir)
+
+
+def _q_top_orders(sf_dir: str):
+    from vtzero_ray.pipelines.relational import top_orders
+
+    return top_orders(sf_dir)
+
+
+def _q_events_window(sf_dir: str):
+    from vtzero_ray.pipelines.relational import events_tumbling_window
+
+    return events_tumbling_window(sf_dir)
+
+
+def _q_events_sessions(sf_dir: str):
+    from vtzero_ray.pipelines.relational import events_sessionize
+
+    return events_sessionize(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # flagship tiling surface (SURVEY §2.1-2.3, §3.1)
+        "pages_text_identity": _q_pages_text_identity,
+        "geoparse": _q_geoparse,
+        "tile_assignment_z6": _q_tile_assignment_z6,
+        "tile_assignment_z12": _q_tile_assignment_z12,
+        "tile_pixel_coords": _q_tile_pixel_coords,
+        "lang_page_counts": _q_lang_page_counts,
+        "tiles_encoded": _q_tiles_encoded,
+        # spatial joins (SURVEY §2.4)
+        "pip_join": _q_pip_join,
+        "knn_join": _q_knn_join,
+        # text analysis
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality_score,
+        "langid": _q_langid,
+        "fingerprint_md5": _q_fingerprint,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "minhash_lsh_candidates": _q_minhash_lsh,
+        "simhash_signatures": _q_simhash,
+        "embedding_near_dups": _q_embedding_near_dups,
+        # similarity search
+        "ann_topk_bruteforce": _q_ann_bruteforce,
+        "ann_topk_lsh": _q_ann_lsh,
+        # relational / streaming-shaped (SURVEY §2.5 analogues)
+        "pricing_summary": _q_pricing_summary,
+        "orders_by_segment": _q_orders_by_segment,
+        "top_orders": _q_top_orders,
+        "events_window": _q_events_window,
+        "events_sessions": _q_events_sessions,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB over the same parquet views)
+# ---------------------------------------------------------------------------
+
+# text reconstruction: documents.text || ' geo:' || lat || ',' || lon with
+# microdegrees formatted as fixed 6-decimal strings (lossless)
+def _sql_fmt(us_expr: str) -> str:
+    return (
+        f"(CASE WHEN {us_expr} < 0 THEN '-' ELSE '' END || "
+        f"(abs({us_expr}) // 1000000) || '.' || "
+        f"lpad(CAST(abs({us_expr}) % 1000000 AS VARCHAR), 6, '0'))"
+    )
+
+
+_SQL_TEXT = (
+    f"(text || ' geo:' || {_sql_fmt(SQL_LAT_US)} || ',' || {_sql_fmt(SQL_LON_US)})"
+)
+_SQL_LAT = f"({SQL_LAT_US} / 1000000.0)"
+_SQL_LON = f"({SQL_LON_US} / 1000000.0)"
+
+
+def _sql_tile(z: int) -> dict[str, str]:
+    n = 1 << z
+    fx = f"(({_SQL_LON} + 180.0) / 360.0 * {n})"
+    fy = f"((1.0 - ln(tan(radians({_SQL_LAT}) / 2.0 + pi() / 4.0)) / pi()) / 2.0 * {n})"
+    return {
+        "fx": fx,
+        "fy": fy,
+        "x": f"CAST(floor({fx}) AS INTEGER)",
+        "y": f"CAST(floor({fy}) AS INTEGER)",
+    }
+
+
+_SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_SQL_NTOK = f"(CASE WHEN trim(text) = '' THEN 0 ELSE length({_SQL_TOKENS}) END)"
+_SQL_STOPS = ("len(list_filter(" + _SQL_TOKENS +
+              ", x -> x IN ('the', 'and', 'of', 'to', 'a')))")
+_SQL_ALPHA = "length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))"
+
+_LANG_MARKER_SQL = {
+    "de": "('der', 'die', 'das', 'und', 'ist')",
+    "en": "('the', 'and', 'of', 'to', 'a')",
+    "fr": "('le', 'la', 'les', 'et', 'est')",
+    "es": "('el', 'los', 'las', 'y', 'es')",
+    "zh": "('的', '是', '了', '在', '我')",
+}
+
+
+def _sql_lang_hits(lang: str) -> str:
+    return (
+        "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        f"x -> x IN {_LANG_MARKER_SQL[lang]}))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from vtzero_ray.stages.joins import SQL_ADMIN, SQL_POI
+
+    t6 = _sql_tile(6)
+    t12 = _sql_tile(12)
+    hits = {l: _sql_lang_hits(l) for l in ("de", "en", "es", "fr", "zh")}
+    lang_pred = (
+        f"(CASE WHEN {hits['de']} >= greatest({hits['en']}, {hits['es']}, {hits['fr']}, {hits['zh']}) THEN 'de' "
+        f"WHEN {hits['en']} >= greatest({hits['es']}, {hits['fr']}, {hits['zh']}) THEN 'en' "
+        f"WHEN {hits['es']} >= greatest({hits['fr']}, {hits['zh']}) THEN 'es' "
+        f"WHEN {hits['fr']} >= {hits['zh']} THEN 'fr' ELSE 'zh' END)"
+    )
+    q_ratio = f"round({_SQL_STOPS} / greatest({_SQL_NTOK}, 1)::DOUBLE, 9)"
+    q_mtok = (
+        f"round((length(text) - greatest({_SQL_NTOK} - 1, 0)) / greatest({_SQL_NTOK}, 1)::DOUBLE, 9)"
+    )
+    q_alpha = f"round({_SQL_ALPHA} / greatest(length(text), 1)::DOUBLE, 9)"
+    q_score = (
+        f"round(0.4 * (CASE WHEN {q_ratio} >= 0.01 AND {q_ratio} <= 0.6 THEN 1.0 ELSE 0.0 END) "
+        f"+ 0.3 * (CASE WHEN {q_mtok} >= 3.0 AND {q_mtok} <= 10.0 THEN 1.0 ELSE 0.0 END) "
+        f"+ 0.3 * (CASE WHEN {q_alpha} >= 0.7 THEN 1.0 ELSE 0.0 END), 9)"
+    )
+    pages_cte = (
+        f"(SELECT {SQL_URL} AS url, {SQL_LAT_US} AS lat_us, {SQL_LON_US} AS lon_us FROM documents)"
+    )
+    return {
+        "pages_text_identity": f"SELECT {SQL_URL} AS url, {_SQL_TEXT} AS text FROM documents",
+        "geoparse": f"SELECT {SQL_URL} AS url, {_SQL_LAT} AS lat, {_SQL_LON} AS lon FROM documents",
+        "tile_assignment_z6": (
+            f"SELECT 6 AS z, {t6['x']} AS x, {t6['y']} AS y, COUNT(*) AS n_pages "
+            f"FROM documents GROUP BY 1, 2, 3"
+        ),
+        "tile_assignment_z12": (
+            f"SELECT 12 AS z, {t12['x']} AS x, {t12['y']} AS y, COUNT(*) AS n_pages "
+            f"FROM documents GROUP BY 1, 2, 3"
+        ),
+        "tile_pixel_coords": (
+            f"SELECT {SQL_URL} AS url, {t6['x']} AS x, {t6['y']} AS y, "
+            f"CAST(floor(({t6['fx']} - floor({t6['fx']})) * 4096) AS INTEGER) AS px, "
+            f"CAST(floor(({t6['fy']} - floor({t6['fy']})) * 4096) AS INTEGER) AS py "
+            f"FROM documents"
+        ),
+        "lang_page_counts": "SELECT lang, COUNT(*) AS n_pages FROM documents GROUP BY 1",
+        # tiles_encoded: MVT bytes not SQL-expressible → rows-only check
+        # -- spatial joins ---------------------------------------------------
+        "pip_join": (
+            f"SELECT u.url AS url, COALESCE(MIN(a.admin_id), -1) AS admin_id "
+            f"FROM {pages_cte} u LEFT JOIN {SQL_ADMIN} a "
+            f"ON (abs(u.lat_us - a.cy_us) * 2 + abs(u.lon_us - a.cx_us) * 2) < (2 * a.r_us + 1) "
+            f"GROUP BY 1"
+        ),
+        "knn_join": (
+            f"SELECT u.url AS url, p.poi_id AS poi_id, "
+            f"((u.lon_us - p.px_us) * (u.lon_us - p.px_us) + (u.lat_us - p.py_us) * (u.lat_us - p.py_us)) AS poi_d2 "
+            f"FROM {pages_cte} u CROSS JOIN {SQL_POI} p "
+            f"QUALIFY row_number() OVER (PARTITION BY u.url ORDER BY poi_d2, p.poi_id) = 1"
+        ),
+        # -- text analysis ----------------------------------------------------
+        "token_stats": (
+            f"SELECT doc_id, {_SQL_NTOK} AS n_tokens, "
+            "length(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')) AS n_bpe_tokens, "
+            "length(text) AS n_chars FROM documents"
+        ),
+        "quality_score": (
+            f"SELECT doc_id, {q_ratio} AS stop_ratio, {q_mtok} AS mean_token_len, "
+            f"{q_alpha} AS alpha_ratio, {q_score} AS quality_score FROM documents"
+        ),
+        "langid": (
+            f"SELECT doc_id, {hits['de']} AS hits_de, {hits['en']} AS hits_en, "
+            f"{hits['es']} AS hits_es, {hits['fr']} AS hits_fr, {hits['zh']} AS hits_zh, "
+            f"{lang_pred} AS lang_pred FROM documents"
+        ),
+        "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        # -- dedup -------------------------------------------------------------
+        "dedup_exact": (
+            "SELECT md5(text) AS md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups "
+            "FROM documents GROUP BY 1"
+        ),
+        # minhash_lsh_candidates / simhash_signatures: sketch internals are
+        # rows-only here; exactness is covered by brute-force oracles in tests
+        "embedding_near_dups": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35"
+        ),
+        # -- similarity search --------------------------------------------------
+        "ann_topk_bruteforce": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10) "
+            "SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "
+            "round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine, "
+            "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC, e.vec_id) AS rank "
+            "FROM q CROSS JOIN embeddings e QUALIFY rank <= 5"
+        ),
+        # ann_topk_lsh: approximate → rows-only; recall vs brute force in tests
+        # -- relational / streaming-shaped --------------------------------------
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 6) AS sum_qty, "
+            "round(SUM(l_extendedprice), 4) AS sum_base_price, "
+            "round(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+            "COUNT(*) AS count_order FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2"
+        ),
+        "orders_by_segment": (
+            "SELECT c.c_mktsegment, COUNT(*) AS n_orders, "
+            "round(SUM(o.o_totalprice), 4) AS total_price "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "events_window": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessions": (
+            "WITH e AS (SELECT user_id, ts, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND "
+            "THEN 1 ELSE 0 END AS new_s FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM e) "
+            "SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end, "
+            "COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value "
+            "FROM s GROUP BY user_id, sid"
+        ),
+    }

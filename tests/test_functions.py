@@ -1,0 +1,158 @@
+"""Dedup / ANN / join operators vs brute-force oracles (sf0.001)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    return pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+
+
+@pytest.fixture(scope="module")
+def emb(sf_dir):
+    df = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"]).to_pandas()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    return df["vec_id"].to_numpy(), mat
+
+
+class TestMinHash:
+    def test_signature_estimates_jaccard(self):
+        from vtzero_ray.functions.dedup import MinHasher, _shingle_hashes
+
+        mh = MinHasher(n_perm=256)
+        a = "the quick brown fox jumps over the lazy dog and runs far away today"
+        b = "the quick brown fox jumps over the lazy dog and runs far away now then"
+        sa, sb = mh.signature(a), mh.signature(b)
+        est = (sa == sb).mean()
+        ha, hb = _shingle_hashes(a), _shingle_hashes(b)
+        inter = np.intersect1d(ha, hb).shape[0]
+        true_j = inter / (ha.shape[0] + hb.shape[0] - inter)
+        assert abs(est - true_j) < 0.2
+
+    def test_identical_docs_always_candidates(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup import minhash_lsh_candidates
+
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["alpha beta gamma delta epsilon zeta eta theta"] * 2
+            + ["completely different words here nothing shared at all"],
+        })
+        out = minhash_lsh_candidates(rd.from_pandas(df)).to_pandas()
+        pairs = set(zip(out.doc_a, out.doc_b))
+        assert (1, 2) in pairs
+
+    def test_lsh_recall_vs_bruteforce(self, ray_session, docs):
+        """All high-Jaccard pairs must be LSH candidates (16 bands x 8 rows
+        → pairs with J>=0.7 hit a band w.p. >0.99)."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup import (_shingle_hashes,
+                                                minhash_lsh_candidates)
+
+        sub = docs.head(200)
+        sh = {r.doc_id: _shingle_hashes(r.text) for r in sub.itertuples()}
+        true_pairs = set()
+        ids = list(sh)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = sh[ids[i]], sh[ids[j]]
+                inter = np.intersect1d(a, b, assume_unique=True).shape[0]
+                u = a.shape[0] + b.shape[0] - inter
+                if u and inter / u >= 0.7:
+                    true_pairs.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+        out = minhash_lsh_candidates(rd.from_pandas(sub)).to_pandas()
+        got = set(zip(out.doc_a, out.doc_b))
+        assert true_pairs <= got
+
+
+class TestSimHash:
+    def test_similar_docs_close_hamming(self):
+        from vtzero_ray.functions.dedup import SimHasher
+
+        sh = SimHasher()
+        a = sh.signature("the quick brown fox jumps over the lazy dog " * 5)
+        b = sh.signature("the quick brown fox jumps over the lazy cat " * 5)
+        c = sh.signature("completely unrelated text about databases and queries")
+        ham_ab = bin(a ^ b).count("1")
+        ham_ac = bin(a ^ c).count("1")
+        assert ham_ab < ham_ac
+
+
+class TestANN:
+    def test_bruteforce_matches_numpy(self, ray_session, sf_dir, emb):
+        import ray.data as rd
+
+        from vtzero_ray.functions.ann import topk_bruteforce
+
+        ids, mat = emb
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        out = topk_bruteforce(ds, sf_dir, k=5, n_queries=5).to_pandas()
+        # oracle: full similarity matrix for the 5 smallest vec_ids
+        order = np.argsort(ids)[:5]
+        sims = np.round(mat[order] @ mat.T, 6)
+        for qi, row in zip(order, sims):
+            cand = sorted(zip(-row, ids), key=lambda t: (t[0], t[1]))[:5]
+            expect = [int(v) for _, v in cand]
+            got = out[out.query_id == ids[qi]].sort_values("rank").vec_id.tolist()
+            assert got == expect
+
+    def test_lsh_recall(self, ray_session, sf_dir):
+        import ray.data as rd
+
+        from vtzero_ray.functions.ann import topk_bruteforce, topk_lsh
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        exact = topk_bruteforce(ds, sf_dir, k=5, n_queries=5).to_pandas()
+        approx = topk_lsh(ds, sf_dir, k=5, n_queries=5).to_pandas()
+        # query point itself always lands in its own bucket → rank-1 recall 1.0
+        e1 = exact[exact["rank"] == 1].set_index("query_id").vec_id
+        a1 = approx[approx["rank"] == 1].set_index("query_id").vec_id
+        assert (e1 == a1.reindex(e1.index)).all()
+        # overall recall reasonable
+        ek = set(zip(exact.query_id, exact.vec_id))
+        ak = set(zip(approx.query_id, approx.vec_id))
+        assert len(ek & ak) / len(ek) > 0.3
+
+
+class TestJoins:
+    def test_pip_matches_l1_oracle(self):
+        from vtzero_ray.stages.joins import PIPJoin, admin_polygons
+
+        import pyarrow as pa
+
+        rng = np.random.default_rng(3)
+        lat_us = rng.integers(-80_000_000, 80_000_000, 500)
+        lon_us = rng.integers(-180_000_000, 180_000_000, 500)
+        batch = pa.table({"lat": lat_us / 1e6, "lon": lon_us / 1e6})
+        got = PIPJoin()(batch).column("admin_id").to_numpy()
+        polys = admin_polygons()
+        expect = np.full(500, -1, dtype=np.int64)
+        for i in range(len(polys) - 1, -1, -1):
+            row = polys.iloc[i]
+            inside = (np.abs(lat_us - row.cy_us) * 2 + np.abs(lon_us - row.cx_us) * 2) < (2 * row.r_us + 1)
+            expect[inside] = row.admin_id
+        assert (got == expect).all()
+
+    def test_knn_grid_matches_exact(self):
+        import pyarrow as pa
+
+        from vtzero_ray.stages.joins import KNNGrid, KNNJoin
+
+        rng = np.random.default_rng(4)
+        lat_us = rng.integers(-80_000_000, 80_000_000, 300)
+        lon_us = rng.integers(-180_000_000, 180_000_000, 300)
+        batch = pa.table({"lat": lat_us / 1e6, "lon": lon_us / 1e6})
+        exact = KNNJoin()(batch)
+        grid = KNNGrid()(batch)
+        assert exact.column("poi_id").to_pylist() == grid.column("poi_id").to_pylist()
+        assert exact.column("poi_d2").to_pylist() == grid.column("poi_d2").to_pylist()

@@ -1,0 +1,236 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (ray_guide "Aggregation at scale"):
+- exact: content-hash per batch (vectorized) → groupby(hash) keeps the min
+  doc_id — hash-partitioned, no full-text shuffle (only hash + id move).
+- MinHash/LSH: shingle→minhash per batch → explode (band, band_hash, id)
+  rows → groupby(band, band_hash) emits candidate pairs → Jaccard verify.
+- SimHash: 64-bit signature per batch; near-dup = hamming distance <= d via
+  banded key groupby.
+- embedding cosine: block-wise numpy matmul against a broadcast matrix
+  (ray.put once) — no shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def add_md5(batch: pa.Table, column: str = "text") -> pa.Table:
+    texts = batch.column(column).to_pandas()
+    md5 = texts.map(lambda t: hashlib.md5(str(t).encode("utf-8")).hexdigest())
+    return batch.append_column("md5", pa.array(md5, pa.string()))
+
+
+def dedup_exact(ds, id_col: str = "doc_id", column: str = "text"):
+    """Groups of identical content → (md5, keep_id, n_dups).
+
+    keep_id = min id in group (first-occurrence-wins, the distributed
+    analogue of vtzero's interning dedup A5, builder_impl.hpp:104-147).
+    """
+    from ray.data.aggregate import Count, Min
+
+    ds = ds.map_batches(add_md5, batch_format="pyarrow",
+                        fn_kwargs={"column": column})
+    ds = ds.select_columns(["md5", id_col])
+    agg = ds.groupby("md5").aggregate(Min(id_col), Count())
+    return agg.rename_columns({f"min({id_col})": "keep_id", "count()": "n_dups"})
+
+
+# ---------------------------------------------------------------------------
+# shingles / minhash / LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Word k-gram hashes (uint64) — the Jaccard universe of a document."""
+    words = text.split()
+    if len(words) < k:
+        return np.array([hash_u64(" ".join(words))], dtype=np.uint64) if words else np.empty(0, np.uint64)
+    grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    return np.unique(np.array([hash_u64(g) for g in grams], dtype=np.uint64))
+
+
+def hash_u64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+class MinHasher:
+    """Per-batch minhash signatures (n_perm universal hashes), actor-pool
+    stage: permutation coefficients drawn once in __init__ (seeded)."""
+
+    def __init__(self, n_perm: int = 128, k: int = 5, seed: int = 42) -> None:
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, (1 << 61) - 1, size=n_perm, dtype=np.uint64)
+        self.b = rng.integers(0, (1 << 61) - 1, size=n_perm, dtype=np.uint64)
+        self.n_perm = n_perm
+        self.k = k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k)
+        if sh.shape[0] == 0:
+            return np.zeros(self.n_perm, dtype=np.uint64)
+        # (a*x + b) mod p, min over shingles — vectorized outer product
+        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pandas()
+        sigs = np.stack([self.signature(t) for t in texts]) if len(texts) else \
+            np.empty((0, self.n_perm), np.uint64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "sig": pa.array(list(sigs), pa.list_(pa.uint64(), self.n_perm)),
+        })
+
+
+def _bands_batch(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
+    """signatures → exploded (band, band_hash, doc_id) rows (LSH keys)."""
+    ids = batch.column("doc_id").to_numpy()
+    sig = np.stack(batch.column("sig").to_numpy(zero_copy_only=False)) if len(batch) else \
+        np.empty((0, n_bands * rows_per_band), np.uint64)
+    out_band, out_hash, out_id = [], [], []
+    for b in range(n_bands):
+        chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
+        # mix rows into one uint64 bucket key
+        h = np.zeros(chunk.shape[0], dtype=np.uint64)
+        for r in range(rows_per_band):
+            h = h * np.uint64(1099511628211) + chunk[:, r]
+        out_band.append(np.full(chunk.shape[0], b, np.int32))
+        out_hash.append(h)
+        out_id.append(ids)
+    return pa.table({
+        "band": pa.array(np.concatenate(out_band)),
+        "band_hash": pa.array(np.concatenate(out_hash)),
+        "doc_id": pa.array(np.concatenate(out_id)),
+    })
+
+
+def minhash_lsh_candidates(ds, n_perm: int = 128, n_bands: int = 16, k: int = 5,
+                           seed: int = 42):
+    """documents → candidate near-dup pairs (doc_a < doc_b) via LSH buckets."""
+    rows_per_band = n_perm // n_bands
+    sigs = ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=1024,
+                          concurrency=(1, 8),
+                          fn_constructor_kwargs={"n_perm": n_perm, "k": k, "seed": seed})
+    bands = sigs.map_batches(_bands_batch, batch_format="pyarrow",
+                             fn_kwargs={"n_bands": n_bands, "rows_per_band": rows_per_band})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(df["doc_id"].to_numpy())
+        if ids.shape[0] < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        ia, ib = np.triu_indices(ids.shape[0], k=1)
+        return pd.DataFrame({"doc_a": ids[ia].astype(np.int64),
+                             "doc_b": ids[ib].astype(np.int64)})
+
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # back to arrow blocks (rename/aggregate on pandas blocks is flaky)
+    pairs = pairs.map_batches(lambda t: t, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count())
+    return uniq.rename_columns({"count()": "n_bands_hit"})
+
+
+def jaccard_pairs(texts_by_id: dict, pairs, k: int = 5) -> pd.DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage)."""
+    rows = []
+    cache = {i: _shingle_hashes(t, k) for i, t in texts_by_id.items()}
+    for a, b in pairs:
+        sa, sb = cache[a], cache[b]
+        inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+        union = sa.shape[0] + sb.shape[0] - inter
+        rows.append({"doc_a": a, "doc_b": b,
+                     "jaccard": round(inter / union, 9) if union else 0.0})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit SimHash per document (token-hash bit voting), vectorized."""
+
+    def __init__(self, seed: int = 42) -> None:
+        self.seed = seed
+
+    def signature(self, text: str) -> int:
+        words = text.split()
+        if not words:
+            return 0
+        hs = np.array([hash_u64(w) for w in words], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+        # int64 votes: uint64 arithmetic would wrap negatives to huge positives
+        votes = bits.sum(axis=0).astype(np.int64) * 2 - hs.shape[0]
+        return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pandas()
+        sigs = [self.signature(t) for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(np.array(sigs, dtype=np.uint64)),
+        })
+
+
+def simhash_signatures(ds):
+    return ds.map_batches(SimHasher, batch_format="pyarrow", batch_size=1024,
+                          concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(ds, threshold: float = 0.95):
+    """Pairs (a<b) of embeddings with cosine similarity >= threshold.
+
+    Small-side broadcast: the normalized matrix is ray.put once and each
+    batch matmuls against it — no shuffle (design for the broadcast-fits
+    regime; the LSH-bucketed variant in ann.py covers the larger case).
+    """
+    import ray
+
+    tbl = ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    ids = tbl["vec_id"].to_numpy()
+    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.clip(norms, 1e-12, None)
+    ref = ray.put((ids, mat))
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        b_ids = batch.column("vec_id").to_numpy()
+        b_mat = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        b_mat = b_mat / np.clip(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-12, None)
+        sims = b_mat @ all_mat.T
+        keep = sims >= threshold
+        ri, ci = np.nonzero(keep)
+        a = b_ids[ri]
+        b = all_ids[ci]
+        mask = a < b
+        return pa.table({
+            "vec_a": pa.array(a[mask], pa.int64()),
+            "vec_b": pa.array(b[mask], pa.int64()),
+            "cosine": pa.array(np.round(sims[ri, ci][mask], 6), pa.float64()),
+        })
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow", batch_size=512)

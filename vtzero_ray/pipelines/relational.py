@@ -1,0 +1,157 @@
+"""General relational operators over the TPC-H-ish tables — demonstrates
+the engine's query surface beyond tiling: pruned reads, vectorized filters,
+partial pre-aggregation before the groupby shuffle, broadcast hash joins,
+sort/top-k, and windowed (streaming-shaped) aggregates.
+
+Float aggregates are rounded (6dp) AFTER aggregation so results hash-match
+the DuckDB oracle despite summation-order differences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _round_cols(ds, cols: dict[str, int]):
+    def f(batch: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            if c in batch.column_names:
+                i = batch.column_names.index(c)
+                batch = batch.set_column(
+                    i, c, pc.round(batch.column(c), ndigits=nd)
+                )
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered scan → PARTIAL per-batch pre-aggregate →
+    tiny groupby merge (ray_guide 'Aggregation at scale')."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(np.datetime64("1998-09-02T00:00:00.000000"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+        df = batch.to_pandas()
+        disc_price = df["l_extendedprice"] * (1 - df["l_discount"])
+        df = df.assign(disc_price=disc_price)
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            count_order=("l_quantity", "count"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    from ray.data.aggregate import Sum
+
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty"), Sum("sum_base_price"), Sum("sum_disc_price"), Sum("count_order")
+    )
+    agg = agg.rename_columns({
+        "sum(sum_qty)": "sum_qty",
+        "sum(sum_base_price)": "sum_base_price",
+        "sum(sum_disc_price)": "sum_disc_price",
+        "sum(count_order)": "count_order",
+    })
+    return _round_cols(agg, {"sum_qty": 6, "sum_base_price": 4, "sum_disc_price": 4})
+
+
+def orders_by_segment(sf_dir: str):
+    """Broadcast hash join: orders (big) × customer (small, ray.put once)
+    → orders count + total price per market segment."""
+    import ray
+    import ray.data as rd
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_map = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class JoinSeg:
+        def __init__(self) -> None:
+            self.map = ray.get(seg_map)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_custkey").to_pandas()
+            seg = keys.map(self.map)
+            return batch.append_column("c_mktsegment", pa.array(seg, pa.string()))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(JoinSeg, batch_format="pyarrow", concurrency=(1, 4))
+    from ray.data.aggregate import Count, Sum
+
+    agg = joined.groupby("c_mktsegment").aggregate(Count(), Sum("o_totalprice"))
+    agg = agg.rename_columns({"count()": "n_orders", "sum(o_totalprice)": "total_price"})
+    return _round_cols(agg, {"total_price": 4})
+
+
+def top_orders(sf_dir: str, k: int = 10):
+    """Global sort / top-k (A8): k highest-value orders."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def events_tumbling_window(sf_dir: str, window_s: int = 3600):
+    """Streaming-shaped tumbling window: per (event_type, hour) count +
+    rounded value sum. Window key computed vectorized per batch; the only
+    shuffle is the small grouped merge."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype("datetime64[s]").astype(np.int64)
+        w = (ts // window_s) * window_s
+        return batch.append_column(
+            "window_start",
+            pa.array(w.astype("datetime64[s]").astype("datetime64[us]")),
+        )
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    agg = ds.groupby(["event_type", "window_start"]).aggregate(Count(), Sum("value"))
+    agg = agg.rename_columns({"count()": "n_events", "sum(value)": "sum_value"})
+    return _round_cols(agg, {"sum_value": 6})
+
+
+def events_sessionize(sf_dir: str, gap_s: int = 1800):
+    """Session windows per user: sorted-per-group pandas sessionization
+    (groupby(key).map_groups over ts-ordered rows, ray_guide streaming
+    pattern). Returns per-session aggregates."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts", kind="stable")
+        gap = df["ts"].diff().dt.total_seconds().fillna(np.inf)
+        sid = (gap > gap_s).cumsum()
+        g = df.groupby(sid)
+        out = pd.DataFrame({
+            "user_id": g["user_id"].first(),
+            "session_start": g["ts"].min(),
+            "session_end": g["ts"].max(),
+            "n_events": g.size(),
+            "sum_value": g["value"].sum().round(6),
+        })
+        return out.reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")

@@ -1,0 +1,230 @@
+"""Spatial joins: point-in-polygon vs admin boundaries, kNN nearest POI.
+
+Ray-native designs (SURVEY.md §2.4):
+- PIP: the polygon table is SMALL-SIDE BROADCAST — ``ray.put`` once, read
+  in each actor's ``__init__``, bulk-tested per batch. The test is a
+  generic convex-polygon cross-product sign test over int64 microdegree
+  coordinates (exact integer arithmetic → oracle-comparable).
+- kNN: the POI table is broadcast; exact argmin over int64 squared
+  distances (ties → poi_id asc). ``KNNGrid`` adds the scale path: a
+  coarse-cell grid index built once per actor with ring-expansion search —
+  identical results, sub-linear candidate sets.
+
+Join-side tables are synthesized deterministically (same integer
+derivations exist in SQL in __ray_entry__.oracle_sql()): admin polygons
+are L1-ball "diamonds" with ODD doubled-radius so boundary ties are
+impossible; POI positions are Knuth-hashed microdegrees.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources.pages import HOT_LAT_US, HOT_LON_US, KNUTH
+
+N_ADMINS = 64
+N_POIS = 256
+
+# SQL fragments mirrored in oracle_sql(): admin/POI synthesis from range()
+SQL_ADMIN = f"""
+(SELECT t.range::BIGINT AS admin_id,
+        CASE WHEN t.range = 0 THEN {HOT_LAT_US}
+             ELSE (((t.range * {KNUTH}) % 4294967296) * 48271) % 160000000 - 80000000 END AS cy_us,
+        CASE WHEN t.range = 0 THEN {HOT_LON_US}
+             ELSE (((t.range * {KNUTH}) % 4294967296) * 69621) % 360000000 - 180000000 END AS cx_us,
+        CASE WHEN t.range = 0 THEN 100000
+             ELSE 2000000 + ((t.range * {KNUTH}) % 4294967296) % 8000000 END AS r_us
+ FROM range({N_ADMINS}) t)
+"""
+
+SQL_POI = f"""
+(SELECT t.range::BIGINT AS poi_id,
+        CASE WHEN t.range = 0 THEN {HOT_LAT_US}
+             ELSE ((((t.range + 1000) * {KNUTH}) % 4294967296) * 48271) % 160000000 - 80000000 END AS py_us,
+        CASE WHEN t.range = 0 THEN {HOT_LON_US}
+             ELSE ((((t.range + 1000) * {KNUTH}) % 4294967296) * 69621) % 360000000 - 180000000 END AS px_us
+ FROM range({N_POIS}) t)
+"""
+
+
+def admin_polygons(n: int = N_ADMINS) -> pd.DataFrame:
+    """Deterministic convex admin polygons (diamonds), int64 microdegrees.
+
+    Ring vertices are emitted as a generic polygon ring — the PIP test does
+    NOT know they are diamonds.
+    """
+    aid = np.arange(n, dtype=np.int64)
+    h = (aid * KNUTH) % 4294967296
+    cy = np.where(aid == 0, HOT_LAT_US, (h * 48271) % 160000000 - 80000000)
+    cx = np.where(aid == 0, HOT_LON_US, (h * 69621) % 360000000 - 180000000)
+    r = np.where(aid == 0, 100000, 2000000 + h % 8000000)
+    rings = []
+    for i in range(n):
+        # doubled coords; odd doubled-radius → no point ever on the boundary
+        r2 = 2 * int(r[i]) + 1
+        x2, y2 = 2 * int(cx[i]), 2 * int(cy[i])
+        rings.append(np.array([
+            [x2 + r2, y2], [x2, y2 + r2], [x2 - r2, y2], [x2, y2 - r2],
+        ], dtype=np.int64))
+    return pd.DataFrame({"admin_id": aid, "cx_us": cx, "cy_us": cy,
+                         "r_us": r, "ring2": rings})
+
+
+def poi_table(n: int = N_POIS) -> pd.DataFrame:
+    pid = np.arange(n, dtype=np.int64)
+    h = ((pid + 1000) * KNUTH) % 4294967296
+    py = np.where(pid == 0, HOT_LAT_US, (h * 48271) % 160000000 - 80000000)
+    px = np.where(pid == 0, HOT_LON_US, (h * 69621) % 360000000 - 180000000)
+    return pd.DataFrame({"poi_id": pid, "px_us": px, "py_us": py})
+
+
+def _points_in_convex(ring2: np.ndarray, x2: np.ndarray, y2: np.ndarray) -> np.ndarray:
+    """Vectorized strict-inside test for a CCW convex ring (int64 exact).
+
+    Cross product (b-a) x (p-a) > 0 for every edge. Same primitive as the
+    reference's ring-area det (geometry.hpp:120-123), applied per edge.
+    """
+    inside = np.ones(x2.shape[0], dtype=bool)
+    m = ring2.shape[0]
+    for i in range(m):
+        ax, ay = ring2[i]
+        bx, by = ring2[(i + 1) % m]
+        cross = (bx - ax) * (y2 - ay) - (by - ay) * (x2 - ax)
+        inside &= cross > 0
+    return inside
+
+
+class PIPJoin:
+    """Actor-pool map_batches stage: assigns admin_id (min matching id,
+    -1 if none). Broadcast polygons fetched once per actor."""
+
+    def __init__(self, polygons_ref=None) -> None:
+        if polygons_ref is not None:
+            import ray
+
+            self.polys = ray.get(polygons_ref)
+        else:
+            self.polys = admin_polygons()
+        # bbox prefilter arrays (built once per actor)
+        self.boxes = np.stack([
+            np.array([r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()])
+            for r in self.polys["ring2"]
+        ])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        # exact microdegrees back from the float degrees (lossless: lat=us/1e6)
+        y2 = (np.round(lat * 1e6) * 2).astype(np.int64)
+        x2 = (np.round(lon * 1e6) * 2).astype(np.int64)
+        assigned = np.full(x2.shape[0], -1, dtype=np.int64)
+        # iterate polygons in DESC admin_id so the final write is the MIN id
+        order = np.argsort(-self.polys["admin_id"].to_numpy())
+        for i in order:
+            box = self.boxes[i]
+            cand = (x2 >= box[0]) & (y2 >= box[1]) & (x2 <= box[2]) & (y2 <= box[3])
+            if not cand.any():
+                continue
+            idx = np.nonzero(cand)[0]
+            hit = _points_in_convex(self.polys["ring2"].iloc[i], x2[idx], y2[idx])
+            assigned[idx[hit]] = self.polys["admin_id"].iloc[i]
+        return batch.append_column("admin_id", pa.array(assigned, pa.int64()))
+
+
+class KNNJoin:
+    """Exact nearest-POI: broadcast POI matrix, int64 squared distances,
+    ties → poi_id asc. Vectorized (B×P) distance matrix per batch."""
+
+    def __init__(self, pois_ref=None) -> None:
+        if pois_ref is not None:
+            import ray
+
+            pois = ray.get(pois_ref)
+        else:
+            pois = poi_table()
+        self.pid = pois["poi_id"].to_numpy()
+        self.px = pois["px_us"].to_numpy().astype(np.int64)
+        self.py = pois["py_us"].to_numpy().astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat_us = np.round(batch.column("lat").to_numpy() * 1e6).astype(np.int64)
+        lon_us = np.round(batch.column("lon").to_numpy() * 1e6).astype(np.int64)
+        dx = lon_us[:, None] - self.px[None, :]
+        dy = lat_us[:, None] - self.py[None, :]
+        d2 = dx * dx + dy * dy
+        best = np.argmin(d2, axis=1)  # first occurrence = lowest index = lowest poi_id
+        return (
+            batch.append_column("poi_id", pa.array(self.pid[best], pa.int64()))
+            .append_column("poi_d2", pa.array(d2[np.arange(d2.shape[0]), best], pa.int64()))
+        )
+
+
+class KNNGrid:
+    """Scale-path kNN: coarse-cell grid over POIs built once per actor;
+    ring-expansion search guarantees exactness (expand until the best found
+    distance is <= the minimum possible distance of the next unexplored
+    ring). Results identical to KNNJoin."""
+
+    CELL_US = 10_000_000  # 10-degree cells
+
+    def __init__(self, pois_ref=None) -> None:
+        if pois_ref is not None:
+            import ray
+
+            pois = ray.get(pois_ref)
+        else:
+            pois = poi_table()
+        self.pid = pois["poi_id"].to_numpy()
+        self.px = pois["px_us"].to_numpy().astype(np.int64)
+        self.py = pois["py_us"].to_numpy().astype(np.int64)
+        cx = self.px // self.CELL_US
+        cy = self.py // self.CELL_US
+        self.grid: dict[tuple[int, int], np.ndarray] = {}
+        for i in range(self.pid.shape[0]):
+            self.grid.setdefault((int(cx[i]), int(cy[i])), []).append(i)
+        self.grid = {k: np.array(v, dtype=np.int64) for k, v in self.grid.items()}
+
+    def _nearest_one(self, x: int, y: int) -> tuple[int, int]:
+        cx, cy = x // self.CELL_US, y // self.CELL_US
+        best_d2, best_i = None, -1
+        ring = 0
+        while True:
+            idxs = []
+            for gx in range(cx - ring, cx + ring + 1):
+                for gy in range(cy - ring, cy + ring + 1):
+                    if max(abs(gx - cx), abs(gy - cy)) == ring and (gx, gy) in self.grid:
+                        idxs.append(self.grid[(gx, gy)])
+            if idxs:
+                cand = np.concatenate(idxs)
+                dx = self.px[cand] - x
+                dy = self.py[cand] - y
+                d2 = dx * dx + dy * dy
+                order = np.lexsort((self.pid[cand], d2))
+                if best_d2 is None or d2[order[0]] < best_d2 or (
+                    d2[order[0]] == best_d2 and self.pid[cand[order[0]]] < self.pid[best_i]
+                ):
+                    best_d2 = int(d2[order[0]])
+                    best_i = int(cand[order[0]])
+            # guaranteed-safe stop: next ring's min possible distance
+            ring += 1
+            min_next = (ring - 1) * self.CELL_US
+            if best_d2 is not None and min_next > 0 and best_d2 <= min_next * min_next:
+                return best_i, best_d2
+            if ring > 40:  # world wrap bound
+                return best_i, int(best_d2) if best_d2 is not None else -1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat_us = np.round(batch.column("lat").to_numpy() * 1e6).astype(np.int64)
+        lon_us = np.round(batch.column("lon").to_numpy() * 1e6).astype(np.int64)
+        out_id = np.empty(lat_us.shape[0], dtype=np.int64)
+        out_d2 = np.empty(lat_us.shape[0], dtype=np.int64)
+        for i in range(lat_us.shape[0]):
+            bi, d2 = self._nearest_one(int(lon_us[i]), int(lat_us[i]))
+            out_id[i] = self.pid[bi]
+            out_d2[i] = d2
+        return (
+            batch.append_column("poi_id", pa.array(out_id, pa.int64()))
+            .append_column("poi_d2", pa.array(out_d2, pa.int64()))
+        )
