@@ -99,6 +99,38 @@ def _q_tiles_encoded(sf_dir: str):
     return t.select_columns(["z", "x", "y", "n_features", "check_code"])
 
 
+def _q_tile_stats_z6(sf_dir: str):
+    """Full encode→decode round trip: vtzero-stats (A1) over freshly encoded
+    tiles; geometry byte sums and value-table sizes are SQL-predictable."""
+    from vtzero_ray.pipelines.decode import tile_stats
+    from vtzero_ray.pipelines.tiling import tiles_pipeline
+
+    tiles = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
+    return tile_stats(tiles)
+
+
+def _q_decoded_features_z6(sf_dir: str):
+    """Encode then DECODE back: exploded feature rows must match the source
+    pages exactly (M1/M4/M5 read path)."""
+    from vtzero_ray.pipelines.decode import decode_tiles
+    from vtzero_ray.pipelines.tiling import tiles_pipeline
+
+    tiles = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
+    feats = decode_tiles(tiles, with_props=False, with_geometry=False)
+    return feats.select_columns(["z", "x", "y", "layer", "feature_id", "geom_type", "n_props"])
+
+
+def _q_filter_lang_en_z6(sf_dir: str):
+    """vtzero-streets-shaped filter/re-encode (T7+T12): keep lang=en
+    features, opaque geometry passthrough, per-tile counts."""
+    from vtzero_ray.pipelines.filter import filter_features
+    from vtzero_ray.pipelines.tiling import tiles_pipeline
+
+    tiles = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
+    kept = filter_features(tiles, "pages", "lang", "en")
+    return kept.select_columns(["z", "x", "y", "n_features"])
+
+
 # -- text analysis -----------------------------------------------------------
 
 def _docs(sf_dir: str):
@@ -257,6 +289,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pixel_coords": _q_tile_pixel_coords,
         "lang_page_counts": _q_lang_page_counts,
         "tiles_encoded": _q_tiles_encoded,
+        # decode / stats / filter parity (SURVEY §3.2, §3.3)
+        "tile_stats_z6": _q_tile_stats_z6,
+        "decoded_features_z6": _q_decoded_features_z6,
+        "filter_lang_en_z6": _q_filter_lang_en_z6,
         # spatial joins (SURVEY §2.4)
         "pip_join": _q_pip_join,
         "knn_join": _q_knn_join,
@@ -381,6 +417,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_page_counts": "SELECT lang, COUNT(*) AS n_pages FROM documents GROUP BY 1",
         # tiles_encoded: MVT bytes not SQL-expressible → rows-only check
+        # -- decode / stats / filter parity -----------------------------------
+        "tile_stats_z6": (
+            # geometry bytes per feature: 0x09 + varint(zigzag(px)) + varint(zigzag(py));
+            # zigzag(p) = 2p for p >= 0 → 1 byte iff p < 64 (extent 4096 → max 2 bytes)
+            f"SELECT 6 AS z, {t6['x']} AS x, {t6['y']} AS y, 'pages' AS layer, "
+            f"COUNT(*) AS n_features, "
+            f"SUM(1 + (CASE WHEN CAST(floor(({t6['fx']} - floor({t6['fx']})) * 4096) AS INTEGER) < 64 THEN 1 ELSE 2 END)"
+            f"  + (CASE WHEN CAST(floor(({t6['fy']} - floor({t6['fy']})) * 4096) AS INTEGER) < 64 THEN 1 ELSE 2 END)) AS geom_bytes, "
+            f"2 AS n_keys, COUNT(*) + COUNT(DISTINCT lang) AS n_values "
+            f"FROM documents GROUP BY 2, 3"
+        ),
+        "decoded_features_z6": (
+            f"SELECT 6 AS z, {t6['x']} AS x, {t6['y']} AS y, 'pages' AS layer, "
+            f"doc_id AS feature_id, 1 AS geom_type, 2 AS n_props FROM documents"
+        ),
+        "filter_lang_en_z6": (
+            f"SELECT 6 AS z, {t6['x']} AS x, {t6['y']} AS y, COUNT(*) AS n_features "
+            f"FROM documents WHERE lang = 'en' GROUP BY 1, 2, 3"
+        ),
         # -- spatial joins ---------------------------------------------------
         "pip_join": (
             f"SELECT u.url AS url, COALESCE(MIN(a.admin_id), -1) AS admin_id "

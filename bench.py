@@ -24,6 +24,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 EXPAND = int(os.environ.get("GRAFT_EXPAND", "40"))
+QUICK = os.environ.get("GRAFT_QUICK", "") == "1"  # headline only (scaling runs)
 
 
 def run_bench() -> dict:
@@ -62,6 +63,18 @@ def run_bench() -> dict:
     extra["features"] = n_feats
     extra["tiles_per_sec"] = round(n_tiles / headline, 1)
     extra["features_per_sec"] = round(n_feats / headline, 1)
+
+    if QUICK:
+        return {
+            "metric": "MVT tiles encoded/sec (vtzero-check-validated), end-to-end pages pipeline",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "expand": EXPAND,
+            **extra,
+        }
 
     # stage benches
     t0 = time.time()
@@ -102,7 +115,8 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same job at 8 and 32 CPUs in fresh processes → scaling efficiency."""
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_QUICK="1",
+                   GRAFT_EXPAND=str(int(os.environ.get("GRAFT_EXPAND", "100"))))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

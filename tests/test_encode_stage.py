@@ -35,7 +35,8 @@ def make_case(n, seed=0, n_langs=4):
     return fids, px, py, urls, langs
 
 
-@pytest.mark.parametrize("n,seed", [(1, 0), (3, 1), (25, 2), (500, 3), (2000, 4)])
+@pytest.mark.parametrize("n,seed", [(1, 0), (3, 1), (25, 2), (48, 5), (49, 6),
+                                    (500, 3), (2000, 4)])
 def test_vectorized_matches_scalar(n, seed):
     fids, px, py, urls, langs = make_case(n, seed)
     expected = scalar_reference_tile(fids, px, py, urls, langs)
@@ -43,6 +44,18 @@ def test_vectorized_matches_scalar(n, seed):
         fids, px, py, pa.array(urls, pa.string()), pa.array(langs, pa.string())
     )
     assert got == expected
+
+
+@pytest.mark.parametrize("n,seed", [(1, 10), (7, 11), (48, 12)])
+def test_small_fast_path_matches_vectorized(n, seed):
+    from vtzero_ray.stages.encode import _encode_point_tile_small
+
+    fids, px, py, urls, langs = make_case(n, seed)
+    small = _encode_point_tile_small(
+        [int(v) for v in fids], [int(v) for v in px], [int(v) for v in py],
+        urls, langs, b"pages", 2, 4096,
+    )
+    assert small == scalar_reference_tile(fids, px, py, urls, langs)
 
 
 def test_single_lang():

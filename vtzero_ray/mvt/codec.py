@@ -219,12 +219,29 @@ class _Decoder:
         return count
 
     def take_points(self, count: int) -> tuple[np.ndarray, np.ndarray]:
-        """Decode ``count`` cursor-relative points (vectorized)."""
+        """Decode ``count`` cursor-relative points (vectorized; scalar fast
+        path for the tiny runs that dominate point tiles)."""
         end = self.pos + 2 * count
         if end > self.n:
             raise GeometryError("too few points in geometry")
         params = self.cmds[self.pos:end]
         self.pos = end
+        if count <= 4:
+            p = params.tolist()
+            xs = np.empty(count, dtype=np.int32)
+            ys = np.empty(count, dtype=np.int32)
+            cx, cy = self.cx, self.cy
+            for i in range(count):
+                vx, vy = p[2 * i], p[2 * i + 1]
+                cx = (cx + ((vx >> 1) ^ -(vx & 1))) & 0xFFFFFFFF
+                cy = (cy + ((vy >> 1) ^ -(vy & 1))) & 0xFFFFFFFF
+                cx = cx - 0x100000000 if cx >= 0x80000000 else cx
+                cy = cy - 0x100000000 if cy >= 0x80000000 else cy
+                xs[i] = cx
+                ys[i] = cy
+            self.cx = cx
+            self.cy = cy
+            return xs, ys
         dx = zigzag_decode32_np(params[0::2])
         dy = zigzag_decode32_np(params[1::2])
         # int64 cumsum then int32 wrap == per-step int32 wrap (mod 2^32 adds

@@ -117,15 +117,7 @@ def encode_varints_np(values: np.ndarray) -> bytes:
     n = v.shape[0]
     if n == 0:
         return b""
-    # number of 7-bit groups = max(1, ceil(bitlength/7))
-    nbits = np.zeros(n, dtype=np.int64)
-    tmp = v.copy()
-    nonzero = tmp != 0
-    while nonzero.any():
-        nbits[nonzero] += 1
-        tmp >>= np.uint64(7)
-        nonzero = tmp != 0
-    np.maximum(nbits, 1, out=nbits)
+    nbits = varint_lengths_np(v)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(nbits, out=offsets[1:])
     total = int(offsets[-1])
@@ -143,27 +135,40 @@ def encode_varints_np(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+_VARINT_THRESHOLDS = [np.uint64(1 << (7 * k)) for k in range(1, 10)]
+
+
 def varint_lengths_np(values: np.ndarray) -> np.ndarray:
-    """Per-value varint byte length for a uint64 array."""
+    """Per-value varint byte length for a uint64 array (branch-free:
+    one vectorized >= per possible extra byte, early-exited on max)."""
     v = values.astype(np.uint64, copy=False)
-    n = v.shape[0]
-    nbits = np.zeros(n, dtype=np.int64)
-    tmp = v.copy()
-    nonzero = tmp != 0
-    while nonzero.any():
-        nbits[nonzero] += 1
-        tmp >>= np.uint64(7)
-        nonzero = tmp != 0
-    np.maximum(nbits, 1, out=nbits)
-    return nbits
+    lens = np.ones(v.shape[0], dtype=np.int64)
+    if v.shape[0] == 0:
+        return lens
+    vmax = v.max()
+    for t in _VARINT_THRESHOLDS:
+        if vmax < t:
+            break
+        lens += v >= t
+    return lens
 
 
 def decode_packed_uint32(data: bytes) -> np.ndarray:
     """Decode a packed repeated-uint32 payload into a uint32 NumPy array.
 
-    Vectorized: find varint boundaries from the continuation bits, then
-    combine up to 5 byte groups per value.
+    Small payloads (the common single-point-feature case) take a scalar
+    path — the vectorized path's array setup costs ~20µs, which dominates
+    3-element streams. Large payloads are fully vectorized: find varint
+    boundaries from the continuation bits, then combine byte groups.
     """
+    if len(data) <= 32:
+        vals = []
+        pos = 0
+        n = len(data)
+        while pos < n:
+            v, pos = decode_varint(data, pos)
+            vals.append(v & 0xFFFFFFFF)
+        return np.array(vals, dtype=np.uint32)
     raw = np.frombuffer(data, dtype=np.uint8)
     if raw.size == 0:
         return np.empty(0, dtype=np.uint32)

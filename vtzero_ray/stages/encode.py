@@ -110,6 +110,57 @@ def interleaved_value_indexes(n: int, lang_codes: np.ndarray,
     return url_vidx.astype(np.uint64), lang_vidx_per_code.astype(np.uint64)
 
 
+SMALL_TILE_CUTOFF = 48
+
+
+def _encode_point_tile_small(fids, pxs, pys, urls, langs,
+                             layer_name: bytes, version: int, extent: int) -> bytes:
+    """Pure-Python fast path for tiny tiles (byte-identical to the
+    vectorized kernel). NumPy's per-op dispatch costs ~0.4ms on a
+    3-feature tile; straight-line Python does it in ~20µs — and tiny tiles
+    dominate tile COUNT at high zooms even when they don't dominate rows.
+    """
+    from ..mvt.pbf import encode_varint
+
+    feats = bytearray()
+    values: list[bytes] = []
+    vidx: dict[bytes, int] = {}
+    for fid, x, y, url, lang in zip(fids, pxs, pys, urls, langs):
+        ub = url.encode() if isinstance(url, str) else url
+        ui = vidx.get(ub)
+        if ui is None:
+            ui = len(values)
+            vidx[ub] = ui
+            values.append(ub)
+        lb = lang.encode() if isinstance(lang, str) else lang
+        li = vidx.get(lb)
+        if li is None:
+            li = len(values)
+            vidx[lb] = li
+            values.append(lb)
+        zx = ((x << 1) ^ (x >> 31)) & 0xFFFFFFFF
+        zy = ((y << 1) ^ (y >> 31)) & 0xFFFFFFFF
+        geom = (b"\x09"
+                + (bytes((zx,)) if zx < 128 else encode_varint(zx))
+                + (bytes((zy,)) if zy < 128 else encode_varint(zy)))
+        tags = (b"\x00" + (bytes((ui,)) if ui < 128 else encode_varint(ui))
+                + b"\x01" + (bytes((li,)) if li < 128 else encode_varint(li)))
+        body = (b"\x18\x01\x08" + encode_varint(fid)
+                + b"\x22" + bytes((len(geom),)) + geom
+                + b"\x12" + bytes((len(tags),)) + tags)
+        feats += b"\x12" + encode_varint(len(body)) + body
+    header = (b"\x78" + encode_varint(version)
+              + b"\x0a" + encode_varint(len(layer_name)) + layer_name
+              + b"\x28" + encode_varint(extent))
+    keys = b"\x1a\x03url\x1a\x04lang"
+    vbuf = bytearray()
+    for s in values:
+        entry = b"\x0a" + encode_varint(len(s)) + s
+        vbuf += b"\x22" + encode_varint(len(entry)) + entry
+    payload = header + bytes(feats) + keys + bytes(vbuf)
+    return b"\x1a" + encode_varint(len(payload)) + payload
+
+
 def encode_point_tile(
     feature_ids: np.ndarray,
     px: np.ndarray,
@@ -124,18 +175,31 @@ def encode_point_tile(
 
     Features must already be in deterministic order (sorted by feature id).
     Properties per feature: url (key idx 0), lang (key idx 1).
+    Small tiles dispatch to the pure-Python fast path (identical bytes).
     """
     n = feature_ids.shape[0]
+    if n <= SMALL_TILE_CUTOFF:
+        return _encode_point_tile_small(
+            [int(v) for v in feature_ids],
+            [int(v) for v in px],
+            [int(v) for v in py],
+            url_arr.to_pylist() if isinstance(url_arr, (pa.Array, pa.ChunkedArray)) else list(url_arr),
+            lang_arr.to_pylist() if isinstance(lang_arr, (pa.Array, pa.ChunkedArray)) else list(lang_arr),
+            layer_name, version, extent,
+        )
     fid = feature_ids.astype(np.uint64)
     zzx = zigzag32_np(px)
     zzy = zigzag32_np(py)
 
-    # value table index assignment (url, lang interleaved per feature)
-    import pandas as pd
-
-    lang_codes, lang_uniques = pd.factorize(
-        pd.Series(lang_arr.to_pandas() if isinstance(lang_arr, (pa.Array, pa.ChunkedArray)) else lang_arr)
+    # value table index assignment (url, lang interleaved per feature);
+    # np.unique (sorted coding) — downstream math keys on first-occurrence
+    # positions, not code order, so sorted codes are fine
+    lang_np = (
+        lang_arr.to_numpy(zero_copy_only=False)
+        if isinstance(lang_arr, (pa.Array, pa.ChunkedArray))
+        else np.asarray(lang_arr)
     )
+    lang_uniques, lang_codes = np.unique(lang_np, return_inverse=True)
     lang_codes = lang_codes.astype(np.int64)
     n_langs = len(lang_uniques)
     url_vidx, lang_vidx_per_code = interleaved_value_indexes(n, lang_codes, n_langs)

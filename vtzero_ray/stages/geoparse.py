@@ -35,18 +35,25 @@ class GeoParse:
         )
 
 
-def geoparse(ds, concurrency: int | tuple[int, int] = (2, 8), batch_size=None):
-    """Apply the geoparse actor-pool stage and drop non-geo rows.
+def geoparse(ds, concurrency=None, batch_size=None):
+    """Apply the geoparse stage and drop non-geo rows.
 
+    Runs as STATELESS TASKS by default (concurrency=None): the regex is an
+    Arrow kernel (no per-actor state worth amortizing) and tasks scale
+    elastically with the CPU count — a fixed-size actor pool was measured
+    to cap this stage at pool-size parallelism and sink 8→32 CPU scaling.
     batch_size=None (batch == block): a positive batch_size would bundle
     small upstream blocks into one task and serialize the stage.
     """
-    ds = ds.map_batches(
-        GeoParse,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    if concurrency is None:
+        ds = ds.map_batches(GeoParse(), batch_format="pyarrow", batch_size=batch_size)
+    else:
+        ds = ds.map_batches(
+            GeoParse,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("has_geo"), True)).drop_columns(["has_geo"]),
         batch_format="pyarrow",
