@@ -15,12 +15,50 @@ from __future__ import annotations
 import numpy as np
 
 from . import codec
+from ..exceptions import GeometryError
 from .decoder import VectorTile
+from .pbf import decode_varint
 
 OK = 0
 WARNING = 1
 ERROR = 2
 FATAL = 3
+
+
+def _check_point_scalar(geometry_data: bytes, extent: int, diags, ctx: str) -> None:
+    """Scalar decode+bounds for POINT features (same error semantics as
+    codec.decode_point; avoids per-feature numpy setup — the hot
+    validation path for point corpora)."""
+    vals = []
+    pos = 0
+    n = len(geometry_data)
+    while pos < n:
+        v, pos = decode_varint(geometry_data, pos)
+        vals.append(v & 0xFFFFFFFF)
+    if not vals:
+        raise GeometryError("expected MoveTo command (spec 4.3.4.2)")
+    ci = vals[0]
+    if ci & 0x7 != 1:
+        raise GeometryError(f"expected command 1 but got {ci & 0x7}")
+    count = ci >> 3
+    if count == 0:
+        raise GeometryError("MoveTo command count is zero (spec 4.3.4.2)")
+    if count > n // 2:
+        raise GeometryError("count too large")
+    if len(vals) - 1 < 2 * count:
+        raise GeometryError("too few points in geometry")
+    if len(vals) - 1 > 2 * count:
+        raise GeometryError("additional data after end of geometry (spec 4.3.4.2)")
+    cx = cy = 0
+    lo, hi = -extent, 2 * extent
+    for i in range(count):
+        vx, vy = vals[1 + 2 * i], vals[2 + 2 * i]
+        cx = (cx + ((vx >> 1) ^ -(vx & 1))) & 0xFFFFFFFF
+        cy = (cy + ((vy >> 1) ^ -(vy & 1))) & 0xFFFFFFFF
+        cx = cx - 0x100000000 if cx >= 0x80000000 else cx
+        cy = cy - 0x100000000 if cy >= 0x80000000 else cy
+        if cx < lo or cy < lo or cx > hi or cy > hi:
+            diags.append((WARNING, f"Warning{ctx}point waaaay beyond the extent"))
 
 
 def _check_points_location(points: np.ndarray, extent: int, diags, ctx: str) -> None:
@@ -74,6 +112,10 @@ def check_tile(data: bytes) -> tuple[int, list[tuple[int, str]]]:
             extent = layer.extent
             for feature in layer.features():
                 ctx = f" in layer {layer_num} in feature {feature_num} in geometry: "
+                if feature.geom_type == codec.GEOM_POINT:
+                    _check_point_scalar(feature.geometry_data, extent, diags, ctx)
+                    feature_num += 1
+                    continue
                 decoded = feature.decode_geometry()
                 if feature.geom_type == codec.GEOM_POINT:
                     _check_points_location(decoded, extent, diags, ctx)

@@ -40,15 +40,29 @@ def features_dataset(sf_dir: str, zooms=DEFAULT_ZOOMS, extent: int = 4096,
 
 
 def tiles_pipeline(sf_dir: str, zooms=DEFAULT_ZOOMS, extent: int = 4096,
-                   validate: bool = True, expand: int = 1):
-    """Full pipeline → Dataset[z, x, y, mvt, n_features(, check_code)]."""
+                   validate: bool = True, expand: int = 1,
+                   hot_threshold: int | None = None, n_salt: int = 16):
+    """Full pipeline → Dataset[z, x, y, mvt, n_features(, check_code)].
+
+    ``hot_threshold``: tiles with more features than this are encoded via
+    the SALTED shard path (stages/shard_encode.py) — (z,x,y,salt) groups
+    encoded in parallel with plan-derived global interning indexes, merged
+    by byte concatenation. Bounds per-task group size and removes the
+    hot-tile straggler (SURVEY.md §4 skew row). None = single-path encode.
+    """
     ds = features_dataset(sf_dir, zooms, extent, expand=expand)
     ds = ds.select_columns(["z", "x", "y", "doc_id", "px", "py", "url", "lang"])
-    # bucketed tile shuffle: fixed group count, many tiles per group
-    ds = ds.map_batches(add_tile_bucket, batch_format="pyarrow")
-    tiles = ds.groupby("bucket").map_groups(
-        PointTileAssembler(extent=extent), batch_format="pyarrow"
-    )
+    if hot_threshold is not None:
+        from .tiling_sharded import sharded_tiles
+
+        tiles = sharded_tiles(ds, hot_threshold=hot_threshold, n_salt=n_salt,
+                              extent=extent)
+    else:
+        # bucketed tile shuffle: fixed group count, many tiles per group
+        ds = ds.map_batches(add_tile_bucket, batch_format="pyarrow")
+        tiles = ds.groupby("bucket").map_groups(
+            PointTileAssembler(extent=extent), batch_format="pyarrow"
+        )
     if validate:
         tiles = tiles.map_batches(validate_tiles, batch_format="pyarrow")
     return tiles

@@ -1,0 +1,197 @@
+"""Salted (sharded) encoding of HOT tiles (SURVEY.md §4 skew handling).
+
+Problem: one dense-urban tile can hold 30%+ of all features; a plain
+groupby(z,x,y) puts them in ONE group → one straggler task and one
+worker holding the whole group in memory. At 100 TB that's fatal.
+
+Design — deterministic distributed interning in two passes, no
+single-node re-encode:
+
+1. *Plan* (tiny aggregates): per hot tile and salt ``s = doc_id % S``:
+   feature count; per lang: first (salt, doc_id) occurrence. From these the
+   planner derives, per tile: per-salt global-rank bases, each lang's
+   global value-table index, and the byte layout of the value table. The
+   plan is small (hot_tiles × S rows) and broadcast via ray.put.
+
+2. *Shard encode* (parallel over (tile, salt)): each shard encodes its
+   features' COMPLETE wire bytes — including tag indexes — using global
+   indexes computed from the plan:
+       url_idx(rank r)  = r + #{langs with first_rank < r}
+       lang_idx(first f) = f + 1 + #{langs with first_rank < f}
+   (the closed form of vtzero's sequential first-occurrence interning,
+   builder_impl.hpp:104-147, over the canonical order (salt, doc_id)).
+   It also emits its url value-table SEGMENT bytes.
+
+3. *Merge* (per tile, cheap): concatenate shard feature sections in salt
+   order, splice lang value entries at their planned positions, prepend
+   the layer header + key table → byte-complete tile. Pure byte
+   concatenation — O(output size), no re-interning.
+
+Output bytes are deterministic (fixed S and threshold) and decode to the
+same logical content as the unsalted kernel; the canonical feature order
+is (salt, doc_id) instead of plain doc_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..mvt.pbf import encode_varint, field_bytes, field_varint
+
+
+def plan_hot_tiles(stats_rows, n_salt: int):
+    """stats_rows: iterable of dicts (z,x,y,salt,lang,n,min_doc) for HOT
+    tiles only → per-tile plan dict."""
+    from collections import defaultdict
+
+    per_tile = defaultdict(list)
+    for r in stats_rows:
+        per_tile[(r["z"], r["x"], r["y"])].append(r)
+    plans = {}
+    for key, rows in per_tile.items():
+        salt_counts = np.zeros(n_salt, dtype=np.int64)
+        lang_first: dict[str, tuple[int, int]] = {}
+        for r in rows:
+            salt_counts[r["salt"]] += r["n"]
+            cur = lang_first.get(r["lang"])
+            cand = (r["salt"], r["min_doc"])
+            if cur is None or cand < cur:
+                lang_first[r["lang"]] = cand
+        bases = np.zeros(n_salt, dtype=np.int64)
+        np.cumsum(salt_counts[:-1], out=bases[1:])
+        # global rank of each lang's first occurrence: base of its salt +
+        # number of smaller doc_ids in that salt — the shard knows exact
+        # local positions, the planner only needs relative ORDER of firsts,
+        # so store (salt, min_doc) and resolve ranks in the shard? No:
+        # ranks must be globally consistent. We resolve them exactly below
+        # via the per-salt sorted doc minima — exactness requires the
+        # shard-local rank of min_doc, which is 0 only if it's the salt's
+        # smallest doc. Instead the planner receives min_doc AND its local
+        # rank (computed in the stats stage) as `first_rank_local`.
+        plans[key] = {
+            "bases": bases,
+            "salt_counts": salt_counts,
+            "lang_first": lang_first,
+            "total": int(salt_counts.sum()),
+        }
+    return plans
+
+
+def finalize_plan(plan, lang_first_ranks: dict[str, int]):
+    """Attach global first ranks (base[salt] + local rank) and derive each
+    lang's value-table index."""
+    firsts = sorted(lang_first_ranks.items(), key=lambda kv: kv[1])
+    ranks = np.array([r for _, r in firsts], dtype=np.int64)
+    lang_index = {}
+    for i, (lang, f) in enumerate(firsts):
+        lang_index[lang] = int(f + 1 + i)  # f + 1 urls + langs first-seen before
+    plan["lang_order"] = [l for l, _ in firsts]
+    plan["lang_ranks_sorted"] = ranks
+    plan["lang_index"] = lang_index
+    return plan
+
+
+def url_indexes(global_ranks: np.ndarray, lang_ranks_sorted: np.ndarray) -> np.ndarray:
+    """url value index per feature = rank + #langs first-seen at rank < r
+    ... strictly before the url add of feature r (lang first-seen AT rank r
+    happens AFTER that feature's url add)."""
+    extra = np.searchsorted(lang_ranks_sorted, global_ranks, side="left")
+    return global_ranks + extra
+
+
+def encode_shard(
+    feature_ids: np.ndarray,
+    px: np.ndarray,
+    py: np.ndarray,
+    urls: list,
+    langs: list,
+    global_base: int,
+    lang_ranks_sorted: np.ndarray,
+    lang_index: dict[str, int],
+) -> tuple[bytes, bytes]:
+    """One (tile, salt) shard → (feature_section_bytes, url_value_segment).
+
+    Features must be sorted by doc_id. Pure-Python straight-line encoding
+    (the vectorized kernel shape applies here too; shards are the unit of
+    parallelism so per-shard Python is amortized).
+    """
+    feats = bytearray()
+    useg = bytearray()
+    ranks = np.arange(global_base, global_base + feature_ids.shape[0], dtype=np.int64)
+    uidx = url_indexes(ranks, lang_ranks_sorted)
+    for i in range(feature_ids.shape[0]):
+        x, y = int(px[i]), int(py[i])
+        zx = ((x << 1) ^ (x >> 31)) & 0xFFFFFFFF
+        zy = ((y << 1) ^ (y >> 31)) & 0xFFFFFFFF
+        geom = (b"\x09"
+                + (bytes((zx,)) if zx < 128 else encode_varint(zx))
+                + (bytes((zy,)) if zy < 128 else encode_varint(zy)))
+        ui = int(uidx[i])
+        li = lang_index[langs[i]]
+        tags = (b"\x00" + (bytes((ui,)) if ui < 128 else encode_varint(ui))
+                + b"\x01" + (bytes((li,)) if li < 128 else encode_varint(li)))
+        body = (b"\x18\x01\x08" + encode_varint(int(feature_ids[i]))
+                + b"\x22" + bytes((len(geom),)) + geom
+                + b"\x12" + bytes((len(tags),)) + tags)
+        feats += b"\x12" + encode_varint(len(body)) + body
+        ub = urls[i].encode() if isinstance(urls[i], str) else urls[i]
+        entry = b"\x0a" + encode_varint(len(ub)) + ub
+        useg += b"\x22" + encode_varint(len(entry)) + entry
+    return bytes(feats), bytes(useg)
+
+
+def merge_shards(
+    shard_rows: list,
+    plan,
+    layer_name: bytes = b"pages",
+    version: int = 2,
+    extent: int = 4096,
+) -> bytes:
+    """Per tile: shards (sorted by salt) → complete tile bytes.
+
+    Value table = url segments concatenated in salt order with each lang's
+    entry spliced in at its planned global index. Splice positions are
+    found by walking the url entries' per-salt counts (urls occupy every
+    position that is not a lang index).
+    """
+    shard_rows = sorted(shard_rows, key=lambda r: r["salt"])
+    feats = b"".join(r["feat_bytes"] for r in shard_rows)
+    # build the value table: iterate global value indexes; lang positions
+    # come from the plan, everything else consumes url entries in order
+    lang_positions = sorted((idx, lang) for lang, idx in plan["lang_index"].items())
+    url_entry_iters = []
+    for r in shard_rows:
+        url_entry_iters.append(r["url_seg"])
+    url_blob = b"".join(url_entry_iters)
+    vbuf = bytearray()
+    upos = 0
+    total_vals = plan["total"] + len(lang_positions)
+    lp = 0
+    for p in range(total_vals):
+        if lp < len(lang_positions) and lang_positions[lp][0] == p:
+            lb = lang_positions[lp][1].encode("utf-8")
+            entry = b"\x0a" + encode_varint(len(lb)) + lb
+            vbuf += b"\x22" + encode_varint(len(entry)) + entry
+            lp += 1
+        else:
+            # consume next url entry: parse its length prefix
+            assert url_blob[upos] == 0x22
+            q = upos + 1
+            ln = 0
+            shift = 0
+            while True:
+                b = url_blob[q]
+                q += 1
+                ln |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            vbuf += url_blob[upos:q + ln]
+            upos = q + ln
+    header = (field_varint(15, version)
+              + field_bytes(1, layer_name)
+              + field_varint(5, extent))
+    keys = b"\x1a\x03url\x1a\x04lang"
+    payload = header + feats + keys + bytes(vbuf)
+    return field_bytes(3, payload)
