@@ -1,0 +1,198 @@
+"""mvt-fixtures-style conformance corpus (FIXTURES.md F4), synthesized from
+the documented byte content of the reference's fixture tests
+(/root/reference/test/fixture_tests.cpp; the upstream submodule is not
+vendored). Case numbers mirror the upstream corpus."""
+
+import numpy as np
+import pytest
+
+from vtzero_ray.exceptions import (FormatError, GeometryError,
+                                   OutOfRangeError, VersionError)
+from vtzero_ray.mvt import builder as b
+from vtzero_ray.mvt import codec, values
+from vtzero_ray.mvt.decoder import VectorTile
+from vtzero_ray.mvt.pbf import encode_varints_np, field_bytes, field_varint
+
+
+def layer_payload(*, version=2, name=b"hello", extent=4096, features=(),
+                  keys=(), vals=()):
+    p = field_varint(15, version) + field_bytes(1, name) + field_varint(5, extent)
+    for f in features:
+        p += field_bytes(2, f)
+    for k in keys:
+        p += field_bytes(3, k)
+    for v in vals:
+        p += field_bytes(4, v)
+    return p
+
+
+def feature_body(*, fid=None, geom=None, geom_type=1, tags=None):
+    body = b""
+    if fid is not None:
+        body += field_varint(1, fid)
+    if tags is not None:
+        body += field_bytes(2, encode_varints_np(np.array(tags, dtype=np.uint64)))
+    body += field_varint(3, geom_type)
+    if geom is not None:
+        body += field_bytes(4, encode_varints_np(np.array(geom, dtype=np.uint32)))
+    return body
+
+
+def one_feature_tile(**kw):
+    return field_bytes(3, layer_payload(features=[feature_body(**kw)],
+                                        keys=kw.pop("keys_", ()) or (),
+                                        vals=kw.pop("vals_", ()) or ()))
+
+
+class TestFixtureCorpus:
+    def test_001_empty_tile(self):
+        tile = VectorTile(b"")
+        assert tile.count_layers() == 0
+
+    def test_002_single_point_with_id(self):
+        data = one_feature_tile(fid=1, geom=[9, 50, 34])
+        f = next(VectorTile(data).get_layer(0).features())
+        assert f.has_id and f.id == 1
+        assert f.decode_geometry().tolist() == [[25, 17]]
+
+    def test_004_missing_geometry(self):
+        data = field_bytes(3, layer_payload(features=[field_varint(3, 1)]))
+        with pytest.raises(FormatError, match=r"Missing geometry field in feature \(spec 4.2\)"):
+            list(VectorTile(data).get_layer(0).features())
+
+    def test_005_odd_tag_count(self):
+        data = one_feature_tile(geom=[9, 50, 34], tags=[0])
+        with pytest.raises(FormatError, match=r"unpaired property key/value indexes \(spec 4.4\)"):
+            list(VectorTile(data).get_layer(0).features())
+
+    def test_006_bad_geom_type(self):
+        data = one_feature_tile(geom=[9, 50, 34], geom_type=5)
+        with pytest.raises(FormatError, match=r"Unknown geometry type \(spec 4.3.4\)"):
+            list(VectorTile(data).get_layer(0).features())
+
+    @pytest.mark.parametrize("version", [0, 3, 99])
+    def test_012_024_unsupported_versions(self, version):
+        p = layer_payload(version=version, features=[feature_body(geom=[9, 50, 34])])
+        with pytest.raises(VersionError, match=f"unknown vector tile version: {version}"):
+            list(VectorTile(field_bytes(3, p)).layers())
+
+    def test_014_missing_layer_name(self):
+        p = field_varint(15, 2) + field_varint(5, 4096)
+        with pytest.raises(FormatError, match=r"missing name field in layer \(spec 4.1\)"):
+            list(VectorTile(field_bytes(3, p)).layers())
+
+    # 032-038: property value type matrix
+    @pytest.mark.parametrize("vt,val,blob_check", [
+        (values.VT_STRING, b"ello", None),
+        (values.VT_FLOAT, 3.5, b"\x15\x00\x00\x60\x40"),
+        (values.VT_DOUBLE, 1.25, None),
+        (values.VT_INT, -99, None),
+        (values.VT_UINT, 99, b"\x28\x63"),
+        (values.VT_SINT, -87, None),
+        (values.VT_BOOL, True, b"\x38\x01"),
+    ])
+    def test_032_038_property_types(self, vt, val, blob_check):
+        blob = values.encode_value(val, vt)
+        if blob_check:
+            assert blob == blob_check
+        data = one_feature_tile(geom=[9, 50, 34], tags=[0, 0])
+        # rebuild with tables
+        p = layer_payload(features=[feature_body(geom=[9, 50, 34], tags=[0, 0])],
+                          keys=[b"k"], vals=[blob])
+        f = next(VectorTile(field_bytes(3, p)).get_layer(0).features())
+        props = f.properties()
+        assert props["k"] == val
+
+    def test_040_out_of_range_key_index(self):
+        p = layer_payload(features=[feature_body(geom=[9, 50, 34], tags=[7, 0])],
+                          keys=[b"k"], vals=[values.encode_value(1, values.VT_UINT)])
+        f = next(VectorTile(field_bytes(3, p)).get_layer(0).features())
+        with pytest.raises(OutOfRangeError, match="index out of range: 7"):
+            list(f.properties_raw())
+
+    def test_042_out_of_range_value_index(self):
+        p = layer_payload(features=[feature_body(geom=[9, 50, 34], tags=[0, 9])],
+                          keys=[b"k"], vals=[values.encode_value(1, values.VT_UINT)])
+        f = next(VectorTile(field_bytes(3, p)).get_layer(0).features())
+        with pytest.raises(OutOfRangeError, match="index out of range: 9"):
+            list(f.properties_raw())
+
+    # 053-056: clipped squares (fixture_tests.cpp:910-988)
+    @pytest.mark.parametrize("lo,hi", [(0, 4096), (-1, 4097), (1, 4095), (-200, 4296)])
+    def test_053_056_clipped_squares(self, lo, hi):
+        ring = np.array([[lo, lo], [hi, lo], [hi, hi], [lo, hi], [lo, lo]])
+        cmds = codec.encode_polygon([ring])
+        data = one_feature_tile(geom=cmds.tolist(), geom_type=3)
+        f = next(VectorTile(data).get_layer(0).features())
+        rings = f.decode_geometry()
+        assert rings[0][0].tolist() == ring.tolist()
+
+    def test_057_gigantic_moveto(self):
+        # MoveTo(2^29-1) with only 2 parameter bytes on the wire
+        data = one_feature_tile(geom=[codec.command_integer(1, (1 << 29) - 1), 10, 14])
+        f = next(VectorTile(data).get_layer(0).features())
+        with pytest.raises(GeometryError, match="count too large"):
+            f.decode_geometry()
+
+    def test_058_gigantic_lineto(self):
+        data = one_feature_tile(
+            geom=[9, 4, 4, codec.command_integer(2, (1 << 29) - 1), 0, 16],
+            geom_type=2,
+        )
+        f = next(VectorTile(data).get_layer(0).features())
+        with pytest.raises(GeometryError, match="count too large"):
+            f.decode_geometry()
+
+    def test_044_unknown_geom_in_decode(self):
+        data = one_feature_tile(geom=[9, 50, 34], geom_type=0)
+        f = next(VectorTile(data).get_layer(0).features())
+        with pytest.raises(GeometryError, match="unknown geometry type"):
+            f.decode_geometry()
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(
+        "/root/reference/test/data/mapbox-streets-v6-14-8714-8017.mvt"),
+    reason="reference golden tile not available",
+)
+class TestGoldenTile:
+    """Real-world golden tile (test/t/test_builder.cpp:333-360 analogue)."""
+
+    PATH = "/root/reference/test/data/mapbox-streets-v6-14-8714-8017.mvt"
+
+    def test_size_and_structure(self):
+        data = open(self.PATH, "rb").read()
+        assert len(data) == 269388  # test_builder.cpp:339
+        tile = VectorTile(data)
+        assert tile.count_layers() == 12
+        total = sum(l.num_features for l in tile.layers())
+        assert total == 8096
+
+    def test_full_decode(self):
+        data = open(self.PATH, "rb").read()
+        for layer in VectorTile(data).layers():
+            for f in layer.features():
+                f.decode_geometry()
+                dict(f.properties())
+
+    def test_copy_roundtrip_logical_equality(self):
+        data = open(self.PATH, "rb").read()
+        tb = b.TileBuilder()
+        for layer in VectorTile(data).layers():
+            if layer.num_features == 0:
+                continue  # empty layers dropped at serialize
+            lb = tb.add_layer_from(layer)
+            for f in layer.features():
+                lb.copy_feature(f)
+        copied = tb.serialize()
+
+        def snap(d):
+            out = []
+            for layer in VectorTile(d).layers():
+                feats = [(f.has_id, f.id, f.geom_type,
+                          sorted(f.properties().items()))
+                         for f in layer.features()]
+                out.append((layer.name, layer.version, layer.extent, feats))
+            return out
+
+        assert snap(copied) == [s for s in snap(data) if s[3]]

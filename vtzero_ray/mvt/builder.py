@@ -178,6 +178,12 @@ class LayerBuilder:
         (builder_impl.hpp:244-259: add_bytes_vectored of the 3 buffers)."""
         return self._header + b"".join(self._features) + bytes(self._keys_data) + bytes(self._values_data)
 
+    def estimated_size(self) -> int:
+        """Serialized-size estimate incl. 8-byte pbf overhead
+        (builder_impl.hpp:229-242) — drives skew splitting (A4)."""
+        return (len(self._header) + sum(len(f) for f in self._features)
+                + len(self._keys_data) + len(self._values_data) + 8)
+
 
 class _ExistingLayer:
     __slots__ = ("data",)
@@ -207,6 +213,13 @@ class TileBuilder:
         (builder.hpp:119-132) — the load-bearing merge primitive for salted
         hot-tile splitting (SURVEY.md §4)."""
         self._layers.append(_ExistingLayer(bytes(data)))
+
+    def estimated_size(self) -> int:
+        """Sum of per-layer estimates (builder.hpp:145-147)."""
+        return sum(
+            len(l.data) + 8 if isinstance(l, _ExistingLayer) else l.estimated_size()
+            for l in self._layers
+        )
 
     def serialize(self) -> bytes:
         out = bytearray()

@@ -15,7 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import codec
-from ..exceptions import GeometryError
+from ..exceptions import FormatError, GeometryError
 from .decoder import VectorTile
 from .pbf import decode_varint
 
@@ -25,15 +25,26 @@ ERROR = 2
 FATAL = 3
 
 
-def _check_point_scalar(geometry_data: bytes, extent: int, diags, ctx: str) -> None:
+def _check_point_scalar(buf, pos: int, n: int, extent: int, diags, ctx: str) -> None:
     """Scalar decode+bounds for POINT features (same error semantics as
-    codec.decode_point; avoids per-feature numpy setup — the hot
-    validation path for point corpora)."""
+    codec.decode_point; avoids per-feature numpy setup and byte copies —
+    the hot validation path for point corpora). ``pos``/``n`` delimit the
+    geometry payload within ``buf``."""
     vals = []
-    pos = 0
-    n = len(geometry_data)
+    gbytes = n - pos
     while pos < n:
-        v, pos = decode_varint(geometry_data, pos)
+        v = buf[pos]
+        pos += 1
+        if v & 0x80:
+            v &= 0x7F
+            shift = 7
+            while True:
+                b = buf[pos]
+                pos += 1
+                v |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
         vals.append(v & 0xFFFFFFFF)
     if not vals:
         raise GeometryError("expected MoveTo command (spec 4.3.4.2)")
@@ -43,7 +54,7 @@ def _check_point_scalar(geometry_data: bytes, extent: int, diags, ctx: str) -> N
     count = ci >> 3
     if count == 0:
         raise GeometryError("MoveTo command count is zero (spec 4.3.4.2)")
-    if count > n // 2:
+    if count > gbytes // 2:
         raise GeometryError("count too large")
     if len(vals) - 1 < 2 * count:
         raise GeometryError("too few points in geometry")
@@ -110,12 +121,95 @@ def check_tile(data: bytes) -> tuple[int, list[tuple[int, str]]]:
 
             feature_num = 0
             extent = layer.extent
-            for feature in layer.features():
+            lbuf = layer.data
+            for fspan in layer._feature_spans:
+                # inline minimal feature parse (type/geometry/tag parity):
+                # building a full Feature object measured ~2x the cost of
+                # the validation itself on point corpora; spans avoid a
+                # per-feature byte copy
+                fbuf = lbuf
+                fpos, fn = fspan
+                ftype = 0
+                fgeom = None
+                tags_ok = True
+                malformed = None
+                while fpos < fn:
+                    fkey = fbuf[fpos]
+                    fpos += 1
+                    if fkey & 0x80:
+                        fkey &= 0x7F
+                        shift = 7
+                        while True:
+                            fb_ = fbuf[fpos]
+                            fpos += 1
+                            fkey |= (fb_ & 0x7F) << shift
+                            if not fb_ & 0x80:
+                                break
+                            shift += 7
+                    ffield = fkey >> 3
+                    fwt = fkey & 0x7
+                    if fwt == 0:
+                        v = fbuf[fpos]
+                        fpos += 1
+                        if v & 0x80:
+                            v &= 0x7F
+                            shift = 7
+                            while True:
+                                fb_ = fbuf[fpos]
+                                fpos += 1
+                                v |= (fb_ & 0x7F) << shift
+                                if not fb_ & 0x80:
+                                    break
+                                shift += 7
+                        if ffield == 3:
+                            if v > 3:
+                                malformed = "Unknown geometry type (spec 4.3.4)"
+                                break
+                            ftype = v
+                    elif fwt == 2:
+                        ln = fbuf[fpos]
+                        fpos += 1
+                        if ln & 0x80:
+                            ln &= 0x7F
+                            shift = 7
+                            while True:
+                                fb_ = fbuf[fpos]
+                                fpos += 1
+                                ln |= (fb_ & 0x7F) << shift
+                                if not fb_ & 0x80:
+                                    break
+                                shift += 7
+                        if ffield == 4:
+                            if fgeom is not None:
+                                malformed = "Feature has more than one geometry field"
+                                break
+                            if ln > 0:  # empty geometry field == missing
+                                fgeom = (fpos, fpos + ln)
+                        elif ffield == 2:
+                            raw = fbuf[fpos:fpos + ln]
+                            if sum(1 for bb in raw if bb < 0x80) % 2:
+                                malformed = "unpaired property key/value indexes (spec 4.4)"
+                                break
+                        fpos += ln
+                    elif fwt == 5:
+                        fpos += 4
+                    elif fwt == 1:
+                        fpos += 8
+                    else:
+                        malformed = f"unsupported wire type {fwt}"
+                        break
+                if malformed is None and fgeom is None:
+                    malformed = "Missing geometry field in feature (spec 4.2)"
+                if malformed is not None:
+                    raise FormatError(malformed)
                 ctx = f" in layer {layer_num} in feature {feature_num} in geometry: "
-                if feature.geom_type == codec.GEOM_POINT:
-                    _check_point_scalar(feature.geometry_data, extent, diags, ctx)
+                if ftype == codec.GEOM_POINT:
+                    _check_point_scalar(fbuf, fgeom[0], fgeom[1], extent, diags, ctx)
                     feature_num += 1
                     continue
+                from .decoder import Feature
+
+                feature = Feature(layer, lbuf, fspan)
                 decoded = feature.decode_geometry()
                 if feature.geom_type == codec.GEOM_POINT:
                     _check_points_location(decoded, extent, diags, ctx)

@@ -52,7 +52,7 @@ class Feature:
     __slots__ = ("_layer", "id", "has_id", "geom_type", "geometry_data",
                  "_tags_raw", "_tags", "_cmds", "_n_tag_ints")
 
-    def __init__(self, layer: "Layer", data) -> None:
+    def __init__(self, layer: "Layer", data, span: tuple[int, int] | None = None) -> None:
         self._layer = layer
         self.id = 0
         self.has_id = False
@@ -62,9 +62,12 @@ class Feature:
         self._tags = None
         self._cmds = None
 
-        buf = bytes(data)
-        pos = 0
-        n = len(buf)
+        if span is not None:
+            buf, pos, n = data, span[0], span[1]
+        else:
+            buf = bytes(data)
+            pos = 0
+            n = len(buf)
         while pos < n:
             key = buf[pos]
             pos += 1
@@ -197,7 +200,7 @@ class Feature:
 class Layer:
     """One parsed layer; key/value tables built lazily (layer.hpp:69-89)."""
 
-    __slots__ = ("data", "name", "version", "extent", "_feature_views",
+    __slots__ = ("data", "name", "version", "extent", "_feature_spans",
                  "_key_table", "_value_table", "_num_keys", "_num_values")
 
     def __init__(self, data) -> None:
@@ -205,29 +208,82 @@ class Layer:
         self.name = None
         self.version = 1
         self.extent = 4096
-        self._feature_views: list = []
+        # feature messages as (start, end) spans into self.data — one
+        # buffer, no per-feature byte copies (validation/decode hot path)
+        self._feature_spans: list = []
         self._key_table = None
         self._value_table = None
         self._num_keys = 0
         self._num_values = 0
 
-        for field, wt, value in iter_fields(self.data):
-            if field == LAYER_VERSION and wt == WT_VARINT:
-                self.version = value
-            elif field == LAYER_NAME and wt == WT_LEN:
-                self.name = bytes(value)
-            elif field == LAYER_FEATURES and wt == WT_LEN:
-                self._feature_views.append(value)
-            elif field == LAYER_KEYS and wt == WT_LEN:
-                self._num_keys += 1
-            elif field == LAYER_VALUES and wt == WT_LEN:
-                self._num_values += 1
-            elif field == LAYER_EXTENT and wt == WT_VARINT:
-                self.extent = value
+        # tight inline scan (this runs once per layer over every feature in
+        # every decode/validate pipeline; the generator path measured ~2x)
+        buf = self.data
+        view = memoryview(buf)
+        pos = 0
+        n = len(buf)
+        while pos < n:
+            key = buf[pos]
+            pos += 1
+            if key & 0x80:
+                key &= 0x7F
+                shift = 7
+                while True:
+                    b = buf[pos]
+                    pos += 1
+                    key |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+            field = key >> 3
+            wt = key & 0x7
+            if wt == WT_LEN:
+                ln = buf[pos]
+                pos += 1
+                if ln & 0x80:
+                    ln &= 0x7F
+                    shift = 7
+                    while True:
+                        b = buf[pos]
+                        pos += 1
+                        ln |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                if pos + ln > n:
+                    raise ValueError("end of buffer while reading length-delimited field")
+                if field == LAYER_FEATURES:
+                    self._feature_spans.append((pos, pos + ln))
+                elif field == LAYER_KEYS:
+                    self._num_keys += 1
+                elif field == LAYER_VALUES:
+                    self._num_values += 1
+                elif field == LAYER_NAME:
+                    self.name = bytes(view[pos:pos + ln])
+                else:
+                    raise FormatError(f"unknown field in layer (tag={field}, type={wt})")
+                pos += ln
+            elif wt == WT_VARINT:
+                value = buf[pos]
+                pos += 1
+                if value & 0x80:
+                    value &= 0x7F
+                    shift = 7
+                    while True:
+                        b = buf[pos]
+                        pos += 1
+                        value |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                if field == LAYER_VERSION:
+                    self.version = value
+                elif field == LAYER_EXTENT:
+                    self.extent = value
+                else:
+                    raise FormatError(f"unknown field in layer (tag={field}, type={wt})")
             else:
-                raise FormatError(
-                    f"unknown field in layer (tag={field}, type={wt})"
-                )
+                raise FormatError(f"unknown field in layer (tag={field}, type={wt})")
 
         # only versions 1 and 2 supported (layer.hpp:142-145)
         if self.version < 1 or self.version > 2:
@@ -238,7 +294,7 @@ class Layer:
 
     @property
     def num_features(self) -> int:
-        return len(self._feature_views)
+        return len(self._feature_spans)
 
     def _init_tables(self) -> None:
         keys: list[bytes] = []
@@ -274,8 +330,9 @@ class Layer:
         return t[idx]
 
     def features(self):
-        for view in self._feature_views:
-            yield Feature(self, view)
+        buf = self.data
+        for span in self._feature_spans:
+            yield Feature(self, buf, span)
 
     def get_feature_by_id(self, feature_id: int) -> Feature | None:
         """Linear scan, first match (layer.hpp:405-420)."""

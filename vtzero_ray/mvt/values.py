@@ -151,6 +151,31 @@ def decode_value(blob: bytes, expected_type: int | None = None):
     return decode_value(blob, vt)
 
 
+def apply_visitor(visitor, blob: bytes):
+    """Runtime-type dispatch to a visitor (property_value.hpp:270-288, M9).
+
+    ``visitor`` exposes visit_string/visit_float/visit_double/visit_int/
+    visit_uint/visit_sint/visit_bool (missing methods fall back to
+    ``visit_default`` if present); returns the visit method's result.
+    """
+    vt, val = decode_value(blob)
+    name = "visit_" + TYPE_NAMES[vt]
+    fn = getattr(visitor, name, None) or getattr(visitor, "visit_default", None)
+    if fn is None:
+        raise AttributeError(f"visitor has no {name} or visit_default")
+    return fn(val)
+
+
+def convert_value(blob: bytes, mapping: dict | None = None):
+    """Convert an encoded value via a type→converter mapping
+    (convert_property_value + property_value_mapping,
+    property_value.hpp:329-394). Unmapped types pass through."""
+    vt, val = decode_value(blob)
+    if mapping and vt in mapping:
+        return mapping[vt](val)
+    return val
+
+
 def _decode_one(field: int, raw):
     if field == VT_STRING:
         return bytes(raw)
