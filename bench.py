@@ -139,7 +139,7 @@ def run_scaling() -> dict:
     code). On a real multi-node cluster the head/daemon cost is per-node
     constant, which this pair models more faithfully.
     """
-    n = int(os.environ.get("GRAFT_SCALE_N", "6"))
+    n = int(os.environ.get("GRAFT_SCALE_N", "4"))
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_QUICK="1",
