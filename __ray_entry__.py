@@ -179,6 +179,27 @@ def _q_dedup_exact(sf_dir: str):
     return dedup_exact(_docs(sf_dir))
 
 
+def _q_jaccard_verified_dups(sf_dir: str):
+    """Full near-dup pipeline: MinHash+LSH candidates → exact n-gram
+    Jaccard verification (keep J >= 0.5). The verify stage broadcasts the
+    candidate doc texts (small by construction) — no shuffle."""
+    import pandas as pd
+
+    from vtzero_ray.functions.dedup import jaccard_pairs, minhash_lsh_candidates
+
+    cands = minhash_lsh_candidates(_docs(sf_dir)).to_pandas()
+    if cands.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    need = set(cands.doc_a) | set(cands.doc_b)
+    texts = _docs(sf_dir).to_pandas()
+    texts = texts[texts.doc_id.isin(need)]
+    by_id = dict(zip(texts.doc_id, texts.text))
+    out = jaccard_pairs(by_id, list(zip(cands.doc_a, cands.doc_b)))
+    return out[out.jaccard >= 0.5].reset_index(drop=True)
+
+
 def _q_minhash_lsh(sf_dir: str):
     from vtzero_ray.functions.dedup import minhash_lsh_candidates
 
@@ -247,6 +268,70 @@ def _q_knn_join(sf_dir: str):
     return ds.select_columns(["url", "poi_id", "poi_d2"])
 
 
+def _q_knn_top3(sf_dir: str):
+    """k=3 nearest POIs per page (rank column), exact distances."""
+    import numpy as np
+    import pyarrow as pa
+
+    from vtzero_ray.stages.joins import poi_table
+
+    pois = poi_table()
+    pid = pois["poi_id"].to_numpy()
+    px = pois["px_us"].to_numpy().astype(np.int64)
+    py = pois["py_us"].to_numpy().astype(np.int64)
+
+    def top3(batch: pa.Table) -> pa.Table:
+        lat_us = np.round(batch.column("lat").to_numpy() * 1e6).astype(np.int64)
+        lon_us = np.round(batch.column("lon").to_numpy() * 1e6).astype(np.int64)
+        dx = lon_us[:, None] - px[None, :]
+        dy = lat_us[:, None] - py[None, :]
+        d2 = dx * dx + dy * dy
+        # rank by (d2, poi_id): lexsort per row
+        order = np.lexsort((np.broadcast_to(pid, d2.shape), d2), axis=1)[:, :3]
+        rows = np.repeat(np.arange(d2.shape[0]), 3)
+        cols = order.ravel()
+        urls = batch.column("url").take(pa.array(rows))
+        return pa.table({
+            "url": urls,
+            "poi_id": pa.array(pid[cols], pa.int64()),
+            "poi_d2": pa.array(d2[rows, cols], pa.int64()),
+            "rank": pa.array(np.tile(np.arange(1, 4, dtype=np.int64), d2.shape[0])),
+        })
+
+    return _geo_pages(sf_dir).map_batches(top3, batch_format="pyarrow")
+
+
+def _q_admin_page_counts(sf_dir: str):
+    """All-matches PIP join aggregated per admin polygon (pages can match
+    several overlapping admins)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from vtzero_ray.stages.joins import _points_in_convex, admin_polygons
+
+    polys = admin_polygons()
+
+    def counts(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        y2 = (np.round(lat * 1e6) * 2).astype(np.int64)
+        x2 = (np.round(lon * 1e6) * 2).astype(np.int64)
+        ids, ns = [], []
+        for i in range(len(polys)):
+            hit = int(_points_in_convex(polys["ring2"].iloc[i], x2, y2).sum())
+            if hit:
+                ids.append(int(polys["admin_id"].iloc[i]))
+                ns.append(hit)
+        return pa.table({"admin_id": pa.array(ids, pa.int64()),
+                         "n_pages": pa.array(ns, pa.int64())})
+
+    partials = _geo_pages(sf_dir).map_batches(counts, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    agg = partials.groupby("admin_id").aggregate(Sum("n_pages"))
+    return agg.rename_columns({"sum(n_pages)": "n_pages"})
+
+
 # -- relational / streaming-shaped -------------------------------------------
 
 def _q_pricing_summary(sf_dir: str):
@@ -296,6 +381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spatial joins (SURVEY §2.4)
         "pip_join": _q_pip_join,
         "knn_join": _q_knn_join,
+        "knn_top3": _q_knn_top3,
+        "admin_page_counts": _q_admin_page_counts,
         # text analysis
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
@@ -303,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": _q_fingerprint,
         # dedup family
         "dedup_exact": _q_dedup_exact,
+        "jaccard_verified_dups": _q_jaccard_verified_dups,
         "minhash_lsh_candidates": _q_minhash_lsh,
         "simhash_signatures": _q_simhash,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -448,6 +536,19 @@ def oracle_sql() -> dict[str, str]:
             f"((u.lon_us - p.px_us) * (u.lon_us - p.px_us) + (u.lat_us - p.py_us) * (u.lat_us - p.py_us)) AS poi_d2 "
             f"FROM {pages_cte} u CROSS JOIN {SQL_POI} p "
             f"QUALIFY row_number() OVER (PARTITION BY u.url ORDER BY poi_d2, p.poi_id) = 1"
+        ),
+        "knn_top3": (
+            f"SELECT u.url AS url, p.poi_id AS poi_id, "
+            f"((u.lon_us - p.px_us) * (u.lon_us - p.px_us) + (u.lat_us - p.py_us) * (u.lat_us - p.py_us)) AS poi_d2, "
+            f"row_number() OVER (PARTITION BY u.url ORDER BY "
+            f"((u.lon_us - p.px_us) * (u.lon_us - p.px_us) + (u.lat_us - p.py_us) * (u.lat_us - p.py_us)), p.poi_id) AS rank "
+            f"FROM {pages_cte} u CROSS JOIN {SQL_POI} p QUALIFY rank <= 3"
+        ),
+        "admin_page_counts": (
+            f"SELECT a.admin_id AS admin_id, COUNT(*) AS n_pages "
+            f"FROM {pages_cte} u JOIN {SQL_ADMIN} a "
+            f"ON (abs(u.lat_us - a.cy_us) * 2 + abs(u.lon_us - a.cx_us) * 2) < (2 * a.r_us + 1) "
+            f"GROUP BY 1"
         ),
         # -- text analysis ----------------------------------------------------
         "token_stats": (
