@@ -136,7 +136,10 @@ def _q_filter_lang_en_z6(sf_dir: str):
 def _docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # split the single-file read so downstream stages parallelize
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(32)
 
 
 def _q_token_stats(sf_dir: str):

