@@ -131,6 +131,27 @@ def _q_filter_lang_en_z6(sf_dir: str):
     return kept.select_columns(["z", "x", "y", "n_features"])
 
 
+def _q_rasterize_z6(sf_dir: str):
+    """Vector → raster: per-tile 16x16 density grid over encoded tiles
+    (decode + 2-D binning; cells are SQL-predictable from the derivation)."""
+    from vtzero_ray.pipelines.tiling import tiles_pipeline
+    from vtzero_ray.stages.raster import rasterize_tiles
+
+    tiles = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
+    return rasterize_tiles(tiles, grid=16)
+
+
+def _q_raster_to_vector_z6(sf_dir: str):
+    """Raster → vector: hot cells (>=2 points) back to MVT polygon tiles;
+    per-tile polygon counts are SQL-checkable."""
+    from vtzero_ray.pipelines.tiling import tiles_pipeline
+    from vtzero_ray.stages.raster import raster_to_vector, rasterize_tiles
+
+    tiles = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
+    vec = raster_to_vector(rasterize_tiles(tiles, grid=16), threshold=2, grid=16)
+    return vec.select_columns(["z", "x", "y", "n_cells"])
+
+
 # -- text analysis -----------------------------------------------------------
 
 def _docs(sf_dir: str):
@@ -381,6 +402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_stats_z6": _q_tile_stats_z6,
         "decoded_features_z6": _q_decoded_features_z6,
         "filter_lang_en_z6": _q_filter_lang_en_z6,
+        "rasterize_z6": _q_rasterize_z6,
+        "raster_to_vector_z6": _q_raster_to_vector_z6,
         # spatial joins (SURVEY §2.4)
         "pip_join": _q_pip_join,
         "knn_join": _q_knn_join,
@@ -526,6 +549,19 @@ def oracle_sql() -> dict[str, str]:
         "filter_lang_en_z6": (
             f"SELECT 6 AS z, {t6['x']} AS x, {t6['y']} AS y, COUNT(*) AS n_features "
             f"FROM documents WHERE lang = 'en' GROUP BY 1, 2, 3"
+        ),
+        "rasterize_z6": (
+            f"SELECT 6 AS z, {t6['x']} AS x, {t6['y']} AS y, "
+            f"(CAST(floor(({t6['fy']} - floor({t6['fy']})) * 4096) AS INTEGER) // 256) AS cell_row, "
+            f"(CAST(floor(({t6['fx']} - floor({t6['fx']})) * 4096) AS INTEGER) // 256) AS cell_col, "
+            f"COUNT(*) AS n_points FROM documents GROUP BY 1, 2, 3, 4, 5"
+        ),
+        "raster_to_vector_z6": (
+            f"WITH cells AS (SELECT {t6['x']} AS x, {t6['y']} AS y, "
+            f"(CAST(floor(({t6['fy']} - floor({t6['fy']})) * 4096) AS INTEGER) // 256) AS r, "
+            f"(CAST(floor(({t6['fx']} - floor({t6['fx']})) * 4096) AS INTEGER) // 256) AS c, "
+            f"COUNT(*) AS n FROM documents GROUP BY 1, 2, 3, 4) "
+            f"SELECT 6 AS z, x, y, COUNT(*) AS n_cells FROM cells WHERE n >= 2 GROUP BY 1, 2, 3"
         ),
         # -- spatial joins ---------------------------------------------------
         "pip_join": (
