@@ -131,6 +131,25 @@ def _q_filter_lang_en_z6(sf_dir: str):
     return kept.select_columns(["z", "x", "y", "n_features"])
 
 
+def _q_site_paths_z2(sf_dir: str):
+    """Linestring encode end-to-end: per-site path features per z2 tile;
+    per-tile feature counts are SQL-checkable (consecutive-dup-point drops
+    replicated with window functions)."""
+    from vtzero_ray.pipelines.paths import site_paths_tiles
+
+    t = site_paths_tiles(sf_dir, zoom=2)
+    return t.select_columns(["z", "x", "y", "n_features"])
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: synth media corpus → image feature extraction
+    (decode stubbed deterministically; rows-only)."""
+    from vtzero_ray.stages.multimodal import media_pipeline
+
+    feats, _ = media_pipeline(256)
+    return feats.select_columns(["media_id", "kind", "width", "height"])
+
+
 def _q_rasterize_z6(sf_dir: str):
     """Vector → raster: per-tile 16x16 density grid over encoded tiles
     (decode + 2-D binning; cells are SQL-predictable from the derivation)."""
@@ -404,6 +423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_lang_en_z6": _q_filter_lang_en_z6,
         "rasterize_z6": _q_rasterize_z6,
         "raster_to_vector_z6": _q_raster_to_vector_z6,
+        "site_paths_z2": _q_site_paths_z2,
+        "media_features": _q_media_features,
         # spatial joins (SURVEY §2.4)
         "pip_join": _q_pip_join,
         "knn_join": _q_knn_join,
@@ -490,6 +511,7 @@ def _sql_lang_hits(lang: str) -> str:
 def oracle_sql() -> dict[str, str]:
     from vtzero_ray.stages.joins import SQL_ADMIN, SQL_POI
 
+    t2 = _sql_tile(2)
     t6 = _sql_tile(6)
     t12 = _sql_tile(12)
     hits = {l: _sql_lang_hits(l) for l in ("de", "en", "es", "fr", "zh")}
@@ -563,6 +585,20 @@ def oracle_sql() -> dict[str, str]:
             f"COUNT(*) AS n FROM documents GROUP BY 1, 2, 3, 4) "
             f"SELECT 6 AS z, x, y, COUNT(*) AS n_cells FROM cells WHERE n >= 2 GROUP BY 1, 2, 3"
         ),
+        "site_paths_z2": (
+            f"WITH pts AS (SELECT (doc_id % 50) AS site, doc_id, "
+            f"{t2['x']} AS x, {t2['y']} AS y, "
+            f"CAST(floor(({t2['fx']} - floor({t2['fx']})) * 4096) AS INTEGER) AS px, "
+            f"CAST(floor(({t2['fy']} - floor({t2['fy']})) * 4096) AS INTEGER) AS py "
+            f"FROM documents), "
+            f"d AS (SELECT *, CASE WHEN lag(px) OVER w = px AND lag(py) OVER w = py "
+            f"THEN 0 ELSE 1 END AS keep FROM pts "
+            f"WINDOW w AS (PARTITION BY site, x, y ORDER BY doc_id)), "
+            f"c AS (SELECT site, x, y, SUM(keep) AS npts FROM d GROUP BY 1, 2, 3) "
+            f"SELECT 2 AS z, x, y, COUNT(*) AS n_features FROM c WHERE npts >= 2 "
+            f"GROUP BY 1, 2, 3"
+        ),
+        # media_features: stubbed decode → rows-only
         # -- spatial joins ---------------------------------------------------
         "pip_join": (
             f"SELECT u.url AS url, COALESCE(MIN(a.admin_id), -1) AS admin_id "

@@ -64,3 +64,25 @@ class TestRaster:
                 assert area2 == 2 * 256 * 256  # one 256x256 cell
                 props = f.properties()
                 assert props["n_points"] >= 2
+
+
+class TestSitePaths:
+    def test_linestring_tiles_validate_and_decode(self, ray_session, sf_dir):
+        from vtzero_ray.pipelines.paths import site_paths_tiles
+
+        out = site_paths_tiles(sf_dir, zoom=2).to_pandas()
+        assert len(out) > 0
+        total = 0
+        for row in out.itertuples():
+            code, diags = check_tile(row.mvt)
+            assert code == 0, diags
+            layer = VectorTile(row.mvt).get_layer(0)
+            assert layer.name == b"site_paths"
+            for f in layer.features():
+                assert f.geom_type == codec.GEOM_LINESTRING
+                parts = f.decode_geometry()
+                assert all(p.shape[0] >= 2 for p in parts)
+                props = f.properties()
+                assert props["site"] == f.id
+                total += 1
+        assert total == out.n_features.sum()

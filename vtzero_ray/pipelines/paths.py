@@ -1,0 +1,70 @@
+"""Site-path linestring tiles: pages of one site, ordered by doc_id,
+become a (multi)linestring feature per (tile, site) — the linestring
+branch of the encoder exercised end-to-end (vtzero T5 semantics:
+consecutive duplicate points are dropped because zero-length segments are
+illegal, builder.hpp:850-852; paths with <2 surviving points are skipped).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..mvt import codec
+from ..mvt.builder import LayerBuilder, TileBuilder
+from ..stages.geoparse import AssignTiles, geoparse
+from ..sources.pages import read_pages
+
+
+def site_of(url_series: pd.Series) -> pd.Series:
+    # url = https://site{k}.example/p/{doc_id}
+    return url_series.str.extract(r"https://site(\d+)\.example")[0].astype(np.int64)
+
+
+def site_paths_tiles(sf_dir: str, zoom: int = 2, extent: int = 4096):
+    """→ tiles Dataset (z,x,y,mvt,n_features) of per-site path linestrings."""
+    ds = read_pages(sf_dir, include_html=False)
+    ds = geoparse(ds)
+    ds = ds.select_columns(["url", "doc_id", "lat", "lon"])
+    ds = ds.map_batches(AssignTiles((zoom,), extent), batch_format="pyarrow")
+
+    def encode_group(df: pd.DataFrame) -> pd.DataFrame:
+        z, x, y = int(df.z.iloc[0]), int(df.x.iloc[0]), int(df.y.iloc[0])
+        df = df.copy()
+        df["site"] = df["doc_id"] % 50  # path-group key (coarse site cluster)
+        df = df.sort_values(["site", "doc_id"], kind="stable")
+        tb = TileBuilder()
+        lb = tb.add_layer("site_paths", 2, 4096)
+        n = 0
+        for site, g in df.groupby("site", sort=True):
+            pts = g[["px", "py"]].to_numpy()
+            # drop consecutive duplicates (zero-length segments illegal)
+            keep = np.ones(len(pts), dtype=bool)
+            keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+            pts = pts[keep]
+            if pts.shape[0] < 2:
+                continue
+            cmds = codec.encode_linestring([pts])
+            lb.add_feature_encoded(
+                codec.GEOM_LINESTRING, cmds, feature_id=int(site),
+                props=[("site", _enc_uint(int(site))), ("n_pages", _enc_uint(len(g)))],
+            )
+            n += 1
+        if n == 0:
+            return pd.DataFrame({
+                "z": pd.Series([], dtype="int32"), "x": pd.Series([], dtype="int32"),
+                "y": pd.Series([], dtype="int32"), "mvt": pd.Series([], dtype=object),
+                "n_features": pd.Series([], dtype="int64"),
+            })
+        return pd.DataFrame({"z": [z], "x": [x], "y": [y],
+                             "mvt": [tb.serialize()], "n_features": [n]})
+
+    out = ds.groupby(["z", "x", "y"]).map_groups(encode_group, batch_format="pandas")
+    return out.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def _enc_uint(v: int) -> bytes:
+    from ..mvt.values import VT_UINT, encode_value
+
+    return encode_value(v, VT_UINT)
