@@ -58,6 +58,8 @@ def write_tiles(tiles_ds, out_dir: str) -> dict:
             counts[z]["tiles"] += len(part)
             counts[z]["features"] += int(pc.sum(part.column("n_features")).as_py() or 0)
             counts[z]["bytes"] += sum(len(m.as_py() or b"") for m in part.column("mvt"))
+    import time
+
     manifest_rows = []
     for z, w in writers.items():
         w.close()
@@ -67,7 +69,12 @@ def write_tiles(tiles_ds, out_dir: str) -> dict:
 
             shutil.rmtree(final)
         os.rename(tmp[z], final)
-        manifest_rows.append({"partition": f"z={z}", **counts[z], "status": "complete"})
+        manifest_rows.append({
+            "partition": f"z={z}", **counts[z], "status": "complete",
+            # lineage + metrics for resumable audit (north rule)
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "engine_version": _engine_version(),
+        })
         summary["tiles"] += counts[z]["tiles"]
         summary["features"] += counts[z]["features"]
         summary["bytes"] += counts[z]["bytes"]
@@ -77,6 +84,12 @@ def write_tiles(tiles_ds, out_dir: str) -> dict:
         idx = len(os.listdir(mdir))
         pq.write_table(pa.Table.from_pylist(manifest_rows), os.path.join(mdir, f"part-{idx}.parquet"))
     return summary
+
+
+def _engine_version() -> str:
+    from .. import __version__
+
+    return __version__
 
 
 def completed_partitions(out_dir: str) -> set:
