@@ -130,3 +130,17 @@ class TestMultimodal:
         a = d(t).column("features").to_pylist()
         b = d(synth_media(8)).column("features").to_pylist()
         assert a == b
+
+
+class TestZXYRoundtrip:
+    def test_export_and_read_zxy(self, ray_session, tiles, tmp_path):
+        from vtzero_ray.sources import mvt_io
+
+        out = str(tmp_path / "zxy")
+        n = mvt_io.export_zxy(tiles, out)
+        back = mvt_io.read_zxy(out).to_pandas()
+        assert len(back) == n == tiles.count()
+        orig = tiles.to_pandas().set_index(["z", "x", "y"]).mvt
+        got = back.set_index(["z", "x", "y"]).mvt
+        for key in orig.index:
+            assert bytes(got.loc[key]) == orig.loc[key]

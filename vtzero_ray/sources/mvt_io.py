@@ -117,6 +117,34 @@ def read_tiles(out_dir: str):
     return rd.read_parquet(paths)
 
 
+def read_zxy(root_dir: str):
+    """Read a z/x/y.mvt file tree back as a tiles Dataset (S1:
+    read_binary_files + path-derived tile keys)."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(root_dir, include_paths=True)
+
+    def parse(batch):
+        import pyarrow as pa
+
+        zs, xs, ys, mvts = [], [], [], []
+        for path, data in zip(batch["path"], batch["bytes"]):
+            parts = str(path).rstrip("/").split("/")
+            y = int(parts[-1].rsplit(".", 1)[0])
+            x = int(parts[-2])
+            z = int(parts[-3])
+            zs.append(z)
+            xs.append(x)
+            ys.append(y)
+            mvts.append(data)
+        return pa.table({
+            "z": pa.array(zs, pa.int32()), "x": pa.array(xs, pa.int32()),
+            "y": pa.array(ys, pa.int32()), "mvt": pa.array(mvts, pa.binary()),
+        })
+
+    return ds.map_batches(parse, batch_format="numpy")
+
+
 def export_zxy(tiles_ds, out_dir: str) -> int:
     """Materialize individual z/x/y.mvt files (interop/debug; small corpora)."""
     n = 0
