@@ -150,6 +150,32 @@ def _q_media_features(sf_dir: str):
     return feats.select_columns(["media_id", "kind", "width", "height"])
 
 
+def _q_combined_layers_z2(sf_dir: str):
+    """Tile merge (add_existing_layer concat over ds.union + regroup):
+    pages point tiles + site-path line tiles at z2 → per (tile, layer)
+    feature counts after decoding the MERGED tiles."""
+    from vtzero_ray.pipelines.decode import decode_tiles
+    from vtzero_ray.pipelines.filter import merge_tiles
+    from vtzero_ray.pipelines.paths import site_paths_tiles
+    from vtzero_ray.pipelines.tiling import tiles_pipeline
+
+    pages = tiles_pipeline(sf_dir, zooms=(2,), validate=False)
+    paths = site_paths_tiles(sf_dir, zoom=2)
+    merged = merge_tiles(pages, paths)
+    feats = decode_tiles(merged, with_props=False, with_geometry=False)
+    agg = feats.groupby(["z", "x", "y", "layer"]).count()
+
+    def rename(t):
+        import pyarrow as pa
+
+        if isinstance(t, pa.Table) and "count()" in t.column_names:
+            return t.rename_columns(
+                [c if c != "count()" else "n_features" for c in t.column_names])
+        return t
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 def _q_rasterize_z6(sf_dir: str):
     """Vector → raster: per-tile 16x16 density grid over encoded tiles
     (decode + 2-D binning; cells are SQL-predictable from the derivation)."""
@@ -424,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rasterize_z6": _q_rasterize_z6,
         "raster_to_vector_z6": _q_raster_to_vector_z6,
         "site_paths_z2": _q_site_paths_z2,
+        "combined_layers_z2": _q_combined_layers_z2,
         "media_features": _q_media_features,
         # spatial joins (SURVEY §2.4)
         "pip_join": _q_pip_join,
@@ -597,6 +624,22 @@ def oracle_sql() -> dict[str, str]:
             f"c AS (SELECT site, x, y, SUM(keep) AS npts FROM d GROUP BY 1, 2, 3) "
             f"SELECT 2 AS z, x, y, COUNT(*) AS n_features FROM c WHERE npts >= 2 "
             f"GROUP BY 1, 2, 3"
+        ),
+        "combined_layers_z2": (
+            f"WITH pages AS (SELECT 2 AS z, {t2['x']} AS x, {t2['y']} AS y, "
+            f"'pages' AS layer, COUNT(*) AS n_features FROM documents GROUP BY 1, 2, 3), "
+            f"pts AS (SELECT (doc_id % 50) AS site, doc_id, "
+            f"{t2['x']} AS x, {t2['y']} AS y, "
+            f"CAST(floor(({t2['fx']} - floor({t2['fx']})) * 4096) AS INTEGER) AS px, "
+            f"CAST(floor(({t2['fy']} - floor({t2['fy']})) * 4096) AS INTEGER) AS py "
+            f"FROM documents), "
+            f"d AS (SELECT *, CASE WHEN lag(px) OVER w = px AND lag(py) OVER w = py "
+            f"THEN 0 ELSE 1 END AS keep FROM pts "
+            f"WINDOW w AS (PARTITION BY site, x, y ORDER BY doc_id)), "
+            f"c AS (SELECT site, x, y, SUM(keep) AS npts FROM d GROUP BY 1, 2, 3), "
+            f"paths AS (SELECT 2 AS z, x, y, 'site_paths' AS layer, COUNT(*) AS n_features "
+            f"FROM c WHERE npts >= 2 GROUP BY 1, 2, 3) "
+            f"SELECT * FROM pages UNION ALL SELECT * FROM paths"
         ),
         # media_features: stubbed decode → rows-only
         # -- spatial joins ---------------------------------------------------
