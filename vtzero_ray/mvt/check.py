@@ -17,7 +17,6 @@ import numpy as np
 from . import codec
 from ..exceptions import FormatError, GeometryError
 from .decoder import VectorTile
-from .pbf import decode_varint
 
 OK = 0
 WARNING = 1

@@ -14,7 +14,7 @@ import pyarrow as pa
 
 from ..mvt.builder import PropertyMapper, TileBuilder
 from ..mvt.decoder import VectorTile
-from ..mvt.values import decode_value, encode_value
+from ..mvt.values import encode_value
 
 
 def filter_features(tiles_ds, layer_name: str, key: str, value) -> "ray.data.Dataset":
@@ -117,8 +117,6 @@ def merge_tiles(a_ds, b_ds):
             "z": [first["z"]], "x": [first["x"]], "y": [first["y"]],
             "mvt": [tb.serialize()],
         })
-
-    import pyarrow.compute as pc
 
     a = a_ds.map_batches(lambda t: t.append_column("src", pa.array([0] * len(t), pa.int32())),
                          batch_format="pyarrow")

@@ -12,7 +12,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..mvt import codec
-from ..mvt.builder import LayerBuilder, TileBuilder
+from ..mvt.builder import TileBuilder
 from ..stages.geoparse import AssignTiles, geoparse
 from ..sources.pages import read_pages
 

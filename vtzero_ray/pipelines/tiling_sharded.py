@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..stages.encode import PointTileAssembler, add_tile_bucket
-from ..stages.shard_encode import encode_shard, merge_shards, url_indexes
+from ..stages.shard_encode import encode_shard, merge_shards
 
 
 def _tile_counts(ds):

@@ -14,7 +14,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..mvt import codec
-from ..mvt.builder import LayerBuilder, TileBuilder
+from ..mvt.builder import TileBuilder
 from ..mvt.decoder import VectorTile
 
 
@@ -78,7 +78,7 @@ def raster_to_vector(raster_ds, threshold: int = 2, grid: int = 16,
         tb = TileBuilder()
         lb = tb.add_layer(layer_name, 2, extent)
         from ..mvt.builder import PolygonFeatureBuilder
-        from ..mvt.values import encode_value, VT_UINT
+        from ..mvt.values import VT_UINT
 
         for r in df.itertuples():
             x0, y0 = int(r.cell_col) * cell, int(r.cell_row) * cell

@@ -40,58 +40,6 @@ import pyarrow as pa
 from ..mvt.pbf import encode_varint, field_bytes, field_varint
 
 
-def plan_hot_tiles(stats_rows, n_salt: int):
-    """stats_rows: iterable of dicts (z,x,y,salt,lang,n,min_doc) for HOT
-    tiles only → per-tile plan dict."""
-    from collections import defaultdict
-
-    per_tile = defaultdict(list)
-    for r in stats_rows:
-        per_tile[(r["z"], r["x"], r["y"])].append(r)
-    plans = {}
-    for key, rows in per_tile.items():
-        salt_counts = np.zeros(n_salt, dtype=np.int64)
-        lang_first: dict[str, tuple[int, int]] = {}
-        for r in rows:
-            salt_counts[r["salt"]] += r["n"]
-            cur = lang_first.get(r["lang"])
-            cand = (r["salt"], r["min_doc"])
-            if cur is None or cand < cur:
-                lang_first[r["lang"]] = cand
-        bases = np.zeros(n_salt, dtype=np.int64)
-        np.cumsum(salt_counts[:-1], out=bases[1:])
-        # global rank of each lang's first occurrence: base of its salt +
-        # number of smaller doc_ids in that salt — the shard knows exact
-        # local positions, the planner only needs relative ORDER of firsts,
-        # so store (salt, min_doc) and resolve ranks in the shard? No:
-        # ranks must be globally consistent. We resolve them exactly below
-        # via the per-salt sorted doc minima — exactness requires the
-        # shard-local rank of min_doc, which is 0 only if it's the salt's
-        # smallest doc. Instead the planner receives min_doc AND its local
-        # rank (computed in the stats stage) as `first_rank_local`.
-        plans[key] = {
-            "bases": bases,
-            "salt_counts": salt_counts,
-            "lang_first": lang_first,
-            "total": int(salt_counts.sum()),
-        }
-    return plans
-
-
-def finalize_plan(plan, lang_first_ranks: dict[str, int]):
-    """Attach global first ranks (base[salt] + local rank) and derive each
-    lang's value-table index."""
-    firsts = sorted(lang_first_ranks.items(), key=lambda kv: kv[1])
-    ranks = np.array([r for _, r in firsts], dtype=np.int64)
-    lang_index = {}
-    for i, (lang, f) in enumerate(firsts):
-        lang_index[lang] = int(f + 1 + i)  # f + 1 urls + langs first-seen before
-    plan["lang_order"] = [l for l, _ in firsts]
-    plan["lang_ranks_sorted"] = ranks
-    plan["lang_index"] = lang_index
-    return plan
-
-
 def url_indexes(global_ranks: np.ndarray, lang_ranks_sorted: np.ndarray) -> np.ndarray:
     """url value index per feature = rank + #langs first-seen at rank < r
     ... strictly before the url add of feature r (lang first-seen AT rank r
