@@ -708,16 +708,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         # ann_topk_lsh: approximate → rows-only; recall vs brute force in tests
         # -- relational / streaming-shaped --------------------------------------
+        # exact integer-cent sums: float summation order differs between
+        # engines and exceeds any rounding tolerance at sf >= 0.1
         "pricing_summary": (
-            "SELECT l_returnflag, l_linestatus, round(SUM(l_quantity), 6) AS sum_qty, "
-            "round(SUM(l_extendedprice), 4) AS sum_base_price, "
-            "round(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_c2, "
             "COUNT(*) AS count_order FROM lineitem "
             "WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2"
         ),
         "orders_by_segment": (
             "SELECT c.c_mktsegment, COUNT(*) AS n_orders, "
-            "round(SUM(o.o_totalprice), 4) AS total_price "
+            "CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
         ),
         "top_orders": (

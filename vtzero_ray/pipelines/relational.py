@@ -43,13 +43,20 @@ def pricing_summary(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
         df = batch.to_pandas()
-        disc_price = df["l_extendedprice"] * (1 - df["l_discount"])
-        df = df.assign(disc_price=disc_price)
+        # exact integer arithmetic: prices have 2 decimals, discounts 2 →
+        # sums in cents / basis-point-cents are ORDER-INDEPENDENT (float
+        # summation order differs between engines and exceeds rounding
+        # tolerance at sf>=0.1)
+        qty_c = np.round(df["l_quantity"].to_numpy() * 100).astype(np.int64)
+        price_c = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_bp = np.round(df["l_discount"].to_numpy() * 100).astype(np.int64)
+        disc_price = price_c * (100 - disc_bp)  # cents x 100
+        df = df.assign(qty_c=qty_c, price_c=price_c, disc_price_c2=disc_price)
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            count_order=("l_quantity", "count"),
+            sum_qty_cents=("qty_c", "sum"),
+            sum_base_price_cents=("price_c", "sum"),
+            sum_disc_price_c2=("disc_price_c2", "sum"),
+            count_order=("qty_c", "count"),
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -57,15 +64,15 @@ def pricing_summary(sf_dir: str):
     from ray.data.aggregate import Sum
 
     agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty"), Sum("sum_base_price"), Sum("sum_disc_price"), Sum("count_order")
+        Sum("sum_qty_cents"), Sum("sum_base_price_cents"),
+        Sum("sum_disc_price_c2"), Sum("count_order")
     )
-    agg = agg.rename_columns({
-        "sum(sum_qty)": "sum_qty",
-        "sum(sum_base_price)": "sum_base_price",
-        "sum(sum_disc_price)": "sum_disc_price",
+    return agg.rename_columns({
+        "sum(sum_qty_cents)": "sum_qty_cents",
+        "sum(sum_base_price_cents)": "sum_base_price_cents",
+        "sum(sum_disc_price_c2)": "sum_disc_price_c2",
         "sum(count_order)": "count_order",
     })
-    return _round_cols(agg, {"sum_qty": 6, "sum_base_price": 4, "sum_disc_price": 4})
 
 
 def orders_by_segment(sf_dir: str):
@@ -90,11 +97,17 @@ def orders_by_segment(sf_dir: str):
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
     joined = orders.map_batches(JoinSeg, batch_format="pyarrow", concurrency=(1, 4))
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        c = np.round(batch.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return batch.append_column("price_cents", pa.array(c))
+
+    joined = joined.map_batches(to_cents, batch_format="pyarrow")
     from ray.data.aggregate import Count, Sum
 
-    agg = joined.groupby("c_mktsegment").aggregate(Count(), Sum("o_totalprice"))
-    agg = agg.rename_columns({"count()": "n_orders", "sum(o_totalprice)": "total_price"})
-    return _round_cols(agg, {"total_price": 4})
+    agg = joined.groupby("c_mktsegment").aggregate(Count(), Sum("price_cents"))
+    return agg.rename_columns({"count()": "n_orders",
+                               "sum(price_cents)": "total_price_cents"})
 
 
 def top_orders(sf_dir: str, k: int = 10):
