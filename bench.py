@@ -72,9 +72,14 @@ def run_bench() -> dict:
             nf += int(_pc.sum(b.column("n_features")).as_py() or 0)
         return time.time() - t0, nt, nf
 
-    t1, n_tiles, n_feats = run_once()
-    t2, *_ = run_once()
-    headline = min(t1, t2)
+    runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
+    times = []
+    n_tiles = n_feats = 0
+    for _ in range(runs):
+        t, n_tiles, n_feats = run_once()
+        times.append(t)
+    times.sort()
+    headline = times[len(times) // 2] if runs >= 3 else times[0]
     queries["tiles_encode_validate"] = round(headline, 3)
     extra["tiles"] = n_tiles
     extra["features"] = n_feats
@@ -142,7 +147,10 @@ def run_scaling() -> dict:
     n = int(os.environ.get("GRAFT_SCALE_N", "4"))
 
     def one(ncpu: int) -> dict:
+        # median-of-3 inside one fresh process (per-run CPU totals vary
+        # ±30% on this host; the median damps it)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_QUICK="1",
+                   GRAFT_BENCH_RUNS="3",
                    GRAFT_EXPAND=str(int(os.environ.get("GRAFT_EXPAND", "100"))))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
