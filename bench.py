@@ -98,6 +98,22 @@ def run_bench() -> dict:
             **extra,
         }
 
+    # optional: exercise the resumable partitioned sink at bench scale
+    if os.environ.get("GRAFT_WRITE") == "1":
+        import shutil
+        import tempfile
+
+        from vtzero_ray.sources.mvt_io import write_tiles
+
+        out_dir = tempfile.mkdtemp(prefix="tiles-bench-")
+        t0 = time.time()
+        tiles = tiles_pipeline(SF_DIR, zooms=(2, 6, 12), validate=False,
+                               expand=EXPAND, hot_threshold=hot)
+        summary = write_tiles(tiles, out_dir)
+        queries["tiles_write"] = round(time.time() - t0, 3)
+        extra["written_bytes"] = summary["bytes"]
+        shutil.rmtree(out_dir, ignore_errors=True)
+
     # stage benches
     t0 = time.time()
     features_dataset(SF_DIR, zooms=(2, 6, 12), expand=EXPAND).count()

@@ -70,3 +70,22 @@ class TestShardedEncode:
         a = first.sort_values(["z", "x", "y"]).reset_index(drop=True)
         b = again.sort_values(["z", "x", "y"]).reset_index(drop=True)
         assert (a.mvt == b.mvt).all()
+
+
+class TestShardFuzz:
+    @pytest.mark.parametrize("n_salt", [2, 3, 8])
+    def test_logical_equality_any_salt(self, ray_session, sf_dir, n_salt, both_paths):
+        """Any salt count must produce logically identical hot tiles."""
+        from vtzero_ray.pipelines.tiling import tiles_pipeline
+
+        plain, _ = both_paths
+        sharded = tiles_pipeline(sf_dir, zooms=(6,), validate=True,
+                                 hot_threshold=30, n_salt=n_salt).to_pandas()
+        assert (sharded.check_code == 0).all()
+        a = plain.set_index(["z", "x", "y"])
+        b = sharded.set_index(["z", "x", "y"])
+        hot = a[a.n_features > 30]
+        for key in hot.index:
+            fa, ka, va = decode_logical(a.loc[key].mvt)
+            fb, kb, vb = decode_logical(b.loc[key].mvt)
+            assert fa == fb and (ka, va) == (kb, vb)
