@@ -281,6 +281,15 @@ def _q_simhash(sf_dir: str):
     return simhash_signatures(_docs(sf_dir))
 
 
+def _q_approx_distinct(sf_dir: str):
+    """Mergeable-sketch pattern: per-batch HLL partials → tiny merge
+    (deterministic estimate; accuracy vs exact asserted in tests —
+    rows-only here since DuckDB's HLL differs)."""
+    from vtzero_ray.functions.sketch import approx_distinct
+
+    return approx_distinct(_docs(sf_dir), "text")
+
+
 def _q_embedding_near_dups(sf_dir: str):
     import ray.data as rd
 
@@ -467,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_verified_dups": _q_jaccard_verified_dups,
         "minhash_lsh_candidates": _q_minhash_lsh,
         "simhash_signatures": _q_simhash,
+        "approx_distinct_texts": _q_approx_distinct,
         "embedding_near_dups": _q_embedding_near_dups,
         # similarity search
         "ann_topk_bruteforce": _q_ann_bruteforce,

@@ -156,3 +156,44 @@ class TestJoins:
         grid = KNNGrid()(batch)
         assert exact.column("poi_id").to_pylist() == grid.column("poi_id").to_pylist()
         assert exact.column("poi_d2").to_pylist() == grid.column("poi_d2").to_pylist()
+
+
+class TestHLL:
+    def test_accuracy_bound(self):
+        from vtzero_ray.functions.sketch import HLL
+
+        h = HLL(12)
+        h.add_strings([f"item-{i}" for i in range(50000)])
+        est = h.estimate()
+        assert abs(est - 50000) / 50000 < 0.05  # ~1.04/sqrt(4096) = 1.6% std
+
+    def test_merge_equals_union(self):
+        from vtzero_ray.functions.sketch import HLL
+
+        a, b = HLL(12), HLL(12)
+        a.add_strings([f"a-{i}" for i in range(10000)])
+        b.add_strings([f"a-{i}" for i in range(5000, 15000)])  # overlap 5k
+        u = a.merge(b)
+        assert abs(u.estimate() - 15000) / 15000 < 0.05
+        # merge is idempotent and commutative
+        assert (a.merge(b).registers == b.merge(a).registers).all()
+
+    def test_serialization_roundtrip(self):
+        from vtzero_ray.functions.sketch import HLL
+
+        h = HLL(12)
+        h.add_strings(["x", "y", "z"])
+        h2 = HLL.from_bytes(h.to_bytes())
+        assert (h.registers == h2.registers).all()
+
+    def test_distributed_matches_exact(self, ray_session, sf_dir):
+        import ray.data as rd
+
+        from vtzero_ray.functions.sketch import approx_distinct
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+        out = approx_distinct(ds, "text")
+        exact = len(set(r["text"] for r in ds.take_all()))
+        got = out.approx_distinct.iloc[0]
+        assert abs(got - exact) / max(exact, 1) < 0.05
