@@ -424,6 +424,12 @@ def _q_orders_by_segment(sf_dir: str):
     return orders_by_segment(sf_dir)
 
 
+def _q_revenue_by_priority(sf_dir: str):
+    from vtzero_ray.pipelines.relational import revenue_by_priority
+
+    return revenue_by_priority(sf_dir)
+
+
 def _q_top_orders(sf_dir: str):
     from vtzero_ray.pipelines.relational import top_orders
 
@@ -484,6 +490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / streaming-shaped (SURVEY §2.5 analogues)
         "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
+        "revenue_by_priority": _q_revenue_by_priority,
         "top_orders": _q_top_orders,
         "events_window": _q_events_window,
         "events_sessions": _q_events_sessions,
@@ -733,6 +740,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.c_mktsegment, COUNT(*) AS n_orders, "
             "CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_cents "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
+        ),
+        "revenue_by_priority": (
+            "SELECT o.o_orderpriority, COUNT(*) AS n_items, "
+            "CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c2 "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1"
         ),
         "top_orders": (
             "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders "

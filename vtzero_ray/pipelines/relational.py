@@ -119,6 +119,35 @@ def top_orders(sf_dir: str, k: int = 10):
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
 
 
+def revenue_by_priority(sf_dir: str, num_partitions: int = 16):
+    """Large x large hash join: lineitem ⋈ orders on orderkey
+    (Dataset.join, hash-partitioned) → exact integer-cent revenue per
+    order priority. The one genuinely shuffling join in the suite (both
+    sides too big to broadcast at scale)."""
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_cents(batch: pa.Table) -> pa.Table:
+        price_c = np.round(batch.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        disc_bp = np.round(batch.column("l_discount").to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "revenue_c2": pa.array(price_c * (100 - disc_bp)),
+        })
+
+    li = li.map_batches(li_cents, batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, join_type="inner", num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    from ray.data.aggregate import Count, Sum
+
+    agg = joined.groupby("o_orderpriority").aggregate(Count(), Sum("revenue_c2"))
+    return agg.rename_columns({"count()": "n_items", "sum(revenue_c2)": "revenue_c2"})
+
+
 def events_tumbling_window(sf_dir: str, window_s: int = 3600):
     """Streaming-shaped tumbling window: per (event_type, hour) count +
     rounded value sum. Window key computed vectorized per batch; the only
