@@ -375,44 +375,27 @@ class PointTileAssembler:
         lang = batch.column("lang")
         if isinstance(lang, pa.ChunkedArray):
             lang = lang.combine_chunks()
-        # tile segment boundaries in the sorted bucket
+        # tile segment boundaries in the sorted bucket → ONE segmented
+        # vectorized encode for every tile in the bucket (no per-tile
+        # Python; see stages/encode_segmented.py)
+        from .encode_segmented import encode_point_tiles_segmented
+
         key_changed = np.empty(len(batch), dtype=bool)
         key_changed[0] = True
         key_changed[1:] = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | (y[1:] != y[:-1])
-        starts = np.flatnonzero(key_changed)
-        ends = np.append(starts[1:], len(batch))
-        # python-list views once per bucket: per-tile pa.slice + to_pylist
-        # costs ~15µs/tile, which dominates when tiles are tiny
-        fid_l = doc_id.tolist()
-        px_l = px.tolist()
-        py_l = py.tolist()
-        url_l = url.to_pylist()
-        lang_l = lang.to_pylist()
-        tiles_z, tiles_x, tiles_y, mvts, counts = [], [], [], [], []
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            if e - s <= SMALL_TILE_CUTOFF:
-                mvt = _encode_point_tile_small(
-                    fid_l[s:e], px_l[s:e], py_l[s:e], url_l[s:e], lang_l[s:e],
-                    self.layer_name, 2, self.extent,
-                )
-            else:
-                mvt = encode_point_tile(
-                    doc_id[s:e], px[s:e], py[s:e],
-                    url.slice(s, e - s), lang.slice(s, e - s),
-                    layer_name=self.layer_name, extent=self.extent,
-                )
-            mvts.append(mvt)
-            tiles_z.append(z[s])
-            tiles_x.append(x[s])
-            tiles_y.append(y[s])
-            counts.append(e - s)
+        seg_starts = np.flatnonzero(key_changed)
+        starts = np.append(seg_starts, len(batch)).astype(np.int64)
+        mvts = encode_point_tiles_segmented(
+            starts, doc_id.astype(np.uint64), px, py, url, lang,
+            layer_name=self.layer_name, extent=self.extent,
+        )
         return pa.table(
             {
-                "z": pa.array(np.array(tiles_z, np.int32)),
-                "x": pa.array(np.array(tiles_x, np.int32)),
-                "y": pa.array(np.array(tiles_y, np.int32)),
+                "z": pa.array(z[seg_starts].astype(np.int32)),
+                "x": pa.array(x[seg_starts].astype(np.int32)),
+                "y": pa.array(y[seg_starts].astype(np.int32)),
                 "mvt": pa.array(mvts, pa.binary()),
-                "n_features": pa.array(np.array(counts, np.int64)),
+                "n_features": pa.array(starts[1:] - starts[:-1]),
             }
         )
 

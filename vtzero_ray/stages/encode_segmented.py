@@ -1,0 +1,243 @@
+"""Segmented point-tile encoder: every tile of a bucket in ONE vectorized
+pass — no per-tile Python loop at all.
+
+The per-tile kernels (stages/encode.py) leave ~15-20µs/tile of Python/
+allocator overhead, which dominates z12-grade workloads where tiles are
+tiny and tile count approaches row count. This kernel computes every byte
+offset for the whole bucket with NumPy (features, per-tile layer headers,
+key tables, value tables with lang entries spliced at their interning
+positions) and materializes a single buffer, sliced per tile at the end.
+
+Byte-identical to encode_point_tile / the scalar builders (asserted in
+tests); the interning math is the closed form of vtzero's sequential
+first-occurrence order (builder_impl.hpp:104-147) evaluated per tile:
+
+    url_idx(r)   = r + #{langs with first_rank < r}
+    lang_idx(f)  = f + 1 + #{langs with first_rank < f}
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..mvt.pbf import encode_varint, varint_lengths_np
+from .encode import _binary_parts, _ragged_arange, write_varints_at, zigzag32_np
+
+_BIG = np.int64(1 << 60)
+
+
+def scatter_ragged(buf, dst_off, src, src_off, lengths):
+    ra = _ragged_arange(lengths)
+    buf[np.repeat(dst_off, lengths) + ra] = src[np.repeat(src_off, lengths) + ra]
+
+
+def encode_point_tiles_segmented(
+    starts: np.ndarray,          # (T+1,) feature index bounds per tile (sorted bucket)
+    feature_ids: np.ndarray,     # (n,) uint64, sorted by (tile, doc_id)
+    px: np.ndarray,
+    py: np.ndarray,
+    url_arr: pa.Array,
+    lang_arr: pa.Array,
+    layer_name: bytes = b"pages",
+    version: int = 2,
+    extent: int = 4096,
+) -> list[bytes]:
+    n = feature_ids.shape[0]
+    T = starts.shape[0] - 1
+    counts = (starts[1:] - starts[:-1]).astype(np.int64)
+    tid = np.repeat(np.arange(T, dtype=np.int64), counts)
+    rank = np.arange(n, dtype=np.int64) - np.repeat(starts[:-1].astype(np.int64), counts)
+
+    # ---- lang coding (bucket-global dictionary, per-tile first ranks) ----
+    if isinstance(lang_arr, pa.ChunkedArray):
+        lang_arr = lang_arr.combine_chunks()
+    d = pa.compute.dictionary_encode(lang_arr)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    codes = d.indices.to_numpy().astype(np.int64)
+    lang_bytes = [s.encode("utf-8") if isinstance(s, str) else s
+                  for s in d.dictionary.to_pylist()]
+    K = len(lang_bytes)
+
+    FR = np.full((T, K), _BIG, dtype=np.int64)
+    np.minimum.at(FR, (tid, codes), rank)
+
+    # per-feature: #langs first-seen strictly before this feature's url add
+    langs_before = np.zeros(n, dtype=np.int64)
+    for l in range(K):
+        langs_before += FR[tid, l] < rank
+    url_vidx = rank + langs_before
+
+    # per (tile, lang): value index; present mask
+    present = FR < _BIG
+    lb_tl = np.zeros((T, K), dtype=np.int64)
+    for l2 in range(K):
+        lb_tl += FR[:, l2][:, None] < FR
+    lang_vidx_tl = FR + 1 + lb_tl           # valid only where present
+    lang_vidx_feat = lang_vidx_tl[tid, codes]
+
+    # ---- per-feature byte sizes ----
+    fid = feature_ids.astype(np.uint64)
+    zzx = zigzag32_np(px)
+    zzy = zigzag32_np(py)
+    l_id = varint_lengths_np(fid)
+    l_zzx = varint_lengths_np(zzx)
+    l_zzy = varint_lengths_np(zzy)
+    geom_len = 1 + l_zzx + l_zzy
+    l_geomlen = varint_lengths_np(geom_len.astype(np.uint64))
+    uv = url_vidx.astype(np.uint64)
+    lv = lang_vidx_feat.astype(np.uint64)
+    l_uv = varint_lengths_np(uv)
+    l_lv = varint_lengths_np(lv)
+    tags_len = 2 + l_uv + l_lv
+    l_tagslen = varint_lengths_np(tags_len.astype(np.uint64))
+    body_len = 2 + 1 + l_id + 1 + l_geomlen + geom_len + 1 + l_tagslen + tags_len
+    l_bodylen = varint_lengths_np(body_len.astype(np.uint64))
+    feat_total = 1 + l_bodylen + body_len
+
+    feats_per_tile = np.zeros(T, dtype=np.int64)
+    np.add.at(feats_per_tile, tid, feat_total)
+
+    # ---- value-table entry sizes ----
+    url_pa = url_arr.combine_chunks() if isinstance(url_arr, pa.ChunkedArray) else url_arr
+    if pa.types.is_string(url_pa.type) or pa.types.is_large_string(url_pa.type):
+        url_pa = url_pa.cast(pa.binary())
+    u_data, u_off, u_len = _binary_parts(url_pa)
+    l_slen = varint_lengths_np(u_len.astype(np.uint64))
+    entry_len = 1 + l_slen + u_len
+    l_elen = varint_lengths_np(entry_len.astype(np.uint64))
+    url_ventry = 1 + l_elen + entry_len      # 0x22 len 0x0a len str
+
+    lang_entry_bytes = []
+    for lbts in lang_bytes:
+        e = b"\x0a" + encode_varint(len(lbts)) + lbts
+        lang_entry_bytes.append(b"\x22" + encode_varint(len(e)) + e)
+    lang_entry_len = np.array([len(b) for b in lang_entry_bytes], dtype=np.int64)
+
+    vals_per_tile = np.zeros(T, dtype=np.int64)
+    np.add.at(vals_per_tile, tid, url_ventry)
+    lang_tiles, lang_ls = np.nonzero(present)
+    np.add.at(vals_per_tile, lang_tiles, lang_entry_len[lang_ls])
+
+    # ---- per-tile framing ----
+    header = (b"\x78" + encode_varint(version)
+              + b"\x0a" + encode_varint(len(layer_name)) + layer_name
+              + b"\x28" + encode_varint(extent))
+    keys = b"\x1a\x03url\x1a\x04lang"
+    payload = len(header) + feats_per_tile + len(keys) + vals_per_tile
+    l_payload = varint_lengths_np(payload.astype(np.uint64))
+    tile_total = 1 + l_payload + payload
+    tile_start = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(tile_total, out=tile_start[1:])
+    buf = np.zeros(int(tile_start[-1]), dtype=np.uint8)
+
+    # tile wrappers + headers + keys (headers/keys via tiled template)
+    to = tile_start[:-1]
+    buf[to] = 0x1A
+    write_varints_at(buf, to + 1, payload.astype(np.uint64), l_payload)
+    hdr_np = np.frombuffer(header, dtype=np.uint8)
+    keys_np = np.frombuffer(keys, dtype=np.uint8)
+    hdr_off = to + 1 + l_payload
+    idx = (hdr_off[:, None] + np.arange(len(header))[None, :]).ravel()
+    buf[idx] = np.tile(hdr_np, T)
+    feats_off_tile = hdr_off + len(header)
+    keys_off = feats_off_tile + feats_per_tile
+    idx = (keys_off[:, None] + np.arange(len(keys))[None, :]).ravel()
+    buf[idx] = np.tile(keys_np, T)
+    vals_off_tile = keys_off + len(keys)
+
+    # ---- feature section scatters ----
+    cfeat = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(feat_total, out=cfeat[1:])
+    within = cfeat[:-1] - np.repeat(cfeat[starts[:-1]], counts)
+    o = feats_off_tile[tid] + within
+    buf[o] = 0x12
+    write_varints_at(buf, o + 1, body_len.astype(np.uint64), l_bodylen)
+    o = o + 1 + l_bodylen
+    buf[o] = 0x18
+    buf[o + 1] = 1
+    o = o + 2
+    buf[o] = 0x08
+    write_varints_at(buf, o + 1, fid, l_id)
+    o = o + 1 + l_id
+    buf[o] = 0x22
+    write_varints_at(buf, o + 1, geom_len.astype(np.uint64), l_geomlen)
+    o = o + 1 + l_geomlen
+    buf[o] = 0x09
+    write_varints_at(buf, o + 1, zzx, l_zzx)
+    write_varints_at(buf, o + 1 + l_zzx, zzy, l_zzy)
+    o = o + 1 + l_zzx + l_zzy
+    buf[o] = 0x12
+    write_varints_at(buf, o + 1, tags_len.astype(np.uint64), l_tagslen)
+    o = o + 1 + l_tagslen
+    buf[o] = 0x00
+    write_varints_at(buf, o + 1, uv, l_uv)
+    o = o + 1 + l_uv
+    buf[o] = 0x01
+    write_varints_at(buf, o + 1, lv, l_lv)
+
+    # ---- value tables ----
+    # url entries framed once for the whole bucket in C++ (prefix ++ url via
+    # binary_join_element_wise; a byte-level numpy scatter here measured
+    # ~30x slower on big tiles), then per tile the entry blob is copied in
+    # RUNS between the <=K lang splice points.
+    pfx_total = 2 + l_elen + l_slen
+    p_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(pfx_total, out=p_starts[1:])
+    if p_starts[-1] >= 2**31:
+        raise MemoryError("value-table prefixes exceed 2 GiB in one bucket; shard it")
+    pbuf = np.zeros(int(p_starts[-1]), dtype=np.uint8)
+    po = p_starts[:-1]
+    pbuf[po] = 0x22
+    write_varints_at(pbuf, po + 1, entry_len.astype(np.uint64), l_elen)
+    po = po + 1 + l_elen
+    pbuf[po] = 0x0A
+    write_varints_at(pbuf, po + 1, u_len.astype(np.uint64), l_slen)
+    prefix_arr = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(p_starts.astype(np.int32).tobytes()),
+         pa.py_buffer(pbuf.tobytes())],
+    )
+    entries = pa.compute.binary_join_element_wise(prefix_arr, url_pa, b"")
+    e_data, e_off0, _ = _binary_parts(entries)
+    base = int(e_off0[0])
+    ue_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(url_ventry, out=ue_off[1:])
+    ue_off += base
+
+    # per-tile lang splice plan: (value index, code) sorted per tile
+    lang_np = np.frombuffer(b"".join(lang_entry_bytes), dtype=np.uint8) \
+        if lang_entry_bytes else np.empty(0, np.uint8)
+    lang_off = np.zeros(K + 1, dtype=np.int64)
+    np.cumsum(lang_entry_len, out=lang_off[1:])
+    lv_sorted_idx = np.lexsort((lang_vidx_tl[lang_tiles, lang_ls], lang_tiles))
+    lt = lang_tiles[lv_sorted_idx]
+    ll = lang_ls[lv_sorted_idx]
+    lg = lang_vidx_tl[lt, ll]
+    lang_ptr = np.searchsorted(lt, np.arange(T + 1))
+
+    starts_l = starts.astype(np.int64)
+    for t in range(T):
+        out_pos = int(vals_off_tile[t])
+        s_feat = int(starts_l[t])
+        prev = s_feat
+        k0, k1 = int(lang_ptr[t]), int(lang_ptr[t + 1])
+        for j in range(k0, k1):
+            gpos = int(lg[j])
+            urls_before = s_feat + gpos - (j - k0)
+            if urls_before > prev:
+                a, b = int(ue_off[prev]), int(ue_off[urls_before])
+                buf[out_pos:out_pos + b - a] = e_data[a:b]
+                out_pos += b - a
+                prev = urls_before
+            c0, c1 = int(lang_off[ll[j]]), int(lang_off[ll[j] + 1])
+            buf[out_pos:out_pos + c1 - c0] = lang_np[c0:c1]
+            out_pos += c1 - c0
+        e_feat = int(starts_l[t + 1])
+        if e_feat > prev:
+            a, b = int(ue_off[prev]), int(ue_off[e_feat])
+            buf[out_pos:out_pos + b - a] = e_data[a:b]
+
+    raw = buf.tobytes()
+    return [raw[tile_start[t]:tile_start[t + 1]] for t in range(T)]
