@@ -442,6 +442,12 @@ def _q_events_window(sf_dir: str):
     return events_tumbling_window(sf_dir)
 
 
+def _q_events_asof(sf_dir: str):
+    from vtzero_ray.pipelines.relational import events_asof_last_order
+
+    return events_asof_last_order(sf_dir)
+
+
 def _q_events_sessions(sf_dir: str):
     from vtzero_ray.pipelines.relational import events_sessionize
 
@@ -494,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_top_orders,
         "events_window": _q_events_window,
         "events_sessions": _q_events_sessions,
+        "events_asof_last_order": _q_events_asof,
     }
 
 
@@ -755,6 +762,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "
             "COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_asof_last_order": (
+            "SELECT e.event_id, e.user_id, COALESCE((SELECT o.o_orderkey FROM orders o "
+            "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+            "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1), -1) AS o_orderkey "
+            "FROM events e"
         ),
         "events_sessions": (
             "WITH e AS (SELECT user_id, ts, value, "

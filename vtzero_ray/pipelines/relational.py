@@ -173,6 +173,59 @@ def events_tumbling_window(sf_dir: str, window_s: int = 3600):
     return _round_cols(agg, {"sum_value": 6})
 
 
+def events_asof_last_order(sf_dir: str):
+    """As-of join (streaming-shaped): each event joined to the LATEST order
+    of the matching customer with orderdate <= event time.
+
+    Ray shape (ray_guide as-of pattern): both sides bucketed by the key,
+    pd.merge_asof per group over time-sorted frames. Events' user_id maps
+    onto o_custkey for the synthetic schema.
+    """
+    import ray
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    ).to_pandas()
+    # small side here (driver-verified scale); broadcast sorted per key
+    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    oref = ray.put(orders)
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id"])
+
+    class AsOf:
+        def __init__(self) -> None:
+            df = ray.get(oref)
+            self.by_key = {k: g for k, g in df.groupby("o_custkey", sort=False)}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas().sort_values("ts", kind="stable")
+            out_key, out_date = [], []
+            for uid, ts in zip(df["user_id"], df["ts"]):
+                g = self.by_key.get(uid)
+                if g is None:
+                    out_key.append(-1)
+                    out_date.append(pd.NaT)
+                    continue
+                # latest order with orderdate <= ts (ties → max o_orderkey,
+                # deterministic because g is sorted by (date, orderkey))
+                idx = g["o_orderdate"].searchsorted(ts, side="right") - 1
+                if idx < 0:
+                    out_key.append(-1)
+                    out_date.append(pd.NaT)
+                else:
+                    out_key.append(int(g["o_orderkey"].iloc[idx]))
+                    out_date.append(g["o_orderdate"].iloc[idx])
+            df = df.assign(o_orderkey=np.array(out_key, dtype=np.int64),
+                           o_orderdate=out_date)
+            return pa.Table.from_pandas(
+                df[["event_id", "user_id", "o_orderkey"]], preserve_index=False)
+
+    return events.map_batches(AsOf, batch_format="pyarrow", concurrency=(1, 4))
+
+
 def events_sessionize(sf_dir: str, gap_s: int = 1800):
     """Session windows per user: sorted-per-group pandas sessionization
     (groupby(key).map_groups over ts-ordered rows, ray_guide streaming

@@ -22,14 +22,9 @@ import numpy as np
 import pyarrow as pa
 
 from ..mvt.pbf import encode_varint, varint_lengths_np
-from .encode import _binary_parts, _ragged_arange, write_varints_at, zigzag32_np
+from .encode import _binary_parts, write_varints_at, zigzag32_np
 
 _BIG = np.int64(1 << 60)
-
-
-def scatter_ragged(buf, dst_off, src, src_off, lengths):
-    ra = _ragged_arange(lengths)
-    buf[np.repeat(dst_off, lengths) + ra] = src[np.repeat(src_off, lengths) + ra]
 
 
 def encode_point_tiles_segmented(
