@@ -14,14 +14,59 @@ column name.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 SF1 = "/root/testdata/sf0.001"
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
 # Deterministic geo derivation shared between Python and SQL — single
 # source of truth lives in vtzero_ray.sources.pages.
 from vtzero_ray.sources.pages import SQL_LAT_US, SQL_LON_US, SQL_URL
+
+
+def _register_by_value() -> None:
+    """Ship vtzero_ray UDFs to Ray workers BY VALUE.
+
+    Workers only inherit the driver's cwd, not its sys.path — if the
+    driver imports this module from outside /root/repo, workers cannot
+    import vtzero_ray and every map_batches task dies with
+    ModuleNotFoundError. cloudpickle's register_pickle_by_value embeds the
+    function/class bodies in the task payload instead, removing the
+    worker-side import entirely (verified: pipeline runs with driver cwd
+    /tmp)."""
+    try:
+        # Ray serializes tasks with its VENDORED cloudpickle — registering
+        # on the standalone package has no effect
+        from ray import cloudpickle
+
+        # import every vtzero_ray module UDFs live in, then register them
+        import vtzero_ray  # noqa: F401
+        from vtzero_ray import api, exceptions  # noqa: F401
+        from vtzero_ray.functions import ann, dedup, sketch, textstats  # noqa: F401
+        from vtzero_ray.mvt import (builder, check, codec, decoder,  # noqa: F401
+                                    pbf, values)
+        from vtzero_ray.pipelines import (decode, filter, paths,  # noqa: F401
+                                          relational, tiling, tiling_sharded)
+        from vtzero_ray.sources import mvt_io, pages  # noqa: F401
+        from vtzero_ray.stages import (cells, encode, encode_segmented,  # noqa: F401
+                                       geoparse, joins, multimodal, raster,
+                                       shard_encode)
+        from vtzero_ray.state import testing  # noqa: F401
+
+        for name, mod in list(sys.modules.items()):
+            if name.startswith("vtzero_ray") and mod is not None:
+                cloudpickle.register_pickle_by_value(mod)
+    except Exception:
+        pass  # workers that can import normally don't need this
+
+
+_register_by_value()
 
 
 def entry() -> Any:

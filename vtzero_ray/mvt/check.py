@@ -16,7 +16,7 @@ import numpy as np
 
 from . import codec
 from ..exceptions import FormatError, GeometryError
-from .decoder import VectorTile
+from .decoder import Feature, VectorTile
 
 OK = 0
 WARNING = 1
@@ -206,8 +206,6 @@ def check_tile(data: bytes) -> tuple[int, list[tuple[int, str]]]:
                     _check_point_scalar(fbuf, fgeom[0], fgeom[1], extent, diags, ctx)
                     feature_num += 1
                     continue
-                from .decoder import Feature
-
                 feature = Feature(layer, lbuf, fspan)
                 decoded = feature.decode_geometry()
                 if feature.geom_type == codec.GEOM_POINT:

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..exceptions import FormatError, OutOfRangeError, VersionError
+from .values import decode_value
 from . import codec
 from .pbf import WT_LEN, WT_VARINT, decode_packed_uint32, iter_fields
 from .builder import (
@@ -188,8 +189,6 @@ class Feature:
     def properties(self) -> dict:
         """Materialize a properties map (create_properties_map,
         feature.hpp:298-311); value blobs decoded to Python scalars."""
-        from .values import decode_value
-
         out = {}
         for key, blob in self.properties_raw():
             _, v = decode_value(blob)

@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..mvt import codec
+from ..mvt.check import check_tile
 from ..mvt.decoder import VectorTile
 
 
@@ -142,8 +143,6 @@ def tile_stats(tiles_ds):
 
 def check_corpus(tiles_ds):
     """vtzero-check over a tile corpus: per-tile grade + first diagnostics."""
-    from ..mvt.check import check_tile
-
     def check_batch(batch: pa.Table) -> pa.Table:
         codes, firsts, counts = [], [], []
         for mvt in batch.column("mvt"):

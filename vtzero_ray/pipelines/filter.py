@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..mvt.builder import PropertyMapper, TileBuilder
+from ..mvt.builder import (GeometryFeatureBuilder, PropertyMapper,
+                           TileBuilder)
 from ..mvt.decoder import VectorTile
 from ..mvt.values import encode_value
 
@@ -43,8 +44,6 @@ def filter_features(tiles_ds, layer_name: str, key: str, value) -> "ray.data.Dat
                            for k, v in f.properties_raw())
                 if not keep:
                     continue
-                from ..mvt.builder import GeometryFeatureBuilder
-
                 fb = GeometryFeatureBuilder(lb)
                 fb.copy_id(f)
                 fb.set_geometry(f.geom_type, f.geometry_data)

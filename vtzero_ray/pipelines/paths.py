@@ -13,6 +13,7 @@ import pyarrow as pa
 
 from ..mvt import codec
 from ..mvt.builder import TileBuilder
+from ..mvt.values import VT_UINT, encode_value
 from ..stages.geoparse import AssignTiles, geoparse
 from ..sources.pages import read_pages
 
@@ -65,6 +66,4 @@ def site_paths_tiles(sf_dir: str, zoom: int = 2, extent: int = 4096):
 
 
 def _enc_uint(v: int) -> bytes:
-    from ..mvt.values import VT_UINT, encode_value
-
     return encode_value(v, VT_UINT)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
+from ..mvt.check import check_tile
 from ..sources.pages import read_pages
 from ..stages.encode import PointTileAssembler, add_tile_bucket
 from ..stages.geoparse import AssignTiles, geoparse
@@ -71,7 +72,5 @@ def tiles_pipeline(sf_dir: str, zooms=DEFAULT_ZOOMS, extent: int = 4096,
 def validate_tiles(batch: pa.Table) -> pa.Table:
     """vtzero-check gate as a stateless map_batches stage (SURVEY.md §2.7):
     appends the graded check code per tile; pipelines can filter on it."""
-    from ..mvt.check import check_tile
-
     codes = [check_tile(m.as_py())[0] for m in batch.column("mvt")]
     return batch.append_column("check_code", pa.array(codes, pa.int8()))

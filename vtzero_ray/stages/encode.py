@@ -24,8 +24,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..mvt import codec
 from ..mvt.builder import LayerBuilder, TileBuilder
-from ..mvt.pbf import encode_varint, varint_lengths_np
+from ..mvt.pbf import (encode_varint, field_bytes, field_varint,
+                        varint_lengths_np)
 from ..mvt import values as mval
 
 _U7 = np.uint64(7)
@@ -120,8 +122,6 @@ def _encode_point_tile_small(fids, pxs, pys, urls, langs,
     3-feature tile; straight-line Python does it in ~20µs — and tiny tiles
     dominate tile COUNT at high zooms even when they don't dominate rows.
     """
-    from ..mvt.pbf import encode_varint
-
     feats = bytearray()
     values: list[bytes] = []
     vidx: dict[bytes, int] = {}
@@ -256,8 +256,6 @@ def encode_point_tile(
     features_section = buf.tobytes()
 
     # keys table (insertion order: url, lang — first feature's adds)
-    from ..mvt.pbf import field_bytes, field_varint
-
     keys_data = field_bytes(3, b"url") + field_bytes(3, b"lang")
 
     # values table: url entries framed in C++ (prefix ++ url via
@@ -355,6 +353,12 @@ class PointTileAssembler:
         self.layer_name = layer_name.encode("utf-8")
         self.extent = extent
         self.__name__ = "PointTileAssembler"  # map_groups wraps plain fns
+        # bind at construction (driver side): a lazy import inside __call__
+        # would execute in the WORKER, which may not have vtzero_ray on its
+        # sys.path (UDFs ship by value via __ray_entry__ registration)
+        from .encode_segmented import encode_point_tiles_segmented
+
+        self._encode_segmented = encode_point_tiles_segmented
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         order = pa.compute.sort_indices(
@@ -378,14 +382,12 @@ class PointTileAssembler:
         # tile segment boundaries in the sorted bucket → ONE segmented
         # vectorized encode for every tile in the bucket (no per-tile
         # Python; see stages/encode_segmented.py)
-        from .encode_segmented import encode_point_tiles_segmented
-
         key_changed = np.empty(len(batch), dtype=bool)
         key_changed[0] = True
         key_changed[1:] = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | (y[1:] != y[:-1])
         seg_starts = np.flatnonzero(key_changed)
         starts = np.append(seg_starts, len(batch)).astype(np.int64)
-        mvts = encode_point_tiles_segmented(
+        mvts = self._encode_segmented(
             starts, doc_id.astype(np.uint64), px, py, url, lang,
             layer_name=self.layer_name, extent=self.extent,
         )
@@ -430,8 +432,6 @@ class TileEncoder:
 
     @staticmethod
     def _add_feature(lb: LayerBuilder, row) -> None:
-        from ..mvt import codec
-
         parts = [np.asarray(p) for p in row["parts"]]
         cmds = codec.encode_geometry(int(row["geom_type"]), parts)
         props = []

@@ -16,6 +16,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .cells import lonlat_to_tile_px
+
 GEO_PATTERN = r"geo:(?P<lat>-?\d+\.\d+),(?P<lon>-?\d+\.\d+)"
 
 
@@ -73,8 +75,6 @@ class AssignTiles:
         self.extent = extent
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .cells import lonlat_to_tile_px
-
         lon = batch.column("lon").to_numpy()
         lat = batch.column("lat").to_numpy()
         pieces = []

@@ -1,3 +1,4 @@
+
 """Raster ↔ vector conversion stages (north-rule operator set).
 
 - ``rasterize_tiles``: decoded point features → per-tile density grid
@@ -14,8 +15,9 @@ import numpy as np
 import pyarrow as pa
 
 from ..mvt import codec
-from ..mvt.builder import TileBuilder
+from ..mvt.builder import PolygonFeatureBuilder, TileBuilder
 from ..mvt.decoder import VectorTile
+from ..mvt.values import VT_UINT
 
 
 def rasterize_tiles(tiles_ds, grid: int = 16, extent: int = 4096):
@@ -77,8 +79,6 @@ def raster_to_vector(raster_ds, threshold: int = 2, grid: int = 16,
         df = df.sort_values(["cell_row", "cell_col"], kind="stable")
         tb = TileBuilder()
         lb = tb.add_layer(layer_name, 2, extent)
-        from ..mvt.builder import PolygonFeatureBuilder
-        from ..mvt.values import VT_UINT
 
         for r in df.itertuples():
             x0, y0 = int(r.cell_col) * cell, int(r.cell_row) * cell
