@@ -196,3 +196,119 @@ class TestGoldenTile:
             return out
 
         assert snap(copied) == [s for s in snap(data) if s[3]]
+
+
+class TestFixtureCorpus2:
+    """Analogues for the remaining upstream cases (007-016, 039-052)."""
+
+    def test_007_version_as_string(self):
+        # field 15 with wire type 2 → unknown field in layer
+        p = field_bytes(15, b"2") + field_bytes(1, b"hello")
+        with pytest.raises(FormatError, match=r"unknown field in layer \(tag=15, type=2\)"):
+            list(VectorTile(field_bytes(3, p)).layers())
+
+    def test_008_extent_as_string(self):
+        p = field_varint(15, 2) + field_bytes(1, b"hello") + field_bytes(5, b"4096")
+        with pytest.raises(FormatError, match=r"unknown field in layer \(tag=5, type=2\)"):
+            list(VectorTile(field_bytes(3, p)).layers())
+
+    def test_009_extent_missing_defaults_4096(self):
+        p = layer_payload(version=2, name=b"hello", features=[feature_body(fid=1, geom=[9, 50, 34])])
+        p = field_varint(15, 2) + field_bytes(1, b"hello") + field_bytes(
+            2, feature_body(fid=1, geom=[9, 50, 34]))
+        layer = VectorTile(field_bytes(3, p)).get_layer(0)
+        assert layer.extent == 4096
+        assert next(layer.features()).id == 1
+
+    def test_010_011_bad_value_types(self):
+        # value blob with varint field 1 (string tag, wrong wire) / unknown tag
+        for blob in (field_varint(1, 7), field_varint(9, 1)):
+            with pytest.raises(FormatError, match="illegal property value type"):
+                values.value_type(blob)
+
+    def test_013_key_encoded_as_int(self):
+        p = field_varint(15, 2) + field_bytes(1, b"hello") + field_varint(3, 7)
+        with pytest.raises(FormatError, match=r"unknown field in layer \(tag=3, type=0\)"):
+            list(VectorTile(field_bytes(3, p)).layers())
+
+    def test_015_duplicate_layer_names_readable(self):
+        p = layer_payload(name=b"hello", features=[feature_body(geom=[9, 50, 34])])
+        tile = VectorTile(field_bytes(3, p) + field_bytes(3, p))
+        assert tile.count_layers() == 2
+        assert all(l.name == b"hello" for l in tile.layers())
+        assert tile.get_layer_by_name("hello").name == b"hello"
+
+    def test_016_valid_unknown_geometry(self):
+        data = one_feature_tile(geom=[9, 50, 34], geom_type=0)
+        f = next(VectorTile(data).get_layer(0).features())
+        assert f.geom_type == 0
+        with pytest.raises(GeometryError, match="unknown geometry type"):
+            f.decode_geometry()
+
+    def test_039_explicit_default_values(self):
+        # id=0 and type=UNKNOWN explicitly encoded; decode raises
+        data = one_feature_tile(fid=0, geom=[9, 50, 34], geom_type=0)
+        f = next(VectorTile(data).get_layer(0).features())
+        assert f.has_id and f.id == 0
+        assert f.geom_type == 0
+        assert f.num_properties == 0
+        with pytest.raises(GeometryError):
+            f.decode_geometry()
+
+    def test_044_geometry_begins_with_closepath(self):
+        data = one_feature_tile(geom=[15], geom_type=1)
+        f = next(VectorTile(data).get_layer(0).features())
+        with pytest.raises(GeometryError, match="expected command 1 but got 7"):
+            f.decode_geometry()
+
+    def test_045_half_coordinates(self):
+        data = one_feature_tile(geom=[9, 50], geom_type=1)
+        f = next(VectorTile(data).get_layer(0).features())
+        with pytest.raises(GeometryError, match="too few points in geometry"):
+            f.decode_geometry()
+
+    def test_046_duplicate_points_decode_fine(self):
+        # decoding tolerates OGC-invalid duplicate points (encoder forbids)
+        data = one_feature_tile(geom=[9, 4, 4, 18, 0, 16, 0, 0], geom_type=2)
+        f = next(VectorTile(data).get_layer(0).features())
+        parts = f.decode_geometry()
+        assert parts[0].tolist() == [[2, 2], [2, 10], [2, 10]]
+        # but the validator flags it
+        from vtzero_ray.mvt.check import ERROR, check_tile
+        code, diags = check_tile(data)
+        assert code == ERROR
+        assert any("Duplicate point in linestring" in m for _, m in diags)
+
+    def test_051_huge_multipoint_count(self):
+        data = one_feature_tile(geom=[codec.command_integer(1, (1 << 20)), 10, 14])
+        f = next(VectorTile(data).get_layer(0).features())
+        with pytest.raises(GeometryError, match="count too large"):
+            f.decode_geometry()
+
+    def test_052_multipoint_not_enough_points(self):
+        # upstream asserts only geometry_exception: with 3 geometry bytes the
+        # byte-plausibility bound (max_count = bytes/2 = 1) trips FIRST,
+        # exactly as in the reference (geometry.hpp:397,240-242)
+        data = one_feature_tile(geom=[codec.command_integer(1, 2), 10, 14])
+        f = next(VectorTile(data).get_layer(0).features())
+        with pytest.raises(GeometryError, match="count too large"):
+            f.decode_geometry()
+        # with a plausible byte budget the point check fires instead
+        with pytest.raises(GeometryError, match="too few points in geometry"):
+            codec.decode_point(np.array([17, 10, 14], dtype=np.uint32), max_count=10)
+
+    def test_043_shared_key_unique_values(self):
+        tb = b.TileBuilder()
+        lb = tb.add_layer("hello")
+        names = ["swing", "water_fountain", "slide", "bench", "tree", "path"]
+        for i, v in enumerate(names):
+            fb = b.PointFeatureBuilder(lb)
+            fb.add_point(i, i + 1)
+            fb.add_property("poi", v)
+            fb.commit()
+        layer = VectorTile(tb.serialize()).get_layer(0)
+        assert layer.key_table() == [b"poi"]
+        assert len(layer.value_table()) == 6
+        feats = list(layer.features())
+        assert feats[0].properties() == {"poi": b"swing"}
+        assert feats[1].properties() == {"poi": b"water_fountain"}
