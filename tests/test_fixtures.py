@@ -312,3 +312,39 @@ class TestFixtureCorpus2:
         feats = list(layer.features())
         assert feats[0].properties() == {"poi": b"swing"}
         assert feats[1].properties() == {"poi": b"water_fountain"}
+
+
+class TestFixtureCorpus3:
+    def test_030_two_geometry_fields(self):
+        geom = encode_varints_np(np.array([9, 50, 34], dtype=np.uint32))
+        feat = field_varint(3, 1) + field_bytes(4, geom) + field_bytes(4, geom)
+        p = layer_payload(features=[feat])
+        with pytest.raises(FormatError, match="Feature has more than one geometry field"):
+            list(VectorTile(field_bytes(3, p)).get_layer(0).features())
+
+    def test_two_tags_fields(self):
+        geom = encode_varints_np(np.array([9, 50, 34], dtype=np.uint32))
+        tags = encode_varints_np(np.array([0, 0], dtype=np.uint64))
+        feat = (field_varint(3, 1) + field_bytes(2, tags) + field_bytes(2, tags)
+                + field_bytes(4, geom))
+        p = layer_payload(features=[feat])
+        with pytest.raises(FormatError, match="Feature has more than one tags field"):
+            list(VectorTile(field_bytes(3, p)).get_layer(0).features())
+
+    def test_041_tags_as_packed_floats(self):
+        # garbage packed bytes under the tags field: either a parity error
+        # at parse or an out-of-range index at property access — never a
+        # crash or silent wrong data (mirrors upstream 041's throw)
+        import struct
+
+        geom = encode_varints_np(np.array([9, 50, 34], dtype=np.uint32))
+        float_payload = struct.pack("<ff", 1.5, 2.5)
+        feat = field_varint(3, 1) + field_bytes(2, float_payload) + field_bytes(4, geom)
+        p = layer_payload(features=[feat], keys=[b"k"],
+                          vals=[values.encode_value(1, values.VT_UINT)])
+        try:
+            f = next(VectorTile(field_bytes(3, p)).get_layer(0).features())
+            with pytest.raises((OutOfRangeError, ValueError)):
+                list(f.properties_raw())
+        except (FormatError, ValueError):
+            pass  # parity/varint error at parse — also acceptable
