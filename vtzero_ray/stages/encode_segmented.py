@@ -27,6 +27,94 @@ from .encode import _binary_parts, write_varints_at, zigzag32_np
 _BIG = np.int64(1 << 60)
 
 
+def encode_feature_section(fid: np.ndarray, px: np.ndarray, py: np.ndarray,
+                           uv: np.ndarray, lv: np.ndarray) -> bytes:
+    """Feature messages (type+id+geom+tags) for single-point features with
+    PRE-RESOLVED value indexes — the vectorized core shared with the salted
+    shard encoder (whose indexes come from the distributed plan)."""
+    fid = fid.astype(np.uint64)
+    zzx = zigzag32_np(px)
+    zzy = zigzag32_np(py)
+    uv = uv.astype(np.uint64)
+    lv = lv.astype(np.uint64)
+    l_id = varint_lengths_np(fid)
+    l_zzx = varint_lengths_np(zzx)
+    l_zzy = varint_lengths_np(zzy)
+    geom_len = 1 + l_zzx + l_zzy
+    l_geomlen = varint_lengths_np(geom_len.astype(np.uint64))
+    l_uv = varint_lengths_np(uv)
+    l_lv = varint_lengths_np(lv)
+    tags_len = 2 + l_uv + l_lv
+    l_tagslen = varint_lengths_np(tags_len.astype(np.uint64))
+    body_len = 2 + 1 + l_id + 1 + l_geomlen + geom_len + 1 + l_tagslen + tags_len
+    l_bodylen = varint_lengths_np(body_len.astype(np.uint64))
+    feat_total = 1 + l_bodylen + body_len
+    starts = np.zeros(fid.shape[0] + 1, dtype=np.int64)
+    np.cumsum(feat_total, out=starts[1:])
+    buf = np.zeros(int(starts[-1]), dtype=np.uint8)
+    o = starts[:-1]
+    buf[o] = 0x12
+    write_varints_at(buf, o + 1, body_len.astype(np.uint64), l_bodylen)
+    o = o + 1 + l_bodylen
+    buf[o] = 0x18
+    buf[o + 1] = 1
+    o = o + 2
+    buf[o] = 0x08
+    write_varints_at(buf, o + 1, fid, l_id)
+    o = o + 1 + l_id
+    buf[o] = 0x22
+    write_varints_at(buf, o + 1, geom_len.astype(np.uint64), l_geomlen)
+    o = o + 1 + l_geomlen
+    buf[o] = 0x09
+    write_varints_at(buf, o + 1, zzx, l_zzx)
+    write_varints_at(buf, o + 1 + l_zzx, zzy, l_zzy)
+    o = o + 1 + l_zzx + l_zzy
+    buf[o] = 0x12
+    write_varints_at(buf, o + 1, tags_len.astype(np.uint64), l_tagslen)
+    o = o + 1 + l_tagslen
+    buf[o] = 0x00
+    write_varints_at(buf, o + 1, uv, l_uv)
+    o = o + 1 + l_uv
+    buf[o] = 0x01
+    write_varints_at(buf, o + 1, lv, l_lv)
+    return buf.tobytes()
+
+
+def encode_url_value_entries(url_pa: pa.Array) -> bytes:
+    """Framed value-table entries (0x22 len 0x0a len str) for a url column,
+    in order — the shard encoder's url segment, built in C++."""
+    if isinstance(url_pa, pa.ChunkedArray):
+        url_pa = url_pa.combine_chunks()
+    if pa.types.is_string(url_pa.type) or pa.types.is_large_string(url_pa.type):
+        url_pa = url_pa.cast(pa.binary())
+    _, _, u_len = _binary_parts(url_pa)
+    n = len(url_pa)
+    l_slen = varint_lengths_np(u_len.astype(np.uint64))
+    entry_len = 1 + l_slen + u_len
+    l_elen = varint_lengths_np(entry_len.astype(np.uint64))
+    pfx_total = 2 + l_elen + l_slen
+    p_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(pfx_total, out=p_starts[1:])
+    pbuf = np.zeros(int(p_starts[-1]), dtype=np.uint8)
+    po = p_starts[:-1]
+    pbuf[po] = 0x22
+    write_varints_at(pbuf, po + 1, entry_len.astype(np.uint64), l_elen)
+    po = po + 1 + l_elen
+    pbuf[po] = 0x0A
+    write_varints_at(pbuf, po + 1, u_len.astype(np.uint64), l_slen)
+    prefix_arr = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(p_starts.astype(np.int32).tobytes()),
+         pa.py_buffer(pbuf.tobytes())],
+    )
+    entries = pa.compute.binary_join_element_wise(prefix_arr, url_pa, b"")
+    e_data, e_off, _ = _binary_parts(entries)
+    total = int(e_off[-1] - e_off[0]) + int(u_len[-1] + pfx_total[-1]) if n else 0
+    # entries are contiguous; slice from first offset through the end
+    end = int(e_off[-1]) + int((1 + l_elen[-1] + entry_len[-1])) if n else 0
+    return e_data[int(e_off[0]):end].tobytes()
+
+
 def encode_point_tiles_segmented(
     starts: np.ndarray,          # (T+1,) feature index bounds per tile (sorted bucket)
     feature_ids: np.ndarray,     # (n,) uint64, sorted by (tile, doc_id)

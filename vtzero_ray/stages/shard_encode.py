@@ -60,33 +60,24 @@ def encode_shard(
 ) -> tuple[bytes, bytes]:
     """One (tile, salt) shard → (feature_section_bytes, url_value_segment).
 
-    Features must be sorted by doc_id. Pure-Python straight-line encoding
-    (the vectorized kernel shape applies here too; shards are the unit of
-    parallelism so per-shard Python is amortized).
+    Features must be sorted by doc_id. Vectorized via the segmented-kernel
+    primitives with PLAN-DERIVED global indexes (shards never see each
+    other; the plan makes the interning deterministic across them).
     """
-    feats = bytearray()
-    useg = bytearray()
+    import pyarrow as pa
+
+    from .encode_segmented import encode_feature_section, encode_url_value_entries
+
     ranks = np.arange(global_base, global_base + feature_ids.shape[0], dtype=np.int64)
     uidx = url_indexes(ranks, lang_ranks_sorted)
-    for i in range(feature_ids.shape[0]):
-        x, y = int(px[i]), int(py[i])
-        zx = ((x << 1) ^ (x >> 31)) & 0xFFFFFFFF
-        zy = ((y << 1) ^ (y >> 31)) & 0xFFFFFFFF
-        geom = (b"\x09"
-                + (bytes((zx,)) if zx < 128 else encode_varint(zx))
-                + (bytes((zy,)) if zy < 128 else encode_varint(zy)))
-        ui = int(uidx[i])
-        li = lang_index[langs[i]]
-        tags = (b"\x00" + (bytes((ui,)) if ui < 128 else encode_varint(ui))
-                + b"\x01" + (bytes((li,)) if li < 128 else encode_varint(li)))
-        body = (b"\x18\x01\x08" + encode_varint(int(feature_ids[i]))
-                + b"\x22" + bytes((len(geom),)) + geom
-                + b"\x12" + bytes((len(tags),)) + tags)
-        feats += b"\x12" + encode_varint(len(body)) + body
-        ub = urls[i].encode() if isinstance(urls[i], str) else urls[i]
-        entry = b"\x0a" + encode_varint(len(ub)) + ub
-        useg += b"\x22" + encode_varint(len(entry)) + entry
-    return bytes(feats), bytes(useg)
+    lidx = np.fromiter((lang_index[l] for l in langs), dtype=np.int64,
+                       count=len(langs))
+    feats = encode_feature_section(
+        feature_ids.astype(np.uint64), np.asarray(px), np.asarray(py),
+        uidx.astype(np.uint64), lidx.astype(np.uint64),
+    )
+    useg = encode_url_value_entries(pa.array(list(urls), pa.string()))
+    return feats, useg
 
 
 def merge_shards(
