@@ -326,6 +326,27 @@ def _q_simhash(sf_dir: str):
     return simhash_signatures(_docs(sf_dir))
 
 
+def _q_distinct_langs(sf_dir: str):
+    """Set op: distinct values of one column (ds.unique → shuffle)."""
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return pd.DataFrame({"lang": sorted(ds.unique("lang"))})
+
+
+def _q_doc_sample(sf_dir: str):
+    """Deterministic hash sample (10%): reproducible sampling via key
+    arithmetic instead of RNG — the resumable-sampling pattern."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir)
+    return ds.map_batches(
+        lambda t: t.filter(pc.less(pc.bit_wise_and(t.column("doc_id"), 15), 2)),
+        batch_format="pyarrow",
+    ).select_columns(["doc_id"])
+
+
 def _q_approx_distinct(sf_dir: str):
     """Mergeable-sketch pattern: per-batch HLL partials → tiny merge
     (deterministic estimate; accuracy vs exact asserted in tests —
@@ -534,6 +555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_candidates": _q_minhash_lsh,
         "simhash_signatures": _q_simhash,
         "approx_distinct_texts": _q_approx_distinct,
+        "distinct_langs": _q_distinct_langs,
+        "doc_sample_10pct": _q_doc_sample,
         "embedding_near_dups": _q_embedding_near_dups,
         # similarity search
         "ann_topk_bruteforce": _q_ann_bruteforce,
@@ -753,6 +776,8 @@ def oracle_sql() -> dict[str, str]:
             f"{lang_pred} AS lang_pred FROM documents"
         ),
         "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        "doc_sample_10pct": "SELECT doc_id FROM documents WHERE (doc_id & 15) < 2",
         # -- dedup -------------------------------------------------------------
         "dedup_exact": (
             "SELECT md5(text) AS md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups "
