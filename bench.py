@@ -167,7 +167,7 @@ def run_scaling() -> dict:
         # ±30% on this host; the median damps it)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_QUICK="1",
                    GRAFT_BENCH_RUNS="3",
-                   GRAFT_EXPAND=str(int(os.environ.get("GRAFT_EXPAND", "100"))))
+                   GRAFT_EXPAND=str(int(os.environ.get("GRAFT_EXPAND", "200"))))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
