@@ -30,43 +30,9 @@ if _REPO_DIR not in sys.path:
 from vtzero_ray.sources.pages import SQL_LAT_US, SQL_LON_US, SQL_URL
 
 
-def _register_by_value() -> None:
-    """Ship vtzero_ray UDFs to Ray workers BY VALUE.
+from vtzero_ray.runtime import register_udfs_by_value
 
-    Workers only inherit the driver's cwd, not its sys.path — if the
-    driver imports this module from outside /root/repo, workers cannot
-    import vtzero_ray and every map_batches task dies with
-    ModuleNotFoundError. cloudpickle's register_pickle_by_value embeds the
-    function/class bodies in the task payload instead, removing the
-    worker-side import entirely (verified: pipeline runs with driver cwd
-    /tmp)."""
-    try:
-        # Ray serializes tasks with its VENDORED cloudpickle — registering
-        # on the standalone package has no effect
-        from ray import cloudpickle
-
-        # import every vtzero_ray module UDFs live in, then register them
-        import vtzero_ray  # noqa: F401
-        from vtzero_ray import api, exceptions  # noqa: F401
-        from vtzero_ray.functions import ann, dedup, sketch, textstats  # noqa: F401
-        from vtzero_ray.mvt import (builder, check, codec, decoder,  # noqa: F401
-                                    pbf, values)
-        from vtzero_ray.pipelines import (decode, filter, paths,  # noqa: F401
-                                          relational, tiling, tiling_sharded)
-        from vtzero_ray.sources import mvt_io, pages  # noqa: F401
-        from vtzero_ray.stages import (cells, encode, encode_segmented,  # noqa: F401
-                                       geoparse, joins, multimodal, raster,
-                                       shard_encode)
-        from vtzero_ray.state import testing  # noqa: F401
-
-        for name, mod in list(sys.modules.items()):
-            if name.startswith("vtzero_ray") and mod is not None:
-                cloudpickle.register_pickle_by_value(mod)
-    except Exception:
-        pass  # workers that can import normally don't need this
-
-
-_register_by_value()
+register_udfs_by_value()
 
 
 def entry() -> Any:
@@ -336,15 +302,19 @@ def _q_distinct_langs(sf_dir: str):
 
 
 def _q_doc_sample(sf_dir: str):
-    """Deterministic hash sample (10%): reproducible sampling via key
-    arithmetic instead of RNG — the resumable-sampling pattern."""
+    """Deterministic hash sample (true 10%: doc_id % 10 == 0): reproducible
+    sampling via key arithmetic instead of RNG — the resumable-sampling
+    pattern."""
     import pyarrow.compute as pc
 
     ds = _docs(sf_dir)
-    return ds.map_batches(
-        lambda t: t.filter(pc.less(pc.bit_wise_and(t.column("doc_id"), 15), 2)),
-        batch_format="pyarrow",
-    ).select_columns(["doc_id"])
+
+    def pick(t):
+        d = t.column("doc_id")
+        rem = pc.subtract(d, pc.multiply(pc.divide(d, 10), 10))
+        return t.filter(pc.equal(rem, 0))
+
+    return ds.map_batches(pick, batch_format="pyarrow").select_columns(["doc_id"])
 
 
 def _q_approx_distinct(sf_dir: str):
@@ -678,8 +648,10 @@ def oracle_sql() -> dict[str, str]:
             # zigzag(p) = 2p for p >= 0 → 1 byte iff p < 64 (extent 4096 → max 2 bytes)
             f"SELECT 6 AS z, {t6['x']} AS x, {t6['y']} AS y, 'pages' AS layer, "
             f"COUNT(*) AS n_features, "
-            f"SUM(1 + (CASE WHEN CAST(floor(({t6['fx']} - floor({t6['fx']})) * 4096) AS INTEGER) < 64 THEN 1 ELSE 2 END)"
-            f"  + (CASE WHEN CAST(floor(({t6['fy']} - floor({t6['fy']})) * 4096) AS INTEGER) < 64 THEN 1 ELSE 2 END)) AS geom_bytes, "
+            # CAST the SUM: bare DuckDB SUM is HUGEINT -> float64 in pandas,
+            # which hash-mismatches the Ray side's int64 in the driver compare.
+            f"CAST(SUM(1 + (CASE WHEN CAST(floor(({t6['fx']} - floor({t6['fx']})) * 4096) AS INTEGER) < 64 THEN 1 ELSE 2 END)"
+            f"  + (CASE WHEN CAST(floor(({t6['fy']} - floor({t6['fy']})) * 4096) AS INTEGER) < 64 THEN 1 ELSE 2 END)) AS BIGINT) AS geom_bytes, "
             f"2 AS n_keys, COUNT(*) + COUNT(DISTINCT lang) AS n_values "
             f"FROM documents GROUP BY 2, 3"
         ),
@@ -777,7 +749,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
-        "doc_sample_10pct": "SELECT doc_id FROM documents WHERE (doc_id & 15) < 2",
+        "doc_sample_10pct": "SELECT doc_id FROM documents WHERE doc_id % 10 = 0",
         # -- dedup -------------------------------------------------------------
         "dedup_exact": (
             "SELECT md5(text) AS md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups "

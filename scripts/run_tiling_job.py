@@ -45,7 +45,10 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
 
     from vtzero_ray.pipelines.tiling import tiles_pipeline
+    from vtzero_ray.runtime import register_udfs_by_value
     from vtzero_ray.sources.mvt_io import write_tiles
+
+    register_udfs_by_value()  # workers inherit cwd, not sys.path
 
     zooms = tuple(int(z) for z in args.zooms.split(","))
     t0 = time.time()
@@ -54,23 +57,13 @@ def main() -> int:
         hot_threshold=args.hot_threshold or None,
     )
 
-    import pyarrow.compute as pc
-
-    bad = 0
-
-    def count_bad(batch):
-        nonlocal bad
-        bad += int(pc.sum(pc.cast(pc.greater(batch.column("check_code"), 1),
-                                  "int64")).as_py() or 0)
-        return batch
-
-    tiles = tiles.map_batches(count_bad, batch_format="pyarrow", batch_size=None)
+    # the invalid count is aggregated THROUGH the dataset by write_tiles
+    # (driver-local closures never see worker-side mutations)
     summary = write_tiles(tiles, args.out)
     summary["wall_s"] = round(time.time() - t0, 2)
-    summary["invalid_tiles"] = bad
     print(json.dumps(summary))
     ray.shutdown()
-    return 2 if bad else 0
+    return 2 if summary["invalid_tiles"] else 0
 
 
 if __name__ == "__main__":

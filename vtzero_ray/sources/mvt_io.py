@@ -20,69 +20,124 @@ import os
 import pyarrow as pa
 
 
-def write_tiles(tiles_ds, out_dir: str) -> dict:
-    """Write a tiles Dataset partitioned by z + a lineage manifest.
-
-    Returns summary metrics. Skips z-partitions already marked complete
-    (resumability); writes are atomic per partition (tmp dir + rename).
+class _BlockWriter:
+    """Distributed write stage: each worker writes its OWN batch's per-z
+    slices into ``.tmp-z=<z>/`` staging dirs and emits one tiny stats row
+    per (z, file) — tile BYTES never pass through the driver. The driver
+    only consumes the stats rows (one per block) to build the manifest.
     """
-    import pyarrow.parquet as pq
 
-    os.makedirs(out_dir, exist_ok=True)
-    done = completed_partitions(out_dir)
-    summary = {"tiles": 0, "features": 0, "bytes": 0, "skipped_partitions": sorted(done)}
-
-    # partition on the driver by consuming streamed batches per z
-    # (z cardinality is tiny — the data per z is what's big)
-    writers: dict[int, pq.ParquetWriter] = {}
-    tmp = {}
-    counts: dict[int, dict] = {}
-    schema = pa.schema(
+    SCHEMA = pa.schema(
         [("z", pa.int32()), ("x", pa.int32()), ("y", pa.int32()),
          ("mvt", pa.binary()), ("n_features", pa.int64())]
     )
-    for batch in tiles_ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
-        batch = batch.select([c for c in ("z", "x", "y", "mvt", "n_features") if c in batch.column_names])
-        import pyarrow.compute as pc
 
+    def __init__(self, out_dir: str, done: frozenset) -> None:
+        self.out_dir = out_dir
+        self.done = done
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import uuid
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        zs, paths, tiles, feats, nbytes, invalid = [], [], [], [], [], []
+        has_check = "check_code" in batch.column_names
         for z in pc.unique(batch.column("z")).to_pylist():
-            if z in done:
+            if z in self.done:
                 continue
             part = batch.filter(pc.equal(batch.column("z"), z))
-            if z not in writers:
-                tmp[z] = os.path.join(out_dir, f".tmp-z={z}")
-                os.makedirs(tmp[z], exist_ok=True)
-                writers[z] = pq.ParquetWriter(os.path.join(tmp[z], "part-0.parquet"), schema)
-                counts[z] = {"tiles": 0, "features": 0, "bytes": 0}
-            writers[z].write_table(part.cast(schema))
-            counts[z]["tiles"] += len(part)
-            counts[z]["features"] += int(pc.sum(part.column("n_features")).as_py() or 0)
-            counts[z]["bytes"] += sum(len(m.as_py() or b"") for m in part.column("mvt"))
+            tmp_dir = os.path.join(self.out_dir, f".tmp-z={z}")
+            os.makedirs(tmp_dir, exist_ok=True)
+            fname = f"part-{uuid.uuid4().hex}.parquet"
+            pq.write_table(
+                part.select([c for c in self.SCHEMA.names]).cast(self.SCHEMA),
+                os.path.join(tmp_dir, fname),
+            )
+            zs.append(z)
+            paths.append(os.path.join(f"z={z}", fname))
+            tiles.append(len(part))
+            feats.append(int(pc.sum(part.column("n_features")).as_py() or 0))
+            nbytes.append(int(pc.sum(pc.binary_length(
+                part.column("mvt"))).as_py() or 0))
+            invalid.append(
+                int(pc.sum(pc.cast(pc.greater(part.column("check_code"), 1),
+                                   "int64")).as_py() or 0) if has_check else 0)
+        return pa.table({
+            "z": pa.array(zs, pa.int32()),
+            "path": pa.array(paths, pa.string()),
+            "tiles": pa.array(tiles, pa.int64()),
+            "features": pa.array(feats, pa.int64()),
+            "bytes": pa.array(nbytes, pa.int64()),
+            "invalid_tiles": pa.array(invalid, pa.int64()),
+        })
+
+
+def write_tiles(tiles_ds, out_dir: str) -> dict:
+    """Write a tiles Dataset partitioned by z + a lineage manifest.
+
+    DISTRIBUTED: workers write their blocks straight to the staging dirs
+    (one file per block per z — resumable, never one giant file); only
+    per-file stats rows reach the driver. Skips z-partitions already
+    marked complete (resumability); partitions become visible atomically
+    (staging dir + rename) and the manifest records lineage + metrics +
+    the vtzero-check invalid count per partition.
+    """
+    import shutil
     import time
 
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    # clear stale staging dirs from a previously failed run
+    for d in os.listdir(out_dir):
+        if d.startswith(".tmp-z="):
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+    done = completed_partitions(out_dir)
+    summary = {"tiles": 0, "features": 0, "bytes": 0, "invalid_tiles": 0,
+               "skipped_partitions": sorted(done)}
+
+    stats = tiles_ds.map_batches(
+        _BlockWriter(out_dir, frozenset(done)),
+        batch_format="pyarrow", batch_size=None,
+    ).take_all()  # tiny: one row per (block, z)
+
+    counts: dict[int, dict] = {}
+    for row in stats:
+        z = int(row["z"])
+        c = counts.setdefault(z, {"tiles": 0, "features": 0, "bytes": 0,
+                                  "invalid_tiles": 0, "files": 0})
+        c["tiles"] += int(row["tiles"])
+        c["features"] += int(row["features"])
+        c["bytes"] += int(row["bytes"])
+        c["invalid_tiles"] += int(row["invalid_tiles"])
+        c["files"] += 1
+
     manifest_rows = []
-    for z, w in writers.items():
-        w.close()
+    for z, c in sorted(counts.items()):
+        tmp_dir = os.path.join(out_dir, f".tmp-z={z}")
         final = os.path.join(out_dir, f"z={z}")
         if os.path.exists(final):
-            import shutil
-
             shutil.rmtree(final)
-        os.rename(tmp[z], final)
+        os.rename(tmp_dir, final)
         manifest_rows.append({
-            "partition": f"z={z}", **counts[z], "status": "complete",
+            "partition": f"z={z}", "tiles": c["tiles"],
+            "features": c["features"], "bytes": c["bytes"],
+            "invalid_tiles": c["invalid_tiles"], "files": c["files"],
+            "status": "complete",
             # lineage + metrics for resumable audit (north rule)
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "engine_version": _engine_version(),
         })
-        summary["tiles"] += counts[z]["tiles"]
-        summary["features"] += counts[z]["features"]
-        summary["bytes"] += counts[z]["bytes"]
+        for k in ("tiles", "features", "bytes", "invalid_tiles"):
+            summary[k] += c[k]
     if manifest_rows:
         mdir = os.path.join(out_dir, "_manifest")
         os.makedirs(mdir, exist_ok=True)
         idx = len(os.listdir(mdir))
-        pq.write_table(pa.Table.from_pylist(manifest_rows), os.path.join(mdir, f"part-{idx}.parquet"))
+        pq.write_table(pa.Table.from_pylist(manifest_rows),
+                       os.path.join(mdir, f"part-{idx}.parquet"))
     return summary
 
 

@@ -115,6 +115,24 @@ def interleaved_value_indexes(n: int, lang_codes: np.ndarray,
 SMALL_TILE_CUTOFF = 48
 
 
+def _has_interning_conflict(url_arr, lang_arr, n: int) -> bool:
+    """True iff the closed-form interning precondition is violated: a
+    duplicate url within the tile, or a url equal to a lang string. One
+    hash pass (count_distinct + is_in against the tiny lang set)."""
+    if not isinstance(url_arr, (pa.Array, pa.ChunkedArray)):
+        url_arr = pa.array(list(url_arr), pa.string())
+    if not isinstance(lang_arr, (pa.Array, pa.ChunkedArray)):
+        lang_arr = pa.array(list(lang_arr), pa.string())
+    if pa.compute.count_distinct(url_arr).as_py() != n:
+        return True
+    langs = pa.compute.unique(lang_arr)
+    if pa.types.is_binary(url_arr.type) or pa.types.is_large_binary(url_arr.type):
+        langs = langs.cast(url_arr.type if isinstance(url_arr, pa.Array)
+                           else url_arr.type)
+    hit = pa.compute.any(pa.compute.is_in(url_arr, value_set=langs))
+    return bool(hit.as_py())
+
+
 def _encode_point_tile_small(fids, pxs, pys, urls, langs,
                              layer_name: bytes, version: int, extent: int) -> bytes:
     """Pure-Python fast path for tiny tiles (byte-identical to the
@@ -178,6 +196,17 @@ def encode_point_tile(
     Small tiles dispatch to the pure-Python fast path (identical bytes).
     """
     n = feature_ids.shape[0]
+    if n > SMALL_TILE_CUTOFF and _has_interning_conflict(url_arr, lang_arr, n):
+        # closed-form value indexes assume per-tile-distinct urls disjoint
+        # from lang strings; conflicting tiles take the scalar interning path
+        return _encode_point_tile_small(
+            [int(v) for v in feature_ids],
+            [int(v) for v in px],
+            [int(v) for v in py],
+            url_arr.to_pylist() if isinstance(url_arr, (pa.Array, pa.ChunkedArray)) else list(url_arr),
+            lang_arr.to_pylist() if isinstance(lang_arr, (pa.Array, pa.ChunkedArray)) else list(lang_arr),
+            layer_name, version, extent,
+        )
     if n <= SMALL_TILE_CUTOFF:
         return _encode_point_tile_small(
             [int(v) for v in feature_ids],
@@ -361,6 +390,12 @@ class PointTileAssembler:
         self._encode_segmented = encode_point_tiles_segmented
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "z": pa.array([], pa.int32()), "x": pa.array([], pa.int32()),
+                "y": pa.array([], pa.int32()), "mvt": pa.array([], pa.binary()),
+                "n_features": pa.array([], pa.int64()),
+            })
         order = pa.compute.sort_indices(
             batch,
             sort_keys=[("z", "ascending"), ("x", "ascending"),
@@ -391,6 +426,38 @@ class PointTileAssembler:
             starts, doc_id.astype(np.uint64), px, py, url, lang,
             layer_name=self.layer_name, extent=self.extent,
         )
+        # interning precondition (per-tile-distinct urls, url∩lang=∅): the
+        # closed-form indexes in the segmented kernel assume it. Detect
+        # violations EXACTLY (one hash pass + one int64 sort per bucket —
+        # a global count_distinct would false-trigger on every bucket,
+        # since one url appears once per zoom) and re-encode only the
+        # offending tiles through the scalar interning path.
+        counts = (starts[1:] - starts[:-1]).astype(np.int64)
+        tidf = np.repeat(np.arange(len(mvts), dtype=np.int64), counts)
+        ucodes = pa.compute.dictionary_encode(url)
+        if isinstance(ucodes, pa.ChunkedArray):
+            ucodes = ucodes.combine_chunks()
+        ucodes = ucodes.indices.to_numpy().astype(np.int64)
+        key = tidf * (int(ucodes.max()) + 2) + ucodes
+        skey = np.sort(key)
+        bad_keys = skey[1:][skey[1:] == skey[:-1]]
+        bad = set((bad_keys // (int(ucodes.max()) + 2)).tolist())
+        lang_vals = pa.compute.unique(lang)
+        coll = pa.compute.is_in(url, value_set=lang_vals)
+        if pa.compute.any(coll).as_py():
+            coll_np = coll.to_numpy(zero_copy_only=False)
+            bad |= set(np.unique(tidf[coll_np]).tolist())
+        if bad:
+            urls_py = url.to_pylist()
+            langs_py = lang.to_pylist()
+            for t in sorted(bad):
+                s, e = int(starts[t]), int(starts[t + 1])
+                mvts[t] = _encode_point_tile_small(
+                    [int(v) for v in doc_id[s:e]],
+                    [int(v) for v in px[s:e]], [int(v) for v in py[s:e]],
+                    urls_py[s:e], langs_py[s:e],
+                    self.layer_name, 2, self.extent,
+                )
         return pa.table(
             {
                 "z": pa.array(z[seg_starts].astype(np.int32)),

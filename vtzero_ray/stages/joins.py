@@ -210,7 +210,9 @@ class KNNGrid:
             # guaranteed-safe stop: next ring's min possible distance
             ring += 1
             min_next = (ring - 1) * self.CELL_US
-            if best_d2 is not None and min_next > 0 and best_d2 <= min_next * min_next:
+            # strict <: on an exact boundary tie the next ring may hold an
+            # equidistant POI with a smaller poi_id — explore one more ring
+            if best_d2 is not None and min_next > 0 and best_d2 < min_next * min_next:
                 return best_i, best_d2
             if ring > 40:  # world wrap bound
                 return best_i, int(best_d2) if best_d2 is not None else -1
