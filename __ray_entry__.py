@@ -260,24 +260,14 @@ def _q_dedup_exact(sf_dir: str):
 
 
 def _q_jaccard_verified_dups(sf_dir: str):
-    """Full near-dup pipeline: MinHash+LSH candidates → exact n-gram
-    Jaccard verification (keep J >= 0.5). The verify stage broadcasts the
-    candidate doc texts (small by construction) — no shuffle."""
-    import pandas as pd
+    """Full near-dup pipeline: MinHash+LSH candidates → DISTRIBUTED exact
+    n-gram Jaccard verification (keep J >= 0.5): pairs exploded to member
+    rows, hash-joined against documents, verified per bucketed pair group —
+    the corpus never materializes on the driver."""
+    from vtzero_ray.functions.dedup import jaccard_verify, minhash_lsh_candidates
 
-    from vtzero_ray.functions.dedup import jaccard_pairs, minhash_lsh_candidates
-
-    cands = minhash_lsh_candidates(_docs(sf_dir)).to_pandas()
-    if cands.empty:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
-    need = set(cands.doc_a) | set(cands.doc_b)
-    texts = _docs(sf_dir).to_pandas()
-    texts = texts[texts.doc_id.isin(need)]
-    by_id = dict(zip(texts.doc_id, texts.text))
-    out = jaccard_pairs(by_id, list(zip(cands.doc_a, cands.doc_b)))
-    return out[out.jaccard >= 0.5].reset_index(drop=True)
+    cands = minhash_lsh_candidates(_docs(sf_dir))
+    return jaccard_verify(_docs(sf_dir), cands, threshold=0.5)
 
 
 def _q_minhash_lsh(sf_dir: str):

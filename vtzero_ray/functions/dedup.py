@@ -201,6 +201,66 @@ def jaccard_pairs(texts_by_id: dict, pairs, k: int = 5) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def jaccard_verify(docs_ds, pairs_ds, k: int = 5, threshold: float = 0.5,
+                   n_buckets: int = 64, num_partitions: int = 16):
+    """DISTRIBUTED candidate-pair verification: exact n-gram Jaccard without
+    materializing the corpus anywhere.
+
+    Shape (the 100-TB-safe layout): explode each candidate pair into two
+    (doc_a, doc_b, member) rows → hash-JOIN member against the documents
+    table (only candidate texts move) → bucket the pair key → per-bucket
+    pandas groupby computes Jaccard from the two member texts. No driver
+    materialization; the corpus is touched only by the distributed join.
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        return pa.table({
+            "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "member": pa.array(np.concatenate([a, b]), pa.int64()),
+        })
+
+    members = pairs_ds.select_columns(["doc_a", "doc_b"]).map_batches(
+        explode, batch_format="pyarrow")
+    docs = docs_ds.select_columns(["doc_id", "text"])
+    joined = members.join(docs, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("member",), right_on=("doc_id",))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy().astype(np.uint64)
+        b = t.column("doc_b").to_numpy().astype(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+        return t.append_column("bucket",
+                               pa.array((h % np.uint64(n_buckets)).astype(np.int32)))
+
+    joined = joined.map_batches(add_bucket, batch_format="pyarrow")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for (a, b), g in df.groupby(["doc_a", "doc_b"], sort=False):
+            by_member = dict(zip(g["member"], g["text"]))
+            if len(by_member) < 2:
+                continue  # a member text missing (shouldn't happen w/ inner join)
+            sa = _shingle_hashes(by_member[a], k)
+            sb = _shingle_hashes(by_member[b], k)
+            inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+            union = sa.shape[0] + sb.shape[0] - inter
+            j = round(inter / union, 9) if union else 0.0
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64"),
+                             "jaccard": pd.Series(out_j, dtype="float64")})
+
+    verified = joined.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return verified.map_batches(lambda t: t, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
@@ -241,37 +301,83 @@ def simhash_signatures(ds):
 # ---------------------------------------------------------------------------
 
 
-def embedding_near_dups(ds, threshold: float = 0.95):
-    """Pairs (a<b) of embeddings with cosine similarity >= threshold.
+def _normalize_block(batch: pa.Table) -> pa.Table:
+    """(vec_id, embedding) → unit-norm float64 rows (pre-pass for cosine)."""
+    ids = batch.column("vec_id").to_numpy()
+    mat = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64) \
+        if len(batch) else np.empty((0, 0), np.float64)
+    if mat.size:
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+    })
 
-    Small-side broadcast: the normalized matrix is ray.put once and each
-    batch matmuls against it — no shuffle (design for the broadcast-fits
-    regime; the LSH-bucketed variant in ann.py covers the larger case).
+
+def _block_pair_sims(ta: pa.Table, tb: pa.Table, same: bool,
+                     threshold: float) -> pa.Table:
+    if len(ta) == 0 or len(tb) == 0:
+        return pa.table({
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        })
+    ids_a = ta.column("vec_id").to_numpy()
+    ids_b = tb.column("vec_id").to_numpy()
+    ma = np.stack(ta.column("embedding").to_numpy(zero_copy_only=False))
+    mb = np.stack(tb.column("embedding").to_numpy(zero_copy_only=False))
+    sims = ma @ mb.T
+    keep = sims >= threshold
+    ri, ci = np.nonzero(keep)
+    a = ids_a[ri]
+    b = ids_b[ci]
+    if same:
+        # diagonal block: every pair appears twice — keep one orientation
+        mask = a < b
+        lo, hi, s = a[mask], b[mask], sims[ri, ci][mask]
+    else:
+        # cross block: each pair appears once — orient by id
+        mask = a != b
+        a, b, s = a[mask], b[mask], sims[ri, ci][mask]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+    return pa.table({
+        "vec_a": pa.array(lo, pa.int64()),
+        "vec_b": pa.array(hi, pa.int64()),
+        "cosine": pa.array(np.round(s, 6), pa.float64()),
+    })
+
+
+def embedding_near_dups(ds, threshold: float = 0.95, target_blocks: int = 32):
+    """Pairs (a<b) of embeddings with cosine similarity >= threshold — EXACT.
+
+    Distributed block-nested-loop: normalize per block, then one Ray task
+    per block PAIR matmuls the two blocks read from the object store. The
+    driver only handles block refs — the matrix never materializes on the
+    driver or in any single task. Exact all-pairs is inherently quadratic
+    in blocks; for the approximate sub-quadratic scale path see
+    functions/ann.py (hyperplane-LSH buckets).
     """
     import ray
+    import ray.data as rd
 
-    tbl = ds.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids = tbl["vec_id"].to_numpy()
-    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat = mat / np.clip(norms, 1e-12, None)
-    ref = ray.put((ids, mat))
+    norm = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _normalize_block, batch_format="pyarrow", batch_size=None)
+    # bound the number of block-pair tasks: B blocks → B(B+1)/2 tasks
+    norm = norm.repartition(target_blocks)
+    refs = norm.to_arrow_refs()  # distributed materialization: refs only
 
-    def batch_pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        b_ids = batch.column("vec_id").to_numpy()
-        b_mat = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
-        b_mat = b_mat / np.clip(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-12, None)
-        sims = b_mat @ all_mat.T
-        keep = sims >= threshold
-        ri, ci = np.nonzero(keep)
-        a = b_ids[ri]
-        b = all_ids[ci]
-        mask = a < b
-        return pa.table({
-            "vec_a": pa.array(a[mask], pa.int64()),
-            "vec_b": pa.array(b[mask], pa.int64()),
-            "cosine": pa.array(np.round(sims[ri, ci][mask], 6), pa.float64()),
-        })
+    @ray.remote(num_cpus=1)
+    def pair_task(ta, tb, same):
+        return _block_pair_sims(ta, tb, same, threshold)
 
-    return ds.map_batches(batch_pairs, batch_format="pyarrow", batch_size=512)
+    out_refs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            out_refs.append(pair_task.remote(refs[i], refs[j], i == j))
+    if not out_refs:
+        return rd.from_arrow(pa.table({
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }))
+    return rd.from_arrow_refs(out_refs)

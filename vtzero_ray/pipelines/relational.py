@@ -173,72 +173,101 @@ def events_tumbling_window(sf_dir: str, window_s: int = 3600):
     return _round_cols(agg, {"sum_value": 6})
 
 
-def events_asof_last_order(sf_dir: str):
+def events_asof_last_order(sf_dir: str, n_buckets: int = 32):
     """As-of join (streaming-shaped): each event joined to the LATEST order
     of the matching customer with orderdate <= event time.
 
-    Ray shape (ray_guide as-of pattern): both sides bucketed by the key,
-    pd.merge_asof per group over time-sorted frames. Events' user_id maps
-    onto o_custkey for the synthetic schema.
+    Ray shape (ray_guide as-of pattern): BOTH sides bucketed by the key
+    (user_id % K), unioned, and each bucket resolved with one VECTORIZED
+    ``pd.merge_asof`` over time-sorted frames — no driver materialization
+    of either table, no per-row Python. Events' user_id maps onto
+    o_custkey for the synthetic schema.
     """
-    import ray
     import ray.data as rd
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_orderdate"],
-    ).to_pandas()
-    # small side here (driver-verified scale); broadcast sorted per key
-    orders = orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
-    oref = ray.put(orders)
-
+    )
     events = rd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["event_id", "ts", "user_id"])
 
-    class AsOf:
-        def __init__(self) -> None:
-            df = ray.get(oref)
-            self.by_key = {k: g for k, g in df.groupby("o_custkey", sort=False)}
+    # common schema for the union: (bucket, kind, id, ts_us, user_id)
+    def prep_orders(t: pa.Table) -> pa.Table:
+        uid = t.column("o_custkey").cast(pa.int64())
+        ts = t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "bucket": pa.compute.cast(
+                pa.compute.subtract(uid, pa.compute.multiply(
+                    pa.compute.divide(uid, n_buckets), n_buckets)), pa.int32()),
+            "kind": pa.array(np.ones(len(t), np.int8)),
+            "id": t.column("o_orderkey").cast(pa.int64()),
+            "ts_us": ts,
+            "user_id": uid,
+        })
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas().sort_values("ts", kind="stable")
-            out_key, out_date = [], []
-            for uid, ts in zip(df["user_id"], df["ts"]):
-                g = self.by_key.get(uid)
-                if g is None:
-                    out_key.append(-1)
-                    out_date.append(pd.NaT)
-                    continue
-                # latest order with orderdate <= ts (ties → max o_orderkey,
-                # deterministic because g is sorted by (date, orderkey))
-                idx = g["o_orderdate"].searchsorted(ts, side="right") - 1
-                if idx < 0:
-                    out_key.append(-1)
-                    out_date.append(pd.NaT)
-                else:
-                    out_key.append(int(g["o_orderkey"].iloc[idx]))
-                    out_date.append(g["o_orderdate"].iloc[idx])
-            df = df.assign(o_orderkey=np.array(out_key, dtype=np.int64),
-                           o_orderdate=out_date)
-            return pa.Table.from_pandas(
-                df[["event_id", "user_id", "o_orderkey"]], preserve_index=False)
+    def prep_events(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").cast(pa.int64())
+        ts = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table({
+            "bucket": pa.compute.cast(
+                pa.compute.subtract(uid, pa.compute.multiply(
+                    pa.compute.divide(uid, n_buckets), n_buckets)), pa.int32()),
+            "kind": pa.array(np.zeros(len(t), np.int8)),
+            "id": t.column("event_id").cast(pa.int64()),
+            "ts_us": ts,
+            "user_id": uid,
+        })
 
-    return events.map_batches(AsOf, batch_format="pyarrow", concurrency=(1, 4))
+    both = events.map_batches(prep_events, batch_format="pyarrow").union(
+        orders.map_batches(prep_orders, batch_format="pyarrow"))
+
+    def asof_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ev = df[df["kind"] == 0]
+        od = df[df["kind"] == 1]
+        # sort orders by (ts, orderkey): merge_asof backward takes the LAST
+        # row at an equal timestamp → ties resolve to the max o_orderkey
+        ev = ev.sort_values("ts_us", kind="stable")
+        od = od.sort_values(["ts_us", "id"], kind="stable")
+        merged = pd.merge_asof(
+            ev[["id", "ts_us", "user_id"]],
+            od[["id", "ts_us", "user_id"]].rename(columns={"id": "o_orderkey"}),
+            on="ts_us", by="user_id", direction="backward",
+        )
+        return pd.DataFrame({
+            "event_id": merged["id"].astype("int64"),
+            "user_id": merged["user_id"].astype("int64"),
+            "o_orderkey": merged["o_orderkey"].fillna(-1).astype("int64"),
+        })
+
+    out = both.groupby("bucket").map_groups(asof_bucket, batch_format="pandas")
+    return out.map_batches(lambda t: t, batch_format="pyarrow")
 
 
-def events_sessionize(sf_dir: str, gap_s: int = 1800):
-    """Session windows per user: sorted-per-group pandas sessionization
-    (groupby(key).map_groups over ts-ordered rows, ray_guide streaming
-    pattern). Returns per-session aggregates."""
+def events_sessionize(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
+    """Session windows per user: BUCKETED sessionization — user_id is the
+    highest-cardinality key in the schema, so the shuffle groups by
+    user_id % K (fixed group count) and each bucket sessionizes EVERY user
+    in one vectorized pass (sort by (user, ts), session break = user change
+    or gap > threshold, cumsum ids). Returns per-session aggregates."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "value"])
 
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").cast(pa.int64())
+        b = pa.compute.subtract(uid, pa.compute.multiply(
+            pa.compute.divide(uid, n_buckets), n_buckets))
+        return t.append_column("bucket", pa.compute.cast(b, pa.int32()))
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
+
     def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts", kind="stable")
+        df = df.sort_values(["user_id", "ts"], kind="stable")
         gap = df["ts"].diff().dt.total_seconds().fillna(np.inf)
-        sid = (gap > gap_s).cumsum()
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        sid = (new_user | (gap > gap_s)).cumsum()
         g = df.groupby(sid)
         out = pd.DataFrame({
             "user_id": g["user_id"].first(),
@@ -249,4 +278,6 @@ def events_sessionize(sf_dir: str, gap_s: int = 1800):
         })
         return out.reset_index(drop=True)
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = ds.groupby("bucket").map_groups(sessions, batch_format="pandas")
+    return out.map_batches(lambda t: t.drop_columns(["bucket"]) if "bucket" in t.column_names else t,
+                           batch_format="pyarrow")
