@@ -267,7 +267,10 @@ def _q_jaccard_verified_dups(sf_dir: str):
     from vtzero_ray.functions.dedup import jaccard_verify, minhash_lsh_candidates
 
     cands = minhash_lsh_candidates(_docs(sf_dir))
-    return jaccard_verify(_docs(sf_dir), cands, threshold=0.5)
+    verified = jaccard_verify(_docs(sf_dir), cands, threshold=0.5)
+    # exact INTEGER outputs (the float jaccard is derivable but rounds
+    # differently at half-boundaries across engines)
+    return verified.select_columns(["doc_a", "doc_b", "n_inter", "n_union"])
 
 
 def _q_minhash_lsh(sf_dir: str):
@@ -588,6 +591,10 @@ def _sql_lang_hits(lang: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from vtzero_ray.functions.ann import topk_lsh_sql as ann_lsh_sql
+    from vtzero_ray.functions.dedup_sql import (jaccard_verified_sql,
+                                                minhash_candidates_sql,
+                                                simhash_sql)
     from vtzero_ray.stages.joins import SQL_ADMIN, SQL_POI
 
     t2 = _sql_tile(2)
@@ -631,7 +638,13 @@ def oracle_sql() -> dict[str, str]:
             f"FROM documents"
         ),
         "lang_page_counts": "SELECT lang, COUNT(*) AS n_pages FROM documents GROUP BY 1",
-        # tiles_encoded: MVT bytes not SQL-expressible → rows-only check
+        # tiles_encoded: the BYTES aren't SQL-expressible, but the per-tile
+        # feature counts are and every tile must validate clean (check 0)
+        "tiles_encoded": (
+            f"SELECT 6 AS z, {t6['x']} AS x, {t6['y']} AS y, "
+            f"COUNT(*) AS n_features, CAST(0 AS TINYINT) AS check_code "
+            f"FROM documents GROUP BY 1, 2, 3"
+        ),
         # -- decode / stats / filter parity -----------------------------------
         "tile_stats_z6": (
             # geometry bytes per feature: 0x09 + varint(zigzag(px)) + varint(zigzag(py));
@@ -695,7 +708,15 @@ def oracle_sql() -> dict[str, str]:
             f"FROM c WHERE npts >= 2 GROUP BY 1, 2, 3) "
             f"SELECT * FROM pages UNION ALL SELECT * FROM paths"
         ),
-        # media_features: stubbed decode → rows-only
+        # media_features: the synthetic corpus metadata is pure integer
+        # arithmetic over media_id — SQL-reproducible even though the
+        # payload decode itself is stubbed
+        "media_features": (
+            "SELECT t.range::BIGINT AS media_id, 'image' AS kind, "
+            "CAST((t.range * 37) % 1024 + 64 AS INTEGER) AS width, "
+            "CAST((t.range * 53) % 768 + 64 AS INTEGER) AS height "
+            "FROM range(256) t WHERE t.range % 3 = 0"
+        ),
         # -- spatial joins ---------------------------------------------------
         "pip_join": (
             f"SELECT u.url AS url, COALESCE(MIN(a.admin_id), -1) AS admin_id "
@@ -745,8 +766,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups "
             "FROM documents GROUP BY 1"
         ),
-        # minhash_lsh_candidates / simhash_signatures: sketch internals are
-        # rows-only here; exactness is covered by brute-force oracles in tests
+        # minhash / simhash / jaccard: every hash primitive is md5-derived
+        # (md5_number_lower) with wrap-mod-2^64 arithmetic replicated in
+        # HUGEINT — the full signature pipelines run verbatim in DuckDB
+        # (vtzero_ray/functions/dedup_sql.py)
+        "minhash_lsh_candidates": minhash_candidates_sql(),
+        "simhash_signatures": simhash_sql(),
+        "jaccard_verified_dups": jaccard_verified_sql(),
         "embedding_near_dups": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
             "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "
@@ -762,7 +788,10 @@ def oracle_sql() -> dict[str, str]:
             "round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC, e.vec_id) AS rank "
             "FROM q CROSS JOIN embeddings e QUALIFY rank <= 5"
         ),
-        # ann_topk_lsh: approximate → rows-only; recall vs brute force in tests
+        # ann_topk_lsh: integer-quantized embeddings + md5-derived ±1
+        # hyperplanes → buckets, dots and ranking are exact ints in BOTH
+        # engines (functions/ann.py topk_lsh_sql)
+        "ann_topk_lsh": ann_lsh_sql(),
         # -- relational / streaming-shaped --------------------------------------
         # exact integer-cent sums: float summation order differs between
         # engines and exceeds any rounding tolerance at sf >= 0.1

@@ -89,22 +89,56 @@ def topk_bruteforce(ds, sf_dir: str, k: int = 5, n_queries: int = 10):
     return merged
 
 
-class HyperplaneLSH:
-    """Random-hyperplane signatures: bucket = sign bits of W @ v."""
+QSCALE = 4096  # 12-bit quantization: every downstream compare is exact-int
 
-    def __init__(self, dim: int, n_bits: int = 12, seed: int = 7) -> None:
-        rng = np.random.default_rng(seed)
-        self.w = rng.standard_normal((n_bits, dim))
 
-    def bucket(self, mat: np.ndarray) -> np.ndarray:
-        bits = (mat @ self.w.T) > 0
-        return (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
+def quantize(mat: np.ndarray) -> np.ndarray:
+    """Element-wise integer quantization (floor(x*4096 + 0.5)) — only
+    element-wise float ops, so numpy and DuckDB produce IDENTICAL ints."""
+    return np.floor(mat.astype(np.float64) * QSCALE + 0.5).astype(np.int64)
+
+
+def sign_tensor(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 hyperplanes from md5 (same formula as the SQL
+    oracle: 1 - 2*(md5_number_lower('t:j:d') % 2), d is 1-based)."""
+    from .dedup import hash_u64
+
+    s = np.empty((n_tables, n_bits, dim), np.int64)
+    for t in range(n_tables):
+        for j in range(n_bits):
+            for d in range(dim):
+                s[t, j, d] = 1 - 2 * (hash_u64(f"{t}:{j}:{d + 1}") % 2)
+    return s
+
+
+def _int_buckets(qmat: np.ndarray, signs: np.ndarray) -> np.ndarray:
+    """(N, dim) int matrix → (n_tables, N) bucket keys via exact integer
+    hyperplane sign bits (scaling by the norm cannot change a sign)."""
+    n_tables, n_bits, _ = signs.shape
+    out = np.empty((n_tables, qmat.shape[0]), np.int64)
+    for t in range(n_tables):
+        bits = (qmat @ signs[t].T) > 0  # (N, n_bits) — exact int dots
+        out[t] = (bits.astype(np.int64) << np.arange(n_bits, dtype=np.int64)).sum(axis=1)
+    return out
+
+
+def load_queries_quantized(sf_dir: str, n_queries: int = 10):
+    """First n embeddings by vec_id, integer-quantized."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(n_queries)
+    qids = df["vec_id"].to_numpy()
+    qmat = quantize(np.stack(df["embedding"].to_numpy()))
+    return qids, qmat
 
 
 def topk_lsh(ds, sf_dir: str, k: int = 5, n_queries: int = 10, n_bits: int = 8,
-             n_tables: int = 4, seed: int = 7):
-    """LSH-bucketed ANN: candidates share a bucket with the query in any of
-    n_tables hash tables; exact rounded-cosine re-rank on candidates.
+             n_tables: int = 4):
+    """LSH-bucketed ANN over INTEGER-QUANTIZED embeddings: candidates share
+    a bucket with the query in any of n_tables hash tables; re-rank by
+    exact integer dot over the quantized vectors (score = qdot/sqrt(sumsq),
+    deterministic float from exact ints → identical in the SQL oracle).
 
     The bucket keys partition the corpus — at scale this becomes a
     groupby(bucket) co-partitioning instead of a broadcast (documented
@@ -112,30 +146,75 @@ def topk_lsh(ds, sf_dir: str, k: int = 5, n_queries: int = 10, n_bits: int = 8,
     """
     import ray
 
-    qids, qmat = load_queries(sf_dir, n_queries)
+    qids, qmat = load_queries_quantized(sf_dir, n_queries)
     dim = qmat.shape[1]
-    tables = [HyperplaneLSH(dim, n_bits, seed + t) for t in range(n_tables)]
-    qbuckets = [t.bucket(qmat) for t in tables]
-    qref = ray.put((qids, qmat, [t.w for t in tables], qbuckets))
+    signs = sign_tensor(n_tables, n_bits, dim)
+    qbuckets = _int_buckets(qmat, signs)  # (n_tables, Q)
+    qref = ray.put((qids, qmat, signs, qbuckets))
 
     def candidates(batch: pa.Table) -> pa.Table:
-        q_ids, q_mat, ws, q_buckets = ray.get(qref)
+        q_ids, q_mat, sgn, q_b = ray.get(qref)
         ids = batch.column("vec_id").to_numpy()
-        mat = _normalized(np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)))
+        mat = quantize(np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)))
+        v_b = _int_buckets(mat, sgn)  # (n_tables, B)
         hit = np.zeros((q_ids.shape[0], ids.shape[0]), dtype=bool)
-        for w, qb in zip(ws, q_buckets):
-            bits = (mat @ w.T) > 0
-            b = (bits.astype(np.uint64) << np.arange(bits.shape[1], dtype=np.uint64)).sum(axis=1)
-            hit |= qb[:, None] == b[None, :]
-        sims = np.round(q_mat @ mat.T, 6)
+        for t in range(v_b.shape[0]):
+            hit |= q_b[t][:, None] == v_b[t][None, :]
+        qdot = q_mat @ mat.T                       # exact int64
+        sumsq = (mat * mat).sum(axis=1)            # exact int64
+        score = qdot.astype(np.float64) / np.sqrt(sumsq.astype(np.float64))[None, :]
         qi, ci = np.nonzero(hit)
         return pa.table({
             "query_id": pa.array(q_ids[qi], pa.int64()),
             "vec_id": pa.array(ids[ci], pa.int64()),
-            "cosine": pa.array(sims[qi, ci], pa.float64()),
+            "qdot": pa.array(qdot[qi, ci], pa.int64()),
+            "score": pa.array(score[qi, ci], pa.float64()),
         })
 
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", "vec_id"], ascending=[False, True],
+                            kind="stable").head(k)
+        out = df[["query_id", "vec_id", "qdot"]].copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
     cand = ds.map_batches(candidates, batch_format="pyarrow", batch_size=4096)
-    return cand.groupby("query_id").map_groups(
-        lambda df: _merge_topk(df, k), batch_format="pandas"
+    return cand.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def topk_lsh_sql(k: int = 5, n_queries: int = 10, n_bits: int = 8,
+                 n_tables: int = 4) -> str:
+    """DuckDB oracle for topk_lsh — same quantization, same md5 signs,
+    same exact-int dots, same score ordering."""
+    return (
+        f"WITH e AS (SELECT vec_id, embedding FROM embeddings), "
+        f"comp0 AS (SELECT vec_id, unnest(embedding) AS x0,"
+        f" unnest(generate_series(1, len(embedding))) AS d FROM e), "
+        f"q AS (SELECT vec_id, d,"
+        f" CAST(floor(x0::DOUBLE * {QSCALE} + 0.5) AS BIGINT) AS v FROM comp0), "
+        f"dims AS (SELECT DISTINCT d FROM q), "
+        f"signs AS (SELECT t.range AS t, j.range AS j, dims.d,"
+        f" 1 - 2 * CAST(md5_number_lower(t.range::VARCHAR || ':' ||"
+        f" j.range::VARCHAR || ':' || dims.d::VARCHAR) % 2 AS BIGINT) AS s"
+        f" FROM range({n_tables}) t, range({n_bits}) j, dims), "
+        f"bits AS (SELECT q.vec_id, s.t, s.j,"
+        f" CASE WHEN SUM(q.v * s.s) > 0 THEN 1 ELSE 0 END AS bit"
+        f" FROM q JOIN signs s ON s.d = q.d GROUP BY 1, 2, 3), "
+        f"buckets AS (SELECT vec_id, t,"
+        f" SUM(bit * CAST(power(2, j) AS BIGINT)) AS bucket"
+        f" FROM bits GROUP BY 1, 2), "
+        f"qv AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT {n_queries}), "
+        f"cand AS (SELECT DISTINCT bq.vec_id AS query_id, bv.vec_id AS vec_id"
+        f" FROM buckets bq JOIN buckets bv"
+        f" ON bq.t = bv.t AND bq.bucket = bv.bucket"
+        f" WHERE bq.vec_id IN (SELECT vec_id FROM qv)), "
+        f"sumsq AS (SELECT vec_id, SUM(v * v) AS s2 FROM q GROUP BY 1), "
+        f"dots AS (SELECT c.query_id, c.vec_id, SUM(qa.v * qb.v) AS qdot"
+        f" FROM cand c JOIN q qa ON qa.vec_id = c.query_id"
+        f" JOIN q qb ON qb.vec_id = c.vec_id AND qb.d = qa.d GROUP BY 1, 2), "
+        f"ranked AS (SELECT d.query_id, d.vec_id, d.qdot,"
+        f" row_number() OVER (PARTITION BY d.query_id ORDER BY"
+        f" (d.qdot::DOUBLE / sqrt(s.s2::DOUBLE)) DESC, d.vec_id) AS rank"
+        f" FROM dots d JOIN sumsq s ON s.vec_id = d.vec_id) "
+        f"SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= {k}"
     )

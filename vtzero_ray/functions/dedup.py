@@ -53,16 +53,19 @@ def dedup_exact(ds, id_col: str = "doc_id", column: str = "text"):
 _MERSENNE = np.uint64((1 << 61) - 1)
 _POLY_B = np.uint64(1099511628211)
 
-# per-process token-hash cache: deterministic blake2b (python's builtin
-# hash() is salted per process and would break cross-worker determinism);
-# the corpus vocabulary is small so the cache amortizes to O(1) per token
+# per-process token-hash cache: deterministic md5 (python's builtin hash()
+# is salted per process and would break cross-worker determinism); the
+# corpus vocabulary is small so the cache amortizes to O(1) per token.
+# The hash is the LOWER 8 md5 bytes little-endian — exactly DuckDB's
+# ``md5_number_lower`` — so every signature derived from it is
+# reproducible in the SQL oracles (functions/dedup_sql.py).
 _TOKEN_CACHE: dict[str, int] = {}
 
 
 def hash_u64(s: str) -> int:
     h = _TOKEN_CACHE.get(s)
     if h is None:
-        h = int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+        h = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
         if len(_TOKEN_CACHE) < 1_000_000:
             _TOKEN_CACHE[s] = h
     return h
@@ -238,23 +241,33 @@ def jaccard_verify(docs_ds, pairs_ds, k: int = 5, threshold: float = 0.5,
 
     joined = joined.map_batches(add_bucket, batch_format="pyarrow")
 
+    from fractions import Fraction
+
+    thr = Fraction(threshold).limit_denominator(10**6)
+
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_j = [], [], []
+        out_a, out_b, out_i, out_u, out_j = [], [], [], [], []
         for (a, b), g in df.groupby(["doc_a", "doc_b"], sort=False):
             by_member = dict(zip(g["member"], g["text"]))
             if len(by_member) < 2:
                 continue  # a member text missing (shouldn't happen w/ inner join)
             sa = _shingle_hashes(by_member[a], k)
             sb = _shingle_hashes(by_member[b], k)
-            inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
-            union = sa.shape[0] + sb.shape[0] - inter
-            j = round(inter / union, 9) if union else 0.0
-            if j >= threshold:
+            inter = int(np.intersect1d(sa, sb, assume_unique=True).shape[0])
+            union = int(sa.shape[0] + sb.shape[0] - inter)
+            # EXACT integer threshold (J >= thr ⟺ inter*den >= num*union):
+            # float division at the boundary would round differently than
+            # the SQL oracle's integer compare
+            if union and inter * thr.denominator >= thr.numerator * union:
                 out_a.append(a)
                 out_b.append(b)
-                out_j.append(j)
+                out_i.append(inter)
+                out_u.append(union)
+                out_j.append(round(inter / union, 9))
         return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
                              "doc_b": pd.Series(out_b, dtype="int64"),
+                             "n_inter": pd.Series(out_i, dtype="int64"),
+                             "n_union": pd.Series(out_u, dtype="int64"),
                              "jaccard": pd.Series(out_j, dtype="float64")})
 
     verified = joined.groupby("bucket").map_groups(verify, batch_format="pandas")
