@@ -1,0 +1,699 @@
+"""Vectorized batch decode of MVT tiles — the read-path mirror of the
+segmented encoder (stages/encode_segmented.py).
+
+The reference's identity is a fast decoder
+(/root/reference/include/vtzero/vector_tile.hpp:134-172,
+geometry.hpp:176-274); the scalar Python path (mvt/decoder.py) costs
+multiple microseconds per feature. This module splits decoding into:
+
+1. a TIGHT structural walk (one Python iteration per protobuf field —
+   layer headers, feature/key/value spans) that produces flat numpy span
+   arrays;
+2. FRONTIER-VECTORIZED feature field parsing: all features advance one
+   field per iteration as numpy gathers (~5 iterations total regardless
+   of feature count);
+3. SEGMENTED varint decode: geometry command streams and tag index
+   streams for the whole batch decoded in a handful of numpy passes.
+
+Any anomaly (multi-byte field keys, malformed varints, spec violations,
+index out of range) flags the TILE, which is re-decoded through the
+scalar path — byte-exact semantic parity with mvt/decoder.py, asserted
+in tests against the golden mapbox tile and the fixture corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+class Unsupported(Exception):
+    """Tile shape the vectorized path doesn't handle — caller falls back
+    to the scalar decoder for that tile."""
+
+
+# ---------------------------------------------------------------------------
+# buffer plumbing
+# ---------------------------------------------------------------------------
+
+def binary_column_parts(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """pa binary column → (data uint8, starts, ends) — zero-copy: the arrow
+    buffer IS the concatenation of all tile blobs."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_binary(arr.type):
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    else:
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32).astype(np.int64)
+    off = off[arr.offset:arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data, off[:-1].copy(), off[1:].copy()
+
+
+# ---------------------------------------------------------------------------
+# structural walk (tight Python, one iteration per field)
+# ---------------------------------------------------------------------------
+
+class Structure:
+    """Flat structural arrays for a batch of tiles."""
+
+    __slots__ = (
+        "n_tiles", "bad_tiles",
+        # per layer
+        "layer_tile", "layer_name", "layer_version", "layer_extent",
+        "layer_feat_lo", "layer_feat_hi", "layer_keys", "layer_vals",
+        # per feature (spans into the shared buffer)
+        "feat_layer", "feat_s", "feat_e",
+    )
+
+
+def walk_structure(data: np.ndarray, t_starts: np.ndarray,
+                   t_ends: np.ndarray) -> Structure:
+    """Parse tile → layer → feature/key/value STRUCTURE (no field values
+    inside features). Per-tile errors land in ``bad_tiles`` instead of
+    raising — those tiles take the scalar path."""
+    buf = data.tobytes()  # bytes indexing is ~3x faster than np scalar
+    st = Structure()
+    st.n_tiles = len(t_starts)
+    st.bad_tiles = set()
+    st.layer_tile = []
+    st.layer_name = []
+    st.layer_version = []
+    st.layer_extent = []
+    st.layer_feat_lo = []
+    st.layer_feat_hi = []
+    st.layer_keys = []
+    st.layer_vals = []
+    feat_layer: list[int] = []
+    feat_s: list[int] = []
+    feat_e: list[int] = []
+
+    for ti in range(st.n_tiles):
+        pos = int(t_starts[ti])
+        n = int(t_ends[ti])
+        tile_layer_base = len(st.layer_tile)
+        tile_feat_base = len(feat_s)
+        try:
+            while pos < n:
+                key = buf[pos]
+                pos += 1
+                if key & 0x80:
+                    raise Unsupported("multi-byte tile field key")
+                field = key >> 3
+                wt = key & 0x7
+                if wt == 2:
+                    ln = buf[pos]
+                    pos += 1
+                    if ln & 0x80:
+                        ln &= 0x7F
+                        shift = 7
+                        while True:
+                            b = buf[pos]
+                            pos += 1
+                            ln |= (b & 0x7F) << shift
+                            if not b & 0x80:
+                                break
+                            shift += 7
+                    if pos + ln > n:
+                        raise Unsupported("layer overruns tile")
+                    if field == 3:  # TILE_LAYERS
+                        _walk_layer(buf, pos, pos + ln, ti, st,
+                                    feat_layer, feat_s, feat_e)
+                    pos += ln
+                elif wt == 0:
+                    while buf[pos] & 0x80:
+                        pos += 1
+                    pos += 1
+                elif wt == 5:
+                    pos += 4
+                elif wt == 1:
+                    pos += 8
+                else:
+                    raise Unsupported(f"wire type {wt} in tile")
+        except (Unsupported, IndexError):
+            # roll back this tile's partial structure; scalar path decodes it
+            del st.layer_tile[tile_layer_base:]
+            del st.layer_name[tile_layer_base:]
+            del st.layer_version[tile_layer_base:]
+            del st.layer_extent[tile_layer_base:]
+            del st.layer_feat_lo[tile_layer_base:]
+            del st.layer_feat_hi[tile_layer_base:]
+            del st.layer_keys[tile_layer_base:]
+            del st.layer_vals[tile_layer_base:]
+            del feat_layer[tile_feat_base:]
+            del feat_s[tile_feat_base:]
+            del feat_e[tile_feat_base:]
+            st.bad_tiles.add(ti)
+
+    st.feat_layer = np.array(feat_layer, dtype=np.int64)
+    st.feat_s = np.array(feat_s, dtype=np.int64)
+    st.feat_e = np.array(feat_e, dtype=np.int64)
+    return st
+
+
+def _walk_layer(buf: bytes, pos: int, n: int, ti: int, st: Structure,
+                feat_layer: list, feat_s: list, feat_e: list) -> None:
+    li = len(st.layer_tile)
+    name = None
+    version = 1
+    extent = 4096
+    keys: list[bytes] = []
+    vals: list[bytes] = []
+    lo = len(feat_s)
+    while pos < n:
+        key = buf[pos]
+        pos += 1
+        if key == 0x12:  # LAYER_FEATURES — tight run subloop (hot path)
+            pos -= 1
+            while pos < n and buf[pos] == 0x12:
+                ln = buf[pos + 1]
+                pos += 2
+                if ln & 0x80:
+                    ln &= 0x7F
+                    shift = 7
+                    while True:
+                        b = buf[pos]
+                        pos += 1
+                        ln |= (b & 0x7F) << shift
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                e = pos + ln
+                if e > n:
+                    raise Unsupported("field overruns layer")
+                feat_layer.append(li)
+                feat_s.append(pos)
+                feat_e.append(e)
+                pos = e
+            continue
+        if key & 0x80:
+            raise Unsupported("multi-byte layer field key")
+        field = key >> 3
+        wt = key & 0x7
+        if wt == 2:
+            ln = buf[pos]
+            pos += 1
+            if ln & 0x80:
+                ln &= 0x7F
+                shift = 7
+                while True:
+                    b = buf[pos]
+                    pos += 1
+                    ln |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+            if pos + ln > n:
+                raise Unsupported("field overruns layer")
+            if field == 3:      # LAYER_KEYS
+                keys.append(buf[pos:pos + ln])
+            elif field == 4:    # LAYER_VALUES
+                vals.append(buf[pos:pos + ln])
+            elif field == 1:    # LAYER_NAME
+                name = buf[pos:pos + ln]
+            else:
+                raise Unsupported("unknown layer field")
+            pos += ln
+        elif wt == 0:
+            value = buf[pos]
+            pos += 1
+            if value & 0x80:
+                value &= 0x7F
+                shift = 7
+                while True:
+                    b = buf[pos]
+                    pos += 1
+                    value |= (b & 0x7F) << shift
+                    if not b & 0x80:
+                        break
+                    shift += 7
+            if field == 15:     # LAYER_VERSION
+                version = value
+            elif field == 5:    # LAYER_EXTENT
+                extent = value
+            else:
+                raise Unsupported("unknown layer varint field")
+        else:
+            raise Unsupported(f"wire type {wt} in layer")
+    if name is None or version < 1 or version > 2:
+        raise Unsupported("bad layer header")
+    st.layer_tile.append(ti)
+    st.layer_name.append(name)
+    st.layer_version.append(version)
+    st.layer_extent.append(extent)
+    st.layer_feat_lo.append(lo)
+    st.layer_feat_hi.append(len(feat_s))
+    st.layer_keys.append(keys)
+    st.layer_vals.append(vals)
+
+
+# ---------------------------------------------------------------------------
+# vectorized varint helpers
+# ---------------------------------------------------------------------------
+
+def _vec_varint(data: np.ndarray, pos: np.ndarray, limit: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one varint at each position (vectorized over positions).
+    Returns (values uint64, positions-after, bad mask)."""
+    n = pos.shape[0]
+    val = np.zeros(n, np.uint64)
+    cur = pos.astype(np.int64).copy()
+    done = np.zeros(n, bool)
+    bad = np.zeros(n, bool)
+    for k in range(10):
+        act = ~done & ~bad
+        if not act.any():
+            break
+        over = act & (cur >= limit)
+        bad |= over
+        act &= ~over
+        idx = np.flatnonzero(act)
+        if idx.size == 0:
+            break
+        b = data[cur[idx]].astype(np.uint64)
+        if 7 * k < 64:
+            val[idx] |= (b & np.uint64(0x7F)) << np.uint64(7 * k)
+        cur[idx] += 1
+        fin = (b & np.uint64(0x80)) == 0
+        done[idx[fin]] = True
+    bad |= ~done
+    return val, cur, bad
+
+
+def segmented_packed_u32(data: np.ndarray, starts: np.ndarray,
+                         ends: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode packed-varint payloads for MANY spans at once.
+
+    Returns (values uint32, per-span value counts, per-span bad mask).
+    A span whose last byte has the continuation bit set is bad
+    (truncated varint) — varint alignment then holds across the whole
+    concatenation, so one global scan decodes every span."""
+    lens = (ends - starts).astype(np.int64)
+    n_spans = lens.shape[0]
+    total = int(lens.sum())
+    counts = np.zeros(n_spans, np.int64)
+    span_bad = np.zeros(n_spans, bool)
+    if total == 0:
+        return np.empty(0, np.uint32), counts, span_bad
+    ra = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+    byte_idx = np.repeat(starts, lens) + ra
+    G = data[byte_idx]
+    byte_span = np.repeat(np.arange(n_spans, dtype=np.int64), lens)
+    term = G < 0x80
+    # spans ending mid-varint are bad (exclude their bytes from decode)
+    nonempty = lens > 0
+    last_byte_pos = np.cumsum(lens) - 1
+    bad_end = np.zeros(n_spans, bool)
+    bad_end[nonempty] = ~term[last_byte_pos[nonempty]]
+    span_bad |= bad_end
+    ok_byte = ~bad_end[byte_span]
+    G = G[ok_byte]
+    term = term[ok_byte]
+    byte_span = byte_span[ok_byte]
+    if G.shape[0] == 0:
+        return np.empty(0, np.uint32), counts, span_bad
+    # varint grouping: a varint starts at byte 0 of a span or after a
+    # terminator; spans are aligned because each ends on a terminator
+    is_start = np.empty(G.shape[0], bool)
+    is_start[0] = True
+    is_start[1:] = term[:-1] | (byte_span[1:] != byte_span[:-1])
+    vstarts = np.flatnonzero(is_start)
+    vspan = byte_span[vstarts]
+    vends = np.flatnonzero(term)
+    vlens = vends - vstarts + 1
+    if vlens.max() > 10:
+        span_bad[vspan[vlens > 10]] = True
+    payload = (G & 0x7F).astype(np.uint64)
+    vals = np.zeros(vstarts.shape[0], np.uint64)
+    for k in range(min(10, int(vlens.max()))):
+        m = vlens > k
+        if 7 * k < 64:
+            vals[m] |= payload[vstarts[m] + k] << np.uint64(7 * k)
+    counts = np.bincount(vspan, minlength=n_spans).astype(np.int64)
+    counts[span_bad] = 0
+    return vals.astype(np.uint32), counts, span_bad
+
+
+# ---------------------------------------------------------------------------
+# vectorized feature field parse
+# ---------------------------------------------------------------------------
+
+class FeatureFields:
+    __slots__ = ("fid", "has_id", "gtype", "geom_s", "geom_e",
+                 "tags_s", "tags_e", "n_tag_ints", "bad")
+
+
+def parse_feature_fields(data: np.ndarray, fs: np.ndarray,
+                         fe: np.ndarray) -> FeatureFields:
+    """Frontier walk: every feature advances one field per iteration."""
+    N = fs.shape[0]
+    out = FeatureFields()
+    out.fid = np.zeros(N, np.uint64)
+    out.has_id = np.zeros(N, bool)
+    out.gtype = np.zeros(N, np.int8)
+    out.geom_s = np.full(N, -1, np.int64)
+    out.geom_e = np.full(N, -1, np.int64)
+    out.tags_s = np.full(N, -1, np.int64)
+    out.tags_e = np.full(N, -1, np.int64)
+    out.bad = np.zeros(N, bool)
+    pos = fs.astype(np.int64).copy()
+    while True:
+        act = (pos < fe) & ~out.bad
+        idx = np.flatnonzero(act)
+        if idx.size == 0:
+            break
+        p = pos[idx]
+        key = data[p].astype(np.int64)
+        mb = key >= 0x80
+        if mb.any():
+            out.bad[idx[mb]] = True
+            keep = ~mb
+            idx, p, key = idx[keep], p[keep], key[keep]
+            if idx.size == 0:
+                continue
+        field = key >> 3
+        wt = key & 7
+        p = p + 1
+
+        m0 = wt == 0
+        if m0.any():
+            i0, p0 = idx[m0], p[m0]
+            v, p_after, vb = _vec_varint(data, p0, fe[i0])
+            out.bad[i0[vb]] = True
+            fm = (field[m0] == 1) & ~vb
+            out.fid[i0[fm]] = v[fm]
+            out.has_id[i0[fm]] = True
+            tm = (field[m0] == 3) & ~vb
+            tv = v[tm]
+            tbad = tv > 3
+            out.bad[i0[tm][tbad]] = True
+            out.gtype[i0[tm]] = tv.astype(np.int8)
+            pos[i0] = p_after
+
+        m2 = wt == 2
+        if m2.any():
+            i2, p2 = idx[m2], p[m2]
+            ln, p_after, vb = _vec_varint(data, p2, fe[i2])
+            out.bad[i2[vb]] = True
+            end = p_after + ln.astype(np.int64)
+            over = (end > fe[i2]) & ~vb
+            out.bad[i2[over]] = True
+            ok = ~vb & ~over
+            gm = (field[m2] == 4) & ok
+            dup = out.geom_s[i2[gm]] >= 0
+            out.bad[i2[gm][dup]] = True
+            out.geom_s[i2[gm]] = p_after[gm]
+            out.geom_e[i2[gm]] = end[gm]
+            tm2 = (field[m2] == 2) & ok
+            dup = out.tags_s[i2[tm2]] >= 0
+            out.bad[i2[tm2][dup]] = True
+            out.tags_s[i2[tm2]] = p_after[tm2]
+            out.tags_e[i2[tm2]] = end[tm2]
+            pos[i2] = end
+
+        m5 = wt == 5
+        if m5.any():
+            pos[idx[m5]] = p[m5] + 4
+        m1 = wt == 1
+        if m1.any():
+            pos[idx[m1]] = p[m1] + 8
+        mo = ~(m0 | m2 | m5 | m1)
+        if mo.any():
+            out.bad[idx[mo]] = True
+    out.bad |= pos > fe  # field overran the feature message
+
+    # spec 4.2: geometry required (empty geometry == missing)
+    out.bad |= (out.geom_s < 0) | (out.geom_e <= out.geom_s)
+    # spec 4.4 parity: tag-int counts over the TAG SPANS only (a global
+    # terminator cumsum over the whole buffer measured 20% of decode time)
+    out.n_tag_ints = apply_tag_parity(data, out)
+    return out
+
+
+def apply_tag_parity(data: np.ndarray, out: "FeatureFields") -> np.ndarray:
+    """Count packed varints per tag span (== terminator bytes) and mark
+    odd counts bad (spec 4.4). Returns per-feature tag-int counts."""
+    N = out.tags_s.shape[0]
+    nti = np.zeros(N, np.int64)
+    has = np.flatnonzero(out.tags_s >= 0)
+    if has.size:
+        lens = out.tags_e[has] - out.tags_s[has]
+        G = _ragged_take(data, out.tags_s[has], lens)
+        term_cs = np.zeros(G.shape[0] + 1, np.int64)
+        np.cumsum(G < 0x80, out=term_cs[1:])
+        bounds = np.zeros(has.size + 1, np.int64)
+        np.cumsum(lens, out=bounds[1:])
+        nti[has] = term_cs[bounds[1:]] - term_cs[bounds[:-1]]
+        out.bad[has] |= (nti[has] % 2) == 1
+    return nti
+
+
+# ---------------------------------------------------------------------------
+# batch decode (decode_tiles fast path)
+# ---------------------------------------------------------------------------
+
+def _ragged_take(data: np.ndarray, starts: np.ndarray, lens: np.ndarray
+                 ) -> np.ndarray:
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, data.dtype)
+    ra = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+    return data[np.repeat(starts, lens) + ra]
+
+
+def decode_tiles_batch_fast(batch: pa.Table, with_props: bool = True,
+                            with_geometry: bool = True):
+    """Vectorized equivalent of pipelines.decode.decode_tiles_batch.
+
+    Returns (table_for_clean_tiles, bad_tile_indices) — the caller decodes
+    bad tiles through the scalar path (identical quarantine semantics)."""
+    data, t_s, t_e = binary_column_parts(batch.column("mvt"))
+    st = walk_structure(data, t_s, t_e)
+    ff = parse_feature_fields(data, st.feat_s, st.feat_e)
+    layer_tile = np.array(st.layer_tile, dtype=np.int64)
+    feat_tile = layer_tile[st.feat_layer] if st.feat_layer.size else \
+        np.empty(0, np.int64)
+    bad_tiles = set(st.bad_tiles)
+    bad_tiles.update(feat_tile[ff.bad].tolist())
+
+    N = st.feat_s.shape[0]
+    n_props = (ff.n_tag_ints // 2).astype(np.int32)
+
+    # ---- properties ----
+    prop_cols = {}
+    if with_props and N:
+        has_tags = ff.tags_s >= 0
+        t_starts = np.where(has_tags, ff.tags_s, 0)
+        t_ends = np.where(has_tags, ff.tags_e, 0)
+        tvals, tcounts, tbad = segmented_packed_u32(data, t_starts, t_ends)
+        bad_tiles.update(feat_tile[tbad].tolist())
+        # per-layer key/value tables concatenated with base offsets
+        key_base = np.zeros(len(st.layer_keys) + 1, np.int64)
+        np.cumsum([len(k) for k in st.layer_keys], out=key_base[1:])
+        val_base = np.zeros(len(st.layer_vals) + 1, np.int64)
+        np.cumsum([len(v) for v in st.layer_vals], out=val_base[1:])
+        all_keys = [k.decode("utf-8", "replace")
+                    for keys in st.layer_keys for k in keys]
+        all_vals = [v for vals in st.layer_vals for v in vals]
+        # pair extraction: tag ints alternate key,value within each span
+        voff = np.zeros(N + 1, np.int64)
+        np.cumsum(tcounts, out=voff[1:])
+        local = np.arange(tvals.shape[0], dtype=np.int64) - np.repeat(
+            voff[:-1], tcounts)
+        kidx = tvals[local % 2 == 0].astype(np.int64)
+        vidx = tvals[local % 2 == 1].astype(np.int64)
+        pair_feat = np.repeat(np.arange(N), tcounts)[local % 2 == 0]
+        pair_layer = st.feat_layer[pair_feat]
+        nk = np.array([len(k) for k in st.layer_keys], np.int64)
+        nv = np.array([len(v) for v in st.layer_vals], np.int64)
+        oor = (kidx >= nk[pair_layer]) | (vidx >= nv[pair_layer])
+        if oor.any():  # OutOfRange → scalar quarantine for those tiles
+            bad_tiles.update(feat_tile[pair_feat[oor]].tolist())
+            kidx = np.where(oor, 0, kidx)
+            vidx = np.where(oor, 0, vidx)
+        keys_arr = pa.array(all_keys, pa.string()) if all_keys else \
+            pa.array([], pa.string())
+        vals_arr = pa.array(all_vals, pa.binary()) if all_vals else \
+            pa.array([], pa.binary())
+        flat_keys = keys_arr.take(pa.array(key_base[pair_layer] + kidx)) \
+            if kidx.size else pa.array([], pa.string())
+        flat_vals = vals_arr.take(pa.array(val_base[pair_layer] + vidx)) \
+            if vidx.size else pa.array([], pa.binary())
+        pk_off = np.zeros(N + 1, np.int32)
+        np.cumsum(n_props, out=pk_off[1:])
+        prop_cols["prop_keys"] = pa.ListArray.from_arrays(
+            pa.array(pk_off, pa.int32()), flat_keys)
+        prop_cols["prop_vals_raw"] = pa.ListArray.from_arrays(
+            pa.array(pk_off, pa.int32()), flat_vals)
+
+    # ---- geometry commands ----
+    geom_col = None
+    if with_geometry and N:
+        gvals, gcounts, gbad = segmented_packed_u32(data, ff.geom_s, ff.geom_e)
+        bad_tiles.update(feat_tile[gbad].tolist())
+        g_off = np.zeros(N + 1, np.int32)
+        np.cumsum(gcounts, out=g_off[1:])
+        geom_col = pa.ListArray.from_arrays(
+            pa.array(g_off, pa.int32()), pa.array(gvals, pa.uint32()))
+
+    # ---- assemble (clean tiles only) ----
+    good = ~np.isin(feat_tile, np.array(sorted(bad_tiles), dtype=np.int64)) \
+        if bad_tiles else np.ones(N, bool)
+    gi = np.flatnonzero(good)
+    z = batch.column("z").to_numpy() if "z" in batch.column_names else None
+    x = batch.column("x").to_numpy() if "x" in batch.column_names else None
+    y = batch.column("y").to_numpy() if "y" in batch.column_names else None
+    names = pa.array([n.decode("utf-8", "replace") for n in st.layer_name],
+                     pa.string())
+    ft = feat_tile[gi]
+    cols = {
+        "z": pa.array(z[ft].astype(np.int32) if z is not None
+                      else np.zeros(gi.size, np.int32)),
+        "x": pa.array(x[ft].astype(np.int32) if x is not None
+                      else np.zeros(gi.size, np.int32)),
+        "y": pa.array(y[ft].astype(np.int32) if y is not None
+                      else np.zeros(gi.size, np.int32)),
+        "layer": names.take(pa.array(st.feat_layer[gi])) if gi.size
+        else pa.array([], pa.string()),
+        "feature_id": pa.array(ff.fid[gi], pa.uint64()),
+        "has_id": pa.array(ff.has_id[gi], pa.bool_()),
+        "geom_type": pa.array(ff.gtype[gi], pa.int8()),
+        "n_props": pa.array(n_props[gi], pa.int32()),
+        "error": pa.nulls(gi.size, pa.string()),
+    }
+    if geom_col is not None:
+        cols["geom_cmds"] = geom_col.take(pa.array(gi))
+    elif with_geometry:
+        cols["geom_cmds"] = pa.array([], pa.list_(pa.uint32()))
+    if with_props:
+        if N:
+            cols["prop_keys"] = prop_cols["prop_keys"].take(pa.array(gi))
+            cols["prop_vals_raw"] = prop_cols["prop_vals_raw"].take(pa.array(gi))
+        else:
+            cols["prop_keys"] = pa.array([], pa.list_(pa.string()))
+            cols["prop_vals_raw"] = pa.array([], pa.list_(pa.binary()))
+    return pa.table(cols), sorted(bad_tiles)
+
+
+def tile_stats_batch_fast(batch: pa.Table):
+    """Vectorized per-(tile, layer) stats: feature count, geometry byte
+    sum, key/value table sizes. Returns (table, bad_tile_indices)."""
+    data, t_s, t_e = binary_column_parts(batch.column("mvt"))
+    st = walk_structure(data, t_s, t_e)
+    ff = parse_feature_fields(data, st.feat_s, st.feat_e)
+    layer_tile = np.array(st.layer_tile, dtype=np.int64)
+    feat_tile = layer_tile[st.feat_layer] if st.feat_layer.size else \
+        np.empty(0, np.int64)
+    bad_tiles = set(st.bad_tiles)
+    bad_tiles.update(feat_tile[ff.bad].tolist())
+
+    glen = np.where(ff.geom_s >= 0, ff.geom_e - ff.geom_s, 0)
+    gcs = np.zeros(glen.shape[0] + 1, np.int64)
+    np.cumsum(glen, out=gcs[1:])
+    lo = np.array(st.layer_feat_lo, np.int64)
+    hi = np.array(st.layer_feat_hi, np.int64)
+    gb = gcs[hi] - gcs[lo]
+
+    keep = ~np.isin(layer_tile, np.array(sorted(bad_tiles), dtype=np.int64)) \
+        if bad_tiles else np.ones(layer_tile.shape[0], bool)
+    li = np.flatnonzero(keep)
+    z = batch.column("z").to_numpy()
+    x = batch.column("x").to_numpy()
+    y = batch.column("y").to_numpy()
+    lt = layer_tile[li]
+    names = pa.array([st.layer_name[i].decode("utf-8", "replace")
+                      for i in li], pa.string())
+    out = pa.table({
+        "z": pa.array(z[lt].astype(np.int32)),
+        "x": pa.array(x[lt].astype(np.int32)),
+        "y": pa.array(y[lt].astype(np.int32)),
+        "layer": names,
+        "n_features": pa.array((hi - lo)[li], pa.int64()),
+        "geom_bytes": pa.array(gb[li], pa.int64()),
+        "n_keys": pa.array([len(st.layer_keys[i]) for i in li], pa.int64()),
+        "n_values": pa.array([len(st.layer_vals[i]) for i in li], pa.int64()),
+    })
+    return out, sorted(bad_tiles)
+
+
+# ---------------------------------------------------------------------------
+# batched validator (vtzero-check fast path)
+# ---------------------------------------------------------------------------
+
+def check_codes_fast(batch: pa.Table) -> np.ndarray:
+    """Per-tile vtzero-check grades, vectorized for the dominant shape
+    (layers of SINGLE-POINT features). Any tile that is not provably
+    clean-or-warning through the vectorized checks gets code -1 — the
+    caller runs scalar ``check_tile`` on those for exact grading."""
+    from .check import check_tile  # noqa: F401  (callers use it on -1s)
+
+    data, t_s, t_e = binary_column_parts(batch.column("mvt"))
+    n_tiles = len(t_s)
+    codes = np.full(n_tiles, -1, np.int8)
+    st = walk_structure(data, t_s, t_e)
+    ff = parse_feature_fields(data, st.feat_s, st.feat_e)
+    layer_tile = np.array(st.layer_tile, dtype=np.int64)
+    feat_tile = layer_tile[st.feat_layer] if st.feat_layer.size else \
+        np.empty(0, np.int64)
+    undecided = set(st.bad_tiles)
+    undecided.update(feat_tile[ff.bad].tolist())
+
+    # layer-level: empty name, duplicate names, empty layer, no layers
+    lo = np.array(st.layer_feat_lo, np.int64)
+    hi = np.array(st.layer_feat_hi, np.int64)
+    for i in range(layer_tile.shape[0]):
+        ti = int(layer_tile[i])
+        if len(st.layer_name[i]) == 0 or hi[i] == lo[i]:
+            undecided.add(ti)
+    # duplicate names / zero layers per tile
+    n_layers = np.bincount(layer_tile, minlength=n_tiles)
+    for ti in np.flatnonzero(n_layers == 0):
+        undecided.add(int(ti))
+    seen: dict[int, set] = {}
+    for i in range(layer_tile.shape[0]):
+        ti = int(layer_tile[i])
+        s = seen.setdefault(ti, set())
+        if st.layer_name[i] in s:
+            undecided.add(ti)
+        s.add(st.layer_name[i])
+
+    # non-point features → scalar
+    nonpoint = ff.gtype != 1
+    undecided.update(feat_tile[nonpoint].tolist())
+
+    # point geometry: decode command streams, accept only the single-point
+    # MoveTo(1) shape vectorized; anything else → scalar
+    gvals, gcounts, gbad = segmented_packed_u32(data, ff.geom_s, ff.geom_e)
+    undecided.update(feat_tile[gbad].tolist())
+    g_off = np.zeros(gcounts.shape[0] + 1, np.int64)
+    np.cumsum(gcounts, out=g_off[1:])
+    first = np.zeros(gcounts.shape[0], np.int64)
+    ne = gcounts > 0
+    if gvals.size:
+        first[ne] = gvals[g_off[:-1][ne]].astype(np.int64)
+    single = (gcounts == 3) & ((first & 7) == 1) & ((first >> 3) == 1)
+    undecided.update(feat_tile[~single & ~nonpoint].tolist())
+
+    # bounds warning for the clean single-point features
+    warn_tiles = np.zeros(n_tiles, bool)
+    ok_idx = np.flatnonzero(single & ~nonpoint)
+    if ok_idx.size:
+        vx = gvals[g_off[ok_idx] + 1].astype(np.int64)
+        vy = gvals[g_off[ok_idx] + 2].astype(np.int64)
+        px = (vx >> 1) ^ -(vx & 1)
+        py = (vy >> 1) ^ -(vy & 1)
+        # int32 wraparound like the scalar checker
+        px = ((px + 2**31) % 2**32) - 2**31
+        py = ((py + 2**31) % 2**32) - 2**31
+        ext = np.array(st.layer_extent, np.int64)[st.feat_layer[ok_idx]]
+        out = (px < -ext) | (py < -ext) | (px > 2 * ext) | (py > 2 * ext)
+        np.logical_or.at(warn_tiles, feat_tile[ok_idx[out]], True)
+
+    decided = np.ones(n_tiles, bool)
+    for ti in undecided:
+        decided[ti] = False
+    codes[decided] = warn_tiles[decided].astype(np.int8)  # 0 clean, 1 warning
+    return codes

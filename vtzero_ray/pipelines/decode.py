@@ -98,19 +98,39 @@ def decode_tiles_batch(batch: pa.Table, with_props: bool = True,
     return pa.table(t)
 
 
+def decode_tiles_batch_v(batch: pa.Table, with_props: bool = True,
+                         with_geometry: bool = True) -> pa.Table:
+    """Vectorized decode with per-tile scalar fallback: clean tiles go
+    through mvt/decode_fast.py (numpy structural + frontier parse); any
+    tile the fast path flags is re-decoded by decode_tiles_batch, which
+    reproduces the exact quarantine semantics."""
+    from ..mvt.decode_fast import decode_tiles_batch_fast
+
+    fast, bad = decode_tiles_batch_fast(batch, with_props=with_props,
+                                        with_geometry=with_geometry)
+    if not bad:
+        return fast
+    sub = batch.take(pa.array(bad))
+    slow = decode_tiles_batch(sub, with_props=with_props,
+                              with_geometry=with_geometry)
+    return pa.concat_tables([fast, slow.select(fast.column_names)],
+                            promote_options="permissive")
+
+
 def decode_tiles(tiles_ds, with_props: bool = True, with_geometry: bool = True):
     import functools
 
-    fn = functools.partial(decode_tiles_batch, with_props=with_props,
+    fn = functools.partial(decode_tiles_batch_v, with_props=with_props,
                            with_geometry=with_geometry)
     return tiles_ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
 def tile_stats(tiles_ds):
     """vtzero-stats (A1): per (z,x,y,layer): feature count, geom bytes,
-    key/value table sizes."""
+    key/value table sizes. Vectorized (mvt/decode_fast.py) with scalar
+    fallback per flagged tile."""
 
-    def stats_batch(batch: pa.Table) -> pa.Table:
+    def stats_batch_scalar(batch: pa.Table) -> pa.Table:
         rows = {"z": [], "x": [], "y": [], "layer": [], "n_features": [],
                 "geom_bytes": [], "n_keys": [], "n_values": []}
         for z, x, y, mvt in zip(batch.column("z").to_pylist(),
@@ -137,6 +157,16 @@ def tile_stats(tiles_ds):
             "n_keys": pa.array(rows["n_keys"], pa.int64()),
             "n_values": pa.array(rows["n_values"], pa.int64()),
         })
+
+    def stats_batch(batch: pa.Table) -> pa.Table:
+        from ..mvt.decode_fast import tile_stats_batch_fast
+
+        fast, bad = tile_stats_batch_fast(batch)
+        if not bad:
+            return fast
+        slow = stats_batch_scalar(batch.take(pa.array(bad)))
+        return pa.concat_tables([fast, slow.select(fast.column_names)],
+                                promote_options="permissive")
 
     return tiles_ds.map_batches(stats_batch, batch_format="pyarrow", batch_size=None)
 

@@ -71,6 +71,17 @@ def tiles_pipeline(sf_dir: str, zooms=DEFAULT_ZOOMS, extent: int = 4096,
 
 def validate_tiles(batch: pa.Table) -> pa.Table:
     """vtzero-check gate as a stateless map_batches stage (SURVEY.md §2.7):
-    appends the graded check code per tile; pipelines can filter on it."""
-    codes = [check_tile(m.as_py())[0] for m in batch.column("mvt")]
+    appends the graded check code per tile; pipelines can filter on it.
+
+    Vectorized (mvt/decode_fast.check_codes_fast) for the dominant
+    single-point-layer shape; tiles the fast path can't prove clean are
+    graded by the scalar check_tile (exact diagnostics)."""
+    from ..mvt.decode_fast import check_codes_fast
+
+    codes = check_codes_fast(batch)
+    pend = (codes < 0).nonzero()[0]
+    if pend.size:
+        mvts = batch.column("mvt")
+        for i in pend:
+            codes[i] = check_tile(mvts[int(i)].as_py())[0]
     return batch.append_column("check_code", pa.array(codes, pa.int8()))
