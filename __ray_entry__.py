@@ -187,6 +187,38 @@ def _q_combined_layers_z2(sf_dir: str):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_multilayer_z6(sf_dir: str):
+    """THREE-layer tiles at z6 — pages (vectorized point kernel) +
+    site_paths (vectorized linestring kernel) + hotcells (polygon builder)
+    merged per (z,x,y) via add_existing_layer concatenation (T1 layer
+    ordering), decoded back to per-layer feature counts."""
+    from vtzero_ray.pipelines.decode import decode_tiles
+    from vtzero_ray.pipelines.filter import merge_tiles
+    from vtzero_ray.pipelines.paths import site_paths_tiles
+    from vtzero_ray.pipelines.tiling import tiles_pipeline
+    from vtzero_ray.stages.raster import raster_to_vector, rasterize_tiles
+
+    pages = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
+    paths = site_paths_tiles(sf_dir, zoom=6)
+    hot = raster_to_vector(
+        rasterize_tiles(tiles_pipeline(sf_dir, zooms=(6,), validate=False),
+                        grid=16), threshold=2, grid=16)
+    merged = merge_tiles(merge_tiles(pages, paths),
+                         hot.select_columns(["z", "x", "y", "mvt"]))
+    feats = decode_tiles(merged, with_props=False, with_geometry=False)
+    agg = feats.groupby(["z", "x", "y", "layer"]).count()
+
+    def rename(t):
+        import pyarrow as pa
+
+        if isinstance(t, pa.Table) and "count()" in t.column_names:
+            return t.rename_columns(
+                [c if c != "count()" else "n_features" for c in t.column_names])
+        return t
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 def _q_rasterize_z6(sf_dir: str):
     """Vector → raster: per-tile 16x16 density grid over encoded tiles
     (decode + 2-D binning; cells are SQL-predictable from the derivation)."""
@@ -501,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_to_vector_z6": _q_raster_to_vector_z6,
         "site_paths_z2": _q_site_paths_z2,
         "combined_layers_z2": _q_combined_layers_z2,
+        "multilayer_tiles_z6": _q_multilayer_z6,
         "media_features": _q_media_features,
         # spatial joins (SURVEY §2.4)
         "pip_join": _q_pip_join,
@@ -707,6 +740,29 @@ def oracle_sql() -> dict[str, str]:
             f"paths AS (SELECT 2 AS z, x, y, 'site_paths' AS layer, COUNT(*) AS n_features "
             f"FROM c WHERE npts >= 2 GROUP BY 1, 2, 3) "
             f"SELECT * FROM pages UNION ALL SELECT * FROM paths"
+        ),
+        "multilayer_tiles_z6": (
+            f"WITH pages AS (SELECT 6 AS z, {t6['x']} AS x, {t6['y']} AS y, "
+            f"'pages' AS layer, COUNT(*) AS n_features FROM documents GROUP BY 1, 2, 3), "
+            f"pts AS (SELECT (doc_id % 50) AS site, doc_id, "
+            f"{t6['x']} AS x, {t6['y']} AS y, "
+            f"CAST(floor(({t6['fx']} - floor({t6['fx']})) * 4096) AS INTEGER) AS px, "
+            f"CAST(floor(({t6['fy']} - floor({t6['fy']})) * 4096) AS INTEGER) AS py "
+            f"FROM documents), "
+            f"d AS (SELECT *, CASE WHEN lag(px) OVER w = px AND lag(py) OVER w = py "
+            f"THEN 0 ELSE 1 END AS keep FROM pts "
+            f"WINDOW w AS (PARTITION BY site, x, y ORDER BY doc_id)), "
+            f"c AS (SELECT site, x, y, SUM(keep) AS npts FROM d GROUP BY 1, 2, 3), "
+            f"paths AS (SELECT 6 AS z, x, y, 'site_paths' AS layer, COUNT(*) AS n_features "
+            f"FROM c WHERE npts >= 2 GROUP BY 1, 2, 3), "
+            f"cells AS (SELECT x, y, "
+            f"(CAST(floor(({t6['fy']} - floor({t6['fy']})) * 4096) AS INTEGER) // 256) AS r, "
+            f"(CAST(floor(({t6['fx']} - floor({t6['fx']})) * 4096) AS INTEGER) // 256) AS c2, "
+            f"COUNT(*) AS n FROM pts GROUP BY 1, 2, 3, 4), "
+            f"hot AS (SELECT 6 AS z, x, y, 'hotcells' AS layer, COUNT(*) AS n_features "
+            f"FROM cells WHERE n >= 2 GROUP BY 1, 2, 3) "
+            f"SELECT * FROM pages UNION ALL SELECT * FROM paths "
+            f"UNION ALL SELECT * FROM hot"
         ),
         # media_features: the synthetic corpus metadata is pure integer
         # arithmetic over media_id — SQL-reproducible even though the

@@ -125,22 +125,27 @@ class LayerBuilder:
     def add_feature_encoded(
         self,
         geom_type: int,
-        cmds: np.ndarray,
+        cmds: np.ndarray | None,
         feature_id: int | None = None,
         props: list[tuple] | None = None,
+        geom_payload: bytes | None = None,
     ) -> None:
         """Append a complete feature from pre-encoded geometry commands.
 
         ``props`` is a list of (key, value) where key is str/bytes (interned
         here) or int (pre-resolved index) and value is an encoded value blob
-        (bytes) or int index. This is the vectorizable fast path used by the
-        tile-encoder stage; byte output is identical to the scalar builders.
+        (bytes) or int index. ``geom_payload`` lets a vectorized caller pass
+        the varint-encoded geometry bytes directly (computed in one batch
+        pass, see stages/encode_lines.py) instead of per-feature ``cmds``.
+        This is the vectorizable fast path used by the tile-encoder stage;
+        byte output is identical to the scalar builders.
         """
         body = bytearray()
         body += field_varint(FEATURE_TYPE, geom_type)
         if feature_id is not None:
             body += field_varint(FEATURE_ID, feature_id)
-        geom_payload = encode_varints_np(np.asarray(cmds, dtype=np.uint32))
+        if geom_payload is None:
+            geom_payload = encode_varints_np(np.asarray(cmds, dtype=np.uint32))
         body += field_bytes(FEATURE_GEOMETRY, geom_payload)
         if props:
             tag_ids = []

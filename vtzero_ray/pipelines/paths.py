@@ -24,7 +24,29 @@ def site_of(url_series: pd.Series) -> pd.Series:
 
 
 def site_paths_tiles(sf_dir: str, zoom: int = 2, extent: int = 4096):
-    """→ tiles Dataset (z,x,y,mvt,n_features) of per-site path linestrings."""
+    """→ tiles Dataset (z,x,y,mvt,n_features) of per-site path linestrings.
+
+    Bucketed shuffle + vectorized geometry (stages/encode_lines.py): the
+    polyline command/varint bytes for a whole bucket are computed in one
+    numpy pass; byte-identity with the scalar per-feature path is asserted
+    in tests (site_paths_tiles_scalar below)."""
+    from ..stages.encode import add_tile_bucket
+    from ..stages.encode_lines import LinePathAssembler
+
+    ds = read_pages(sf_dir, include_html=False)
+    ds = geoparse(ds)
+    ds = ds.select_columns(["url", "doc_id", "lat", "lon"])
+    ds = ds.map_batches(AssignTiles((zoom,), extent), batch_format="pyarrow")
+    ds = ds.select_columns(["z", "x", "y", "doc_id", "px", "py"])
+    ds = ds.map_batches(add_tile_bucket, batch_format="pyarrow")
+    tiles = ds.groupby("bucket").map_groups(
+        LinePathAssembler(extent=extent), batch_format="pyarrow")
+    return tiles
+
+
+def site_paths_tiles_scalar(sf_dir: str, zoom: int = 2, extent: int = 4096):
+    """Scalar reference path (per-feature builders) — kept for the
+    byte-identity test against the vectorized assembler."""
     ds = read_pages(sf_dir, include_html=False)
     ds = geoparse(ds)
     ds = ds.select_columns(["url", "doc_id", "lat", "lon"])
