@@ -407,6 +407,17 @@ def _q_knn_join(sf_dir: str):
     return ds.select_columns(["url", "poi_id", "poi_d2"])
 
 
+def _q_knn_cell(sf_dir: str):
+    """Cell-keyed CO-PARTITIONED kNN (SURVEY §2.4 spatial repartition):
+    both sides shuffle on the coarse-cell key (POIs duplicated to boundary
+    cells), per-cell cohort vectorized resolve, exact broadcast fallback
+    for the sparse tail — results identical to knn_join (same oracle)."""
+    from vtzero_ray.stages.joins import cell_knn_join
+
+    ds = cell_knn_join(_geo_pages(sf_dir))
+    return ds.select_columns(["url", "poi_id", "poi_d2"])
+
+
 def _q_knn_top3(sf_dir: str):
     """k=3 nearest POIs per page (rank column), exact distances."""
     import numpy as np
@@ -538,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spatial joins (SURVEY §2.4)
         "pip_join": _q_pip_join,
         "knn_join": _q_knn_join,
+        "knn_cell_join": _q_knn_cell,
         "knn_top3": _q_knn_top3,
         "admin_page_counts": _q_admin_page_counts,
         # text analysis
@@ -781,6 +793,14 @@ def oracle_sql() -> dict[str, str]:
             f"GROUP BY 1"
         ),
         "knn_join": (
+            f"SELECT u.url AS url, p.poi_id AS poi_id, "
+            f"((u.lon_us - p.px_us) * (u.lon_us - p.px_us) + (u.lat_us - p.py_us) * (u.lat_us - p.py_us)) AS poi_d2 "
+            f"FROM {pages_cte} u CROSS JOIN {SQL_POI} p "
+            f"QUALIFY row_number() OVER (PARTITION BY u.url ORDER BY poi_d2, p.poi_id) = 1"
+        ),
+        # knn_cell_join: co-partitioned implementation, same answer as the
+        # broadcast join → same oracle
+        "knn_cell_join": (
             f"SELECT u.url AS url, p.poi_id AS poi_id, "
             f"((u.lon_us - p.px_us) * (u.lon_us - p.px_us) + (u.lat_us - p.py_us) * (u.lat_us - p.py_us)) AS poi_d2 "
             f"FROM {pages_cte} u CROSS JOIN {SQL_POI} p "

@@ -197,3 +197,24 @@ class TestHLL:
         exact = len(set(r["text"] for r in ds.take_all()))
         got = out.approx_distinct.iloc[0]
         assert abs(got - exact) / max(exact, 1) < 0.05
+
+
+class TestCellKNN:
+    def test_cell_join_matches_broadcast(self, ray_session, sf_dir):
+        import ray.data as rd
+
+        from vtzero_ray.sources.pages import read_pages
+        from vtzero_ray.stages.geoparse import geoparse
+        from vtzero_ray.stages.joins import KNNJoin, cell_knn_join
+
+        pts = geoparse(read_pages(sf_dir, include_html=False)) \
+            .select_columns(["url", "lat", "lon"])
+        cell = cell_knn_join(pts).to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+        bcast = pts.map_batches(KNNJoin, batch_format="pyarrow",
+                                concurrency=2) \
+            .select_columns(["url", "poi_id", "poi_d2"]).to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+        assert len(cell) == len(bcast)
+        assert (cell.poi_id.to_numpy() == bcast.poi_id.to_numpy()).all()
+        assert (cell.poi_d2.to_numpy() == bcast.poi_d2.to_numpy()).all()

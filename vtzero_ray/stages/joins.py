@@ -161,6 +161,120 @@ class KNNJoin:
         )
 
 
+def cell_knn_join(points_ds, cell_us: int = 10_000_000, rings: int = 3,
+                  n_buckets: int = 32):
+    """Cell-keyed CO-PARTITIONED nearest-POI join (SURVEY §2.4).
+
+    Both sides shuffle on the SAME coarse-cell key: POIs are replicated
+    into every cell within ``rings`` Chebyshev distance (boundary-cell
+    duplication), points carry their own cell, and each shuffle group
+    resolves its points against only the locally-present candidates —
+    processed as per-cell COHORTS with one vectorized distance matrix per
+    cell (no per-row Python walker). A point whose best local candidate
+    cannot be proven globally nearest (best_d2 >= (rings*cell_us)^2, or
+    no local candidate at all) falls back to the exact broadcast pass, so
+    results are IDENTICAL to KNNJoin. Partitioning assumption: for dense
+    POI corpora the fallback set is empty; with the synthetic 256-POI
+    world it is the sparse-region tail.
+    """
+    import ray
+    import ray.data as rd
+
+    pois = poi_table()
+    # small side replicated to its neighbor cells (P * (2R+1)^2 rows)
+    reps = []
+    for di in range(-rings, rings + 1):
+        for dj in range(-rings, rings + 1):
+            reps.append(pd.DataFrame({
+                "kind": np.int8(1),
+                "url": "",
+                "a_us": pois["px_us"].to_numpy(),
+                "b_us": pois["py_us"].to_numpy(),
+                "cellx": pois["px_us"].to_numpy() // cell_us + di,
+                "celly": pois["py_us"].to_numpy() // cell_us + dj,
+                "poi_id": pois["poi_id"].to_numpy(),
+            }))
+    rep = pd.concat(reps, ignore_index=True).sort_values("poi_id", kind="stable")
+    rep["bucket"] = ((rep.cellx * 73856093 ^ rep.celly * 19349663)
+                     % n_buckets).astype(np.int32)
+    poi_ds = rd.from_pandas(rep.reset_index(drop=True))
+
+    def prep_points(t: pa.Table) -> pa.Table:
+        lat_us = np.round(t.column("lat").to_numpy() * 1e6).astype(np.int64)
+        lon_us = np.round(t.column("lon").to_numpy() * 1e6).astype(np.int64)
+        cx = lon_us // cell_us
+        cy = lat_us // cell_us
+        return pa.table({
+            "kind": pa.array(np.zeros(len(t), np.int8)),
+            "url": t.column("url"),
+            "a_us": pa.array(lon_us),
+            "b_us": pa.array(lat_us),
+            "cellx": pa.array(cx),
+            "celly": pa.array(cy),
+            "poi_id": pa.array(np.full(len(t), -1, np.int64)),
+            "bucket": pa.array(((cx * 73856093) ^ (cy * 19349663))
+                               .astype(np.int64) % n_buckets, pa.int32()),
+        })
+
+    pts = points_ds.map_batches(prep_points, batch_format="pyarrow")
+    both = pts.union(poi_ds.map_batches(lambda t: t.select(
+        ["kind", "url", "a_us", "b_us", "cellx", "celly", "poi_id", "bucket"]),
+        batch_format="pyarrow"))
+
+    guard2 = (rings * cell_us) ** 2
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        empty = pd.DataFrame({"url": pd.Series([], dtype=object),
+                              "poi_id": pd.Series([], dtype="int64"),
+                              "poi_d2": pd.Series([], dtype="int64"),
+                              "certain": pd.Series([], dtype=bool),
+                              "lat": pd.Series([], dtype="float64"),
+                              "lon": pd.Series([], dtype="float64")})
+        for (cx, cy), g in df.groupby(["cellx", "celly"], sort=False):
+            p = g[g["kind"] == 0]
+            if p.empty:
+                continue
+            # lat/lon ride along so the sparse-tail fallback needs no join
+            lat = p["b_us"].to_numpy() / 1e6
+            lon = p["a_us"].to_numpy() / 1e6
+            c = g[g["kind"] == 1]
+            if c.empty:
+                out.append(pd.DataFrame({
+                    "url": p["url"].to_numpy(),
+                    "poi_id": np.int64(-1), "poi_d2": np.int64(-1),
+                    "certain": False, "lat": lat, "lon": lon}))
+                continue
+            dx = p["a_us"].to_numpy()[:, None] - c["a_us"].to_numpy()[None, :]
+            dy = p["b_us"].to_numpy()[:, None] - c["b_us"].to_numpy()[None, :]
+            d2 = dx * dx + dy * dy
+            best = np.argmin(d2, axis=1)  # candidates sorted by poi_id → ties ok
+            bd2 = d2[np.arange(d2.shape[0]), best]
+            out.append(pd.DataFrame({
+                "url": p["url"].to_numpy(),
+                "poi_id": c["poi_id"].to_numpy()[best],
+                "poi_d2": bd2,
+                "certain": bd2 < guard2,
+                "lat": lat, "lon": lon,
+            }))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    resolved = both.groupby("bucket").map_groups(resolve, batch_format="pandas")
+    resolved = resolved.map_batches(lambda t: t, batch_format="pyarrow")
+    certain = resolved.filter(expr="certain == True") \
+        .select_columns(["url", "poi_id", "poi_d2"])
+
+    # sparse-region fallback: exact broadcast pass over the uncertain tail
+    uncertain = resolved.filter(expr="certain == False") \
+        .select_columns(["url", "lat", "lon"])
+    fallback = uncertain.map_batches(KNNJoin, batch_format="pyarrow",
+                                     concurrency=(1, 2)) \
+        .select_columns(["url", "poi_id", "poi_d2"])
+    return certain.union(fallback)
+
+
 class KNNGrid:
     """Scale-path kNN: coarse-cell grid over POIs built once per actor;
     ring-expansion search guarantees exactness (expand until the best found
