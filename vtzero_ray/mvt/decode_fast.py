@@ -628,8 +628,6 @@ def check_codes_fast(batch: pa.Table) -> np.ndarray:
     (layers of SINGLE-POINT features). Any tile that is not provably
     clean-or-warning through the vectorized checks gets code -1 — the
     caller runs scalar ``check_tile`` on those for exact grading."""
-    from .check import check_tile  # noqa: F401  (callers use it on -1s)
-
     data, t_s, t_e = binary_column_parts(batch.column("mvt"))
     n_tiles = len(t_s)
     codes = np.full(n_tiles, -1, np.int8)

@@ -18,6 +18,7 @@ import pyarrow as pa
 
 from ..mvt import codec
 from ..mvt.check import check_tile
+from ..mvt.decode_fast import decode_tiles_batch_fast, tile_stats_batch_fast
 from ..mvt.decoder import VectorTile
 
 
@@ -104,8 +105,6 @@ def decode_tiles_batch_v(batch: pa.Table, with_props: bool = True,
     through mvt/decode_fast.py (numpy structural + frontier parse); any
     tile the fast path flags is re-decoded by decode_tiles_batch, which
     reproduces the exact quarantine semantics."""
-    from ..mvt.decode_fast import decode_tiles_batch_fast
-
     fast, bad = decode_tiles_batch_fast(batch, with_props=with_props,
                                         with_geometry=with_geometry)
     if not bad:
@@ -159,8 +158,6 @@ def tile_stats(tiles_ds):
         })
 
     def stats_batch(batch: pa.Table) -> pa.Table:
-        from ..mvt.decode_fast import tile_stats_batch_fast
-
         fast, bad = tile_stats_batch_fast(batch)
         if not bad:
             return fast

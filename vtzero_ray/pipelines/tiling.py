@@ -22,6 +22,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..mvt.check import check_tile
+from ..mvt.decode_fast import check_codes_fast
 from ..sources.pages import read_pages
 from ..stages.encode import PointTileAssembler, add_tile_bucket
 from ..stages.geoparse import AssignTiles, geoparse
@@ -75,9 +76,9 @@ def validate_tiles(batch: pa.Table) -> pa.Table:
 
     Vectorized (mvt/decode_fast.check_codes_fast) for the dominant
     single-point-layer shape; tiles the fast path can't prove clean are
-    graded by the scalar check_tile (exact diagnostics)."""
-    from ..mvt.decode_fast import check_codes_fast
-
+    graded by the scalar check_tile (exact diagnostics). NOTE: the
+    decode_fast import is module-level — UDF bodies run in Ray workers
+    where function-local package imports fail under ship-by-value."""
     codes = check_codes_fast(batch)
     pend = (codes < 0).nonzero()[0]
     if pend.size:

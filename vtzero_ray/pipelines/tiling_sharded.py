@@ -1,16 +1,22 @@
 """Skew-aware tile assembly: cold tiles via the bucketed kernel, hot tiles
 via the salted shard encoder (stages/shard_encode.py).
 
-Stages:
+FUSED plan (one data-sized shuffle for the hot side; NO full-input
+materialize):
 1. per-batch partial tile counts → tiny groupby(z,x,y) sum → hot set
    (collected to the driver: #hot tiles is small by definition; broadcast
-   via ray.put).
+   via ray.put). Streaming — the upstream re-executes from lineage for
+   pass 2 (recomputation over a pruned read beats materializing the full
+   feature table into the object store at 100 TB).
 2. cold features → add_tile_bucket → groupby(bucket) → vectorized kernel.
-3. hot features → per-batch (tile, salt, lang) partial stats →
-   groupby sum/min → driver builds the interning PLAN (ranks/bases/lang
-   indexes — tiny) → broadcast.
-4. hot features → groupby(z,x,y,salt) → encode_shard (parallel) →
-   groupby(z,x,y) merge_shards (byte concat).
+3. hot features → ONE groupby(z,x,y,salt) that PACKS each shard's sorted
+   arrays AND its interning stats (per-lang first ranks) into a single
+   row; only the packed HOT shards materialize (bounded by the hot
+   fraction, not the input).
+4. tiny stat columns → driver builds the interning PLAN (ranks/bases/
+   lang indexes) → broadcast; encode is then a plain map_batches over the
+   packed shards — no second shuffle — then groupby(z,x,y) merge_shards
+   (byte concat over a few rows per tile).
 5. union(cold, hot).
 
 The only data-sized shuffles are keyed on (bucket) and (z,x,y,salt) — the
@@ -42,9 +48,8 @@ def _tile_counts(ds):
 
 def sharded_tiles(ds, hot_threshold: int, n_salt: int = 16, extent: int = 4096):
     import ray
-    import pyarrow.compute as pc
 
-    ds = ds.materialize()  # consumed by 3 passes (counts, stats, encode)
+    # pass 1: STREAMING narrow counts (no materialize; lineage recompute)
     counts = _tile_counts(ds).to_pandas()
     hot = counts[counts.n > hot_threshold]
     hot_keys = set(zip(hot.z, hot.x, hot.y))
@@ -79,30 +84,41 @@ def sharded_tiles(ds, hot_threshold: int, n_salt: int = 16, extent: int = 4096):
         d = batch.column("doc_id").to_numpy()
         return batch.append_column("salt", pa.array((d % n_salt).astype(np.int32)))
 
-    hot_ds = hot_ds.map_batches(add_salt, batch_format="pyarrow").materialize()
+    hot_ds = hot_ds.map_batches(add_salt, batch_format="pyarrow")
 
-    # --- plan: per (tile, salt): count; per (tile, salt, lang): min_doc +
-    # local rank of that min among the salt's docs (needed for exact global
-    # first-occurrence ranks)
-    def shard_stats(df: pd.DataFrame) -> pd.DataFrame:
+    # --- FUSED shuffle: ONE groupby(z,x,y,salt) packs the shard's sorted
+    # arrays AND its interning stats into a single row. Only these packed
+    # hot shards materialize (bounded by the hot fraction of the input).
+    def pack_shard(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("doc_id", kind="stable")
-        rows = []
-        z, x, y, s = (int(df.z.iloc[0]), int(df.x.iloc[0]),
-                      int(df.y.iloc[0]), int(df.salt.iloc[0]))
         langs = df["lang"].to_numpy()
-        for lang in pd.unique(langs):
-            local_rank = int(np.argmax(langs == lang))
-            rows.append({"z": z, "x": x, "y": y, "salt": s, "lang": lang,
-                         "n": len(df), "first_rank_local": local_rank})
-        return pd.DataFrame(rows)
+        stat_langs = pd.unique(langs)
+        first_ranks = [int(np.argmax(langs == lang)) for lang in stat_langs]
+        return pd.DataFrame({
+            "z": [int(df.z.iloc[0])], "x": [int(df.x.iloc[0])],
+            "y": [int(df.y.iloc[0])], "salt": [int(df.salt.iloc[0])],
+            "n": [len(df)],
+            "doc_ids": [df["doc_id"].to_numpy().astype(np.uint64)],
+            "pxs": [df["px"].to_numpy().astype(np.int32)],
+            "pys": [df["py"].to_numpy().astype(np.int32)],
+            "urls": [df["url"].tolist()],
+            "langs": [langs.tolist()],
+            "stat_langs": [list(stat_langs)],
+            "stat_first_ranks": [first_ranks],
+        })
 
-    stats = hot_ds.groupby(["z", "x", "y", "salt"]).map_groups(
-        shard_stats, batch_format="pandas"
+    shards_packed = hot_ds.groupby(["z", "x", "y", "salt"]).map_groups(
+        pack_shard, batch_format="pandas"
+    ).materialize()
+
+    # tiny stat columns → driver plan (rows = shards, not features)
+    stats = shards_packed.select_columns(
+        ["z", "x", "y", "salt", "n", "stat_langs", "stat_first_ranks"]
     ).to_pandas()
 
     plans = {}
     for key, g in stats.groupby(["z", "x", "y"]):
-        n_per_salt = g.groupby("salt")["n"].first()
+        n_per_salt = g.set_index("salt")["n"]
         salt_ids = sorted(n_per_salt.index)
         bases = {}
         acc = 0
@@ -111,9 +127,10 @@ def sharded_tiles(ds, hot_threshold: int, n_salt: int = 16, extent: int = 4096):
             acc += int(n_per_salt[s])
         lang_first: dict[str, int] = {}
         for r in g.itertuples():
-            rank = bases[r.salt] + r.first_rank_local
-            if r.lang not in lang_first or rank < lang_first[r.lang]:
-                lang_first[r.lang] = rank
+            for lang, lr in zip(r.stat_langs, r.stat_first_ranks):
+                rank = bases[r.salt] + int(lr)
+                if lang not in lang_first or rank < lang_first[lang]:
+                    lang_first[lang] = rank
         firsts = sorted(lang_first.items(), key=lambda kv: kv[1])
         lang_index = {lang: int(f + 1 + i) for i, (lang, f) in enumerate(firsts)}
         plans[key] = {
@@ -124,25 +141,40 @@ def sharded_tiles(ds, hot_threshold: int, n_salt: int = 16, extent: int = 4096):
         }
     plans_ref = ray.put(plans)
 
-    def encode_one_shard(df: pd.DataFrame) -> pd.DataFrame:
-        plan = ray.get(plans_ref)[(int(df.z.iloc[0]), int(df.x.iloc[0]), int(df.y.iloc[0]))]
-        df = df.sort_values("doc_id", kind="stable")
-        s = int(df.salt.iloc[0])
-        feats, useg = encode_shard(
-            df["doc_id"].to_numpy().astype(np.uint64),
-            df["px"].to_numpy(), df["py"].to_numpy(),
-            df["url"].tolist(), df["lang"].tolist(),
-            plan["bases"][s], plan["lang_ranks_sorted"], plan["lang_index"],
-        )
-        return pd.DataFrame({
-            "z": [int(df.z.iloc[0])], "x": [int(df.x.iloc[0])], "y": [int(df.y.iloc[0])],
-            "salt": [s], "feat_bytes": [feats], "url_seg": [useg],
-            "n": [len(df)],
+    # encode: plain map over the packed shards — NO second shuffle
+    def encode_packed(batch: pa.Table) -> pa.Table:
+        all_plans = ray.get(plans_ref)
+        zs, xs, ys, salts, feats_col, useg_col, ns = [], [], [], [], [], [], []
+        d = batch.to_pydict()
+        for i in range(len(batch)):
+            z, x, y, s = (int(d["z"][i]), int(d["x"][i]),
+                          int(d["y"][i]), int(d["salt"][i]))
+            plan = all_plans[(z, x, y)]
+            feats, useg = encode_shard(
+                np.asarray(d["doc_ids"][i], dtype=np.uint64),
+                np.asarray(d["pxs"][i]), np.asarray(d["pys"][i]),
+                list(d["urls"][i]), list(d["langs"][i]),
+                plan["bases"][s], plan["lang_ranks_sorted"],
+                plan["lang_index"],
+            )
+            zs.append(z)
+            xs.append(x)
+            ys.append(y)
+            salts.append(s)
+            feats_col.append(feats)
+            useg_col.append(useg)
+            ns.append(int(d["n"][i]))
+        return pa.table({
+            "z": pa.array(zs, pa.int32()), "x": pa.array(xs, pa.int32()),
+            "y": pa.array(ys, pa.int32()), "salt": pa.array(salts, pa.int32()),
+            "feat_bytes": pa.array(feats_col, pa.binary()),
+            "url_seg": pa.array(useg_col, pa.binary()),
+            "n": pa.array(ns, pa.int64()),
         })
 
-    shards = hot_ds.groupby(["z", "x", "y", "salt"]).map_groups(
-        encode_one_shard, batch_format="pandas"
-    )
+    shards = shards_packed.drop_columns(
+        ["stat_langs", "stat_first_ranks"]
+    ).map_batches(encode_packed, batch_format="pyarrow", batch_size=None)
 
     def merge_one(df: pd.DataFrame) -> pd.DataFrame:
         key = (int(df.z.iloc[0]), int(df.x.iloc[0]), int(df.y.iloc[0]))

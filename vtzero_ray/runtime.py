@@ -22,15 +22,16 @@ def register_udfs_by_value() -> None:
         # import every vtzero_ray module UDFs live in, then register them
         import vtzero_ray  # noqa: F401
         from vtzero_ray import api, exceptions  # noqa: F401
-        from vtzero_ray.functions import ann, dedup, sketch, textstats  # noqa: F401
-        from vtzero_ray.mvt import (builder, check, codec, decoder,  # noqa: F401
-                                    pbf, values)
+        from vtzero_ray.functions import (ann, dedup, dedup_sql,  # noqa: F401
+                                          sketch, textstats)
+        from vtzero_ray.mvt import (builder, check, codec,  # noqa: F401
+                                    decode_fast, decoder, pbf, values)
         from vtzero_ray.pipelines import (decode, filter, paths,  # noqa: F401
                                           relational, tiling, tiling_sharded)
         from vtzero_ray.sources import mvt_io, pages  # noqa: F401
-        from vtzero_ray.stages import (cells, encode, encode_segmented,  # noqa: F401
-                                       geoparse, joins, multimodal, raster,
-                                       shard_encode)
+        from vtzero_ray.stages import (cells, encode, encode_lines,  # noqa: F401
+                                       encode_segmented, geoparse, joins,
+                                       multimodal, raster, shard_encode)
         from vtzero_ray.state import testing  # noqa: F401
 
         for name, mod in list(sys.modules.items()):

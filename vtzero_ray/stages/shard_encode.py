@@ -38,6 +38,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..mvt.pbf import encode_varint, field_bytes, field_varint
+from .encode_segmented import encode_feature_section, encode_url_value_entries
 
 
 def url_indexes(global_ranks: np.ndarray, lang_ranks_sorted: np.ndarray) -> np.ndarray:
@@ -64,10 +65,6 @@ def encode_shard(
     primitives with PLAN-DERIVED global indexes (shards never see each
     other; the plan makes the interning deterministic across them).
     """
-    import pyarrow as pa
-
-    from .encode_segmented import encode_feature_section, encode_url_value_entries
-
     ranks = np.arange(global_base, global_base + feature_ids.shape[0], dtype=np.int64)
     uidx = url_indexes(ranks, lang_ranks_sorted)
     lidx = np.fromiter((lang_index[l] for l in langs), dtype=np.int64,
