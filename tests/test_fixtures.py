@@ -32,7 +32,8 @@ def feature_body(*, fid=None, geom=None, geom_type=1, tags=None):
         body += field_varint(1, fid)
     if tags is not None:
         body += field_bytes(2, encode_varints_np(np.array(tags, dtype=np.uint64)))
-    body += field_varint(3, geom_type)
+    if geom_type is not None:  # None = omit the type field (case 003)
+        body += field_varint(3, geom_type)
     if geom is not None:
         body += field_bytes(4, encode_varints_np(np.array(geom, dtype=np.uint32)))
     return body
@@ -348,3 +349,131 @@ class TestFixtureCorpus3:
                 list(f.properties_raw())
         except (FormatError, ValueError):
             pass  # parity/varint error at parse — also acceptable
+
+
+class TestFixtureCorpusRound2:
+    """Cases 003, 017-027, 047-050 — completes the 001-058 coverage
+    (fixture_tests.cpp:73-90, 283-420, 424-520, 822-906)."""
+
+    def test_003_missing_geometry_type(self):
+        # geometry present, TYPE field absent → GeomType UNKNOWN
+        data = one_feature_tile(fid=1, geom=[9, 50, 34], geom_type=None)
+        f = next(VectorTile(data).get_layer(0).features())
+        assert f.has_id and f.id == 1
+        assert f.geom_type == codec.GEOM_UNKNOWN
+
+    def test_017_valid_point(self):
+        data = one_feature_tile(fid=1, geom=[9, 50, 34])
+        f = next(VectorTile(data).get_layer(0).features())
+        assert f.geom_type == codec.GEOM_POINT
+        assert f.decode_geometry().tolist() == [[25, 17]]
+
+    def test_018_valid_linestring(self):
+        cmds = codec.encode_linestring([np.array([[2, 2], [2, 10], [10, 10]])])
+        data = one_feature_tile(geom=cmds.tolist(), geom_type=2)
+        f = next(VectorTile(data).get_layer(0).features())
+        parts = f.decode_geometry()
+        assert len(parts) == 1
+        assert parts[0].tolist() == [[2, 2], [2, 10], [10, 10]]
+
+    def test_019_valid_polygon(self):
+        ring = np.array([[3, 6], [8, 12], [20, 34], [3, 6]])
+        cmds = codec.encode_polygon([ring])
+        data = one_feature_tile(geom=cmds.tolist(), geom_type=3)
+        f = next(VectorTile(data).get_layer(0).features())
+        rings = f.decode_geometry()
+        assert len(rings) == 1
+        assert rings[0][0].tolist() == ring.tolist()
+
+    def test_020_valid_multipoint(self):
+        # MoveTo(2): (5,7) then (3,2) — deltas (-2,-5)
+        cmds = [codec.command_integer(1, 2), 10, 14, 3, 9]
+        data = one_feature_tile(geom=cmds)
+        f = next(VectorTile(data).get_layer(0).features())
+        assert f.decode_geometry().tolist() == [[5, 7], [3, 2]]
+
+    def test_021_valid_multilinestring(self):
+        parts = [np.array([[2, 2], [2, 10], [10, 10]]), np.array([[1, 1], [3, 5]])]
+        cmds = codec.encode_linestring(parts)
+        data = one_feature_tile(geom=cmds.tolist(), geom_type=2)
+        f = next(VectorTile(data).get_layer(0).features())
+        out = f.decode_geometry()
+        assert [p.tolist() for p in out] == [p.tolist() for p in parts]
+
+    def test_022_valid_multipolygon(self):
+        rings = [
+            np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]),
+            np.array([[11, 11], [20, 11], [20, 20], [11, 20], [11, 11]]),
+            np.array([[13, 13], [13, 17], [17, 17], [17, 13], [13, 13]]),
+        ]
+        cmds = codec.encode_polygon(rings)
+        data = one_feature_tile(geom=cmds.tolist(), geom_type=3)
+        f = next(VectorTile(data).get_layer(0).features())
+        out = f.decode_geometry()
+        assert len(out) == 3
+        for got, want in zip(out, rings):
+            assert got[0].tolist() == want.tolist()
+
+    def test_023_missing_layer_name_with_feature(self):
+        p = (field_varint(15, 2) + field_varint(5, 4096)
+             + field_bytes(2, feature_body(geom=[9, 50, 34])))
+        tile = VectorTile(field_bytes(3, p))
+        assert tile.count_layers() == 1  # counting doesn't parse
+        with pytest.raises(FormatError, match=r"missing name field in layer"):
+            list(tile.layers())
+        with pytest.raises(FormatError):
+            tile.get_layer_by_name("foo")
+
+    def test_025_layer_without_features(self):
+        data = field_bytes(3, layer_payload(features=[]))
+        layer = VectorTile(data).get_layer(0)
+        assert layer.num_features == 0
+
+    def test_026_extra_value_type(self):
+        # value blob with an out-of-range type field (tag 9, varint)
+        weird = bytes([(9 << 3) | 0, 1])
+        p = layer_payload(features=[feature_body(geom=[9, 50, 34])],
+                          vals=[weird])
+        layer = VectorTile(field_bytes(3, p)).get_layer(0)
+        f = next(layer.features())
+        assert f.num_properties == 0
+        assert len(layer.value_table()) == 1
+        with pytest.raises(FormatError, match="illegal property value type"):
+            values.decode_value(layer.value_table()[0])
+
+    def test_027_unused_bool_value(self):
+        blob = values.encode_value(True, values.VT_BOOL)
+        p = layer_payload(features=[feature_body(geom=[9, 50, 34])],
+                          vals=[blob])
+        layer = VectorTile(field_bytes(3, p)).get_layer(0)
+        f = next(layer.features())
+        assert f.num_properties == 0
+        assert len(layer.value_table()) == 1
+        assert values.decode_value(layer.value_table()[0]) == (values.VT_BOOL, True)
+
+    @pytest.mark.parametrize("count", [2, 0])
+    def test_047_048_wrong_closepath_count(self, count):
+        cmds = [9, 0, 0, codec.command_integer(2, 2), 20, 0, 0, 20,
+                codec.command_integer(7, count)]
+        data = one_feature_tile(geom=cmds, geom_type=3)
+        f = next(VectorTile(data).get_layer(0).features())
+        with pytest.raises(GeometryError, match="ClosePath command count is not 1"):
+            f.decode_geometry()
+
+    def test_049_linestring_int32_overflow_x(self):
+        int32_max, int32_min = 2**31 - 1, -(2**31)
+        # MoveTo (int32max, 0); LineTo delta (+1, +1) wraps x to int32min
+        cmds = [9, 0xFFFFFFFE, 0, codec.command_integer(2, 1), 2, 2]
+        data = one_feature_tile(geom=cmds, geom_type=2)
+        f = next(VectorTile(data).get_layer(0).features())
+        parts = f.decode_geometry()
+        assert parts[0].tolist() == [[int32_max, 0], [int32_min, 1]]
+
+    def test_050_linestring_int32_overflow_y(self):
+        int32_max, int32_min = 2**31 - 1, -(2**31)
+        # MoveTo (0, int32min); LineTo delta (-1, -1) wraps y to int32max
+        cmds = [9, 0, 0xFFFFFFFF, codec.command_integer(2, 1), 1, 1]
+        data = one_feature_tile(geom=cmds, geom_type=2)
+        f = next(VectorTile(data).get_layer(0).features())
+        parts = f.decode_geometry()
+        assert parts[0].tolist() == [[0, int32_min], [-1, int32_max]]
