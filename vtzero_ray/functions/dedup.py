@@ -109,10 +109,82 @@ class MinHasher:
         vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
+    def batch_signatures(self, texts: pa.Array) -> np.ndarray:
+        """(n_docs, n_perm) signatures for a whole batch — vectorized:
+        Arrow whitespace split, md5 only over the (small) vocabulary,
+        flat sliding-window gram polynomial, per-doc dedup via lexsort,
+        segmented min per (doc, perm). Identical outputs to
+        ``signature`` (asserted in tests); short docs (< k tokens) take
+        the scalar path."""
+        k = self.k
+        n_docs = len(texts)
+        if n_docs == 0:
+            return np.empty((0, self.n_perm), np.uint64)
+        toks = pa.compute.utf8_split_whitespace(texts)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        offs = np.asarray(toks.offsets)
+        d = pa.compute.dictionary_encode(flat)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = d.dictionary.to_pylist()
+        vocab_h = np.fromiter((hash_u64(w) for w in vocab),
+                              dtype=np.uint64, count=len(vocab)) \
+            if vocab else np.empty(0, np.uint64)
+        nonempty = np.fromiter((len(w) > 0 for w in vocab),
+                               dtype=bool, count=len(vocab)) \
+            if vocab else np.empty(0, bool)
+        counts_all = offs[1:] - offs[:-1]
+        docid_all = np.repeat(np.arange(n_docs, dtype=np.int64), counts_all)
+        keep = nonempty[codes] if len(vocab) else np.empty(0, bool)
+        tokh = vocab_h[codes[keep]] if len(vocab) else np.empty(0, np.uint64)
+        docid = docid_all[keep]
+        counts = np.bincount(docid, minlength=n_docs)
+
+        sig = np.zeros((n_docs, self.n_perm), np.uint64)
+        weights = _POLY_B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        N = tokh.shape[0]
+        gv = np.empty(0, np.uint64)
+        gd = np.empty(0, np.int64)
+        if N >= k:
+            g = np.zeros(N - k + 1, np.uint64)
+            for j in range(k):
+                g += weights[j] * tokh[j:N - k + 1 + j]
+            valid = docid[:N - k + 1] == docid[k - 1:]
+            gv = g[valid]
+            gd = docid[:N - k + 1][valid]
+        if gv.size:
+            order = np.lexsort((gv, gd))
+            gv = gv[order]
+            gd = gd[order]
+            uniq = np.ones(gv.shape[0], bool)
+            uniq[1:] = (gv[1:] != gv[:-1]) | (gd[1:] != gd[:-1])
+            gv = gv[uniq]
+            gd = gd[uniq]
+            bounds = np.searchsorted(gd, np.arange(n_docs + 1))
+            has = bounds[1:] > bounds[:-1]
+            starts = bounds[:-1][has]
+            rows = np.flatnonzero(has)
+            # one 1-D pass per permutation (2-D ufunc.reduceat measured 2x
+            # the cost of the arithmetic itself)
+            for p in range(self.n_perm):
+                v = (gv * self.a[p] + self.b[p]) % _MERSENNE
+                sig[rows, p] = np.minimum.reduceat(v, starts)
+        # short docs (0 < tokens < k): single whole-doc gram — scalar path
+        short = np.flatnonzero((counts > 0) & (counts < k))
+        if short.size:
+            texts_py = texts.to_pylist() if not isinstance(texts, list) else texts
+            for i in short:
+                sig[i] = self.signature(texts_py[int(i)])
+        return sig
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pandas()
-        sigs = np.stack([self.signature(t) for t in texts]) if len(texts) else \
-            np.empty((0, self.n_perm), np.uint64)
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        sigs = self.batch_signatures(texts)
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "sig": pa.array(list(sigs), pa.list_(pa.uint64(), self.n_perm)),
