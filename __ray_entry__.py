@@ -83,6 +83,31 @@ def _q_tile_assignment_z12(sf_dir: str):
     return agg.rename_columns({"count()": "n_pages"}) if "count()" in agg.schema().names else agg
 
 
+def _q_cell_page_counts(sf_dir: str):
+    """Quadtree cell assignment (J3): level-12 Morton cell ids rolled up to
+    their level-6 parents via cell_parent — the locality/repartition key for
+    the spatial join stages (SURVEY §2.4; cells.py:69,81)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from vtzero_ray.sources.pages import read_pages
+    from vtzero_ray.stages.cells import cell_id, cell_parent
+    from vtzero_ray.stages.geoparse import geoparse
+
+    def assign(t: pa.Table) -> pa.Table:
+        lon = t.column("lon").to_numpy()
+        lat = t.column("lat").to_numpy()
+        c12 = cell_id(lon, lat, level=12)
+        c6 = cell_parent(c12, level=12, parent_level=6)
+        return pa.table({"cell_l6": pa.array(c6.astype(np.int64))})
+
+    ds = geoparse(read_pages(sf_dir, include_html=False)).map_batches(
+        assign, batch_format="pyarrow"
+    )
+    agg = ds.groupby("cell_l6").count()
+    return agg.rename_columns({"count()": "n_pages"}) if "count()" in agg.schema().names else agg
+
+
 def _q_tile_pixel_coords(sf_dir: str):
     """Tile-local integer pixel coords at z=6 (extent 4096) — the
     geometry-input projection (M14 cursor inputs)."""
@@ -380,6 +405,17 @@ def _q_ann_lsh(sf_dir: str):
     return topk_lsh(ds, sf_dir, k=5, n_queries=10)
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF ANN: centroid-bucketed index + partition-pruned probe search
+    (the scale path — only nprobe/n_centroids of the corpus is scanned)."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.ann import topk_ivf
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return topk_ivf(ds, sf_dir, k=5, n_queries=10, n_centroids=16, nprobe=4)
+
+
 # -- spatial joins -----------------------------------------------------------
 
 def _geo_pages(sf_dir: str):
@@ -533,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geoparse": _q_geoparse,
         "tile_assignment_z6": _q_tile_assignment_z6,
         "tile_assignment_z12": _q_tile_assignment_z12,
+        "cell_page_counts": _q_cell_page_counts,
         "tile_pixel_coords": _q_tile_pixel_coords,
         "lang_page_counts": _q_lang_page_counts,
         "tiles_encoded": _q_tiles_encoded,
@@ -569,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
         # relational / streaming-shaped (SURVEY §2.5 analogues)
         "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
@@ -613,6 +651,16 @@ def _sql_tile(z: int) -> dict[str, str]:
     }
 
 
+def _sql_morton(xe: str, ye: str, level: int) -> str:
+    """DuckDB bit-interleave of two level-bit ints — mirrors
+    vtzero_ray.stages.cells._interleave_bits exactly."""
+    terms = []
+    for i in range(level):
+        terms.append(f"(((CAST({xe} AS BIGINT) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((CAST({ye} AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
 _SQL_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
 _SQL_NTOK = f"(CASE WHEN trim(text) = '' THEN 0 ELSE length({_SQL_TOKENS}) END)"
 _SQL_STOPS = ("len(list_filter(" + _SQL_TOKENS +
@@ -636,6 +684,7 @@ def _sql_lang_hits(lang: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from vtzero_ray.functions.ann import topk_ivf_sql as ann_ivf_sql
     from vtzero_ray.functions.ann import topk_lsh_sql as ann_lsh_sql
     from vtzero_ray.functions.dedup_sql import (jaccard_verified_sql,
                                                 minhash_candidates_sql,
@@ -675,6 +724,13 @@ def oracle_sql() -> dict[str, str]:
         "tile_assignment_z12": (
             f"SELECT 12 AS z, {t12['x']} AS x, {t12['y']} AS y, COUNT(*) AS n_pages "
             f"FROM documents GROUP BY 1, 2, 3"
+        ),
+        # level-12 quadtree cell = morton(x12, y12); level-6 parent = tag 6
+        # + morton >> 12 (2 bits per level) — mirrors cells.cell_parent
+        "cell_page_counts": (
+            f"SELECT ((CAST(6 AS BIGINT) << 58) | "
+            f"({_sql_morton(t12['x'], t12['y'], 12)} >> 12)) AS cell_l6, "
+            f"COUNT(*) AS n_pages FROM documents GROUP BY 1"
         ),
         "tile_pixel_coords": (
             f"SELECT {SQL_URL} AS url, {t6['x']} AS x, {t6['y']} AS y, "
@@ -868,6 +924,9 @@ def oracle_sql() -> dict[str, str]:
         # hyperplanes → buckets, dots and ranking are exact ints in BOTH
         # engines (functions/ann.py topk_lsh_sql)
         "ann_topk_lsh": ann_lsh_sql(),
+        # ann_topk_ivf: same quantization; centroid assignment, probe
+        # routing and re-rank are all exact-int dots + one float divide
+        "ann_topk_ivf": ann_ivf_sql(),
         # -- relational / streaming-shaped --------------------------------------
         # exact integer-cent sums: float summation order differs between
         # engines and exceeds any rounding tolerance at sf >= 0.1

@@ -49,6 +49,27 @@ class TestMinHash:
         pairs = set(zip(out.doc_a, out.doc_b))
         assert (1, 2) in pairs
 
+    def test_degenerate_bucket_caps_to_star(self, ray_session):
+        """A bucket above max_bucket emits a star around the min doc_id
+        (O(n) pairs), not the O(n²) clique — and transitive closure still
+        links every member of the dup cluster."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup import minhash_lsh_candidates
+
+        n = 12
+        df = pd.DataFrame({
+            "doc_id": list(range(1, n + 1)),
+            "text": ["alpha beta gamma delta epsilon zeta eta theta"] * n,
+        })
+        out = minhash_lsh_candidates(rd.from_pandas(df), max_bucket=4).to_pandas()
+        pairs = set(zip(out.doc_a, out.doc_b))
+        # star: every doc paired with min id 1, and nothing else
+        assert pairs == {(1, b) for b in range(2, n + 1)}
+        # uncapped: full clique
+        full = minhash_lsh_candidates(rd.from_pandas(df)).to_pandas()
+        assert len(full) == n * (n - 1) // 2
+
     def test_lsh_recall_vs_bruteforce(self, ray_session, docs):
         """All high-Jaccard pairs must be LSH candidates (16 bands x 8 rows
         → pairs with J>=0.7 hit a band w.p. >0.99)."""
@@ -122,6 +143,35 @@ class TestANN:
         ek = set(zip(exact.query_id, exact.vec_id))
         ak = set(zip(approx.query_id, approx.vec_id))
         assert len(ek & ak) / len(ek) > 0.3
+
+    def test_ivf_prunes_and_recalls(self, ray_session, sf_dir):
+        """IVF: self-match at rank 1 (the query's own centroid is always
+        probed), candidates only from probed centroid buckets, reasonable
+        recall vs exact."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.ann import (assign_centroids,
+                                              load_centroids, topk_bruteforce,
+                                              topk_ivf)
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        exact = topk_bruteforce(ds, sf_dir, k=5, n_queries=5).to_pandas()
+        approx = topk_ivf(ds, sf_dir, k=5, n_queries=5,
+                          n_centroids=16, nprobe=4).to_pandas()
+        e1 = exact[exact["rank"] == 1].set_index("query_id").vec_id
+        a1 = approx[approx["rank"] == 1].set_index("query_id").vec_id
+        assert (e1 == a1.reindex(e1.index)).all()
+        ek = set(zip(exact.query_id, exact.vec_id))
+        ak = set(zip(approx.query_id, approx.vec_id))
+        assert len(ek & ak) / len(ek) > 0.3
+        # the index buckets the whole corpus across the centroid set
+        import ray
+
+        idx = assign_centroids(ds, ray.put(load_centroids(sf_dir, 16)))
+        cents = idx.to_pandas()
+        assert cents["centroid_id"].nunique() > 1
+        assert len(cents) == ds.count()
 
 
 class TestJoins:

@@ -182,6 +182,138 @@ def topk_lsh(ds, sf_dir: str, k: int = 5, n_queries: int = 10, n_bits: int = 8,
     return cand.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def load_centroids(sf_dir: str, n_centroids: int = 16):
+    """Deterministic IVF coarse centroids: the first n corpus vectors by
+    vec_id, integer-quantized (a k-means seed without the iterations —
+    deterministic and SQL-expressible; swap in trained centroids at scale)."""
+    return load_queries_quantized(sf_dir, n_centroids)
+
+
+def assign_centroids(ds, cents_ref):
+    """IVF index build: tag every vector with its nearest coarse centroid
+    (exact-int dot / centroid norm; ties → smaller centroid id). At scale
+    this dataset is written partitioned by ``centroid_id`` once and reused
+    by every query batch — the bucketed corpus IS the index."""
+    import ray
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cids, cmat = ray.get(cents_ref)
+        mat = quantize(np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))) \
+            if len(batch) else np.empty((0, 1), np.int64)
+        if len(batch) == 0:
+            return batch.append_column("centroid_id", pa.array([], pa.int64()))
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+        sim = (cmat @ mat.T).astype(np.float64) / cnorm[:, None]  # (C, B)
+        # argmax with ties → smaller centroid id: cids ascending, argmax
+        # returns the first maximum
+        best = np.argmax(sim, axis=0)
+        return batch.append_column("centroid_id", pa.array(cids[best], pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=4096)
+
+
+def topk_ivf(ds, sf_dir: str, k: int = 5, n_queries: int = 10,
+             n_centroids: int = 16, nprobe: int = 4):
+    """IVF ANN: corpus bucketed by nearest coarse centroid (the index);
+    each query probes only its ``nprobe`` nearest centroids' buckets and
+    exact-re-ranks inside them — a partition-pruned scan of nprobe/C of
+    the corpus instead of a full pass (the genuine scale path vs the
+    broadcast-filter LSH variant). All arithmetic is exact-int dots with
+    one float divide, so DuckDB reproduces results bit-for-bit."""
+    import ray
+
+    qids, qmat = load_queries_quantized(sf_dir, n_queries)
+    cids, cmat = load_centroids(sf_dir, n_centroids)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+    qsim = (qmat @ cmat.T).astype(np.float64) / cnorm[None, :]  # (Q, C)
+    # nprobe nearest centroids per query (sim desc, centroid id asc)
+    order = np.lexsort((cids[None, :].repeat(qids.shape[0], 0), -qsim), axis=1)
+    probes = cids[order[:, :nprobe]]  # (Q, nprobe)
+    probe_set = np.unique(probes)
+    qref = ray.put((qids, qmat, probes))
+
+    indexed = assign_centroids(ds, ray.put((cids, cmat)))
+
+    # partition pruning: only probed buckets are scanned at all (with the
+    # index written partitioned by centroid_id, this is a file-level skip)
+    def prune(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t.column("centroid_id"),
+                                 value_set=pa.array(probe_set)))
+
+    pruned = indexed.map_batches(prune, batch_format="pyarrow")
+
+    def search(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, q_probes = ray.get(qref)
+        ids = batch.column("vec_id").to_numpy()
+        cent = batch.column("centroid_id").to_numpy()
+        mat = quantize(np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)))
+        # query q sees row v iff v's centroid is among q's probes
+        hit = (q_probes[:, :, None] == cent[None, None, :]).any(axis=1)  # (Q, B)
+        qdot = q_mat @ mat.T                       # exact int64
+        sumsq = (mat * mat).sum(axis=1)            # exact int64
+        score = qdot.astype(np.float64) / np.sqrt(sumsq.astype(np.float64))[None, :]
+        qi, ci = np.nonzero(hit)
+        return pa.table({
+            "query_id": pa.array(q_ids[qi], pa.int64()),
+            "vec_id": pa.array(ids[ci], pa.int64()),
+            "qdot": pa.array(qdot[qi, ci], pa.int64()),
+            "score": pa.array(score[qi, ci], pa.float64()),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", "vec_id"], ascending=[False, True],
+                            kind="stable").head(k)
+        out = df[["query_id", "vec_id", "qdot"]].copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    cand = pruned.map_batches(search, batch_format="pyarrow", batch_size=4096)
+    return cand.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def topk_ivf_sql(k: int = 5, n_queries: int = 10, n_centroids: int = 16,
+                 nprobe: int = 4) -> str:
+    """DuckDB oracle for topk_ivf — same quantization, same centroid
+    assignment (dot/||c||, ties → min cid), same probe routing, same
+    exact-int re-rank."""
+    return (
+        f"WITH e AS (SELECT vec_id, embedding FROM embeddings), "
+        f"comp0 AS (SELECT vec_id, unnest(embedding) AS x0,"
+        f" unnest(generate_series(1, len(embedding))) AS d FROM e), "
+        f"q AS (SELECT vec_id, d,"
+        f" CAST(floor(x0::DOUBLE * {QSCALE} + 0.5) AS BIGINT) AS v FROM comp0), "
+        f"cents AS (SELECT vec_id AS cid FROM e ORDER BY vec_id LIMIT {n_centroids}), "
+        f"cnorm AS (SELECT vec_id AS cid, sqrt(SUM(v * v)::DOUBLE) AS nrm"
+        f" FROM q WHERE vec_id IN (SELECT cid FROM cents) GROUP BY 1), "
+        f"vdot AS (SELECT qv.vec_id, qc.vec_id AS cid, SUM(qv.v * qc.v) AS dot"
+        f" FROM q qv JOIN q qc ON qc.d = qv.d"
+        f" WHERE qc.vec_id IN (SELECT cid FROM cents) GROUP BY 1, 2), "
+        f"assign AS (SELECT vec_id, cid FROM ("
+        f"SELECT v.vec_id, v.cid, row_number() OVER (PARTITION BY v.vec_id"
+        f" ORDER BY (v.dot::DOUBLE / n.nrm) DESC, v.cid) AS rn"
+        f" FROM vdot v JOIN cnorm n ON n.cid = v.cid) WHERE rn = 1), "
+        f"qv AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT {n_queries}), "
+        f"probes AS (SELECT vec_id AS query_id, cid FROM ("
+        f"SELECT v.vec_id, v.cid, row_number() OVER (PARTITION BY v.vec_id"
+        f" ORDER BY (v.dot::DOUBLE / n.nrm) DESC, v.cid) AS rn"
+        f" FROM vdot v JOIN cnorm n ON n.cid = v.cid"
+        f" WHERE v.vec_id IN (SELECT vec_id FROM qv)) WHERE rn <= {nprobe}), "
+        f"cand AS (SELECT p.query_id, a.vec_id FROM probes p"
+        f" JOIN assign a ON a.cid = p.cid), "
+        f"sumsq AS (SELECT vec_id, SUM(v * v) AS s2 FROM q GROUP BY 1), "
+        f"dots AS (SELECT c.query_id, c.vec_id, SUM(qa.v * qb.v) AS qdot"
+        f" FROM cand c JOIN q qa ON qa.vec_id = c.query_id"
+        f" JOIN q qb ON qb.vec_id = c.vec_id AND qb.d = qa.d GROUP BY 1, 2), "
+        f"ranked AS (SELECT d.query_id, d.vec_id, d.qdot,"
+        f" row_number() OVER (PARTITION BY d.query_id ORDER BY"
+        f" (d.qdot::DOUBLE / sqrt(s.s2::DOUBLE)) DESC, d.vec_id) AS rank"
+        f" FROM dots d JOIN sumsq s ON s.vec_id = d.vec_id) "
+        f"SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= {k}"
+    )
+
+
 def topk_lsh_sql(k: int = 5, n_queries: int = 10, n_bits: int = 8,
                  n_tables: int = 4) -> str:
     """DuckDB oracle for topk_lsh — same quantization, same md5 signs,

@@ -214,8 +214,17 @@ def _bands_batch(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
 
 
 def minhash_lsh_candidates(ds, n_perm: int = 128, n_bands: int = 16, k: int = 5,
-                           seed: int = 42):
-    """documents → candidate near-dup pairs (doc_a < doc_b) via LSH buckets."""
+                           seed: int = 42, max_bucket: int = 1024):
+    """documents → candidate near-dup pairs (doc_a < doc_b) via LSH buckets.
+
+    ``max_bucket`` guards the O(n²) pair explosion of a degenerate bucket
+    (boilerplate-heavy corpora put millions of near-identical docs in one
+    LSH band bucket): buckets larger than the limit emit a STAR instead of
+    a clique — every member paired with the bucket's min doc_id — so the
+    pair count stays O(n) and transitive closure still recovers the dup
+    cluster. The limit never triggers on the synthetic test corpus, so the
+    all-pairs DuckDB oracle remains exact at test scale.
+    """
     rows_per_band = n_perm // n_bands
     sigs = ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=1024,
                           concurrency=(1, 8),
@@ -243,6 +252,11 @@ def minhash_lsh_candidates(ds, n_perm: int = 128, n_bands: int = 16, k: int = 5,
             if len(g) < 2:
                 continue
             ids = np.sort(g["doc_id"].to_numpy())
+            if ids.shape[0] > max_bucket:
+                # degenerate bucket → star around min id, not O(n²) clique
+                out_a.append(np.full(ids.shape[0] - 1, ids[0], ids.dtype))
+                out_b.append(ids[1:])
+                continue
             ia, ib = np.triu_indices(ids.shape[0], k=1)
             out_a.append(ids[ia])
             out_b.append(ids[ib])

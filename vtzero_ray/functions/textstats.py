@@ -5,8 +5,12 @@ language-ID (stopword-hit heuristic), quality scoring (length/punct/
 stopword ratios), token counting (whitespace + BPE-ish regex), and document
 fingerprinting (md5 content hash + winnowing rolling-hash sketch).
 
-Where DuckDB can express the same computation, the SQL lives in
-__ray_entry__.oracle_sql(); the winnowing sketch is rows-only.
+The hot path is pure Arrow compute (RE2 kernels) + NumPy segment sums —
+no per-row Python in token counting, quality scoring, or language-ID; the
+only remaining per-row work is the md5 digest (hashlib has no batch API).
+Tokenization semantics are RE2 ``\\s+`` splits of the trimmed text, the
+same expressions DuckDB evaluates in __ray_entry__.oracle_sql(), so Ray
+and oracle agree bit-for-bit. The winnowing sketch is rows-only.
 """
 
 from __future__ import annotations
@@ -15,7 +19,6 @@ import hashlib
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -30,8 +33,46 @@ LANG_MARKERS = {
 STOPWORDS = frozenset(LANG_MARKERS["en"])
 
 TOKEN_RE = re.compile(r"\s+")
+TOKEN_PATTERN = r"\s+"
 # BPE-ish word/number/punct splitter (GPT-2-style shape, simplified)
 BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+BPE_PATTERN = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+
+
+def _as_array(col) -> pa.Array:
+    """ChunkedArray → single contiguous Array (zero-copy when 1 chunk)."""
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 1:
+            return col.chunk(0)
+        if col.num_chunks == 0:
+            return pa.array([], type=col.type)
+        return col.combine_chunks()
+    return col
+
+
+def _np(arr, dtype=None) -> np.ndarray:
+    out = arr.to_numpy(zero_copy_only=False)
+    return out.astype(dtype) if dtype is not None else out
+
+
+def _token_counts(stripped: pa.Array) -> np.ndarray:
+    """len(split(strip(t))) with empty → 0; vectorized as ws-run count + 1."""
+    runs = _np(pc.count_substring_regex(stripped, TOKEN_PATTERN), np.int64)
+    nonempty = _np(pc.not_equal(stripped, ""))
+    return np.where(nonempty, runs + 1, 0)
+
+
+def _split_tokens(stripped: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Split on ``\\s+`` → (flat token values, absolute row offsets)."""
+    parts = _as_array(pc.split_pattern_regex(stripped, TOKEN_PATTERN))
+    return parts.values, np.asarray(parts.offsets, dtype=np.int64)
+
+
+def _segment_sums(mask: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flat boolean/int array given list offsets
+    (cumsum-diff: safe for empty segments, unlike np.add.reduceat)."""
+    cum = np.concatenate([[0], np.cumsum(mask, dtype=np.int64)])
+    return cum[offsets[1:]] - cum[offsets[:-1]]
 
 
 class TokenStats:
@@ -42,10 +83,11 @@ class TokenStats:
         self.bpe_re = BPE_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pandas()
-        n_tokens = texts.map(lambda t: len(self.token_re.split(t.strip())) if t.strip() else 0)
-        n_bpe = texts.map(lambda t: len(self.bpe_re.findall(t)))
-        n_chars = pc.utf8_length(batch.column("text"))
+        txt = _as_array(batch.column("text"))
+        stripped = pc.utf8_trim_whitespace(txt)
+        n_tokens = _token_counts(stripped)
+        n_bpe = _np(pc.count_substring_regex(txt, BPE_PATTERN), np.int64)
+        n_chars = pc.utf8_length(txt)
         return (
             batch.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
             .append_column("n_bpe_tokens", pa.array(n_bpe, pa.int64()))
@@ -65,23 +107,28 @@ class QualityScore:
         self.stop = frozenset(stopwords)
         self.token_re = TOKEN_RE
         self.non_alpha_re = re.compile(r"[^A-Za-z ]")
+        self._stop_set = pa.array(sorted(self.stop))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pandas()
-        toks = texts.map(lambda t: self.token_re.split(t.strip()) if t.strip() else [])
-        n = toks.map(len).astype("int64")
-        stop_hits = toks.map(lambda ws: sum(1 for w in ws if w in self.stop)).astype("int64")
+        txt = _as_array(batch.column("text"))
+        stripped = pc.utf8_trim_whitespace(txt)
+        n = _token_counts(stripped)
+        flat, offsets = _split_tokens(stripped)
+        is_stop = _np(pc.is_in(flat, value_set=self._stop_set))
+        stop_hits = _segment_sums(is_stop, offsets)
         # chars matching [A-Za-z ] (ASCII rule — mirrors the SQL oracle)
-        alpha = texts.map(lambda t: len(self.non_alpha_re.sub("", t))).astype("int64")
-        total_chars = texts.map(len).astype("int64")
-        stop_ratio = (stop_hits / n.clip(lower=1)).round(9)
-        mean_tok = ((total_chars - (n - 1).clip(lower=0)) / n.clip(lower=1)).round(9)
-        alpha_ratio = (alpha / total_chars.clip(lower=1)).round(9)
-        score = (
-            0.4 * ((stop_ratio >= 0.01) & (stop_ratio <= 0.6)).astype(float)
-            + 0.3 * ((mean_tok >= 3.0) & (mean_tok <= 10.0)).astype(float)
-            + 0.3 * (alpha_ratio >= 0.7).astype(float)
-        ).round(9)
+        alpha = _np(pc.count_substring_regex(txt, "[A-Za-z ]"), np.int64)
+        total_chars = _np(pc.utf8_length(txt), np.int64)
+        n1 = np.maximum(n, 1)
+        stop_ratio = np.round(stop_hits / n1, 9)
+        mean_tok = np.round((total_chars - np.maximum(n - 1, 0)) / n1, 9)
+        alpha_ratio = np.round(alpha / np.maximum(total_chars, 1), 9)
+        score = np.round(
+            0.4 * ((stop_ratio >= 0.01) & (stop_ratio <= 0.6)).astype(np.float64)
+            + 0.3 * ((mean_tok >= 3.0) & (mean_tok <= 10.0)).astype(np.float64)
+            + 0.3 * (alpha_ratio >= 0.7).astype(np.float64),
+            9,
+        )
         out = batch
         for name, vals in (
             ("stop_ratio", stop_ratio),
@@ -100,18 +147,27 @@ class LangId:
     def __init__(self, markers=LANG_MARKERS) -> None:
         self.markers = {k: frozenset(v) for k, v in sorted(markers.items())}
         self.token_re = TOKEN_RE
+        self._marker_sets = {
+            k: pa.array(sorted(v)) for k, v in self.markers.items()
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pandas()
-        toks = texts.map(lambda t: self.token_re.split(t.strip().lower()) if t.strip() else [])
+        txt = _as_array(batch.column("text"))
+        lowered = pc.utf8_lower(pc.utf8_trim_whitespace(txt))
+        flat, offsets = _split_tokens(lowered)
         out = batch
-        scores = {}
-        for lang, words in self.markers.items():
-            hits = toks.map(lambda ws, w=words: sum(1 for x in ws if x in w)).astype("int64")
-            scores[lang] = hits
+        langs = list(self.markers)  # asc lang code (sorted in __init__)
+        hit_rows = []
+        for lang in langs:
+            hits = _segment_sums(
+                _np(pc.is_in(flat, value_set=self._marker_sets[lang])), offsets
+            )
+            hit_rows.append(hits)
             out = out.append_column(f"hits_{lang}", pa.array(hits, pa.int64()))
-        df = pd.DataFrame(scores)
-        pred = df.idxmax(axis=1)  # ties → first column = asc lang code
+        # argmax over rows stacked in asc-lang order → first max wins the tie
+        pred_idx = np.argmax(np.stack(hit_rows, axis=0), axis=0) if len(txt) \
+            else np.zeros(0, np.int64)
+        pred = np.asarray(langs, dtype=object)[pred_idx]
         out = out.append_column("lang_pred", pa.array(pred, pa.string()))
         return out
 
@@ -128,9 +184,9 @@ class Fingerprint:
         self.window = window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pandas()
-        md5 = texts.map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
-        sketches = texts.map(self._winnow)
+        texts = _as_array(batch.column("text")).to_pylist()
+        md5 = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        sketches = [self._winnow(t) for t in texts]
         return (
             batch.append_column("md5", pa.array(md5, pa.string()))
             .append_column("fingerprint", pa.array(sketches, pa.list_(pa.uint64())))
