@@ -223,12 +223,15 @@ def _q_multilayer_z6(sf_dir: str):
     from vtzero_ray.pipelines.tiling import tiles_pipeline
     from vtzero_ray.stages.raster import raster_to_vector, rasterize_tiles
 
-    pages = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
+    # encode the pages tiles ONCE and branch: the hotcells layer derives
+    # from the same tiles, and Ray re-executes lineage per consumer, so a
+    # diamond DAG needs the (output-sized, ~100x smaller than input) tile
+    # corpus pinned in the object store — the distributed-write-then-read
+    # pattern without the round trip
+    pages = tiles_pipeline(sf_dir, zooms=(6,), validate=False).materialize()
     paths = site_paths_tiles(sf_dir, zoom=6)
-    hot = raster_to_vector(
-        rasterize_tiles(tiles_pipeline(sf_dir, zooms=(6,), validate=False),
-                        grid=16), threshold=2, grid=16)
-    merged = merge_tiles(merge_tiles(pages, paths),
+    hot = raster_to_vector(rasterize_tiles(pages, grid=16), threshold=2, grid=16)
+    merged = merge_tiles(pages, paths,
                          hot.select_columns(["z", "x", "y", "mvt"]))
     feats = decode_tiles(merged, with_props=False, with_geometry=False)
     agg = feats.groupby(["z", "x", "y", "layer"]).count()

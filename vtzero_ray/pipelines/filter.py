@@ -99,10 +99,11 @@ def select_layer(tiles_ds, layer_name: str):
     return tiles_ds.map_batches(per_tile, batch_format="pyarrow", batch_size=None)
 
 
-def merge_tiles(a_ds, b_ds):
-    """Union of two tile corpora: tiles with the same (z,x,y) merge by layer
+def merge_tiles(a_ds, b_ds, *more):
+    """Union of N tile corpora: tiles with the same (z,x,y) merge by layer
     concatenation (add_existing_layer semantics, builder.hpp:119-132) —
-    Ray ds.union + groupby(z,x,y) re-group (SURVEY §2.5 set ops)."""
+    Ray ds.union + ONE groupby(z,x,y) re-group regardless of corpus count
+    (SURVEY §2.5 set ops). Layer order follows argument order (src tag)."""
     import pandas as pd
 
     def merge_group(df: pd.DataFrame) -> pd.DataFrame:
@@ -117,9 +118,12 @@ def merge_tiles(a_ds, b_ds):
             "mvt": [tb.serialize()],
         })
 
-    a = a_ds.map_batches(lambda t: t.append_column("src", pa.array([0] * len(t), pa.int32())),
-                         batch_format="pyarrow")
-    b = b_ds.map_batches(lambda t: t.append_column("src", pa.array([1] * len(t), pa.int32())),
-                         batch_format="pyarrow")
-    both = a.union(b)
+    def tag(i):
+        return lambda t: t.append_column("src", pa.array([i] * len(t), pa.int32()))
+
+    parts = [ds.map_batches(tag(i), batch_format="pyarrow")
+             for i, ds in enumerate((a_ds, b_ds, *more))]
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.union(p)
     return both.groupby(["z", "x", "y"]).map_groups(merge_group, batch_format="pandas")

@@ -262,17 +262,25 @@ def cell_knn_join(points_ds, cell_us: int = 10_000_000, rings: int = 3,
         return pd.concat(out, ignore_index=True)
 
     resolved = both.groupby("bucket").map_groups(resolve, batch_format="pandas")
-    resolved = resolved.map_batches(lambda t: t, batch_format="pyarrow")
-    certain = resolved.filter(expr="certain == True") \
-        .select_columns(["url", "poi_id", "poi_d2"])
 
-    # sparse-region fallback: exact broadcast pass over the uncertain tail
-    uncertain = resolved.filter(expr="certain == False") \
-        .select_columns(["url", "lat", "lon"])
-    fallback = uncertain.map_batches(KNNJoin, batch_format="pyarrow",
-                                     concurrency=(1, 2)) \
-        .select_columns(["url", "poi_id", "poi_d2"])
-    return certain.union(fallback)
+    # sparse-region fallback FUSED into one pass-through stage: certain rows
+    # keep their local result, uncertain rows are re-resolved exactly against
+    # the broadcast POI matrix. (Two filter branches over `resolved` would
+    # re-execute the whole co-partitioned join once per branch — Ray Data
+    # lineage has no shared-subplan cache.)
+    class Finalize(KNNJoin):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok = batch.column("certain").to_numpy(zero_copy_only=False)
+            if ok.all():
+                return batch.select(["url", "poi_id", "poi_d2"])
+            sure = batch.filter(pa.array(ok)).select(["url", "poi_id", "poi_d2"])
+            redo = KNNJoin.__call__(
+                self, batch.filter(pa.array(~ok)).select(["url", "lat", "lon"])
+            ).select(["url", "poi_id", "poi_d2"])
+            return pa.concat_tables([sure, redo])
+
+    return resolved.map_batches(Finalize, batch_format="pyarrow",
+                                concurrency=(1, 4))
 
 
 class KNNGrid:
