@@ -345,6 +345,14 @@ def _q_simhash(sf_dir: str):
     return simhash_signatures(_docs(sf_dir))
 
 
+def _q_simhash_near_dups(sf_dir: str):
+    """Banded SimHash hamming-join: 16-bit band keys → bucketed groupby →
+    exact popcount verify (<= 8 bits). Same shuffle shape as MinHash-LSH."""
+    from vtzero_ray.functions.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(sf_dir))
+
+
 def _q_distinct_langs(sf_dir: str):
     """Set op: distinct values of one column (ds.unique → shuffle)."""
     import pandas as pd
@@ -602,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_verified_dups": _q_jaccard_verified_dups,
         "minhash_lsh_candidates": _q_minhash_lsh,
         "simhash_signatures": _q_simhash,
+        "simhash_near_dups": _q_simhash_near_dups,
         "approx_distinct_texts": _q_approx_distinct,
         "distinct_langs": _q_distinct_langs,
         "doc_sample_10pct": _q_doc_sample,
@@ -691,6 +700,7 @@ def oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.ann import topk_lsh_sql as ann_lsh_sql
     from vtzero_ray.functions.dedup_sql import (jaccard_verified_sql,
                                                 minhash_candidates_sql,
+                                                simhash_near_dups_sql,
                                                 simhash_sql)
     from vtzero_ray.stages.joins import SQL_ADMIN, SQL_POI
 
@@ -907,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
         # (vtzero_ray/functions/dedup_sql.py)
         "minhash_lsh_candidates": minhash_candidates_sql(),
         "simhash_signatures": simhash_sql(),
+        "simhash_near_dups": simhash_near_dups_sql(),
         "jaccard_verified_dups": jaccard_verified_sql(),
         "embedding_near_dups": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

@@ -106,6 +106,33 @@ class TestSimHash:
         ham_ac = bin(a ^ c).count("1")
         assert ham_ab < ham_ac
 
+    def test_banded_hamming_join(self, ray_session):
+        """Identical docs pair at hamming 0; unrelated docs don't pair
+        within the threshold; pigeonhole recall holds for small hamming."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup import SimHasher, simhash_near_dups
+
+        base = "the quick brown fox jumps over the lazy dog and runs away"
+        df = pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [base, base,
+                     base.replace("dog", "cat"),
+                     "completely unrelated words about database shuffles"],
+        })
+        out = simhash_near_dups(rd.from_pandas(df), max_hamming=8).to_pandas()
+        got = {(a, b): h for a, b, h in zip(out.doc_a, out.doc_b, out.hamming)}
+        assert got[(1, 2)] == 0
+        sh = SimHasher()
+        s1 = sh.signature(base)
+        s3 = sh.signature(base.replace("dog", "cat"))
+        ham13 = bin(s1 ^ s3).count("1")
+        shares_band = any((s1 >> (16 * b)) & 0xFFFF == (s3 >> (16 * b)) & 0xFFFF
+                          for b in range(4))
+        if ham13 <= 8 and shares_band:
+            assert (1, 3) in got and got[(1, 3)] == ham13
+        assert (1, 4) not in got and (2, 4) not in got
+
 
 class TestANN:
     def test_bruteforce_matches_numpy(self, ray_session, sf_dir, emb):

@@ -395,6 +395,83 @@ def simhash_signatures(ds):
                           concurrency=(1, 8))
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    if x.shape[0] == 0:
+        return np.zeros(0, np.int64)
+    return np.unpackbits(np.ascontiguousarray(x).view(np.uint8)) \
+        .reshape(-1, 64).sum(axis=1).astype(np.int64)
+
+
+def simhash_near_dups(ds, n_bands: int = 4, band_bits: int = 16,
+                      max_hamming: int = 8, n_buckets: int = 64,
+                      max_bucket: int = 1024):
+    """SimHash banded hamming-join: signatures → 16-bit band keys → bucketed
+    groupby → candidate pairs within equal-band groups → exact hamming
+    verify (popcount of xor), keep <= max_hamming. The same
+    explode-band/bucket-shuffle shape as MinHash-LSH. Pigeonhole: a pair
+    with hamming < n_bands always shares at least one exact band, so
+    recall is 1.0 up to hamming n_bands - 1; beyond that it is
+    probabilistic (diffs must cluster outside some band)."""
+    sigs = simhash_signatures(ds)
+
+    def bands(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        s = t.column("simhash").to_numpy()
+        mask = np.uint64((1 << band_bits) - 1)
+        out_b, out_v, out_id, out_s = [], [], [], []
+        for b in range(n_bands):
+            out_b.append(np.full(ids.shape[0], b, np.int32))
+            out_v.append((s >> np.uint64(band_bits * b)) & mask)
+            out_id.append(ids)
+            out_s.append(s)
+        bv = np.concatenate(out_v)
+        bb = np.concatenate(out_b).astype(np.uint64)
+        bucket = ((bv ^ (bb * np.uint64(0x9E3779B97F4A7C15)))
+                  % np.uint64(n_buckets)).astype(np.int32)
+        return pa.table({
+            "band": pa.array(np.concatenate(out_b)),
+            "bv": pa.array(bv),
+            "doc_id": pa.array(np.concatenate(out_id)),
+            "simhash": pa.array(np.concatenate(out_s)),
+            "bucket": pa.array(bucket),
+        })
+
+    banded = sigs.map_batches(bands, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b_, out_h = [], [], []
+        for _, g in df.groupby(["band", "bv"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id", kind="stable")
+            ids = g["doc_id"].to_numpy()
+            sgs = g["simhash"].to_numpy().astype(np.uint64)
+            if ids.shape[0] > max_bucket:
+                ia = np.zeros(ids.shape[0] - 1, np.int64)
+                ib = np.arange(1, ids.shape[0])
+            else:
+                ia, ib = np.triu_indices(ids.shape[0], k=1)
+            ham = _popcount64(sgs[ia] ^ sgs[ib])
+            keep = ham <= max_hamming
+            out_a.append(ids[ia][keep])
+            out_b_.append(ids[ib][keep])
+            out_h.append(ham[keep])
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a).astype(np.int64),
+                             "doc_b": np.concatenate(out_b_).astype(np.int64),
+                             "hamming": np.concatenate(out_h).astype(np.int64)})
+
+    pairs = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = pairs.map_batches(lambda t: t, batch_format="pyarrow")
+    # a pair can match in several bands → global dedup (hamming identical)
+    uniq = pairs.groupby(["doc_a", "doc_b"]).min("hamming")
+    return uniq.rename_columns({"min(hamming)": "hamming"})
+
+
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------

@@ -161,3 +161,24 @@ def simhash_sql() -> str:
         f"SELECT d.doc_id, CAST(COALESCE(s.simhash, 0) AS UBIGINT) AS simhash"
         f" FROM documents d LEFT JOIN sig s ON s.doc_id = d.doc_id"
     )
+
+
+def simhash_near_dups_sql(n_bands: int = 4, band_bits: int = 16,
+                          max_hamming: int = 8) -> str:
+    """Banded hamming-join oracle: equal 16-bit band → candidate pair →
+    exact popcount(xor) filter — mirrors dedup.simhash_near_dups."""
+    mask = (1 << band_bits) - 1
+    return (
+        f"WITH sigq AS ({simhash_sql()}), "
+        f"bands AS (SELECT doc_id, simhash, b.range AS band,"
+        f" (simhash >> CAST({band_bits} * b.range AS INTEGER))"
+        f" & CAST({mask} AS UBIGINT) AS bv"
+        f" FROM sigq CROSS JOIN range({n_bands}) b), "
+        f"pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+        f" a.simhash AS sa, b.simhash AS sb"
+        f" FROM bands a JOIN bands b"
+        f" ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id) "
+        f"SELECT doc_a, doc_b,"
+        f" CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming"
+        f" FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}"
+    )
