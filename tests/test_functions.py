@@ -234,6 +234,28 @@ class TestJoins:
         assert exact.column("poi_id").to_pylist() == grid.column("poi_id").to_pylist()
         assert exact.column("poi_d2").to_pylist() == grid.column("poi_d2").to_pylist()
 
+    def test_knn_grid_cell_boundaries(self):
+        """Points sitting exactly on grid-cell boundaries and directly on
+        POI coordinates (d2=0, plus equidistant ties) must match the exact
+        broadcast join."""
+        import pyarrow as pa
+
+        from vtzero_ray.stages.joins import KNNGrid, KNNJoin, poi_table
+
+        pois = poi_table()
+        px = pois["px_us"].to_numpy()[:50].astype(np.int64)
+        py = pois["py_us"].to_numpy()[:50].astype(np.int64)
+        cell = KNNGrid.CELL_US
+        lon = np.concatenate([px, px - px % cell, px + (cell - px % cell) % cell])
+        lat = np.concatenate([py, py - py % cell, py + (cell - py % cell) % cell])
+        lat = np.clip(lat, -85_000_000, 85_000_000)
+        lon = np.clip(lon, -179_999_999, 179_999_999)
+        batch = pa.table({"lat": lat / 1e6, "lon": lon / 1e6})
+        exact = KNNJoin()(batch)
+        grid = KNNGrid()(batch)
+        assert exact.column("poi_id").to_pylist() == grid.column("poi_id").to_pylist()
+        assert exact.column("poi_d2").to_pylist() == grid.column("poi_d2").to_pylist()
+
 
 class TestHLL:
     def test_accuracy_bound(self):

@@ -308,46 +308,70 @@ class KNNGrid:
             self.grid.setdefault((int(cx[i]), int(cy[i])), []).append(i)
         self.grid = {k: np.array(v, dtype=np.int64) for k, v in self.grid.items()}
 
-    def _nearest_one(self, x: int, y: int) -> tuple[int, int]:
-        cx, cy = x // self.CELL_US, y // self.CELL_US
-        best_d2, best_i = None, -1
+    def _ring_candidates(self, cx: int, cy: int, ring: int) -> np.ndarray | None:
+        """POI indices (poi_id-ascending) in grid cells at exactly Chebyshev
+        distance ``ring`` from (cx, cy); None if the ring is empty."""
+        idxs = []
+        for gx in range(cx - ring, cx + ring + 1):
+            for gy in range(cy - ring, cy + ring + 1):
+                if max(abs(gx - cx), abs(gy - cy)) == ring and (gx, gy) in self.grid:
+                    idxs.append(self.grid[(gx, gy)])
+        if not idxs:
+            return None
+        # ascending POI index == ascending poi_id → argmin's first-minimum
+        # rule implements the (d2, poi_id) tie-break for free
+        return np.sort(np.concatenate(idxs))
+
+    def _nearest_cohort(self, xs: np.ndarray, ys: np.ndarray,
+                        cx: int, cy: int) -> tuple[np.ndarray, np.ndarray]:
+        """All points of one cell, resolved together: one (rows × ring-cands)
+        distance matrix per ring, rows retiring as soon as their best found
+        distance beats the next ring's minimum possible distance."""
+        n = xs.shape[0]
+        best_d2 = np.full(n, np.iinfo(np.int64).max, np.int64)
+        best_i = np.full(n, -1, np.int64)
+        active = np.arange(n)
         ring = 0
-        while True:
-            idxs = []
-            for gx in range(cx - ring, cx + ring + 1):
-                for gy in range(cy - ring, cy + ring + 1):
-                    if max(abs(gx - cx), abs(gy - cy)) == ring and (gx, gy) in self.grid:
-                        idxs.append(self.grid[(gx, gy)])
-            if idxs:
-                cand = np.concatenate(idxs)
-                dx = self.px[cand] - x
-                dy = self.py[cand] - y
+        while active.size and ring <= 41:
+            cand = self._ring_candidates(cx, cy, ring)
+            if cand is not None:
+                dx = self.px[cand][None, :] - xs[active][:, None]
+                dy = self.py[cand][None, :] - ys[active][:, None]
                 d2 = dx * dx + dy * dy
-                order = np.lexsort((self.pid[cand], d2))
-                if best_d2 is None or d2[order[0]] < best_d2 or (
-                    d2[order[0]] == best_d2 and self.pid[cand[order[0]]] < self.pid[best_i]
-                ):
-                    best_d2 = int(d2[order[0]])
-                    best_i = int(cand[order[0]])
-            # guaranteed-safe stop: next ring's min possible distance
+                j = np.argmin(d2, axis=1)  # first min → smallest poi_id
+                nd2 = d2[np.arange(active.size), j]
+                ni = cand[j]
+                better = (nd2 < best_d2[active]) | (
+                    (nd2 == best_d2[active]) & (ni < best_i[active]))
+                upd = active[better]
+                best_d2[upd] = nd2[better]
+                best_i[upd] = ni[better]
             ring += 1
             min_next = (ring - 1) * self.CELL_US
             # strict <: on an exact boundary tie the next ring may hold an
             # equidistant POI with a smaller poi_id — explore one more ring
-            if best_d2 is not None and min_next > 0 and best_d2 < min_next * min_next:
-                return best_i, best_d2
-            if ring > 40:  # world wrap bound
-                return best_i, int(best_d2) if best_d2 is not None else -1
+            if min_next > 0:
+                settled = best_d2[active] < min_next * min_next
+                active = active[~settled]
+        return best_i, best_d2
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat_us = np.round(batch.column("lat").to_numpy() * 1e6).astype(np.int64)
         lon_us = np.round(batch.column("lon").to_numpy() * 1e6).astype(np.int64)
+        cx = lon_us // self.CELL_US
+        cy = lat_us // self.CELL_US
+        # cohort rows by home cell: few distinct cells, one vectorized
+        # ring-search per cohort (no per-row Python walker)
+        key = cx * np.int64(1 << 20) + cy
+        uniq, inv = np.unique(key, return_inverse=True)
         out_id = np.empty(lat_us.shape[0], dtype=np.int64)
         out_d2 = np.empty(lat_us.shape[0], dtype=np.int64)
-        for i in range(lat_us.shape[0]):
-            bi, d2 = self._nearest_one(int(lon_us[i]), int(lat_us[i]))
-            out_id[i] = self.pid[bi]
-            out_d2[i] = d2
+        for u in range(uniq.shape[0]):
+            rows = np.nonzero(inv == u)[0]
+            bi, bd2 = self._nearest_cohort(
+                lon_us[rows], lat_us[rows], int(cx[rows[0]]), int(cy[rows[0]]))
+            out_id[rows] = self.pid[bi]
+            out_d2[rows] = bd2
         return (
             batch.append_column("poi_id", pa.array(out_id, pa.int64()))
             .append_column("poi_d2", pa.array(out_d2, pa.int64()))
