@@ -379,12 +379,13 @@ def _q_doc_sample(sf_dir: str):
 
 
 def _q_approx_distinct(sf_dir: str):
-    """Mergeable-sketch pattern: per-batch HLL partials → tiny merge
-    (deterministic estimate; accuracy vs exact asserted in tests —
-    rows-only here since DuckDB's HLL differs)."""
+    """Mergeable-sketch pattern: per-batch HLL partials → tiny merge.
+    md5 hash + integer-pinned register facts make the whole sketch (and
+    its estimate) exactly reproducible by the DuckDB oracle
+    (functions/sketch_sql.hll_facts_sql)."""
     from vtzero_ray.functions.sketch import approx_distinct
 
-    return approx_distinct(_docs(sf_dir), "text")
+    return approx_distinct(_docs(sf_dir), "text", hash="md5")
 
 
 def _q_embedding_near_dups(sf_dir: str):
@@ -555,6 +556,30 @@ def _q_top_orders(sf_dir: str):
     return top_orders(sf_dir)
 
 
+def _q_top_unshipped(sf_dir: str):
+    """TPC-H Q3 composition: broadcast customer semi-join → orders prune →
+    shuffle join lineitem → integer-cent revenue groupby → global top-k."""
+    from vtzero_ray.pipelines.relational import top_unshipped_orders
+
+    return top_unshipped_orders(sf_dir)
+
+
+def _q_corpus_clean(sf_dir: str):
+    """Flagship corpus-cleaning composition: quality gate + lang-ID
+    consistency + exact dedup in one streaming pipeline."""
+    from vtzero_ray.pipelines.corpus import clean_corpus
+
+    return clean_corpus(sf_dir)
+
+
+def _q_sample_stratified(sf_dir: str):
+    """Exact N-per-lang sample by md5-hash rank (partial per-batch top-N →
+    tiny groupby merge — the corpus never shuffles)."""
+    from vtzero_ray.pipelines.corpus import stratified_sample
+
+    return stratified_sample(sf_dir)
+
+
 def _q_events_window(sf_dir: str):
     from vtzero_ray.pipelines.relational import events_tumbling_window
 
@@ -614,6 +639,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_texts": _q_approx_distinct,
         "distinct_langs": _q_distinct_langs,
         "doc_sample_10pct": _q_doc_sample,
+        "corpus_clean": _q_corpus_clean,
+        "sample_stratified": _q_sample_stratified,
         "embedding_near_dups": _q_embedding_near_dups,
         # similarity search
         "ann_topk_bruteforce": _q_ann_bruteforce,
@@ -624,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "revenue_by_priority": _q_revenue_by_priority,
         "top_orders": _q_top_orders,
+        "top_unshipped_orders": _q_top_unshipped,
         "events_window": _q_events_window,
         "events_sessions": _q_events_sessions,
         "events_asof_last_order": _q_events_asof,
@@ -702,6 +730,7 @@ def oracle_sql() -> dict[str, str]:
                                                 minhash_candidates_sql,
                                                 simhash_near_dups_sql,
                                                 simhash_sql)
+    from vtzero_ray.functions.sketch_sql import hll_facts_sql
     from vtzero_ray.stages.joins import SQL_ADMIN, SQL_POI
 
     t2 = _sql_tile(2)
@@ -911,6 +940,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(text) AS md5, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups "
             "FROM documents GROUP BY 1"
         ),
+        # corpus cleaning: quality gate + lang-ID consistency + exact dedup
+        # (composes the q_score / lang_pred expressions verified above)
+        "corpus_clean": (
+            f"WITH kept AS (SELECT doc_id, text FROM documents "
+            f"WHERE {q_score} >= 0.7 AND {lang_pred} = lang) "
+            f"SELECT md5(text) AS md5, MIN(doc_id) AS keep_id, "
+            f"COUNT(*) AS n_dups FROM kept GROUP BY 1"
+        ),
+        "sample_stratified": (
+            "SELECT lang, doc_id, rank FROM ("
+            "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5_number_lower('samp:' || doc_id::VARCHAR), doc_id) "
+            "AS rank FROM documents) WHERE rank <= 20"
+        ),
         # minhash / simhash / jaccard: every hash primitive is md5-derived
         # (md5_number_lower) with wrap-mod-2^64 arithmetic replicated in
         # HUGEINT — the full signature pipelines run verbatim in DuckDB
@@ -919,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": simhash_sql(),
         "simhash_near_dups": simhash_near_dups_sql(),
         "jaccard_verified_dups": jaccard_verified_sql(),
+        "approx_distinct_texts": hll_facts_sql(),
         "embedding_near_dups": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
             "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "
@@ -967,6 +1011,17 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": (
             "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "top_unshipped_orders": (
+            "SELECT l.l_orderkey, o.o_orderdate, "
+            "CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c2 "
+            "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l.l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY 1, 2 ORDER BY revenue_c2 DESC, l_orderkey LIMIT 10"
         ),
         "events_window": (
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "

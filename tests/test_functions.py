@@ -285,6 +285,27 @@ class TestHLL:
         h2 = HLL.from_bytes(h.to_bytes())
         assert (h.registers == h2.registers).all()
 
+    def test_facts_match_duckdb_oracle(self):
+        """Every fact column (incl. the float-derived estimate) must be
+        reproduced exactly by the SQL oracle — the md5 hash and the
+        single-expression estimate are designed for this."""
+        import duckdb
+        import pyarrow as pa
+
+        from vtzero_ray.functions.sketch import HLL
+        from vtzero_ray.functions.sketch_sql import hll_facts_sql
+
+        texts = [f"doc {i} body" for i in range(777)] + ["doc 0 body"] * 5
+        h = HLL(12)
+        h.add_strings(texts, hash="md5")
+        facts = h.facts()
+        facts["column"] = "text"
+        con = duckdb.connect()
+        con.register("documents", pa.table({"text": texts}))
+        row = con.execute(hll_facts_sql(12, "text", "documents")).fetchdf()
+        got = row.to_dict("records")[0]
+        assert got == facts
+
     def test_distributed_matches_exact(self, ray_session, sf_dir):
         import ray.data as rd
 
@@ -296,6 +317,40 @@ class TestHLL:
         exact = len(set(r["text"] for r in ds.take_all()))
         got = out.approx_distinct.iloc[0]
         assert abs(got - exact) / max(exact, 1) < 0.05
+
+
+class TestCorpusPipelines:
+    def test_clean_corpus_subset_of_dedup(self, ray_session, sf_dir):
+        """Every kept group must also exist in plain exact-dedup output,
+        and keep_id must be the min doc_id of its md5 group."""
+        from vtzero_ray.functions.dedup import dedup_exact
+        from vtzero_ray.pipelines.corpus import clean_corpus
+
+        import ray.data as rd
+
+        cleaned = clean_corpus(sf_dir).to_pandas()
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        full = dedup_exact(docs).to_pandas().set_index("md5")
+        assert len(cleaned) > 0
+        for _, row in cleaned.iterrows():
+            assert row["md5"] in full.index
+            assert row["keep_id"] == full.loc[row["md5"], "keep_id"]
+            assert row["n_dups"] == full.loc[row["md5"], "n_dups"]
+
+    def test_stratified_sample_exact_n_and_ranked(self, ray_session, sf_dir):
+        from vtzero_ray.functions.dedup import hash_u64
+        from vtzero_ray.pipelines.corpus import stratified_sample
+
+        out = stratified_sample(sf_dir, n_per_group=7).to_pandas()
+        sizes = out.groupby("lang").size()
+        assert (sizes <= 7).all() and len(out) > 0
+        # ranks are 1..n per group and ordered by (hash, doc_id)
+        for lang, grp in out.groupby("lang"):
+            grp = grp.sort_values("rank")
+            assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+            hs = [hash_u64(f"samp:{int(d)}") for d in grp["doc_id"]]
+            assert hs == sorted(hs)
 
 
 class TestCellKNN:

@@ -10,6 +10,7 @@ small groupby instead of shuffling raw values.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pyarrow as pa
@@ -44,13 +45,19 @@ class HLL:
         rank = lz + 1
         np.maximum.at(self.registers, idx, rank)
 
-    def add_strings(self, values) -> None:
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(
+    def add_strings(self, values, hash: str = "blake2b") -> None:
+        """hash="md5" uses the lower-8-md5-bytes-little-endian hash
+        (DuckDB ``md5_number_lower``) so the whole sketch is reproducible
+        in SQL; "blake2b" is the (faster) default for library use."""
+        if hash == "md5":
+            gen = (int.from_bytes(hashlib.md5(
+                (v if isinstance(v, bytes) else str(v).encode())
+            ).digest()[8:], "little") for v in values)
+        else:
+            gen = (int.from_bytes(hashlib.blake2b(
                 (v if isinstance(v, bytes) else str(v).encode()),
-                digest_size=8).digest(), "little") for v in values),
-            dtype=np.uint64, count=len(values),
-        )
+                digest_size=8).digest(), "little") for v in values)
+        hs = np.fromiter(gen, dtype=np.uint64, count=len(values))
         self.add_hashes(hs)
 
     def merge(self, other: "HLL") -> "HLL":
@@ -66,6 +73,34 @@ class HLL:
             e = m * np.log(m / zeros)  # small-range correction
         return float(e)
 
+    def facts(self) -> dict:
+        """Integer-pinned register facts + the estimate, computed so a
+        DuckDB oracle (sketch_sql.hll_facts_sql) reproduces every column
+        exactly: all inputs to the one float expression are exact
+        integers, ln/floor mirror DuckDB's libm calls.
+        """
+        regs = self.registers
+        nz_idx = np.nonzero(regs)[0]
+        n_zero = int(self.m - nz_idx.shape[0])
+        register_sum = int(regs.sum(dtype=np.int64))
+        payload = ",".join(
+            f"{int(i)}:{int(regs[i])}" for i in nz_idx)
+        checksum = hashlib.md5(payload.encode()).hexdigest()
+        z_total = n_zero * (1 << 63) + sum(
+            1 << (63 - int(regs[i])) for i in nz_idx)
+        m = float(self.m)
+        alpha_c = 0.7213 / (1 + 1.079 / m) * m * m * float(1 << 63)
+        est = alpha_c / float(z_total)
+        if est <= 2.5 * m and n_zero > 0:
+            est = m * math.log(self.m / n_zero)
+        return {
+            "column": None,  # caller fills
+            "n_zero_registers": n_zero,
+            "register_sum": register_sum,
+            "register_checksum": checksum,
+            "approx_distinct": int(math.floor(est + 0.5)),
+        }
+
     def to_bytes(self) -> bytes:
         return bytes([self.p]) + self.registers.tobytes()
 
@@ -74,22 +109,26 @@ class HLL:
         return cls(b[0], np.frombuffer(b[1:], dtype=np.uint8).copy())
 
 
-def approx_distinct(ds, column: str, p: int = 12):
+def approx_distinct(ds, column: str, p: int = 12, hash: str = "blake2b"):
     """Distributed approximate distinct count: per-batch partial HLL
     sketches → driver-side merge of ~#blocks tiny blobs (no value shuffle).
 
-    Returns a 1-row pandas DataFrame: (column, approx_distinct).
+    Returns a 1-row pandas DataFrame of integer-pinned sketch facts
+    (column, n_zero_registers, register_sum, register_checksum,
+    approx_distinct) — with hash="md5" every column is reproducible by
+    the DuckDB oracle in sketch_sql.hll_facts_sql.
     """
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
         h = HLL(p)
-        h.add_strings(batch.column(column).to_pylist())
+        h.add_strings(batch.column(column).to_pylist(), hash=hash)
         return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     merged = HLL(p)
     for row in parts.take_all():
         merged = merged.merge(HLL.from_bytes(row["sketch"]))
-    return pd.DataFrame({"column": [column],
-                         "approx_distinct": [int(round(merged.estimate()))]})
+    facts = merged.facts()
+    facts["column"] = column
+    return pd.DataFrame({k: [v] for k, v in facts.items()})

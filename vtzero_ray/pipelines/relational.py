@@ -148,6 +148,63 @@ def revenue_by_priority(sf_dir: str, num_partitions: int = 16):
     return agg.rename_columns({"count()": "n_items", "sum(revenue_c2)": "revenue_c2"})
 
 
+def top_unshipped_orders(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1998-06-01", k: int = 10,
+                         num_partitions: int = 16):
+    """TPC-H Q3 shape — the three-table composition: broadcast semi-join
+    (customer keys of one segment, tiny side via ray.put) prunes orders,
+    the pruned orders shuffle-join lineitem (Dataset.join, hash
+    partitioned), then groupby-sum in exact integer cents and global
+    top-k. Every filter is pushed below the shuffle so only
+    (l_orderkey, revenue_c2) and the pruned orders move."""
+    import ray
+    import ray.data as rd
+
+    cut = np.datetime64(f"{cutoff}T00:00:00.000000")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys_ref = ray.put(np.sort(
+        cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].to_numpy()))
+
+    class SemiJoinCust:
+        def __init__(self) -> None:
+            self.keys = pa.array(ray.get(keys_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column("o_custkey"), value_set=self.keys)
+            return batch.filter(mask).select(["o_orderkey", "o_orderdate"])
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    cut_scalar = pa.scalar(cut, pa.timestamp("us"))
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), cut_scalar)),
+        batch_format="pyarrow",
+    ).map_batches(SemiJoinCust, batch_format="pyarrow", concurrency=(1, 4))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def li_revenue(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column("l_shipdate"), cut_scalar))
+        price_c = np.round(batch.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        disc_bp = np.round(batch.column("l_discount").to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch.column("l_orderkey"),
+            "revenue_c2": pa.array(price_c * (100 - disc_bp)),
+        })
+
+    li = li.map_batches(li_revenue, batch_format="pyarrow")
+    joined = li.join(orders, join_type="inner", num_partitions=num_partitions,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    from ray.data.aggregate import Sum
+
+    agg = joined.groupby(["l_orderkey", "o_orderdate"]).aggregate(Sum("revenue_c2"))
+    agg = agg.rename_columns({"sum(revenue_c2)": "revenue_c2"})
+    return agg.sort(["revenue_c2", "l_orderkey"], descending=[True, False]).limit(k)
+
+
 def events_tumbling_window(sf_dir: str, window_s: int = 3600):
     """Streaming-shaped tumbling window: per (event_type, hour) count +
     rounded value sum. Window key computed vectorized per batch; the only
