@@ -79,10 +79,14 @@ def topk_bruteforce(ds, sf_dir: str, k: int = 5, n_queries: int = 10):
     import ray
 
     qref = ray.put(load_queries(sf_dir, n_queries))
-    partial = ds.map_batches(
-        BatchTopK, batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, 8), fn_constructor_kwargs={"query_ref": qref, "k": k},
-    )
+
+    # function UDF over the shared warm worker pool: ray.get(qref) is a
+    # zero-copy shared-memory read per task (no per-query actor startup)
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        return BatchTopK(qref, k)(batch)
+
+    partial = ds.map_batches(batch_topk, batch_format="pyarrow",
+                             batch_size=4096)
     merged = partial.groupby("query_id").map_groups(
         lambda df: _merge_topk(df, k), batch_format="pandas"
     )

@@ -191,25 +191,53 @@ class MinHasher:
         })
 
 
+_MINHASHERS: dict[tuple, "MinHasher"] = {}
+
+
+def _minhash_sig_batch(batch: pa.Table, n_perm: int = 128, k: int = 5,
+                       seed: int = 42) -> pa.Table:
+    """Function-UDF signature stage: the MinHasher state (128 seeded RNG
+    coefficients) costs microseconds to build, so a per-worker-process
+    memo beats a per-query actor pool (actor startup is seconds per
+    query; the shared worker pool is already warm)."""
+    key = (n_perm, k, seed)
+    mh = _MINHASHERS.get(key)
+    if mh is None:
+        mh = _MINHASHERS[key] = MinHasher(n_perm=n_perm, k=k, seed=seed)
+    return mh(batch)
+
+
+def minhash_signatures(ds, n_perm: int = 128, k: int = 5, seed: int = 42):
+    return ds.map_batches(_minhash_sig_batch, batch_format="pyarrow",
+                          fn_kwargs={"n_perm": n_perm, "k": k, "seed": seed})
+
+
 def _bands_batch(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
-    """signatures → exploded (band, band_hash, doc_id) rows (LSH keys)."""
+    """signatures → exploded (band, band_hash, doc_id, bhs) rows (LSH
+    keys). ``bhs`` carries ALL n_bands hashes of the doc so that the
+    pair stage can compute n_bands_hit and the first equal band locally
+    — no cross-band dedup shuffle downstream (the 128-byte-per-row cost
+    is traded against shuffling the candidate-pair set a second time,
+    which for near-dup-heavy corpora is the larger side)."""
     ids = batch.column("doc_id").to_numpy()
-    sig = np.stack(batch.column("sig").to_numpy(zero_copy_only=False)) if len(batch) else \
+    n = ids.shape[0]
+    sig = np.stack(batch.column("sig").to_numpy(zero_copy_only=False)) if n else \
         np.empty((0, n_bands * rows_per_band), np.uint64)
-    out_band, out_hash, out_id = [], [], []
+    # (n_docs, n_bands) band hashes: FNV fold of the band's rows
+    allh = np.zeros((n, n_bands), dtype=np.uint64)
     for b in range(n_bands):
         chunk = sig[:, b * rows_per_band:(b + 1) * rows_per_band]
-        # mix rows into one uint64 bucket key
-        h = np.zeros(chunk.shape[0], dtype=np.uint64)
+        h = np.zeros(n, dtype=np.uint64)
         for r in range(rows_per_band):
             h = h * np.uint64(1099511628211) + chunk[:, r]
-        out_band.append(np.full(chunk.shape[0], b, np.int32))
-        out_hash.append(h)
-        out_id.append(ids)
+        allh[:, b] = h
+    band_col = np.repeat(np.arange(n_bands, dtype=np.int32), n)
     return pa.table({
-        "band": pa.array(np.concatenate(out_band)),
-        "band_hash": pa.array(np.concatenate(out_hash)),
-        "doc_id": pa.array(np.concatenate(out_id)),
+        "band": pa.array(band_col),
+        "band_hash": pa.array(allh.T.reshape(-1)),
+        "doc_id": pa.array(np.tile(ids, n_bands)),
+        "bhs": pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(allh, (n_bands, 1)).reshape(-1)), n_bands),
     })
 
 
@@ -226,9 +254,7 @@ def minhash_lsh_candidates(ds, n_perm: int = 128, n_bands: int = 16, k: int = 5,
     all-pairs DuckDB oracle remains exact at test scale.
     """
     rows_per_band = n_perm // n_bands
-    sigs = ds.map_batches(MinHasher, batch_format="pyarrow", batch_size=1024,
-                          concurrency=(1, 8),
-                          fn_constructor_kwargs={"n_perm": n_perm, "k": k, "seed": seed})
+    sigs = minhash_signatures(ds, n_perm=n_perm, k=k, seed=seed)
     bands = sigs.map_batches(_bands_batch, batch_format="pyarrow",
                              fn_kwargs={"n_bands": n_bands, "rows_per_band": rows_per_band})
 
@@ -247,34 +273,41 @@ def minhash_lsh_candidates(ds, n_perm: int = 128, n_bands: int = 16, k: int = 5,
     bands = bands.map_batches(add_bucket, batch_format="pyarrow")
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, g in df.groupby(["band", "band_hash"], sort=False):
+        out_a, out_b, out_n = [], [], []
+        for (band, _), g in df.groupby(["band", "band_hash"], sort=False):
             if len(g) < 2:
                 continue
-            ids = np.sort(g["doc_id"].to_numpy())
+            g = g.sort_values("doc_id", kind="stable")
+            ids = g["doc_id"].to_numpy()
+            bhs = np.stack(g["bhs"].to_numpy())  # (m, n_bands)
             if ids.shape[0] > max_bucket:
                 # degenerate bucket → star around min id, not O(n²) clique
-                out_a.append(np.full(ids.shape[0] - 1, ids[0], ids.dtype))
-                out_b.append(ids[1:])
-                continue
-            ia, ib = np.triu_indices(ids.shape[0], k=1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
+                ia = np.zeros(ids.shape[0] - 1, np.int64)
+                ib = np.arange(1, ids.shape[0])
+            else:
+                ia, ib = np.triu_indices(ids.shape[0], k=1)
+            # per-pair equal-band mask from the shipped band-hash vectors:
+            # n_bands_hit and the FIRST equal band are local, so each pair
+            # is emitted exactly once (at its first equal band) with its
+            # final hit count — no cross-band dedup shuffle needed
+            eq = bhs[ia] == bhs[ib]  # (n_pairs, n_bands)
+            sel = eq.argmax(axis=1) == band
+            out_a.append(ids[ia][sel])
+            out_b.append(ids[ib][sel])
+            out_n.append(eq[sel].sum(axis=1).astype(np.int64))
         if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "n_bands_hit": pd.Series([], dtype="int64")})
         return pd.DataFrame({"doc_a": np.concatenate(out_a).astype(np.int64),
-                             "doc_b": np.concatenate(out_b).astype(np.int64)})
+                             "doc_b": np.concatenate(out_b).astype(np.int64),
+                             "n_bands_hit": np.concatenate(out_n)})
 
     pairs = bands.groupby("shuffle_bucket").map_groups(
         bucket_pairs, batch_format="pandas"
     )
     # back to arrow blocks (rename/aggregate on pandas blocks is flaky)
-    pairs = pairs.map_batches(lambda t: t, batch_format="pyarrow")
-    from ray.data.aggregate import Count
-
-    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count())
-    return uniq.rename_columns({"count()": "n_bands_hit"})
+    return pairs.map_batches(lambda t: t, batch_format="pyarrow")
 
 
 def jaccard_pairs(texts_by_id: dict, pairs, k: int = 5) -> pd.DataFrame:
@@ -382,17 +415,45 @@ class SimHasher:
         return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pandas()
-        sigs = [self.signature(t) for t in texts]
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "simhash": pa.array(np.array(sigs, dtype=np.uint64)),
-        })
+        return _simhash_batch(batch)
+
+
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    """Whole-batch SimHash: one token array for ALL docs, bit matrix via
+    unpackbits, per-doc bit votes via np.add.reduceat on doc offsets —
+    no per-document Python loop (the per-doc path is SimHasher.signature,
+    kept for the scalar API)."""
+    texts = batch.column("text").to_pylist()
+    word_lists = [t.split() for t in texts]
+    counts = np.array([len(w) for w in word_lists], dtype=np.int64)
+    sigs = np.zeros(len(texts), dtype=np.uint64)
+    nonempty = counts > 0
+    if nonempty.any():
+        all_words = [w for ws in word_lists for w in ws]
+        toks = np.fromiter((hash_u64(w) for w in all_words),
+                           dtype=np.uint64, count=len(all_words))
+        # (n_tokens, 64) bit matrix: LE byte view + bitorder="little"
+        # yields columns in bit index order 0..63. Widen before reduceat:
+        # uint8 reduceat is ~50x slower in numpy AND overflows at >255
+        # words per document. int32, not int64 — numpy's uint8->int64
+        # cast takes a pathological slow path on reshape views (~600x)
+        bits = np.unpackbits(toks.view(np.uint8), bitorder="little") \
+            .reshape(-1, 64).astype(np.int32)
+        starts = np.concatenate(([0], np.cumsum(counts[nonempty])[:-1]))
+        ones = np.add.reduceat(bits, starts, axis=0)
+        votes = ones.astype(np.int64) * 2 - counts[nonempty, None]
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        sigs[nonempty] = ((votes > 0).astype(np.uint64) * weights).sum(axis=1)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "simhash": pa.array(sigs),
+    })
 
 
 def simhash_signatures(ds):
-    return ds.map_batches(SimHasher, batch_format="pyarrow", batch_size=1024,
-                          concurrency=(1, 8))
+    # plain function UDF: runs in the shared worker pool (no per-query
+    # actor startup); the md5 token cache lives per worker process
+    return ds.map_batches(_simhash_batch, batch_format="pyarrow")
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -441,7 +502,8 @@ def simhash_near_dups(ds, n_bands: int = 4, band_bits: int = 16,
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b_, out_h = [], [], []
-        for _, g in df.groupby(["band", "bv"], sort=False):
+        mask = np.uint64((1 << band_bits) - 1)
+        for (band, _), g in df.groupby(["band", "bv"], sort=False):
             if len(g) < 2:
                 continue
             g = g.sort_values("doc_id", kind="stable")
@@ -452,7 +514,20 @@ def simhash_near_dups(ds, n_bands: int = 4, band_bits: int = 16,
                 ib = np.arange(1, ids.shape[0])
             else:
                 ia, ib = np.triu_indices(ids.shape[0], k=1)
-            ham = _popcount64(sgs[ia] ^ sgs[ib])
+            x = sgs[ia] ^ sgs[ib]
+            # Emit each pair only at its FIRST equal band: both full
+            # signatures are in-group, so "is band j also equal" is
+            # computable locally — the output is globally unique and the
+            # cross-band dedup shuffle disappears entirely. (Uniqueness
+            # holds even with the max_bucket star fallback: a pair has
+            # exactly one first equal band.)
+            first = np.full(x.shape[0], n_bands, np.int32)
+            for j in range(n_bands - 1, -1, -1):
+                eq = ((x >> np.uint64(band_bits * j)) & mask) == 0
+                first[eq] = j
+            sel = first == band
+            ia, ib, x = ia[sel], ib[sel], x[sel]
+            ham = _popcount64(x)
             keep = ham <= max_hamming
             out_a.append(ids[ia][keep])
             out_b_.append(ids[ib][keep])
@@ -466,10 +541,7 @@ def simhash_near_dups(ds, n_bands: int = 4, band_bits: int = 16,
                              "hamming": np.concatenate(out_h).astype(np.int64)})
 
     pairs = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    pairs = pairs.map_batches(lambda t: t, batch_format="pyarrow")
-    # a pair can match in several bands → global dedup (hamming identical)
-    uniq = pairs.groupby(["doc_a", "doc_b"]).min("hamming")
-    return uniq.rename_columns({"min(hamming)": "hamming"})
+    return pairs.map_batches(lambda t: t, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
