@@ -20,6 +20,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..runtime import tune_allocator
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -200,6 +202,7 @@ def _minhash_sig_batch(batch: pa.Table, n_perm: int = 128, k: int = 5,
     coefficients) costs microseconds to build, so a per-worker-process
     memo beats a per-query actor pool (actor startup is seconds per
     query; the shared worker pool is already warm)."""
+    tune_allocator()
     key = (n_perm, k, seed)
     mh = _MINHASHERS.get(key)
     if mh is None:
@@ -423,6 +426,7 @@ def _simhash_batch(batch: pa.Table) -> pa.Table:
     unpackbits, per-doc bit votes via np.add.reduceat on doc offsets —
     no per-document Python loop (the per-doc path is SimHasher.signature,
     kept for the scalar API)."""
+    tune_allocator()
     texts = batch.column("text").to_pylist()
     word_lists = [t.split() for t in texts]
     counts = np.array([len(w) for w in word_lists], dtype=np.int64)

@@ -20,6 +20,10 @@ import re
 
 import numpy as np
 import pyarrow as pa
+
+from ..runtime import tune_allocator
+
+tune_allocator()
 import pyarrow.compute as pc
 
 # tiny per-language stopword marker sets (deterministic heuristic)

@@ -26,6 +26,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..runtime import tune_allocator
+
 
 class Unsupported(Exception):
     """Tile shape the vectorized path doesn't handle — caller falls back
@@ -470,6 +472,7 @@ def decode_tiles_batch_fast(batch: pa.Table, with_props: bool = True,
 
     Returns (table_for_clean_tiles, bad_tile_indices) — the caller decodes
     bad tiles through the scalar path (identical quarantine semantics)."""
+    tune_allocator()
     data, t_s, t_e = binary_column_parts(batch.column("mvt"))
     st = walk_structure(data, t_s, t_e)
     ff = parse_feature_fields(data, st.feat_s, st.feat_e)

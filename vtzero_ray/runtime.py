@@ -10,7 +10,46 @@ payload instead, removing the worker-side import entirely.
 
 from __future__ import annotations
 
+import os
 import sys
+
+_ALLOC_TUNED = False
+
+
+def tune_allocator(mmap_threshold: int = 128 << 20,
+                   trim_threshold: int = 128 << 20,
+                   warm_mb: int = 32) -> bool:
+    """Raise glibc's mmap/trim thresholds and pre-fault a small heap arena.
+
+    Large NumPy temporaries (>128 KiB) otherwise go through fresh
+    anonymous mmaps every call; on this class of virtualized host the
+    first-touch page faults on those mappings are pathologically slow
+    (measured 10-600x on cold (n_tokens, 64) bit matrices — 34 s vs
+    0.9 s for the SimHash kernel). Keeping big temporaries on the brk
+    heap (and not trimming it back) makes the cost one-time per worker
+    process. Idempotent; per-worker memory retained is bounded by
+    ``trim_threshold``. Set VTZERO_NO_MALLOC_TUNE=1 to disable.
+    """
+    global _ALLOC_TUNED
+    if _ALLOC_TUNED or os.environ.get("VTZERO_NO_MALLOC_TUNE"):
+        return _ALLOC_TUNED
+    _ALLOC_TUNED = True  # one attempt per process either way
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, int(mmap_threshold))  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, int(trim_threshold))  # M_TRIM_THRESHOLD
+        if warm_mb:
+            import numpy as np
+
+            # touch one word per page to fault the arena in now
+            w = np.empty(warm_mb << 17, dtype=np.float64)
+            w[::512] = 0.0
+            del w
+    except Exception:
+        pass  # non-glibc platform: nothing to tune
+    return _ALLOC_TUNED
 
 
 def register_udfs_by_value() -> None:

@@ -24,6 +24,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..runtime import tune_allocator
+
+tune_allocator()
+
 from ..mvt import codec
 from ..mvt.builder import LayerBuilder, TileBuilder
 from ..mvt.pbf import (encode_varint, field_bytes, field_varint,

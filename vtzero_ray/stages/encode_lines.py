@@ -12,6 +12,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..runtime import tune_allocator
+
+tune_allocator()
+
 from ..mvt import codec
 from ..mvt.builder import TileBuilder
 from ..mvt.pbf import varint_lengths_np

@@ -126,6 +126,9 @@ def encode_point_tiles_segmented(
     version: int = 2,
     extent: int = 4096,
 ) -> list[bytes]:
+    from ..runtime import tune_allocator
+
+    tune_allocator()
     n = feature_ids.shape[0]
     T = starts.shape[0] - 1
     counts = (starts[1:] - starts[:-1]).astype(np.int64)
