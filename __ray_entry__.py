@@ -167,6 +167,26 @@ def _q_filter_lang_en_z6(sf_dir: str):
     return kept.select_columns(["z", "x", "y", "n_features"])
 
 
+def _q_clipped_segments_z2(sf_dir: str):
+    """North-rule clip step: site polylines in WORLD coords at z2, every
+    candidate tile clips to its buffered box [-64, 4160]² via vectorized
+    Liang-Barsky (stages/clip.py) — per-segment clipped integer coords.
+    The oracle reproduces the float clip math token-for-token in SQL."""
+    from vtzero_ray.pipelines.clip_paths import clipped_segments
+
+    return clipped_segments(sf_dir, zoom=2)
+
+
+def _q_clipped_paths_z2(sf_dir: str):
+    """Clipped multi-part polylines per (tile, site): part count + point
+    count after chaining surviving segments (a part breaks at clipped-away
+    segments / shortened endpoints) — the logical geometry the multi-part
+    linestring encoder consumes (clipped_path_tiles, tested round-trip)."""
+    from vtzero_ray.pipelines.clip_paths import clipped_path_stats
+
+    return clipped_path_stats(sf_dir, zoom=2)
+
+
 def _q_site_paths_z2(sf_dir: str):
     """Linestring encode end-to-end: per-site path features per z2 tile;
     per-tile feature counts are SQL-checkable (consecutive-dup-point drops
@@ -616,6 +636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rasterize_z6": _q_rasterize_z6,
         "raster_to_vector_z6": _q_raster_to_vector_z6,
         "site_paths_z2": _q_site_paths_z2,
+        "clipped_segments_z2": _q_clipped_segments_z2,
+        "clipped_paths_z2": _q_clipped_paths_z2,
         "combined_layers_z2": _q_combined_layers_z2,
         "multilayer_tiles_z6": _q_multilayer_z6,
         "media_features": _q_media_features,
@@ -689,6 +711,65 @@ def _sql_tile(z: int) -> dict[str, str]:
         "x": f"CAST(floor({fx}) AS INTEGER)",
         "y": f"CAST(floor({fy}) AS INTEGER)",
     }
+
+
+def _sql_clip_ctes(z: int, extent: int = 4096, buffer: int = 64) -> str:
+    """Shared CTE chain for the clipped-path oracles: world-coordinate
+    site segments cross-joined with ALL tiles at zoom z, clipped with the
+    EXACT float expressions of stages/clip.liang_barsky (sentinels, op
+    order, floor(v+0.5) rounding) so integer outputs are bit-identical.
+    The all-tiles candidate set is a superset of the Ray side's bbox
+    fan-out — harmless, since Liang-Barsky rejection decides membership
+    in both engines. Ends with CTE ``v`` (surviving clipped segments)."""
+    t = _sql_tile(z)
+    n = 1 << z
+    lo = f"{-buffer}.0"
+    hi = f"{extent + buffer}.0"
+    return (
+        f"WITH pts AS (SELECT (doc_id % 50) AS site, doc_id, "
+        f"CAST({t['x']} AS BIGINT) * {extent} + "
+        f"CAST(floor(({t['fx']} - floor({t['fx']})) * {extent}) AS BIGINT) AS wx, "
+        f"CAST({t['y']} AS BIGINT) * {extent} + "
+        f"CAST(floor(({t['fy']} - floor({t['fy']})) * {extent}) AS BIGINT) AS wy "
+        f"FROM documents), "
+        f"d AS (SELECT *, CASE WHEN lag(wx) OVER w = wx AND lag(wy) OVER w = wy "
+        f"THEN 0 ELSE 1 END AS keep FROM pts "
+        f"WINDOW w AS (PARTITION BY site ORDER BY doc_id)), "
+        f"e AS (SELECT site, doc_id, wx, wy, "
+        f"row_number() OVER (PARTITION BY site ORDER BY doc_id) - 1 AS pt_idx "
+        f"FROM d WHERE keep = 1), "
+        f"segs AS (SELECT site, pt_idx AS seg_idx, wx AS wx0, wy AS wy0, "
+        f"lead(wx) OVER w2 AS wx1, lead(wy) OVER w2 AS wy1 "
+        f"FROM e WINDOW w2 AS (PARTITION BY site ORDER BY pt_idx) "
+        f"QUALIFY lead(wx) OVER w2 IS NOT NULL), "
+        f"tiles AS (SELECT tx.range AS x, ty.range AS y "
+        f"FROM range(0, {n}) tx, range(0, {n}) ty), "
+        f"geom AS (SELECT site, seg_idx, tiles.x, tiles.y, "
+        f"CAST(wx0 - tiles.x * {extent} AS DOUBLE) AS x0f, "
+        f"CAST(wy0 - tiles.y * {extent} AS DOUBLE) AS y0f, "
+        f"CAST(wx1 - wx0 AS DOUBLE) AS dxf, "
+        f"CAST(wy1 - wy0 AS DOUBLE) AS dyf FROM segs, tiles), "
+        f"tpar AS (SELECT *, "
+        f"CASE WHEN dxf > 0 THEN ({lo} - x0f) / dxf "
+        f"WHEN dxf < 0 THEN ({hi} - x0f) / dxf ELSE -1e300 END AS te_x, "
+        f"CASE WHEN dxf > 0 THEN ({hi} - x0f) / dxf "
+        f"WHEN dxf < 0 THEN ({lo} - x0f) / dxf ELSE 1e300 END AS tx_x, "
+        f"CASE WHEN dyf > 0 THEN ({lo} - y0f) / dyf "
+        f"WHEN dyf < 0 THEN ({hi} - y0f) / dyf ELSE -1e300 END AS te_y, "
+        f"CASE WHEN dyf > 0 THEN ({hi} - y0f) / dyf "
+        f"WHEN dyf < 0 THEN ({lo} - y0f) / dyf ELSE 1e300 END AS tx_y, "
+        f"(dxf = 0 AND (x0f < {lo} OR x0f > {hi})) AS rej_x, "
+        f"(dyf = 0 AND (y0f < {lo} OR y0f > {hi})) AS rej_y FROM geom), "
+        f"u AS (SELECT *, GREATEST(0.0, te_x, te_y) AS t0, "
+        f"LEAST(1.0, tx_x, tx_y) AS t1 FROM tpar), "
+        f"v0 AS (SELECT site, seg_idx, x, y, "
+        f"CAST(floor(x0f + t0 * dxf + 0.5) AS BIGINT) AS cx0, "
+        f"CAST(floor(y0f + t0 * dyf + 0.5) AS BIGINT) AS cy0, "
+        f"CAST(floor(x0f + t1 * dxf + 0.5) AS BIGINT) AS cx1, "
+        f"CAST(floor(y0f + t1 * dyf + 0.5) AS BIGINT) AS cy1 "
+        f"FROM u WHERE NOT rej_x AND NOT rej_y AND t0 < t1), "
+        f"v AS (SELECT * FROM v0 WHERE cx0 != cx1 OR cy0 != cy1)"
+    )
 
 
 def _sql_morton(xe: str, ye: str, level: int) -> str:
@@ -834,6 +915,23 @@ def oracle_sql() -> dict[str, str]:
             f"c AS (SELECT site, x, y, SUM(keep) AS npts FROM d GROUP BY 1, 2, 3) "
             f"SELECT 2 AS z, x, y, COUNT(*) AS n_features FROM c WHERE npts >= 2 "
             f"GROUP BY 1, 2, 3"
+        ),
+        "clipped_segments_z2": (
+            _sql_clip_ctes(2)
+            + " SELECT 2 AS z, CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y, "
+            "site, seg_idx, cx0, cy0, cx1, cy1 FROM v"
+        ),
+        "clipped_paths_z2": (
+            _sql_clip_ctes(2)
+            + ", parts AS (SELECT *, CASE WHEN lag(seg_idx) OVER pw IS NULL "
+            "OR lag(seg_idx) OVER pw != seg_idx - 1 "
+            "OR lag(cx1) OVER pw != cx0 OR lag(cy1) OVER pw != cy0 "
+            "THEN 1 ELSE 0 END AS new_part FROM v "
+            "WINDOW pw AS (PARTITION BY x, y, site ORDER BY seg_idx)) "
+            "SELECT 2 AS z, CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y, "
+            "site, CAST(SUM(new_part) AS BIGINT) AS n_parts, "
+            "CAST(COUNT(*) + SUM(new_part) AS BIGINT) AS n_points "
+            "FROM parts GROUP BY 1, 2, 3, 4"
         ),
         "combined_layers_z2": (
             f"WITH pages AS (SELECT 2 AS z, {t2['x']} AS x, {t2['y']} AS y, "

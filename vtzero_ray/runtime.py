@@ -65,12 +65,14 @@ def register_udfs_by_value() -> None:
                                           sketch, textstats)
         from vtzero_ray.mvt import (builder, check, codec,  # noqa: F401
                                     decode_fast, decoder, pbf, values)
-        from vtzero_ray.pipelines import (decode, filter, paths,  # noqa: F401
-                                          relational, tiling, tiling_sharded)
+        from vtzero_ray.pipelines import (clip_paths, decode, filter,  # noqa: F401
+                                          paths, relational, tiling,
+                                          tiling_sharded)
         from vtzero_ray.sources import mvt_io, pages  # noqa: F401
-        from vtzero_ray.stages import (cells, encode, encode_lines,  # noqa: F401
-                                       encode_segmented, geoparse, joins,
-                                       multimodal, raster, shard_encode)
+        from vtzero_ray.stages import (cells, clip, encode,  # noqa: F401
+                                       encode_lines, encode_segmented,
+                                       geoparse, joins, multimodal, raster,
+                                       shard_encode)
         from vtzero_ray.state import testing  # noqa: F401
 
         for name, mod in list(sys.modules.items()):
