@@ -167,6 +167,18 @@ def _q_filter_lang_en_z6(sf_dir: str):
     return kept.select_columns(["z", "x", "y", "n_features"])
 
 
+def _q_ngram_topk(sf_dir: str):
+    """Top-10 word bigrams per language — per-batch combiner (text never
+    shuffles), hash groupby sum, per-block prune, tiny per-lang merge."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.textstats import ngram_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "lang"])
+    return ngram_topk(ds, k=10)
+
+
 def _q_clipped_segments_z2(sf_dir: str):
     """North-rule clip step: site polylines in WORLD coords at z2, every
     candidate tile clips to its buffered box [-64, 4160]² via vectorized
@@ -652,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": _q_quality_score,
         "langid": _q_langid,
         "fingerprint_md5": _q_fingerprint,
+        "ngram_topk": _q_ngram_topk,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1031,6 +1044,18 @@ def oracle_sql() -> dict[str, str]:
             f"{lang_pred} AS lang_pred FROM documents"
         ),
         "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "ngram_topk": (
+            "WITH toks AS (SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS ws "
+            "FROM documents WHERE trim(text) != ''), "
+            "pairs AS (SELECT lang, unnest([ws[i] || ' ' || ws[i + 1] "
+            "for i in generate_series(1, len(ws) - 1)]) AS ngram "
+            "FROM toks WHERE len(ws) >= 2), "
+            "counts AS (SELECT lang, ngram, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM pairs GROUP BY 1, 2) "
+            "SELECT lang, ngram, n, CAST(row_number() OVER "
+            "(PARTITION BY lang ORDER BY n DESC, ngram) AS BIGINT) AS rnk "
+            "FROM counts QUALIFY rnk <= 10"
+        ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         "doc_sample_10pct": "SELECT doc_id FROM documents WHERE doc_id % 10 = 0",
         # -- dedup -------------------------------------------------------------

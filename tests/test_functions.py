@@ -372,3 +372,27 @@ class TestCellKNN:
         assert len(cell) == len(bcast)
         assert (cell.poi_id.to_numpy() == bcast.poi_id.to_numpy()).all()
         assert (cell.poi_d2.to_numpy() == bcast.poi_d2.to_numpy()).all()
+
+
+class TestNgramTopK:
+    def test_matches_bruteforce(self, ray_session, sf_dir):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from collections import Counter
+
+        from vtzero_ray.functions.textstats import ngram_topk
+
+        df = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["text", "lang"]).to_pandas()
+        out = ngram_topk(rd.from_pandas(df), k=10).to_pandas() \
+            .sort_values(["lang", "rnk"]).reset_index(drop=True)
+        # brute force per lang
+        for lang, g in df.groupby("lang"):
+            c = Counter()
+            for t in g["text"]:
+                ws = t.strip().split()
+                c.update(" ".join(p) for p in zip(ws, ws[1:]))
+            want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+            got = out[out.lang == lang]
+            assert list(zip(got.ngram, got.n)) == want
+            assert got.rnk.tolist() == list(range(1, len(want) + 1))

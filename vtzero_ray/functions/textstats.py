@@ -211,3 +211,82 @@ class Fingerprint:
         wins = np.lib.stride_tricks.sliding_window_view(hashes, w)
         mins = wins.min(axis=1)
         return sorted(set(int(v) for v in np.unique(mins)))
+
+
+# ---------------------------------------------------------------------------
+# top-k n-grams per language (corpus analytics, combiner pattern)
+# ---------------------------------------------------------------------------
+
+
+def _bigram_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch bigram combiner: the corpus text NEVER shuffles — only
+    distinct (lang, ngram, n) partial-count rows leave the task, bounded
+    by the batch vocabulary², not the batch token count."""
+    import pandas as pd
+
+    texts = _as_array(batch.column("text")).to_pylist()
+    langs = _as_array(batch.column("lang")).to_pylist()
+    word_lists = [t.strip().split() for t in texts]
+    counts = np.array([len(w) for w in word_lists], dtype=np.int64)
+    flat = np.array([w for ws in word_lists for w in ws], dtype=object)
+    if flat.shape[0] == 0:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "ngram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    # within-doc consecutive pairs: drop pair slots that straddle docs
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    mask = np.ones(flat.shape[0] - 1, dtype=bool)
+    mask[starts[starts > 0] - 1] = False
+    w1 = pd.Series(flat[:-1][mask])
+    grams = w1.str.cat(pd.Series(flat[1:][mask]), sep=" ")
+    doc_of = np.searchsorted(starts, np.arange(flat.shape[0] - 1)[mask],
+                             side="right") - 1
+    df = pd.DataFrame({"lang": np.array(langs, dtype=object)[doc_of],
+                       "ngram": grams})
+    part = df.groupby(["lang", "ngram"], sort=False).size().reset_index(name="n")
+    return pa.table({"lang": pa.array(part["lang"], pa.string()),
+                     "ngram": pa.array(part["ngram"], pa.string()),
+                     "n": pa.array(part["n"].to_numpy(np.int64))})
+
+
+def _local_topk(batch: pa.Table, k: int) -> pa.Table:
+    """Per-block candidate pruning: global top-k ⊆ union of per-block
+    top-k after the global sum, so only ≤ k rows per (block, lang) reach
+    the final merge."""
+    import pandas as pd
+
+    df = batch.to_pandas()
+    df = df.sort_values(["lang", "n", "ngram"],
+                        ascending=[True, False, True], kind="stable")
+    df = df.groupby("lang", sort=False).head(k)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def ngram_topk(ds, k: int = 10):
+    """Top-k word bigrams per language: (lang, ngram, n, rnk).
+
+    Shape: per-batch combiner (no text shuffle) → hash groupby sum over
+    (lang, ngram) — cardinality O(vocab²), the standard exact shape; at
+    degenerate vocab scale, salt the ngram key — → per-block top-k prune
+    → tiny per-lang merge. Deterministic rank: (n DESC, ngram ASC).
+    """
+    import pandas as pd
+
+    partials = ds.map_batches(_bigram_partial, batch_format="pyarrow")
+    totals = partials.groupby(["lang", "ngram"]).sum("n")
+    totals = totals.map_batches(
+        lambda t: t.rename_columns(
+            [c if c != "sum(n)" else "n" for c in t.column_names]),
+        batch_format="pyarrow")
+    cands = totals.map_batches(_local_topk, batch_format="pyarrow",
+                               fn_kwargs={"k": k})
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n", "ngram"], ascending=[False, True],
+                            kind="stable").head(k)
+        df = df.reset_index(drop=True)
+        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    out = cands.groupby("lang").map_groups(merge, batch_format="pandas")
+    return out.map_batches(lambda t: t, batch_format="pyarrow")
