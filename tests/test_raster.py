@@ -86,3 +86,20 @@ class TestSitePaths:
                 assert props["site"] == f.id
                 total += 1
         assert total == out.n_features.sum()
+
+
+class TestRasterVectorByteIdentity:
+    def test_vectorized_matches_scalar_builders(self, ray_session, tiles):
+        from vtzero_ray.stages.raster import (raster_to_vector,
+                                              raster_to_vector_scalar,
+                                              rasterize_tiles)
+
+        r = rasterize_tiles(tiles, grid=16).materialize()
+        fast = raster_to_vector(r, threshold=2, grid=16).to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        slow = raster_to_vector_scalar(r, threshold=2, grid=16).to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        assert len(fast) == len(slow) > 0
+        for a, b in zip(fast.itertuples(), slow.itertuples()):
+            assert (a.z, a.x, a.y) == (b.z, b.x, b.y)
+            assert bytes(a.mvt) == bytes(b.mvt)

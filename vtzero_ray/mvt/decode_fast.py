@@ -698,3 +698,49 @@ def check_codes_fast(batch: pa.Table) -> np.ndarray:
         decided[ti] = False
     codes[decided] = warn_tiles[decided].astype(np.int8)  # 0 clean, 1 warning
     return codes
+
+
+def multipoint_coords(geom_col):
+    """Vectorized (multi)point coordinate decode for MANY features.
+
+    ``geom_col``: arrow list<uint32> command streams of POINT features
+    (spec 4.3.4.2: one MoveTo(count) + 2·count zigzag params). Returns
+    ``(feat_of, px, py, bad)``: flat int32 coords with ``feat_of`` mapping
+    each point to its feature index, and ``bad`` marking features whose
+    stream doesn't match the single-MoveTo layout (caller decodes those
+    through codec.decode_point for exact validation semantics).
+    """
+    from .pbf import zigzag_decode32_np
+
+    if isinstance(geom_col, pa.ChunkedArray):
+        geom_col = geom_col.combine_chunks()
+    off = geom_col.offsets.to_numpy().astype(np.int64)
+    vals = geom_col.values.to_numpy().astype(np.uint32) if len(geom_col.values) \
+        else np.empty(0, np.uint32)
+    n = off.shape[0] - 1
+    lens = off[1:] - off[:-1]
+    w0 = np.zeros(n, np.uint32)
+    nz = lens > 0
+    w0[nz] = vals[off[:-1][nz]]
+    cnt = (w0 >> np.uint32(3)).astype(np.int64)
+    ok = nz & ((w0 & np.uint32(7)) == 1) & (lens == 1 + 2 * cnt) & (cnt >= 1)
+    ok_idx = np.flatnonzero(ok)
+    m = cnt[ok]
+    tot = int(m.sum())
+    if tot == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int32),
+                np.empty(0, np.int32), ~ok & nz)
+    feat_of = np.repeat(ok_idx, m)
+    starts = np.concatenate(([0], np.cumsum(m)[:-1]))
+    j = np.arange(tot, dtype=np.int64) - np.repeat(starts, m)
+    base = np.repeat(off[:-1][ok] + 1, m)
+    dx = zigzag_decode32_np(vals[base + 2 * j])
+    dy = zigzag_decode32_np(vals[base + 2 * j + 1])
+    # per-feature cumulative sum: global cumsum minus the pre-feature base
+    cx = np.cumsum(dx.astype(np.int64))
+    cy = np.cumsum(dy.astype(np.int64))
+    bx = cx[starts] - dx[starts]
+    by = cy[starts] - dy[starts]
+    px = (cx - np.repeat(bx, m)).astype(np.int32)
+    py = (cy - np.repeat(by, m)).astype(np.int32)
+    return feat_of, px, py, ~ok & nz

@@ -16,53 +16,154 @@ import pyarrow as pa
 
 from ..mvt import codec
 from ..mvt.builder import PolygonFeatureBuilder, TileBuilder
-from ..mvt.decoder import VectorTile
-from ..mvt.values import VT_UINT
+from ..mvt.values import VT_UINT, encode_value
 
 
 def rasterize_tiles(tiles_ds, grid: int = 16, extent: int = 4096):
-    """tiles (mvt) → (z,x,y,cell_row,cell_col,n_points) density rows."""
+    """tiles (mvt) → (z,x,y,cell_row,cell_col,n_points) density rows.
+
+    Fully vectorized: tiles decode through the batch decoder
+    (mvt/decode_fast.py), point coordinates come from the segmented
+    multipoint kernel, and binning is ONE np.bincount over a combined
+    (tile, cell) key — no per-tile or per-feature Python loop. Features
+    whose command stream isn't plain single-MoveTo fall back to the
+    scalar codec.decode_point (same validation semantics).
+    """
     cell = extent // grid
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        out = {"z": [], "x": [], "y": [], "cell_row": [], "cell_col": [], "n_points": []}
-        for z, x, y, mvt in zip(batch.column("z").to_pylist(),
-                                batch.column("x").to_pylist(),
-                                batch.column("y").to_pylist(),
-                                batch.column("mvt")):
-            counts = np.zeros((grid, grid), dtype=np.int64)
-            for layer in VectorTile(mvt.as_py()).layers():
-                for f in layer.features():
-                    if f.geom_type != codec.GEOM_POINT:
-                        continue
-                    pts = f.decode_geometry()
-                    r = np.clip(pts[:, 1] // cell, 0, grid - 1)
-                    c = np.clip(pts[:, 0] // cell, 0, grid - 1)
-                    np.add.at(counts, (r, c), 1)
-            rr, cc = np.nonzero(counts)
-            out["z"] += [z] * rr.shape[0]
-            out["x"] += [x] * rr.shape[0]
-            out["y"] += [y] * rr.shape[0]
-            out["cell_row"] += rr.tolist()
-            out["cell_col"] += cc.tolist()
-            out["n_points"] += counts[rr, cc].tolist()
+        from ..mvt.decode_fast import multipoint_coords
+        from ..pipelines.decode import decode_tiles_batch_v
+
+        feats = decode_tiles_batch_v(batch, with_props=False,
+                                     with_geometry=True)
+        feats = feats.filter(
+            pa.compute.equal(feats.column("geom_type"),
+                             int(codec.GEOM_POINT)))
+        empty = pa.table({
+            "z": pa.array([], pa.int32()), "x": pa.array([], pa.int32()),
+            "y": pa.array([], pa.int32()),
+            "cell_row": pa.array([], pa.int32()),
+            "cell_col": pa.array([], pa.int32()),
+            "n_points": pa.array([], pa.int64())})
+        if len(feats) == 0:
+            return empty
+        feat_of, px, py, bad = multipoint_coords(feats.column("geom_cmds"))
+        if bad.any():  # malformed layout → scalar decode, same semantics
+            geom = feats.column("geom_cmds")
+            extra_f, extra_x, extra_y = [], [], []
+            for i in np.flatnonzero(bad):
+                pts = codec.decode_point(
+                    np.asarray(geom[int(i)].as_py(), dtype=np.uint32))
+                extra_f += [i] * pts.shape[0]
+                extra_x += pts[:, 0].tolist()
+                extra_y += pts[:, 1].tolist()
+            feat_of = np.concatenate([feat_of, np.array(extra_f, np.int64)])
+            px = np.concatenate([px, np.array(extra_x, np.int32)])
+            py = np.concatenate([py, np.array(extra_y, np.int32)])
+        if feat_of.shape[0] == 0:
+            return empty
+        # combined (tile, cell) key → one bincount for the whole batch
+        zs = feats.column("z").to_numpy()
+        xs = feats.column("x").to_numpy()
+        ys = feats.column("y").to_numpy()
+        tile_key = np.stack([zs, xs, ys], axis=1)
+        uniq, tile_of_feat = np.unique(tile_key, axis=0, return_inverse=True)
+        r = np.clip(py.astype(np.int64) // cell, 0, grid - 1)
+        c = np.clip(px.astype(np.int64) // cell, 0, grid - 1)
+        key = (tile_of_feat[feat_of] * grid + r) * grid + c
+        counts = np.bincount(key, minlength=uniq.shape[0] * grid * grid)
+        nz = np.flatnonzero(counts)
+        t_idx = nz // (grid * grid)
         return pa.table({
-            "z": pa.array(out["z"], pa.int32()),
-            "x": pa.array(out["x"], pa.int32()),
-            "y": pa.array(out["y"], pa.int32()),
-            "cell_row": pa.array(out["cell_row"], pa.int32()),
-            "cell_col": pa.array(out["cell_col"], pa.int32()),
-            "n_points": pa.array(out["n_points"], pa.int64()),
+            "z": pa.array(uniq[t_idx, 0].astype(np.int32)),
+            "x": pa.array(uniq[t_idx, 1].astype(np.int32)),
+            "y": pa.array(uniq[t_idx, 2].astype(np.int32)),
+            "cell_row": pa.array((nz // grid % grid).astype(np.int32)),
+            "cell_col": pa.array((nz % grid).astype(np.int32)),
+            "n_points": pa.array(counts[nz].astype(np.int64)),
         })
 
     return tiles_ds.map_batches(per_batch, batch_format="pyarrow", batch_size=None)
 
 
 def raster_to_vector(raster_ds, threshold: int = 2, grid: int = 16,
-                     extent: int = 4096, layer_name: str = "hotcells"):
+                     extent: int = 4096, layer_name: str = "hotcells",
+                     n_buckets: int = 64):
     """Density rows → MVT polygon tiles: one CCW square ring per cell with
     n_points >= threshold; properties: n_points (uint). Returns a tiles
-    Dataset (z,x,y,mvt,n_cells) that passes vtzero-check."""
+    Dataset (z,x,y,mvt,n_cells) that passes vtzero-check.
+
+    Polygon geometry is VECTORIZED per tile: all square-ring command
+    words (MoveTo + LineTo(3) + ClosePath, cursor math inlined) come from
+    one (F, 11) u32 matrix — only zigzag(x0)/zigzag(y0) vary per feature —
+    then framed through add_feature_encoded (interning through the layer,
+    byte-identical to the scalar PolygonFeatureBuilder path, asserted in
+    test_raster). Tiles shuffle on a fixed-count bucket key, not the raw
+    high-cardinality (z,x,y) key."""
+    import pandas as pd
+
+    from ..mvt.pbf import zigzag_encode32
+    from .encode import add_tile_bucket
+
+    cell = extent // grid
+    zz_cell = zigzag_encode32(cell)
+    zz_ncell = zigzag_encode32(-cell)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_points"] >= threshold]
+        rows = []
+        for (z, x, y), tdf in df.groupby(["z", "x", "y"], sort=True):
+            tdf = tdf.sort_values(["cell_row", "cell_col"], kind="stable")
+            rr = tdf["cell_row"].to_numpy(np.int64)
+            cc = tdf["cell_col"].to_numpy(np.int64)
+            npts = tdf["n_points"].to_numpy(np.int64)
+            F = rr.shape[0]
+            cmds = np.empty((F, 11), np.uint32)
+            cmds[:, 0] = 9                                   # MoveTo(1)
+            cmds[:, 1] = ((cc * cell) << 1).astype(np.uint32)  # zz(x0), x0>=0
+            cmds[:, 2] = ((rr * cell) << 1).astype(np.uint32)  # zz(y0), y0>=0
+            cmds[:, 3] = 26                                  # LineTo(3)
+            cmds[:, 4] = zz_cell
+            cmds[:, 5] = 0
+            cmds[:, 6] = 0
+            cmds[:, 7] = zz_cell
+            cmds[:, 8] = zz_ncell
+            cmds[:, 9] = 0
+            cmds[:, 10] = 15                                 # ClosePath(1)
+            tb = TileBuilder()
+            lb = tb.add_layer(layer_name, 2, extent)
+            for i in range(F):
+                lb.add_feature_encoded(
+                    codec.GEOM_POLYGON, cmds[i],
+                    feature_id=int(rr[i]) * grid + int(cc[i]),
+                    props=[("n_points",
+                            encode_value(int(npts[i]), VT_UINT))])
+            rows.append((np.int32(z), np.int32(x), np.int32(y),
+                         tb.serialize(), F))
+        if not rows:
+            return pd.DataFrame({
+                "z": pd.Series([], dtype="int32"),
+                "x": pd.Series([], dtype="int32"),
+                "y": pd.Series([], dtype="int32"),
+                "mvt": pd.Series([], dtype=object),
+                "n_cells": pd.Series([], dtype="int64")})
+        out = pd.DataFrame(rows, columns=["z", "x", "y", "mvt", "n_cells"])
+        return out.astype({"z": "int32", "x": "int32", "y": "int32",
+                           "n_cells": "int64"})
+
+    bucketed = raster_ds.map_batches(add_tile_bucket, batch_format="pyarrow",
+                                     fn_kwargs={"n_buckets": n_buckets})
+    out = bucketed.groupby("bucket").map_groups(
+        lambda df: per_bucket(df.drop(columns=["bucket"])),
+        batch_format="pandas")
+    return out.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def raster_to_vector_scalar(raster_ds, threshold: int = 2, grid: int = 16,
+                            extent: int = 4096, layer_name: str = "hotcells"):
+    """Scalar reference path (full PolygonFeatureBuilder state machine) —
+    kept for the byte-identity test against the vectorized kernel."""
     cell = extent // grid
 
     def per_group(df):
