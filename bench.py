@@ -154,7 +154,8 @@ def run_bench() -> dict:
 
         qs = e.queries()
         for name in ("dedup_exact", "minhash_lsh_candidates", "ann_topk_bruteforce",
-                     "ann_topk_ivf", "simhash_near_dups"):
+                     "ann_topk_ivf", "simhash_near_dups", "ngram_topk",
+                     "clipped_paths_z2"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)
