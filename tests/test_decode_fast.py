@@ -168,3 +168,35 @@ class TestCheckParity:
         codes = check_codes_fast(tiles_table([bad]))
         assert codes[0] == -1
         assert check_tile(bad)[0] == 3
+
+
+class TestMultipointCoords:
+    def test_multipoint_and_bad_layout(self):
+        import pyarrow as pa
+        from vtzero_ray.mvt import codec
+        from vtzero_ray.mvt.decode_fast import multipoint_coords
+
+        # feature 0: 2-point multipoint; feature 1: single point;
+        # feature 2: linestring layout (not single-MoveTo) -> bad;
+        # feature 3: empty stream -> not bad, no points
+        mp = codec.encode_point([[10, 20], [7, 5]])
+        sp = codec.encode_point([[4096, 0]])
+        ls = codec.encode_linestring([[[0, 0], [10, 10]]])
+        col = pa.array([mp.tolist(), sp.tolist(), ls.tolist(), []],
+                       pa.list_(pa.uint32()))
+        feat_of, px, py, bad = multipoint_coords(col)
+        assert bad.tolist() == [False, False, True, False]
+        assert feat_of.tolist() == [0, 0, 1]
+        assert px.tolist() == [10, 7, 4096]
+        assert py.tolist() == [20, 5, 0]
+
+    def test_negative_deltas(self):
+        import pyarrow as pa
+        from vtzero_ray.mvt import codec
+        from vtzero_ray.mvt.decode_fast import multipoint_coords
+
+        pts = [[100, 100], [-50, 200], [3, -7]]
+        col = pa.array([codec.encode_point(pts).tolist()], pa.list_(pa.uint32()))
+        _, px, py, bad = multipoint_coords(col)
+        assert not bad.any()
+        assert list(zip(px.tolist(), py.tolist())) == [tuple(p) for p in pts]
