@@ -167,6 +167,18 @@ def _q_filter_lang_en_z6(sf_dir: str):
     return kept.select_columns(["z", "x", "y", "n_features"])
 
 
+def _q_length_quantiles(sf_dir: str):
+    """Exact per-lang length quantiles from merged per-batch histograms
+    (mergeable-sketch shape; exact because the domain is discrete)."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.sketch import length_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "lang"])
+    return length_quantiles(ds)
+
+
 def _q_ngram_topk(sf_dir: str):
     """Top-10 word bigrams per language — per-batch combiner (text never
     shuffles), hash groupby sum, per-block prune, tiny per-lang merge."""
@@ -665,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "fingerprint_md5": _q_fingerprint,
         "ngram_topk": _q_ngram_topk,
+        "length_quantiles": _q_length_quantiles,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1044,6 +1057,12 @@ def oracle_sql() -> dict[str, str]:
             f"{lang_pred} AS lang_pred FROM documents"
         ),
         "fingerprint_md5": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "length_quantiles": (
+            "WITH q AS (SELECT lang, quantile_disc(length(text), "
+            "[0.1, 0.5, 0.9, 0.99]) AS qs FROM documents GROUP BY lang) "
+            "SELECT lang, unnest([0.1, 0.5, 0.9, 0.99]) AS p, "
+            "CAST(unnest(qs) AS BIGINT) AS len_q FROM q"
+        ),
         "ngram_topk": (
             "WITH toks AS (SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS ws "
             "FROM documents WHERE trim(text) != ''), "

@@ -396,3 +396,24 @@ class TestNgramTopK:
             got = out[out.lang == lang]
             assert list(zip(got.ngram, got.n)) == want
             assert got.rnk.tolist() == list(range(1, len(want) + 1))
+
+
+class TestLengthQuantiles:
+    def test_matches_numpy_bruteforce(self, ray_session, sf_dir):
+        import math
+
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from vtzero_ray.functions.sketch import length_quantiles
+
+        df = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["text", "lang"]).to_pandas()
+        out = length_quantiles(rd.from_pandas(df)).to_pandas() \
+            .sort_values(["lang", "p"]).reset_index(drop=True)
+        for lang, g in df.groupby("lang"):
+            lens = np.sort(g["text"].str.len().to_numpy())
+            for p in (0.1, 0.5, 0.9, 0.99):
+                want = int(lens[max(math.ceil(p * lens.shape[0]), 1) - 1])
+                got = out[(out.lang == lang) & (out.p == p)].len_q.iloc[0]
+                assert got == want, (lang, p)

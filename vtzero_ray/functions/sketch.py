@@ -132,3 +132,61 @@ def approx_distinct(ds, column: str, p: int = 12, hash: str = "blake2b"):
     facts = merged.facts()
     facts["column"] = column
     return pd.DataFrame({k: [v] for k, v in facts.items()})
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles via mergeable histograms
+# ---------------------------------------------------------------------------
+
+
+def _len_hist_partial(batch: "pa.Table") -> "pa.Table":
+    """Per-batch histogram combiner: (lang, length, cnt) partials — the
+    corpus never shuffles, only distinct (lang, length) rows do (bounded
+    by the length distribution, not the row count)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lens = pc.utf8_length(batch.column("text")).to_numpy().astype(np.int64)
+    langs = batch.column("lang").to_pylist()
+    df = pd.DataFrame({"lang": langs, "length": lens})
+    part = df.groupby(["lang", "length"], sort=False).size().reset_index(name="cnt")
+    return pa.table({"lang": pa.array(part["lang"], pa.string()),
+                     "length": pa.array(part["length"].to_numpy(np.int64)),
+                     "cnt": pa.array(part["cnt"].to_numpy(np.int64))})
+
+
+def length_quantiles(ds, ps=(0.1, 0.5, 0.9, 0.99)):
+    """Exact per-language text-length quantiles from merged histograms:
+    (lang, p, len_q). Matches DuckDB quantile_disc exactly — sorted
+    v[ceil(p*n)-1], read off the cumulative histogram. Same mergeable-
+    sketch shape as the HLL operator; exact because the domain (lengths)
+    is discrete and bounded."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    parts = ds.map_batches(_len_hist_partial, batch_format="pyarrow")
+    totals = parts.groupby(["lang", "length"]).sum("cnt")
+    totals = totals.map_batches(
+        lambda t: t.rename_columns(
+            [c if c != "sum(cnt)" else "cnt" for c in t.column_names]),
+        batch_format="pyarrow")
+
+    ps = tuple(float(p) for p in ps)
+
+    def per_lang(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("length", kind="stable")
+        cum = df["cnt"].to_numpy(np.int64).cumsum()
+        lengths = df["length"].to_numpy(np.int64)
+        n = int(cum[-1])
+        vals = [int(lengths[np.searchsorted(cum, max(math.ceil(p * n), 1))])
+                for p in ps]
+        return pd.DataFrame({"lang": [df["lang"].iloc[0]] * len(ps),
+                             "p": np.array(ps, np.float64),
+                             "len_q": np.array(vals, np.int64)})
+
+    out = totals.groupby("lang").map_groups(per_lang, batch_format="pandas")
+    return out.map_batches(lambda t: t, batch_format="pyarrow")
