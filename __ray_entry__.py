@@ -158,12 +158,14 @@ def _q_decoded_features_z6(sf_dir: str):
 
 def _q_filter_lang_en_z6(sf_dir: str):
     """vtzero-streets-shaped filter/re-encode (T7+T12): keep lang=en
-    features, opaque geometry passthrough, per-tile counts."""
-    from vtzero_ray.pipelines.filter import filter_features
+    features, per-tile counts. Runs the VECTORIZED fast path (batch
+    decode → Arrow predicate → segmented re-encode, byte-identical to
+    the scalar copy path per test_decode_filter.TestFilterFast)."""
+    from vtzero_ray.pipelines.filter import filter_features_fast
     from vtzero_ray.pipelines.tiling import tiles_pipeline
 
     tiles = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
-    kept = filter_features(tiles, "pages", "lang", "en")
+    kept = filter_features_fast(tiles, "pages", "lang", "en")
     return kept.select_columns(["z", "x", "y", "n_features"])
 
 

@@ -144,3 +144,36 @@ class TestZXYRoundtrip:
         got = back.set_index(["z", "x", "y"]).mvt
         for key in orig.index:
             assert bytes(got.loc[key]) == orig.loc[key]
+
+
+class TestFilterFast:
+    def test_byte_identity_with_scalar_path(self, ray_session, tiles):
+        from vtzero_ray.pipelines.filter import (filter_features,
+                                                 filter_features_fast)
+
+        slow = filter_features(tiles, "pages", "lang", "en").to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        fast = filter_features_fast(tiles, "pages", "lang", "en").to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        assert len(fast) == len(slow) > 0
+        for a, b in zip(fast.itertuples(), slow.itertuples()):
+            assert (a.z, a.x, a.y, a.n_features) == (b.z, b.x, b.y, b.n_features)
+            assert bytes(a.mvt) == bytes(b.mvt)
+
+    def test_fallback_on_non_pages_tiles(self, ray_session, tiles):
+        """Multi-layer merged tiles aren't pages-schema → the fast path
+        must route them through the scalar copy and still match it."""
+        from vtzero_ray.pipelines.filter import (filter_features,
+                                                 filter_features_fast,
+                                                 merge_tiles)
+        from vtzero_ray.pipelines.paths import site_paths_tiles
+
+        paths = site_paths_tiles("/root/testdata/sf0.001", zoom=6)
+        merged = merge_tiles(tiles, paths.select_columns(["z", "x", "y", "mvt"]))
+        slow = filter_features(merged, "pages", "lang", "en").to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        fast = filter_features_fast(merged, "pages", "lang", "en").to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        assert len(fast) == len(slow) > 0
+        for a, b in zip(fast.itertuples(), slow.itertuples()):
+            assert bytes(a.mvt) == bytes(b.mvt)

@@ -382,9 +382,11 @@ class PointTileAssembler:
     are deterministic (SURVEY.md §7.4 byte-identical interning).
     """
 
-    def __init__(self, layer_name: str = "pages", extent: int = 4096) -> None:
+    def __init__(self, layer_name: str = "pages", extent: int = 4096,
+                 id_first: bool = False) -> None:
         self.layer_name = layer_name.encode("utf-8")
         self.extent = extent
+        self.id_first = id_first
         self.__name__ = "PointTileAssembler"  # map_groups wraps plain fns
         # bind at construction (driver side): a lazy import inside __call__
         # would execute in the WORKER, which may not have vtzero_ray on its
@@ -429,6 +431,7 @@ class PointTileAssembler:
         mvts = self._encode_segmented(
             starts, doc_id.astype(np.uint64), px, py, url, lang,
             layer_name=self.layer_name, extent=self.extent,
+            id_first=self.id_first,
         )
         # interning precondition (per-tile-distinct urls, url∩lang=∅): the
         # closed-form indexes in the segmented kernel assume it. Detect

@@ -28,10 +28,16 @@ _BIG = np.int64(1 << 60)
 
 
 def encode_feature_section(fid: np.ndarray, px: np.ndarray, py: np.ndarray,
-                           uv: np.ndarray, lv: np.ndarray) -> bytes:
+                           uv: np.ndarray, lv: np.ndarray,
+                           id_first: bool = False) -> bytes:
     """Feature messages (type+id+geom+tags) for single-point features with
     PRE-RESOLVED value indexes — the vectorized core shared with the salted
-    shard encoder (whose indexes come from the distributed plan)."""
+    shard encoder (whose indexes come from the distributed plan).
+
+    ``id_first`` mirrors GeometryFeatureBuilder's field order (id before
+    type, builder.py:487 / vtzero's copy path) instead of the typed
+    builders' type-before-id — needed for byte-identity with the scalar
+    filter/re-encode copy path."""
     fid = fid.astype(np.uint64)
     zzx = zigzag32_np(px)
     zzy = zigzag32_np(py)
@@ -56,12 +62,20 @@ def encode_feature_section(fid: np.ndarray, px: np.ndarray, py: np.ndarray,
     buf[o] = 0x12
     write_varints_at(buf, o + 1, body_len.astype(np.uint64), l_bodylen)
     o = o + 1 + l_bodylen
-    buf[o] = 0x18
-    buf[o + 1] = 1
-    o = o + 2
-    buf[o] = 0x08
-    write_varints_at(buf, o + 1, fid, l_id)
-    o = o + 1 + l_id
+    if id_first:
+        buf[o] = 0x08
+        write_varints_at(buf, o + 1, fid, l_id)
+        o = o + 1 + l_id
+        buf[o] = 0x18
+        buf[o + 1] = 1
+        o = o + 2
+    else:
+        buf[o] = 0x18
+        buf[o + 1] = 1
+        o = o + 2
+        buf[o] = 0x08
+        write_varints_at(buf, o + 1, fid, l_id)
+        o = o + 1 + l_id
     buf[o] = 0x22
     write_varints_at(buf, o + 1, geom_len.astype(np.uint64), l_geomlen)
     o = o + 1 + l_geomlen
@@ -125,6 +139,7 @@ def encode_point_tiles_segmented(
     layer_name: bytes = b"pages",
     version: int = 2,
     extent: int = 4096,
+    id_first: bool = False,
 ) -> list[bytes]:
     from ..runtime import tune_allocator
 
@@ -241,12 +256,20 @@ def encode_point_tiles_segmented(
     buf[o] = 0x12
     write_varints_at(buf, o + 1, body_len.astype(np.uint64), l_bodylen)
     o = o + 1 + l_bodylen
-    buf[o] = 0x18
-    buf[o + 1] = 1
-    o = o + 2
-    buf[o] = 0x08
-    write_varints_at(buf, o + 1, fid, l_id)
-    o = o + 1 + l_id
+    if id_first:
+        buf[o] = 0x08
+        write_varints_at(buf, o + 1, fid, l_id)
+        o = o + 1 + l_id
+        buf[o] = 0x18
+        buf[o + 1] = 1
+        o = o + 2
+    else:
+        buf[o] = 0x18
+        buf[o + 1] = 1
+        o = o + 2
+        buf[o] = 0x08
+        write_varints_at(buf, o + 1, fid, l_id)
+        o = o + 1 + l_id
     buf[o] = 0x22
     write_varints_at(buf, o + 1, geom_len.astype(np.uint64), l_geomlen)
     o = o + 1 + l_geomlen
