@@ -48,6 +48,31 @@ def host_probe_ms() -> float:
     return round((time.time() - t0) * 1000, 1)
 
 
+def bw_probe_gbps() -> float:
+    """Single-core memory-bandwidth probe (64 MB copy loop). Hypervisor
+    neighbors can saturate the socket's memory bandwidth WITHOUT showing
+    up as CPU steal — a clean-steal pair with a degraded bandwidth probe
+    explains a low scaling ratio that steal can't."""
+    import numpy as np
+
+    from vtzero_ray.runtime import tune_allocator
+
+    tune_allocator()
+    a = np.empty(64 << 20, np.uint8)
+    a[::4096] = 1
+    best = 0.0
+    # pass 0 is untimed: it absorbs the one-time heap-growth faults
+    # (~50us/page on this box — the same pathology tune_allocator bounds)
+    for timed in (False, True):
+        t0 = time.perf_counter()
+        for _ in range(6):
+            b = a.copy()  # noqa: F841
+        dt = time.perf_counter() - t0
+        if timed:
+            best = round(6 * a.nbytes * 2 / dt / 1e9, 2)
+    return best
+
+
 def run_bench() -> dict:
     import ray
 
@@ -66,7 +91,8 @@ def run_bench() -> dict:
     from vtzero_ray.pipelines.tiling import features_dataset, tiles_pipeline
 
     queries: dict[str, float] = {}
-    extra: dict[str, float] = {"host_probe_ms": host_probe_ms()}
+    extra: dict[str, float] = {"host_probe_ms": host_probe_ms(),
+                               "bw_probe_gbps": bw_probe_gbps()}
 
     # warm the page cache + Ray workers with one untimed pass
     features_dataset(SF_DIR, zooms=(6,)).count()
@@ -237,6 +263,8 @@ def run_scaling() -> dict:
             "tiles_per_sec_hi": hi["tiles_per_sec"],
             "probe_lo_ms": lo.get("host_probe_ms", -1.0),
             "probe_hi_ms": hi.get("host_probe_ms", -1.0),
+            "bw_lo_gbps": lo.get("bw_probe_gbps", -1.0),
+            "bw_hi_gbps": hi.get("bw_probe_gbps", -1.0),
             "steal_lo_pct": lo.get("steal_pct", -1.0),
             "steal_hi_pct": hi.get("steal_pct", -1.0),
             "scaling_efficiency": round(eff, 3),
