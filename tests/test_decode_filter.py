@@ -177,3 +177,111 @@ class TestFilterFast:
         assert len(fast) == len(slow) > 0
         for a, b in zip(fast.itertuples(), slow.itertuples()):
             assert bytes(a.mvt) == bytes(b.mvt)
+
+class TestFilterFastEdgeCases:
+    """Regression tests for the round-2 ADVICE findings (filter.py)."""
+
+    @staticmethod
+    def _tile(props_list, ids=None, big_val=None):
+        """One pages-layer tile; props_list = list of dict per feature."""
+        from vtzero_ray.mvt.builder import PointFeatureBuilder, TileBuilder
+
+        tb = TileBuilder()
+        lb = tb.add_layer("pages")
+        for i, props in enumerate(props_list):
+            fb = PointFeatureBuilder(lb)
+            fb.set_id((ids or range(1, len(props_list) + 1))[i])
+            fb.add_point(10 + i, 20 + i)
+            for k, v in props.items():
+                fb.add_property(k, v)
+            fb.commit()
+        return tb.serialize()
+
+    @staticmethod
+    def _ds(tiles):
+        import pyarrow as pa
+        import ray.data as rd
+
+        n = len(tiles)
+        return rd.from_arrow(pa.table({
+            "z": pa.array([6] * n, pa.int32()),
+            "x": pa.array(list(range(n)), pa.int32()),
+            "y": pa.array([0] * n, pa.int32()),
+            "mvt": pa.array(tiles, pa.binary()),
+        }))
+
+    def _assert_matches_scalar(self, ds, key, value):
+        from vtzero_ray.pipelines.filter import (filter_features,
+                                                 filter_features_fast)
+
+        slow = filter_features(ds, "pages", key, value).to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        fast = filter_features_fast(ds, "pages", key, value).to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        assert len(fast) == len(slow)
+        for a, b in zip(fast.itertuples(), slow.itertuples()):
+            assert (a.z, a.x, a.y) == (b.z, b.x, b.y)
+            assert bytes(a.mvt) == bytes(b.mvt)
+        return slow
+
+    def test_key_url_honored(self, ray_session):
+        """ADVICE #1: fast path must compare the requested key, not
+        always lang."""
+        t = self._tile([{"url": "https://a", "lang": "en"},
+                        {"url": "https://b", "lang": "en"}])
+        slow = self._assert_matches_scalar(self._ds([t]), "url", "https://a")
+        assert slow.n_features.sum() == 1
+
+    def test_non_pages_key_scalar_route(self, ray_session):
+        """Arbitrary keys (non url/lang) route to the scalar path and
+        still return correct results."""
+        t = self._tile([{"site": "x", "kind": "page"},
+                        {"site": "y", "kind": "blog"}])
+        slow = self._assert_matches_scalar(self._ds([t]), "kind", "page")
+        assert slow.n_features.sum() == 1
+
+    def test_single_prop_last_feature(self, ray_session):
+        """ADVICE #3: a trailing feature with < 2 property values must
+        not crash the vectorized gather (take past end of value table)."""
+        good = self._tile([{"url": "https://a", "lang": "en"}])
+        short = self._tile([{"url": "https://b", "lang": "en"},
+                            {"only": "one"}])
+        slow = self._assert_matches_scalar(self._ds([good, short]),
+                                           "lang", "en")
+        assert slow.n_features.sum() == 2
+
+    def test_nonstring_value_invalid_utf8(self, ray_session):
+        """ADVICE #2a: a uint property value whose entry bytes slice to
+        invalid UTF-8 must not fail the batch (ArrowInvalid)."""
+        t = self._tile([{"url": "https://a", "lang": "en"},
+                        {"url": "https://b", "lang": 3000000}])
+        slow = self._assert_matches_scalar(self._ds([t]), "lang", "en")
+        assert slow.n_features.sum() == 1
+
+    def test_long_string_no_corruption(self, ray_session):
+        """ADVICE #2b: a string value >= 16384 bytes has a 3-byte varint
+        length — must go ok=False (scalar path), not silently decode with
+        a stray length byte prepended."""
+        big = "s" * 16385
+        t = self._tile([{"url": "https://a", "lang": big},
+                        {"url": "https://b", "lang": "en"}])
+        slow = self._assert_matches_scalar(self._ds([t]), "lang", big)
+        assert slow.n_features.sum() == 1
+
+    def test_strip_string_entries_unit(self):
+        import pyarrow as pa
+
+        from vtzero_ray.pipelines.filter import _strip_string_entries
+        from vtzero_ray.mvt.values import encode_value
+
+        entries = [
+            encode_value("hi"),                 # 1-byte len
+            encode_value("x" * 200),            # 2-byte len
+            encode_value("y" * 16385),          # 3-byte len -> not ok
+            encode_value(3000000),              # uint, invalid-utf8 slice
+            encode_value(1.5),                  # double
+        ]
+        strs, ok = _strip_string_entries(pa.array(entries, pa.binary()))
+        assert list(ok) == [True, True, False, False, False]
+        assert strs[0].as_py() == "hi"
+        assert strs[1].as_py() == "x" * 200

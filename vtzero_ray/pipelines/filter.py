@@ -149,13 +149,20 @@ def _strip_string_entries(flat: pa.Array):
         np.empty(0, np.uint8)
     second = pc.binary_slice(flat, 1, 2).to_pylist()
     b1 = np.array([s[0] if s else 0 for s in second], np.uint8)
-    # 0x0A tag + 1-byte len (payload < 128) or 2-byte len (< 16384)
+    third = pc.binary_slice(flat, 2, 3).to_pylist()
+    b2 = np.array([s[0] if s else 0 for s in third], np.uint8)
+    # 0x0A tag + 1-byte len (payload < 128) or 2-byte len that TERMINATES
+    # at byte 2 (payload < 16384; b2 >= 0x80 means a 3+-byte varint —
+    # ok=False so the tile takes the scalar path, not silent corruption)
     one = (b0 == 0x0A) & (b1 < 0x80) & (lens >= 2)
-    two = (b0 == 0x0A) & (b1 >= 0x80) & (lens >= 3)
+    two = (b0 == 0x0A) & (b1 >= 0x80) & (b2 < 0x80) & (lens >= 3)
     ok = one | two
     out1 = pc.binary_slice(flat, 2, np.iinfo(np.int32).max)
     out2 = pc.binary_slice(flat, 3, np.iinfo(np.int32).max)
     sel = pc.if_else(pa.array(one), out1, out2)
+    # non-ok entries (e.g. uint/double values) may slice to invalid UTF-8 —
+    # blank them BEFORE the string cast so the whole batch can't fail
+    sel = pc.if_else(pa.array(ok), sel, pa.scalar(b"", pa.binary()))
     return pc.cast(sel, pa.string()), ok
 
 
@@ -176,6 +183,13 @@ def filter_features_fast(tiles_ds, layer_name: str, key: str, value,
     from ..mvt.decode_fast import multipoint_coords
     from ..stages.encode import PointTileAssembler
     from .decode import decode_tiles_batch_v
+
+    if key not in ("url", "lang") or not isinstance(value, str):
+        # the fast path only understands the pages (url, lang) string
+        # schema — any other predicate takes the scalar copy path wholesale
+        return tiles_ds.map_batches(
+            _scalar_filter_batch(layer_name, key, value),
+            batch_format="pyarrow", batch_size=None)
 
     scalar = None  # built lazily per worker
 
@@ -220,8 +234,12 @@ def filter_features_fast(tiles_ds, layer_name: str, key: str, value,
         vflat = pv.values
         voff = pv.offsets.to_numpy().astype(np.int64)
         strs, v_ok = _strip_string_entries(vflat)
+        # rows with fewer than 2 property values (foreign-layer features)
+        # are ineligible AND must not index past the flat value table
+        has2 = (voff[1:] - voff[:-1]) >= 2
         vals_ok = np.zeros(n, dtype=bool)
-        vals_ok[safe] = v_ok[voff[:-1][safe]] & v_ok[voff[:-1][safe] + 1]
+        sv = safe & has2
+        vals_ok[sv] = v_ok[voff[:-1][sv]] & v_ok[voff[:-1][sv] + 1]
         row_ok &= vals_ok
 
         feat_of, px, py, bad_geom = multipoint_coords(feats.column("geom_cmds"))
@@ -242,8 +260,17 @@ def filter_features_fast(tiles_ds, layer_name: str, key: str, value,
         # distinct urls, url∩lang=∅): violating tiles would otherwise hit
         # the assembler's type-first scalar fallback and break id-first
         # byte identity — route them to the scalar copy path instead
-        urls_all = strs.take(pa.array(voff[:-1]))
-        langs_all = strs.take(pa.array(voff[:-1] + 1))
+        # clamp take indices for rows without 2 values (they're already
+        # ineligible; a garbage gather value can only mark ITS OWN tile
+        # for scalar fallback, which such a tile gets anyway)
+        i0 = np.where(has2, voff[:-1], 0)
+        i1 = np.where(has2, voff[:-1] + 1, 0)
+        if len(strs) == 0:
+            urls_all = pa.array([""] * n, pa.string())
+            langs_all = urls_all
+        else:
+            urls_all = strs.take(pa.array(i0))
+            langs_all = strs.take(pa.array(i1))
         ucodes = pc.dictionary_encode(urls_all)
         if isinstance(ucodes, pa.ChunkedArray):
             ucodes = ucodes.combine_chunks()
@@ -266,8 +293,9 @@ def filter_features_fast(tiles_ds, layer_name: str, key: str, value,
             py_row[feat_of] = py
             urls = urls_all
             langs = langs_all
+            cmp_col = langs if key == "lang" else urls
             keep = fast_rows & pc.equal(
-                langs, str(value)).to_numpy(zero_copy_only=False)
+                cmp_col, value).to_numpy(zero_copy_only=False)
             if keep.any():
                 ki = np.flatnonzero(keep)
                 sub = pa.table({
