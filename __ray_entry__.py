@@ -151,9 +151,20 @@ def _q_decoded_features_z6(sf_dir: str):
     from vtzero_ray.pipelines.decode import decode_tiles
     from vtzero_ray.pipelines.tiling import tiles_pipeline
 
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     tiles = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
     feats = decode_tiles(tiles, with_props=False, with_geometry=False)
-    return feats.select_columns(["z", "x", "y", "layer", "feature_id", "geom_type", "n_props"])
+    feats = feats.select_columns(["z", "x", "y", "layer", "feature_id", "geom_type", "n_props"])
+
+    # feature_id decodes as uint64 (MVT spec field type); the oracle emits
+    # BIGINT — cast so a dtype-sensitive driver hash sees identical kinds
+    def to_i64(t: pa.Table) -> pa.Table:
+        return t.set_column(t.column_names.index("feature_id"), "feature_id",
+                            pc.cast(t.column("feature_id"), pa.int64()))
+
+    return feats.map_batches(to_i64, batch_format="pyarrow", batch_size=None)
 
 
 def _q_filter_lang_en_z6(sf_dir: str):

@@ -35,6 +35,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
+def df_kind(s: pd.Series) -> str:
+    """Coarse dtype kind: int/float/bool/object — what a dtype-sensitive
+    value hash would disagree on."""
+    return s.dtype.kind
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -83,6 +89,16 @@ def main() -> int:
             except AssertionError as ex:
                 msg = str(ex).splitlines()[0]
         if ok_rows and ok_cols and ok_vals:
+            # the driver's value hash is dtype-sensitive (round-2 ANN red
+            # cells: DuckDB HUGEINT sums -> pandas float64 vs Ray int64) —
+            # flag any kind mismatch even when values compare equal
+            kinds_got = [df_kind(got[c]) for c in got.columns]
+            kinds_exp = [df_kind(exp[c]) for c in exp.columns]
+            if kinds_got != kinds_exp:
+                failures += 1
+                print(f"DTYPE-MISMATCH {name}: ray {dict(zip(got.columns, kinds_got))}"
+                      f" vs oracle {dict(zip(exp.columns, kinds_exp))}")
+                continue
             print(f"PASS {name}: {len(got)} rows ({dt:.1f}s)")
         else:
             failures += 1

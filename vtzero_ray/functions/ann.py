@@ -160,30 +160,49 @@ def topk_lsh(ds, sf_dir: str, k: int = 5, n_queries: int = 10, n_bits: int = 8,
         q_ids, q_mat, sgn, q_b = ray.get(qref)
         ids = batch.column("vec_id").to_numpy()
         mat = quantize(np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)))
-        v_b = _int_buckets(mat, sgn)  # (n_tables, B)
-        hit = np.zeros((q_ids.shape[0], ids.shape[0]), dtype=bool)
-        for t in range(v_b.shape[0]):
-            hit |= q_b[t][:, None] == v_b[t][None, :]
-        qdot = q_mat @ mat.T                       # exact int64
-        sumsq = (mat * mat).sum(axis=1)            # exact int64
-        score = qdot.astype(np.float64) / np.sqrt(sumsq.astype(np.float64))[None, :]
-        qi, ci = np.nonzero(hit)
-        return pa.table({
-            "query_id": pa.array(q_ids[qi], pa.int64()),
-            "vec_id": pa.array(ids[ci], pa.int64()),
-            "qdot": pa.array(qdot[qi, ci], pa.int64()),
-            "score": pa.array(score[qi, ci], pa.float64()),
-        })
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["score", "vec_id"], ascending=[False, True],
-                            kind="stable").head(k)
-        out = df[["query_id", "vec_id", "qdot"]].copy()
-        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-        return out
+        return lsh_candidate_scores(ids, mat, q_ids, q_mat, sgn, q_b)
 
     cand = ds.map_batches(candidates, batch_format="pyarrow", batch_size=4096)
-    return cand.groupby("query_id").map_groups(merge, batch_format="pandas")
+    merged = cand.groupby("query_id").map_groups(
+        lambda df: _merge_int_topk(df, k), batch_format="pandas")
+    # deterministic global output order (tiny: k * n_queries rows)
+    return merged.sort(["query_id", "rank"])
+
+
+def lsh_candidate_scores(ids, mat, q_ids, q_mat, sgn, q_b) -> pa.Table:
+    """Bucket-hit candidate scoring for one batch. The dot products are
+    computed ONLY over columns that hit at least one query bucket (gather
+    then matmul) — candidate pruning prunes COMPUTE too, not just output
+    rows (at 100 TB an unmasked Q x B matmul is a disguised full scan)."""
+    v_b = _int_buckets(mat, sgn)  # (n_tables, B)
+    hit = np.zeros((q_ids.shape[0], ids.shape[0]), dtype=bool)
+    for t in range(v_b.shape[0]):
+        hit |= q_b[t][:, None] == v_b[t][None, :]
+    qi, ci = np.nonzero(hit)
+    cols = np.unique(ci)                           # hit columns only
+    sub = mat[cols]                                # (C', dim)
+    qdot_sub = q_mat @ sub.T                       # exact int64, (Q, C')
+    sumsq_sub = (sub * sub).sum(axis=1)            # exact int64
+    pos = np.searchsorted(cols, ci)
+    qdot = qdot_sub[qi, pos]
+    score = qdot.astype(np.float64) / np.sqrt(sumsq_sub[pos].astype(np.float64))
+    return pa.table({
+        "query_id": pa.array(q_ids[qi], pa.int64()),
+        "vec_id": pa.array(ids[ci], pa.int64()),
+        "qdot": pa.array(qdot, pa.int64()),
+        "score": pa.array(score, pa.float64()),
+    })
+
+
+def _merge_int_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Per-query top-k by (score DESC, vec_id ASC). score is ONE IEEE
+    float64 expression over exact ints (qdot / sqrt(sumsq)) — bit-identical
+    between numpy and DuckDB, so rank matches the SQL row_number exactly."""
+    df = df.sort_values(["score", "vec_id"], ascending=[False, True],
+                        kind="stable").head(k)
+    out = df[["query_id", "vec_id", "qdot"]].copy()
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
 
 
 def load_centroids(sf_dir: str, n_centroids: int = 16):
@@ -266,15 +285,10 @@ def topk_ivf(ds, sf_dir: str, k: int = 5, n_queries: int = 10,
             "score": pa.array(score[qi, ci], pa.float64()),
         })
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["score", "vec_id"], ascending=[False, True],
-                            kind="stable").head(k)
-        out = df[["query_id", "vec_id", "qdot"]].copy()
-        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-        return out
-
     cand = pruned.map_batches(search, batch_format="pyarrow", batch_size=4096)
-    return cand.groupby("query_id").map_groups(merge, batch_format="pandas")
+    merged = cand.groupby("query_id").map_groups(
+        lambda df: _merge_int_topk(df, k), batch_format="pandas")
+    return merged.sort(["query_id", "rank"])
 
 
 def topk_ivf_sql(k: int = 5, n_queries: int = 10, n_centroids: int = 16,
@@ -307,14 +321,19 @@ def topk_ivf_sql(k: int = 5, n_queries: int = 10, n_centroids: int = 16,
         f"cand AS (SELECT p.query_id, a.vec_id FROM probes p"
         f" JOIN assign a ON a.cid = p.cid), "
         f"sumsq AS (SELECT vec_id, SUM(v * v) AS s2 FROM q GROUP BY 1), "
-        f"dots AS (SELECT c.query_id, c.vec_id, SUM(qa.v * qb.v) AS qdot"
+        # CAST the HUGEINT sum to BIGINT: without it qdot reaches pandas as
+        # float64 while the Ray side emits int64 — a driver hash mismatch
+        # even though values are equal (round-2 red cell root cause)
+        f"dots AS (SELECT c.query_id, c.vec_id,"
+        f" CAST(SUM(qa.v * qb.v) AS BIGINT) AS qdot"
         f" FROM cand c JOIN q qa ON qa.vec_id = c.query_id"
         f" JOIN q qb ON qb.vec_id = c.vec_id AND qb.d = qa.d GROUP BY 1, 2), "
         f"ranked AS (SELECT d.query_id, d.vec_id, d.qdot,"
         f" row_number() OVER (PARTITION BY d.query_id ORDER BY"
         f" (d.qdot::DOUBLE / sqrt(s.s2::DOUBLE)) DESC, d.vec_id) AS rank"
         f" FROM dots d JOIN sumsq s ON s.vec_id = d.vec_id) "
-        f"SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= {k}"
+        f"SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= {k} "
+        f"ORDER BY query_id, rank"
     )
 
 
@@ -345,12 +364,16 @@ def topk_lsh_sql(k: int = 5, n_queries: int = 10, n_bits: int = 8,
         f" ON bq.t = bv.t AND bq.bucket = bv.bucket"
         f" WHERE bq.vec_id IN (SELECT vec_id FROM qv)), "
         f"sumsq AS (SELECT vec_id, SUM(v * v) AS s2 FROM q GROUP BY 1), "
-        f"dots AS (SELECT c.query_id, c.vec_id, SUM(qa.v * qb.v) AS qdot"
+        # BIGINT cast: see topk_ivf_sql — int64 on both engines or the
+        # driver's dtype-sensitive value hash disagrees
+        f"dots AS (SELECT c.query_id, c.vec_id,"
+        f" CAST(SUM(qa.v * qb.v) AS BIGINT) AS qdot"
         f" FROM cand c JOIN q qa ON qa.vec_id = c.query_id"
         f" JOIN q qb ON qb.vec_id = c.vec_id AND qb.d = qa.d GROUP BY 1, 2), "
         f"ranked AS (SELECT d.query_id, d.vec_id, d.qdot,"
         f" row_number() OVER (PARTITION BY d.query_id ORDER BY"
         f" (d.qdot::DOUBLE / sqrt(s.s2::DOUBLE)) DESC, d.vec_id) AS rank"
         f" FROM dots d JOIN sumsq s ON s.vec_id = d.vec_id) "
-        f"SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= {k}"
+        f"SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= {k} "
+        f"ORDER BY query_id, rank"
     )
