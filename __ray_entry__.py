@@ -485,6 +485,27 @@ def _q_ann_ivf(sf_dir: str):
     return topk_ivf(ds, sf_dir, k=5, n_queries=10, n_centroids=16, nprobe=4)
 
 
+def _q_ann_ivf_indexed(sf_dir: str):
+    """IVF ANN over the PERSISTED index artifact: the corpus is written
+    partitioned by centroid_id ONCE (cached per sf_dir under /tmp) and
+    every query run reads only the probed partitions — the 100-TB shape
+    where the index build is the only full corpus pass."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vtzero_ray.functions.ann import build_ivf_index, topk_ivf_indexed
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    index_dir = f"/tmp/vtzero_ray_ivf/{os.path.basename(os.path.normpath(sf_dir))}_{n_rows}"
+    if not os.path.isdir(f"{index_dir}/corpus"):
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        build_ivf_index(ds, index_dir, sf_dir, n_centroids=16)
+    return topk_ivf_indexed(index_dir, sf_dir, k=5, n_queries=10, nprobe=4)
+
+
 # -- spatial joins -----------------------------------------------------------
 
 def _geo_pages(sf_dir: str):
@@ -707,6 +728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
+        "ann_topk_ivf_indexed": _q_ann_ivf_indexed,
         # relational / streaming-shaped (SURVEY §2.5 analogues)
         "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
@@ -1140,6 +1162,10 @@ def oracle_sql() -> dict[str, str]:
         # ann_topk_ivf: same quantization; centroid assignment, probe
         # routing and re-rank are all exact-int dots + one float divide
         "ann_topk_ivf": ann_ivf_sql(),
+        # ann_topk_ivf_indexed: byte-equal to ann_topk_ivf by construction
+        # (same centroids/probes/re-rank, just read from the persisted
+        # partitioned index) — same oracle
+        "ann_topk_ivf_indexed": ann_ivf_sql(),
         # -- relational / streaming-shaped --------------------------------------
         # exact integer-cent sums: float summation order differs between
         # engines and exceeds any rounding tolerance at sf >= 0.1

@@ -230,6 +230,48 @@ class TestANN:
         assert len(cents) == ds.count()
 
 
+    def test_ivf_index_persist_and_prune(self, ray_session, sf_dir, tmp_path):
+        """build_ivf_index once; querying twice reuses the artifact, reads
+        fewer rows than the corpus (file-level partition skip), and matches
+        the non-indexed topk_ivf byte-for-byte."""
+        import os
+
+        import ray.data as rd
+
+        from vtzero_ray.functions.ann import (_query_probes, build_ivf_index,
+                                              load_ivf_centroids,
+                                              load_queries_quantized,
+                                              topk_ivf, topk_ivf_indexed)
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        idx = str(tmp_path / "ivf")
+        build_ivf_index(ds, idx, sf_dir, n_centroids=16)
+        parts = [d for d in os.listdir(f"{idx}/corpus") if d.startswith("cpart=")]
+        assert len(parts) > 4  # corpus spread across buckets
+
+        a = topk_ivf_indexed(idx, sf_dir, k=5, n_queries=2, nprobe=2).to_pandas()
+        b = topk_ivf_indexed(idx, sf_dir, k=5, n_queries=2, nprobe=2).to_pandas()
+        assert a.equals(b)
+
+        # pruned read: only probed partitions are scanned
+        cids, cmat = load_ivf_centroids(idx)
+        qids, qmat = load_queries_quantized(sf_dir, 2)
+        probe_set = set(np.unique(_query_probes(qmat, qids, cids, cmat, 2)).tolist())
+        assert len(probe_set) < len(parts)
+        import glob
+
+        pruned_rows = rd.read_parquet(
+            [f for c in sorted(probe_set)
+             for f in glob.glob(f"{idx}/corpus/cpart={c}/*.parquet")]).count()
+        assert 0 < pruned_rows < ds.count()
+
+        # byte-equal to the non-indexed path
+        full = topk_ivf(ds, sf_dir, k=5, n_queries=2,
+                        n_centroids=16, nprobe=2).to_pandas()
+        assert a.reset_index(drop=True).equals(full.reset_index(drop=True))
+
+
 class TestJoins:
     def test_pip_matches_l1_oracle(self):
         from vtzero_ray.stages.joins import PIPJoin, admin_polygons

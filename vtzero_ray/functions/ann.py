@@ -291,6 +291,110 @@ def topk_ivf(ds, sf_dir: str, k: int = 5, n_queries: int = 10,
     return merged.sort(["query_id", "rank"])
 
 
+def build_ivf_index(ds, out_dir: str, sf_dir: str, n_centroids: int = 16) -> str:
+    """Persist the IVF index: the corpus written as parquet PARTITIONED BY
+    centroid_id (one directory per coarse bucket) plus a tiny centroid
+    metadata file. Built ONCE and reused by every query run — at 100 TB
+    the index build is the only full pass; queries after that read only
+    the nprobe probed partitions (file-level skip, see topk_ivf_indexed).
+
+    Layout: ``{out_dir}/corpus/cpart={cid}/*.parquet`` (centroid_id kept
+    as a data column too, so explicit partition-dir reads need no hive
+    inference) and ``{out_dir}/centroids.parquet``.
+    """
+    import ray
+    import pyarrow.parquet as pq
+
+    cids, cmat = load_centroids(sf_dir, n_centroids)
+    indexed = assign_centroids(ds, ray.put((cids, cmat)))
+
+    def dup_part_col(t: pa.Table) -> pa.Table:
+        return t.append_column("cpart", t.column("centroid_id"))
+
+    indexed = indexed.map_batches(dup_part_col, batch_format="pyarrow",
+                                  batch_size=None)
+    indexed.write_parquet(f"{out_dir}/corpus", partition_cols=["cpart"])
+    pq.write_table(pa.table({
+        "centroid_id": pa.array(cids, pa.int64()),
+        "centroid": pa.array([[int(v) for v in row] for row in cmat],
+                             pa.list_(pa.int64())),
+    }), f"{out_dir}/centroids.parquet")
+    return out_dir
+
+
+def load_ivf_centroids(index_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{index_dir}/centroids.parquet")
+    cids = t.column("centroid_id").to_numpy()
+    cmat = np.stack([np.asarray(v, np.int64)
+                     for v in t.column("centroid").to_pylist()])
+    return cids, cmat
+
+
+def _query_probes(qmat: np.ndarray, qids: np.ndarray, cids: np.ndarray,
+                  cmat: np.ndarray, nprobe: int) -> np.ndarray:
+    """(Q, nprobe) probed centroid ids: sim desc, centroid id asc."""
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+    qsim = (qmat @ cmat.T).astype(np.float64) / cnorm[None, :]
+    order = np.lexsort((cids[None, :].repeat(qids.shape[0], 0), -qsim), axis=1)
+    return cids[order[:, :nprobe]]
+
+
+def topk_ivf_indexed(index_dir: str, sf_dir: str, k: int = 5,
+                     n_queries: int = 10, nprobe: int = 4):
+    """IVF search over a PERSISTED index (build_ivf_index): only the
+    partitions of probed centroids are passed to read_parquet, so unprobed
+    buckets never leave storage — genuine file-level pruning, no
+    per-query corpus pass. Results are byte-equal to topk_ivf on the same
+    corpus (asserted in tests)."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cids, cmat = load_ivf_centroids(index_dir)
+    qids, qmat = load_queries_quantized(sf_dir, n_queries)
+    probes = _query_probes(qmat, qids, cids, cmat, nprobe)
+    probe_set = np.unique(probes)
+    qref = ray.put((qids, qmat, probes))
+
+    # expand partition dirs to files (pyarrow rejects dirs in path lists);
+    # unprobed partitions are never listed, let alone read
+    import glob
+
+    paths = sorted(f for c in probe_set
+                   for f in glob.glob(f"{index_dir}/corpus/cpart={int(c)}/*.parquet"))
+    pruned = rd.read_parquet(paths,
+                             columns=["vec_id", "embedding", "centroid_id"])
+
+    def search(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, q_probes = ray.get(qref)
+        ids = batch.column("vec_id").to_numpy()
+        cent = batch.column("centroid_id").to_numpy()
+        mat = quantize(np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)))
+        hit = (q_probes[:, :, None] == cent[None, None, :]).any(axis=1)
+        qi, ci = np.nonzero(hit)
+        cols = np.unique(ci)
+        sub = mat[cols]
+        qdot_sub = q_mat @ sub.T
+        sumsq_sub = (sub * sub).sum(axis=1)
+        pos = np.searchsorted(cols, ci)
+        qdot = qdot_sub[qi, pos]
+        score = qdot.astype(np.float64) / np.sqrt(sumsq_sub[pos].astype(np.float64))
+        return pa.table({
+            "query_id": pa.array(q_ids[qi], pa.int64()),
+            "vec_id": pa.array(ids[ci], pa.int64()),
+            "qdot": pa.array(qdot, pa.int64()),
+            "score": pa.array(score, pa.float64()),
+        })
+
+    cand = pruned.map_batches(search, batch_format="pyarrow", batch_size=4096)
+    merged = cand.groupby("query_id").map_groups(
+        lambda df: _merge_int_topk(df, k), batch_format="pandas")
+    return merged.sort(["query_id", "rank"])
+
+
 def topk_ivf_sql(k: int = 5, n_queries: int = 10, n_centroids: int = 16,
                  nprobe: int = 4) -> str:
     """DuckDB oracle for topk_ivf — same quantization, same centroid
