@@ -454,6 +454,19 @@ def _q_embedding_near_dups(sf_dir: str):
     return embedding_near_dups(ds, threshold=0.35)
 
 
+def _q_embedding_near_dups_lsh(sf_dir: str):
+    """Sub-quadratic near-dup scale path: hyperplane-LSH buckets + exact
+    cosine verify in ONE bucket groupby (no block-pair fan-out). Coarse
+    buckets (n_bits=4) because the driver threshold 0.35 is loose; at
+    production thresholds (>= 0.9) the defaults (16, 8) apply."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.dedup import embedding_near_dups_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_dups_lsh(ds, threshold=0.35, n_bits=4, n_tables=8)
+
+
 # -- similarity search -------------------------------------------------------
 
 def _q_ann_bruteforce(sf_dir: str):
@@ -724,6 +737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_clean": _q_corpus_clean,
         "sample_stratified": _q_sample_stratified,
         "embedding_near_dups": _q_embedding_near_dups,
+        "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         # similarity search
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_lsh": _q_ann_lsh,
@@ -868,6 +882,8 @@ def _sql_lang_hits(lang: str) -> str:
 def oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.ann import topk_ivf_sql as ann_ivf_sql
     from vtzero_ray.functions.ann import topk_lsh_sql as ann_lsh_sql
+    from vtzero_ray.functions.dedup import \
+        embedding_near_dups_lsh_sql as near_dups_lsh_sql
     from vtzero_ray.functions.dedup_sql import (jaccard_verified_sql,
                                                 minhash_candidates_sql,
                                                 simhash_near_dups_sql,
@@ -1146,6 +1162,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35"
         ),
+        # embedding_near_dups_lsh: same md5-hyperplane buckets as the Ray
+        # path (functions/dedup.py embedding_near_dups_lsh_sql), exact
+        # cosine verify on candidates only
+        "embedding_near_dups_lsh": near_dups_lsh_sql(threshold=0.35,
+                                                     n_bits=4, n_tables=8),
         # -- similarity search --------------------------------------------------
         "ann_topk_bruteforce": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10) "

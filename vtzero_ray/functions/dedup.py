@@ -599,6 +599,153 @@ def _block_pair_sims(ta: pa.Table, tb: pa.Table, same: bool,
     })
 
 
+_SIGNS_MEMO: dict[tuple, np.ndarray] = {}
+
+
+def _signs_memo(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
+    key = (n_tables, n_bits, dim)
+    s = _SIGNS_MEMO.get(key)
+    if s is None:
+        from .ann import sign_tensor
+
+        s = _SIGNS_MEMO[key] = sign_tensor(n_tables, n_bits, dim)
+    return s
+
+
+def embedding_near_dups_lsh(ds, threshold: float = 0.95, n_bits: int = 16,
+                            n_tables: int = 8, max_bucket: int = 1024,
+                            n_shuffle: int = 64):
+    """Pairs (a<b) with cosine >= threshold via hyperplane-LSH candidate
+    buckets + EXACT cosine verify — the sub-quadratic scale path (the
+    all-pairs ``embedding_near_dups`` is its exact verification twin).
+
+    Shape: one bucket groupby TOTAL. Each vector emits n_tables rows
+    (table, bucket, its full bucket vector, its unit-norm embedding —
+    embeddings are small, so shipping them into the bucket groupby is
+    cheaper than a second pairs->vectors join); inside each bucket,
+    pairs are emitted exactly once at their FIRST equal table (the
+    band-vector trick from minhash_lsh_candidates) and cosine-verified
+    locally. No O(B²) block-pair fan-out, no driver materialization.
+
+    Recall is governed by (n_bits, n_tables): defaults (16, 8) suit
+    production near-dup thresholds (>= 0.9); looser thresholds need
+    coarser buckets (the driver query uses n_bits=4 at threshold 0.35 —
+    measured recall 0.68 vs the exact twin on the test corpus).
+    Degenerate buckets emit a star around the min vec_id (O(n) pairs),
+    same guard as minhash_lsh_candidates.
+    """
+    import ray.data as rd
+
+    from .ann import _int_buckets, quantize
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "t": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.int64()),
+                "bvec": pa.array([], pa.list_(pa.int64(), n_tables)),
+                "emb": pa.array([], pa.list_(pa.float64())),
+                "shuffle_bucket": pa.array([], pa.int32()),
+            })
+        ids = batch.column("vec_id").to_numpy()
+        raw = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        qm = quantize(raw)
+        sgn = _signs_memo(n_tables, n_bits, qm.shape[1])
+        b = _int_buckets(qm, sgn)  # (n_tables, N)
+        nm = raw / np.clip(np.linalg.norm(raw, axis=1, keepdims=True), 1e-12, None)
+        n = ids.shape[0]
+        ti = np.repeat(np.arange(n_tables, dtype=np.int32), n)
+        vi = np.tile(np.arange(n), n_tables)
+        buckets = b[ti, vi]
+        h = ((buckets.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             ^ (ti.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))) % np.uint64(n_shuffle)
+        return pa.table({
+            "vec_id": pa.array(ids[vi], pa.int64()),
+            "t": pa.array(ti, pa.int32()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "bvec": pa.array(list(b.T[vi]), pa.list_(pa.int64(), n_tables)),
+            "emb": pa.array(list(nm[vi]), pa.list_(pa.float64())),
+            "shuffle_bucket": pa.array(h.astype(np.int32)),
+        })
+
+    bands = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        band_rows, batch_format="pyarrow", batch_size=None)
+
+    def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_s = [], [], []
+        for (t, _), g in df.groupby(["t", "bucket"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("vec_id", kind="stable")
+            ids = g["vec_id"].to_numpy()
+            bhs = np.stack(g["bvec"].to_numpy())       # (m, n_tables)
+            em = np.stack(g["emb"].to_numpy())         # (m, dim) unit-norm
+            if ids.shape[0] > max_bucket:
+                ia = np.zeros(ids.shape[0] - 1, np.int64)
+                ib = np.arange(1, ids.shape[0])
+            else:
+                ia, ib = np.triu_indices(ids.shape[0], k=1)
+            eq = bhs[ia] == bhs[ib]
+            sel = eq.argmax(axis=1) == t               # first equal table
+            ia, ib = ia[sel], ib[sel]
+            if ia.shape[0] == 0:
+                continue
+            sims = np.round((em[ia] * em[ib]).sum(axis=1), 6)
+            keep = sims >= threshold
+            out_a.append(ids[ia][keep])
+            out_b.append(ids[ib][keep])
+            out_s.append(sims[keep])
+        if not out_a:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        return pd.DataFrame({"vec_a": np.concatenate(out_a).astype(np.int64),
+                             "vec_b": np.concatenate(out_b).astype(np.int64),
+                             "cosine": np.concatenate(out_s)})
+
+    pairs = bands.groupby("shuffle_bucket").map_groups(
+        bucket_verify, batch_format="pandas")
+    return pairs.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def embedding_near_dups_lsh_sql(threshold: float, n_bits: int = 16,
+                                n_tables: int = 8) -> str:
+    """DuckDB oracle for embedding_near_dups_lsh — identical quantization,
+    md5 hyperplane signs and bucket membership (see ann.topk_lsh_sql),
+    exact cosine verify on the raw embeddings."""
+    from .ann import QSCALE
+
+    return (
+        f"WITH e AS (SELECT vec_id, embedding FROM embeddings), "
+        f"comp0 AS (SELECT vec_id, unnest(embedding) AS x0,"
+        f" unnest(generate_series(1, len(embedding))) AS d FROM e), "
+        f"q AS (SELECT vec_id, d,"
+        f" CAST(floor(x0::DOUBLE * {QSCALE} + 0.5) AS BIGINT) AS v FROM comp0), "
+        f"dims AS (SELECT DISTINCT d FROM q), "
+        f"signs AS (SELECT t.range AS t, j.range AS j, dims.d,"
+        f" 1 - 2 * CAST(md5_number_lower(t.range::VARCHAR || ':' ||"
+        f" j.range::VARCHAR || ':' || dims.d::VARCHAR) % 2 AS BIGINT) AS s"
+        f" FROM range({n_tables}) t, range({n_bits}) j, dims), "
+        f"bits AS (SELECT q.vec_id, s.t, s.j,"
+        f" CASE WHEN SUM(q.v * s.s) > 0 THEN 1 ELSE 0 END AS bit"
+        f" FROM q JOIN signs s ON s.d = q.d GROUP BY 1, 2, 3), "
+        f"buckets AS (SELECT vec_id, t,"
+        f" SUM(bit * CAST(power(2, j) AS BIGINT)) AS bucket"
+        f" FROM bits GROUP BY 1, 2), "
+        f"cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b"
+        f" FROM buckets a JOIN buckets b"
+        f" ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id) "
+        f"SELECT c.vec_a, c.vec_b,"
+        f" round(list_cosine_similarity(ea.embedding::DOUBLE[],"
+        f" eb.embedding::DOUBLE[]), 6) AS cosine"
+        f" FROM cand c JOIN e ea ON ea.vec_id = c.vec_a"
+        f" JOIN e eb ON eb.vec_id = c.vec_b"
+        f" WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],"
+        f" eb.embedding::DOUBLE[]), 6) >= {threshold}"
+    )
+
+
 def embedding_near_dups(ds, threshold: float = 0.95, target_blocks: int = 32):
     """Pairs (a<b) of embeddings with cosine similarity >= threshold — EXACT.
 
