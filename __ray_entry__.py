@@ -689,7 +689,29 @@ def _q_events_sessions(sf_dir: str):
     return events_sessionize(sf_dir)
 
 
+# Redundant twins kept OUT of the driver's queries() (the driver checks at
+# most 50 entries in dict order — round 2 silently dropped the last two):
+# each is the simple/alternate twin of a kept query, still exercised by
+# queries_extra() via scripts/check_oracle.py and by pytest.
+#   tile_assignment_z6   -> twin of tile_assignment_z12 (same op, other zoom)
+#   knn_join             -> broadcast twin of knn_cell_join / knn_top3
+#   simhash_signatures   -> ingredient of simhash_near_dups
+#   doc_sample_10pct     -> simpler cousin of sample_stratified
+_EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
+                  "doc_sample_10pct")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    return {k: v for k, v in _all_queries().items()
+            if k not in _EXTRA_QUERIES}
+
+
+def queries_extra() -> dict[str, Callable[[str], Any]]:
+    """Twin probes excluded from the driver's 50-entry budget."""
+    return {k: v for k, v in _all_queries().items() if k in _EXTRA_QUERIES}
+
+
+def _all_queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship tiling surface (SURVEY §2.1-2.3, §3.1)
         "pages_text_identity": _q_pages_text_identity,
@@ -880,6 +902,15 @@ def _sql_lang_hits(lang: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    return {k: v for k, v in _all_oracle_sql().items()
+            if k not in _EXTRA_QUERIES}
+
+
+def oracle_sql_extra() -> dict[str, str]:
+    return {k: v for k, v in _all_oracle_sql().items() if k in _EXTRA_QUERIES}
+
+
+def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.ann import topk_ivf_sql as ann_ivf_sql
     from vtzero_ray.functions.ann import topk_lsh_sql as ann_lsh_sql
     from vtzero_ray.functions.dedup import \

@@ -60,8 +60,11 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs = e.queries()
-    oracles = e.oracle_sql()
+    qs = dict(e.queries())
+    oracles = dict(e.oracle_sql())
+    # twin probes the driver's 50-entry budget excludes — still checked here
+    qs.update(e.queries_extra())
+    oracles.update(e.oracle_sql_extra())
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
