@@ -235,12 +235,17 @@ def _q_site_paths_z2(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing: synth media corpus → image feature extraction
-    (decode stubbed deterministically; rows-only)."""
-    from vtzero_ray.stages.multimodal import media_pipeline
+    """REAL media decode: deterministic BMP corpus → per-image pixel
+    channel sums through the pure-NumPy 24-bit BMP codec
+    (stages/multimodal.py decode_bmp) — the oracle recomputes the pixel
+    formula with generate_series, so every byte of the decode is checked."""
+    import ray.data as rd
 
-    feats, _ = media_pipeline(256)
-    return feats.select_columns(["media_id", "kind", "width", "height"])
+    from vtzero_ray.stages.multimodal import BMPStats, synth_media_bmp
+
+    ds = rd.from_arrow(synth_media_bmp(128)).repartition(8)
+    return ds.map_batches(BMPStats, batch_format="pyarrow",
+                          batch_size=64, concurrency=(1, 4))
 
 
 def _q_combined_layers_z2(sf_dir: str):
@@ -1083,11 +1088,20 @@ def _all_oracle_sql() -> dict[str, str]:
         # media_features: the synthetic corpus metadata is pure integer
         # arithmetic over media_id — SQL-reproducible even though the
         # payload decode itself is stubbed
+        # media_features: the BMP pixel formula (id*7 + x*13 + y*31 + c*97)
+        # % 256 re-derived per pixel — verifies the REAL numpy BMP decode
         "media_features": (
-            "SELECT t.range::BIGINT AS media_id, 'image' AS kind, "
-            "CAST((t.range * 37) % 1024 + 64 AS INTEGER) AS width, "
-            "CAST((t.range * 53) % 768 + 64 AS INTEGER) AS height "
-            "FROM range(256) t WHERE t.range % 3 = 0"
+            "WITH m AS (SELECT range AS id, 8 + (range * 37) % 25 AS w, "
+            "8 + (range * 53) % 25 AS h FROM range(128)), "
+            "px AS (SELECT m.id, m.w, m.h, x.range AS x, y.range AS y "
+            "FROM m, range(32) x, range(32) y "
+            "WHERE x.range < m.w AND y.range < m.h) "
+            "SELECT id AS media_id, CAST(w AS INTEGER) AS width, "
+            "CAST(h AS INTEGER) AS height, "
+            "CAST(SUM((id * 7 + x * 13 + y * 31) % 256) AS BIGINT) AS sum_r, "
+            "CAST(SUM((id * 7 + x * 13 + y * 31 + 97) % 256) AS BIGINT) AS sum_g, "
+            "CAST(SUM((id * 7 + x * 13 + y * 31 + 194) % 256) AS BIGINT) AS sum_b "
+            "FROM px GROUP BY 1, 2, 3"
         ),
         # -- spatial joins ---------------------------------------------------
         "pip_join": (

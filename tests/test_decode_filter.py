@@ -132,6 +132,116 @@ class TestMultimodal:
         assert a == b
 
 
+class TestBMPCodec:
+    """Pure-NumPy BMP codec: the real (non-stub) media decode path."""
+
+    def test_roundtrip_padding_cases(self):
+        from vtzero_ray.stages.multimodal import (decode_bmp, encode_bmp,
+                                                  synth_pixels)
+
+        # widths covering all 4-byte row-padding remainders
+        for w in (1, 2, 3, 4, 5, 13, 32):
+            for h in (1, 7, 20):
+                px = synth_pixels(3, w, h)
+                rt = decode_bmp(encode_bmp(px))
+                assert rt.shape == (h, w, 3)
+                assert (rt == px).all()
+
+    def test_adversarial_inputs_raise_cleanly(self):
+        import pytest as _pytest
+
+        from vtzero_ray.stages.multimodal import (decode_bmp, encode_bmp,
+                                                  split_bmp_frames,
+                                                  synth_pixels)
+
+        good = encode_bmp(synth_pixels(1, 8, 8))
+        for bad in (b"", b"\xde\xad", b"BM" + b"\x00" * 20,
+                    good[:40], good[:-10],
+                    good[:28] + b"\x20" + good[29:]):  # bpp=32
+            with _pytest.raises(ValueError):
+                decode_bmp(bad)
+        with _pytest.raises(ValueError):
+            split_bmp_frames(good + b"JUNK")
+        with _pytest.raises(ValueError):
+            split_bmp_frames(good[:-4])
+
+    def test_numpy_decoder_real_features(self):
+        import pyarrow as pa
+
+        from vtzero_ray.stages.multimodal import (ImageDecode, encode_bmp,
+                                                  synth_pixels)
+
+        px = synth_pixels(7, 16, 10)
+        t = pa.table({
+            "media_id": pa.array([7], pa.int64()),
+            "payload": pa.array([encode_bmp(px)], pa.binary()),
+        })
+        f = np.asarray(ImageDecode(decoder="numpy")(t)
+                       .column("features").to_pylist()[0])
+        gray = px.astype(np.float64).mean(axis=2)
+        expect = np.array([16, 10, px[:, :, 0].mean(), px[:, :, 1].mean(),
+                           px[:, :, 2].mean(), gray.std(), gray.min(),
+                           gray.max()], np.float32)
+        assert np.allclose(f, expect)
+
+    def test_numpy_resize_real_pixels(self):
+        import pyarrow as pa
+
+        from vtzero_ray.stages.multimodal import (ImageResize, decode_bmp,
+                                                  encode_bmp, synth_pixels)
+
+        px = synth_pixels(2, 20, 10)
+        t = pa.table({
+            "media_id": pa.array([2], pa.int64()),
+            "payload": pa.array([encode_bmp(px)], pa.binary()),
+            "width": pa.array([20], pa.int32()),
+            "height": pa.array([10], pa.int32()),
+        })
+        out = ImageResize(target=10, decoder="numpy")(t)
+        rp = decode_bmp(out.column("payload").to_pylist()[0])
+        assert rp.shape == (5, 10, 3)
+        # nearest-neighbor: out[y, x] = in[floor(y/scale), floor(x/scale)]
+        for y, x in ((0, 0), (2, 3), (4, 9)):
+            assert (rp[y, x] == px[y * 2, x * 2]).all()
+
+    def test_numpy_frame_split(self):
+        import pyarrow as pa
+
+        from vtzero_ray.stages.multimodal import (FrameSample, decode_bmp,
+                                                  encode_bmp, synth_pixels)
+
+        frames_px = [synth_pixels(i, 8, 6) for i in range(3)]
+        payload = b"".join(encode_bmp(p) for p in frames_px)
+        t = pa.table({
+            "media_id": pa.array([9], pa.int64()),
+            "kind": pa.array(["video"], pa.string()),
+            "duration_ms": pa.array([3000], pa.int32()),
+            "payload": pa.array([payload], pa.binary()),
+        })
+        out = FrameSample(every_ms=1000, decoder="numpy")(t)
+        assert out.num_rows == 3
+        assert out.column("frame_ts_ms").to_pylist() == [0, 1000, 2000]
+        for i, fb in enumerate(out.column("frame").to_pylist()):
+            assert (decode_bmp(fb) == frames_px[i]).all()
+
+    def test_bmp_stats_matches_formula(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.stages.multimodal import (BMPStats, synth_media_bmp,
+                                                  synth_pixels, _bmp_dims)
+
+        out = rd.from_arrow(synth_media_bmp(16)).map_batches(
+            BMPStats, batch_format="pyarrow", batch_size=8,
+            concurrency=(1, 2)).to_pandas().set_index("media_id")
+        for mid in range(16):
+            w, h = _bmp_dims(mid)
+            px = synth_pixels(mid, w, h).astype(np.int64)
+            row = out.loc[mid]
+            assert (row.width, row.height) == (w, h)
+            assert [row.sum_r, row.sum_g, row.sum_b] == \
+                list(px.sum(axis=(0, 1)))
+
+
 class TestZXYRoundtrip:
     def test_export_and_read_zxy(self, ray_session, tiles, tmp_path):
         from vtzero_ray.sources import mvt_io

@@ -1,12 +1,16 @@
 """Multimodal column stages: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The Ray-side plumbing (schemas, batch sizing for wide binary rows, actor
-signatures, output layout) is real and tested; the media DECODE itself is
-STUBBED — the container has no image/audio libraries — behind
-``decoder="fake"`` (deterministic bytes-derived features) or
-``decoder="real"`` which raises NotImplementedError until a codec library
-is installed. Swapping in a real decoder changes ONE method.
+Three decoder modes:
+- ``decoder="numpy"``: REAL pixel decode via the pure-NumPy 24-bit BMP
+  codec below (encode_bmp/decode_bmp) — decode, pixel features, nearest-
+  neighbor resize and frame extraction all operate on actual pixels with
+  no external library.
+- ``decoder="fake"``: deterministic bytes-derived features (plumbing
+  testable on arbitrary payloads).
+- ``decoder="real"``: plug a compressed-format library (Pillow/ffmpeg)
+  here — NotImplementedError until one is installed; swapping it in
+  changes ONE method per stage.
 
 Batch-size note (memory-aware, ray_guide): wide binary rows must ride in
 SMALL batches — size batch_size so batch_bytes x concurrency fits the
@@ -48,6 +52,132 @@ def synth_media(n: int = 256, seed: int = 42) -> pa.Table:
     })
 
 
+# ---------------------------------------------------------------------------
+# pure-NumPy BMP codec — the one REAL media codec in this container
+# (24-bit uncompressed BITMAPINFOHEADER; no image library needed)
+# ---------------------------------------------------------------------------
+
+import struct
+
+# plain format strings, NOT struct.Struct instances — compiled Struct
+# objects don't pickle, and these globals ride into Ray workers with
+# every stage that references the codec
+_BMP_HEADER = "<2sIHHI"          # magic, file size, res, res, data offset
+_BMP_INFO = "<IiiHHIIiiII"       # BITMAPINFOHEADER
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP bytes (bottom-up
+    rows, BGR order, 4-byte row padding)."""
+    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8")
+    h, w, _ = px.shape
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)  # flip + RGB→BGR
+    body = rows.tobytes()
+    info = struct.pack(_BMP_INFO, 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    header = struct.pack(_BMP_HEADER, b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return header + info + body
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB (top-down).
+    Malformed input raises ValueError — never crashes the process."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    _, _file_size, _, _, offset = struct.unpack_from(_BMP_HEADER, data, 0)
+    (hdr, w, h, planes, bpp, comp, *_rest) = struct.unpack_from(_BMP_INFO, data, 14)
+    if hdr < 40 or planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (hdr={hdr} bpp={bpp} comp={comp})")
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    flip = h > 0          # positive height = bottom-up storage
+    h = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    need = offset + stride * h
+    if len(data) < need:
+        raise ValueError(f"truncated BMP: {len(data)} < {need}")
+    rows = np.frombuffer(data, np.uint8, count=stride * h, offset=offset)
+    px = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]
+    return px[::-1] if flip else px
+
+
+def synth_pixels(media_id: int, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB pixels: (id*7 + x*13 + y*31 + c*97) % 256 — the
+    same closed form the SQL oracle reproduces with generate_series."""
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((media_id * 7 + x * 13 + y * 31 + c * 97) % 256).astype(np.uint8)
+
+
+def _bmp_dims(media_id: int) -> tuple[int, int]:
+    return 8 + (media_id * 37) % 25, 8 + (media_id * 53) % 25
+
+
+def synth_media_bmp(n: int = 128) -> pa.Table:
+    """Deterministic REAL-BMP image corpus (media_id-derived pixels)."""
+    ids = np.arange(n, dtype=np.int64)
+    payloads, ws, hs = [], [], []
+    for i in ids:
+        w, h = _bmp_dims(int(i))
+        payloads.append(encode_bmp(synth_pixels(int(i), w, h)))
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "media_id": pa.array(ids),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(np.array(ws, np.int32)),
+        "height": pa.array(np.array(hs, np.int32)),
+    })
+
+
+def split_bmp_frames(payload: bytes) -> list[bytes]:
+    """Concatenated-BMP 'video' container → list of frame bytes. Each
+    frame's extent is the file-size field of its header; a malformed
+    tail raises ValueError rather than looping."""
+    frames = []
+    off = 0
+    while off < len(payload):
+        if payload[off:off + 2] != b"BM" or off + 6 > len(payload):
+            raise ValueError(f"bad frame header at offset {off}")
+        (size,) = struct.unpack_from("<I", payload, off + 2)
+        if size < 54 or off + size > len(payload):
+            raise ValueError(f"bad frame size {size} at offset {off}")
+        frames.append(payload[off:off + size])
+        off += size
+    return frames
+
+
+class BMPStats:
+    """Actor-pool stage: REAL pixel statistics from BMP payloads —
+    integer channel sums so the DuckDB oracle reproduces them exactly.
+    Dimensions come from the decoded pixels, NOT the metadata columns."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, sr, sg, sb = [], [], [], [], [], []
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload")):
+            px = decode_bmp(p.as_py()).astype(np.int64)
+            ids.append(mid)
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            s = px.sum(axis=(0, 1))
+            sr.append(int(s[0]))
+            sg.append(int(s[1]))
+            sb.append(int(s[2]))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(np.array(ws, np.int32)),
+            "height": pa.array(np.array(hs, np.int32)),
+            "sum_r": pa.array(sr, pa.int64()),
+            "sum_g": pa.array(sg, pa.int64()),
+            "sum_b": pa.array(sb, pa.int64()),
+        })
+
+
 class ImageDecode:
     """Actor-pool stage: payload → pixel features.
 
@@ -64,10 +194,20 @@ class ImageDecode:
             except ImportError as e:
                 raise NotImplementedError(
                     "real image decode requires an imaging library; "
-                    "this container has none — use decoder='fake'"
+                    "this container has none — use decoder='fake' or "
+                    "decoder='numpy' (pure-NumPy BMP)"
                 ) from e
 
     def _features(self, payload: bytes) -> np.ndarray:
+        if self.decoder == "numpy":
+            # REAL pixel-derived features from the pure-NumPy BMP codec
+            px = decode_bmp(payload).astype(np.float64)
+            gray = px.mean(axis=2)
+            h, w, _ = px.shape
+            return np.array([w, h,
+                             px[:, :, 0].mean(), px[:, :, 1].mean(),
+                             px[:, :, 2].mean(), gray.std(),
+                             gray.min(), gray.max()], np.float32)
         d = hashlib.blake2b(payload, digest_size=32).digest()
         return np.frombuffer(d, dtype=np.uint32).astype(np.float32) / 2**32
 
@@ -89,6 +229,16 @@ class ImageResize:
     def _resize_payload(self, payload: bytes, w: int, h: int) -> bytes:
         if self.decoder == "real":
             raise NotImplementedError("real resize requires an imaging library")
+        if self.decoder == "numpy":
+            # REAL nearest-neighbor resize via the pure-NumPy BMP codec
+            px = decode_bmp(payload)
+            sh, sw = px.shape[:2]
+            scale = self.target / max(sh, sw, 1)
+            nw = max(1, int(sw * scale))
+            nh = max(1, int(sh * scale))
+            yi = np.minimum((np.arange(nh) / scale).astype(np.int64), sh - 1)
+            xi = np.minimum((np.arange(nw) / scale).astype(np.int64), sw - 1)
+            return encode_bmp(px[yi][:, xi])
         # deterministic fake: truncate/pad payload proportionally
         scale = (self.target * self.target) / max(1, w * h)
         n = max(16, min(len(payload), int(len(payload) * scale)))
@@ -130,6 +280,15 @@ class FrameSample:
             if kind != "video":
                 continue
             payload = p.as_py()
+            if self.decoder == "numpy":
+                # REAL frame extraction: the "video" container is a
+                # concatenation of BMP frames; each frame's extent is its
+                # declared file size (header offset 2)
+                for i, frame in enumerate(split_bmp_frames(payload)):
+                    ids.append(mid)
+                    ts.append(i * self.every_ms)
+                    frames.append(frame)
+                continue
             n_frames = max(1, dur // self.every_ms)
             for i in range(n_frames):
                 if self.decoder == "real":
