@@ -132,6 +132,52 @@ class TestMultimodal:
         assert a == b
 
 
+class TestSelectLayerFast:
+    def test_multilayer_span_extraction_byte_identity(self, ray_session,
+                                                      tiles):
+        """Fast span walk output == full-parse output on multi-layer tiles
+        (and equals the original single layer byte-verbatim)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.mvt.builder import TileBuilder
+        from vtzero_ray.mvt.decoder import VectorTile
+        from vtzero_ray.pipelines.filter import merge_tiles, select_layer
+        from vtzero_ray.pipelines.paths import site_paths_tiles
+
+        paths = site_paths_tiles("/root/testdata/sf0.001", zoom=6)
+        merged = merge_tiles(tiles, paths.select_columns(["z", "x", "y", "mvt"]))
+        sel = select_layer(merged, "pages").to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        # oracle: full parse per tile
+        md = merged.to_pandas().sort_values(["z", "x", "y"]) \
+            .reset_index(drop=True)
+        expect = {}
+        for r in md.itertuples():
+            for layer in VectorTile(bytes(r.mvt)).layers():
+                if layer.name == b"pages":
+                    tb = TileBuilder()
+                    tb.add_existing_layer(layer.data)
+                    expect[(r.z, r.x, r.y)] = tb.serialize()
+                    break
+        assert len(sel) == len(expect)
+        for r in sel.itertuples():
+            assert bytes(r.mvt) == expect[(r.z, r.x, r.y)]
+
+    def test_garbage_tile_drops_not_crashes(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.pipelines.filter import select_layer
+
+        bad = pa.table({
+            "z": pa.array([0], pa.int32()), "x": pa.array([0], pa.int32()),
+            "y": pa.array([0], pa.int32()),
+            "mvt": pa.array([b"\xde\xad\xbe\xef"], pa.binary())})
+        out = select_layer(rd.from_arrow(bad), "pages").to_pandas()
+        assert len(out) == 0
+
+
 class TestBMPCodec:
     """Pure-NumPy BMP codec: the real (non-stub) media decode path."""
 

@@ -67,28 +67,113 @@ def filter_features(tiles_ds, layer_name: str, key: str, value) -> "ray.data.Dat
     return tiles_ds.map_batches(per_tile, batch_format="pyarrow", batch_size=None)
 
 
+def _tile_layer_spans(buf: bytes, pos: int, end: int):
+    """Top-level tile walk → [(lo, hi)] byte spans of each layer message.
+    O(#fields) per tile — no feature or property parsing at all."""
+    from ..mvt.pbf import decode_varint
+
+    spans = []
+    while pos < end:
+        key = buf[pos]
+        pos += 1
+        if key & 0x80:
+            raise ValueError("multi-byte tile field key")
+        wt = key & 0x7
+        if wt == 2:
+            ln, pos = decode_varint(buf, pos)
+            if pos + ln > end:
+                raise ValueError("layer overruns tile")
+            if key >> 3 == 3:  # TILE_LAYERS
+                spans.append((pos, pos + ln))
+            pos += ln
+        elif wt == 0:
+            while buf[pos] & 0x80:
+                pos += 1
+            pos += 1
+        elif wt == 5:
+            pos += 4
+        elif wt == 1:
+            pos += 8
+        else:
+            raise ValueError(f"bad wire type {wt}")
+    return spans
+
+
+def _layer_name_of(buf: bytes, lo: int, hi: int) -> bytes:
+    """Scan a layer message's fields for field 1 (name) only."""
+    from ..mvt.pbf import decode_varint
+
+    pos = lo
+    while pos < hi:
+        key = buf[pos]
+        pos += 1
+        if key & 0x80:
+            raise ValueError("multi-byte layer field key")
+        wt = key & 0x7
+        if wt == 2:
+            ln, pos = decode_varint(buf, pos)
+            if key >> 3 == 1:
+                return buf[pos:pos + ln]
+            pos += ln
+        elif wt == 0:
+            while buf[pos] & 0x80:
+                pos += 1
+            pos += 1
+        elif wt == 5:
+            pos += 4
+        elif wt == 1:
+            pos += 8
+        else:
+            raise ValueError(f"bad wire type {wt}")
+    return b""
+
+
 def select_layer(tiles_ds, layer_name: str):
     """vtzero-filter layer selection (examples/vtzero-filter.cpp:66-100):
     extract one layer per tile with ZERO re-encode (add_existing_layer
-    verbatim copy, builder.hpp:119-132)."""
+    verbatim copy, builder.hpp:119-132).
+
+    Fast path: a top-level span walk finds each layer's byte range and
+    name WITHOUT parsing features/properties — the output tile is one
+    header + one bytes slice. Tiles that fail the structural walk fall
+    back per tile to the full VectorTile parse (byte-identical output,
+    asserted in tests)."""
     want = layer_name.encode("utf-8")
 
+    def scalar_one(data: bytes):
+        try:
+            for layer in VectorTile(data).layers():
+                if layer.name == want:
+                    tb = TileBuilder()
+                    tb.add_existing_layer(layer.data)
+                    return tb.serialize()
+        except Exception:
+            return None  # unparseable tile → quarantined (dropped)
+        return None
+
     def per_tile(batch: pa.Table) -> pa.Table:
+        from ..mvt.pbf import encode_varint
+
         out = {"z": [], "x": [], "y": [], "mvt": []}
         for z, x, y, mvt in zip(batch.column("z").to_pylist(),
                                 batch.column("x").to_pylist(),
                                 batch.column("y").to_pylist(),
                                 batch.column("mvt")):
             data = mvt.as_py()
-            for layer in VectorTile(data).layers():
-                if layer.name == want:
-                    tb = TileBuilder()
-                    tb.add_existing_layer(layer.data)
-                    out["z"].append(z)
-                    out["x"].append(x)
-                    out["y"].append(y)
-                    out["mvt"].append(tb.serialize())
-                    break
+            try:
+                picked = None
+                for lo, hi in _tile_layer_spans(data, 0, len(data)):
+                    if _layer_name_of(data, lo, hi) == want:
+                        picked = b"\x1a" + encode_varint(hi - lo) + data[lo:hi]
+                        break
+            except (ValueError, IndexError):
+                picked = scalar_one(data)  # quarantined-shape tiles
+            if picked is None:
+                continue
+            out["z"].append(z)
+            out["x"].append(x)
+            out["y"].append(y)
+            out["mvt"].append(picked)
         return pa.table({
             "z": pa.array(out["z"], pa.int32()),
             "x": pa.array(out["x"], pa.int32()),
