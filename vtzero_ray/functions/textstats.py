@@ -218,35 +218,72 @@ class Fingerprint:
 # ---------------------------------------------------------------------------
 
 
+_EMPTY_BIGRAMS = pa.table({"lang": pa.array([], pa.string()),
+                           "ngram": pa.array([], pa.string()),
+                           "n": pa.array([], pa.int64())})
+
+
 def _bigram_partial(batch: pa.Table) -> pa.Table:
     """Per-batch bigram combiner: the corpus text NEVER shuffles — only
     distinct (lang, ngram, n) partial-count rows leave the task, bounded
-    by the batch vocabulary², not the batch token count."""
-    import pandas as pd
+    by the batch vocabulary², not the batch token count.
 
-    texts = _as_array(batch.column("text")).to_pylist()
-    langs = _as_array(batch.column("lang")).to_pylist()
-    word_lists = [t.strip().split() for t in texts]
-    counts = np.array([len(w) for w in word_lists], dtype=np.int64)
-    flat = np.array([w for ws in word_lists for w in ws], dtype=object)
-    if flat.shape[0] == 0:
-        return pa.table({"lang": pa.array([], pa.string()),
-                         "ngram": pa.array([], pa.string()),
-                         "n": pa.array([], pa.int64())})
-    # within-doc consecutive pairs: drop pair slots that straddle docs
-    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    mask = np.ones(flat.shape[0] - 1, dtype=bool)
-    mask[starts[starts > 0] - 1] = False
-    w1 = pd.Series(flat[:-1][mask])
-    grams = w1.str.cat(pd.Series(flat[1:][mask]), sep=" ")
-    doc_of = np.searchsorted(starts, np.arange(flat.shape[0] - 1)[mask],
-                             side="right") - 1
-    df = pd.DataFrame({"lang": np.array(langs, dtype=object)[doc_of],
-                       "ngram": grams})
-    part = df.groupby(["lang", "ngram"], sort=False).size().reset_index(name="n")
-    return pa.table({"lang": pa.array(part["lang"], pa.string()),
-                     "ngram": pa.array(part["ngram"], pa.string()),
-                     "n": pa.array(part["n"].to_numpy(np.int64))})
+    Fully vectorized: Arrow whitespace split (empty tokens dropped —
+    byte-equal to Python str.split semantics), dictionary-encoded tokens,
+    integer (lang, tok1, tok2) keys counted with ONE np.unique pass;
+    strings are assembled only for the UNIQUE pairs that leave the task.
+    """
+    from ..runtime import tune_allocator
+
+    tune_allocator()
+    pc = pa.compute
+    texts = _as_array(batch.column("text"))
+    langs = _as_array(batch.column("lang"))
+    toks = pc.utf8_split_whitespace(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    n_docs = len(toks)
+    if len(flat) == 0:
+        return _EMPTY_BIGRAMS
+    d = pc.dictionary_encode(flat)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = d.dictionary
+    vlen = pc.binary_length(vocab).to_numpy().astype(np.int64)
+    # drop empty tokens (Arrow emits them at run boundaries; Python
+    # strip().split() — which the oracle's regexp mirrors — never does)
+    tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), offs[1:] - offs[:-1])
+    keep = vlen[codes] > 0
+    codes = codes[keep]
+    tok_doc = tok_doc[keep]
+    if codes.shape[0] < 2:
+        return _EMPTY_BIGRAMS
+    ld = pc.dictionary_encode(langs)
+    if isinstance(ld, pa.ChunkedArray):
+        ld = ld.combine_chunks()
+    lcodes = ld.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    m = tok_doc[:-1] == tok_doc[1:]          # within-doc adjacency
+    if not m.any():
+        return _EMPTY_BIGRAMS
+    c1 = codes[:-1][m]
+    c2 = codes[1:][m]
+    lg = lcodes[tok_doc[:-1][m]]
+    V = np.int64(len(vocab))
+    key = (lg * V + c1) * V + c2
+    uniq, cnt = np.unique(key, return_counts=True)
+    u2 = uniq % V
+    u1 = (uniq // V) % V
+    ul = uniq // (V * V)
+    grams = pc.binary_join_element_wise(
+        vocab.take(pa.array(u1)), vocab.take(pa.array(u2)), " ")
+    return pa.table({
+        "lang": ld.dictionary.take(pa.array(ul)),
+        "ngram": grams,
+        "n": pa.array(cnt.astype(np.int64)),
+    })
 
 
 def _local_topk(batch: pa.Table, k: int) -> pa.Table:
@@ -262,31 +299,58 @@ def _local_topk(batch: pa.Table, k: int) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def ngram_topk(ds, k: int = 10):
+def ngram_topk(ds, k: int = 10, n_buckets: int = 64):
     """Top-k word bigrams per language: (lang, ngram, n, rnk).
 
-    Shape: per-batch combiner (no text shuffle) → hash groupby sum over
-    (lang, ngram) — cardinality O(vocab²), the standard exact shape; at
-    degenerate vocab scale, salt the ngram key — → per-block top-k prune
-    → tiny per-lang merge. Deterministic rank: (n DESC, ngram ASC).
+    Shape: per-batch combiner (no text shuffle) → ONE bounded shuffle on
+    a crc32(ngram) bucket (n_buckets groups — NOT the O(vocab²)-cardinality
+    raw (lang, ngram) key, per the repo's bucketed-shuffle invariant) →
+    in-bucket sum + per-lang top-k prune (each ngram lives in exactly one
+    bucket, so global top-k ⊆ union of bucket top-k) → tiny per-lang
+    merge. Deterministic rank: (n DESC, ngram ASC).
     """
+    import zlib
+
     import pandas as pd
 
     partials = ds.map_batches(_bigram_partial, batch_format="pyarrow")
-    totals = partials.groupby(["lang", "ngram"]).sum("n")
-    totals = totals.map_batches(
-        lambda t: t.rename_columns(
-            [c if c != "sum(n)" else "n" for c in t.column_names]),
-        batch_format="pyarrow")
-    cands = totals.map_batches(_local_topk, batch_format="pyarrow",
-                               fn_kwargs={"k": k})
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["n", "ngram"], ascending=[False, True],
-                            kind="stable").head(k)
-        df = df.reset_index(drop=True)
-        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
+    def add_bucket(t: pa.Table) -> pa.Table:
+        pc = pa.compute
+        g = t.column("ngram")
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        d = pc.dictionary_encode(g)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        # crc32 over the (small) batch vocabulary only, mapped via codes
+        vh = np.fromiter((zlib.crc32(v.encode()) for v in d.dictionary.to_pylist()),
+                         np.int64, count=len(d.dictionary))
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (vh[codes] % n_buckets).astype(np.int32) if len(t) else \
+            np.empty(0, np.int32)
+        return t.append_column("bucket", pa.array(b))
 
-    out = cands.groupby("lang").map_groups(merge, batch_format="pandas")
-    return out.map_batches(lambda t: t, batch_format="pyarrow")
+    bucketed = partials.map_batches(add_bucket, batch_format="pyarrow")
+
+    def bucket_sum_topk(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby(["lang", "ngram"], sort=False)["n"].sum().reset_index()
+        tot = tot.sort_values(["lang", "n", "ngram"],
+                              ascending=[True, False, True], kind="stable")
+        return tot.groupby("lang", sort=False).head(k)
+
+    cands = bucketed.groupby("bucket").map_groups(bucket_sum_topk,
+                                                  batch_format="pandas")
+
+    # final merge is OUTPUT-sized (<= n_buckets * n_langs * k rows): one
+    # task, not a second distributed sort barrier
+    def merge_all(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["lang", "n", "ngram"],
+                            ascending=[True, False, True], kind="stable")
+        df = df.groupby("lang", sort=False).head(k).reset_index(drop=True)
+        df["rnk"] = (df.groupby("lang", sort=False).cumcount() + 1).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return cands.repartition(1).map_batches(merge_all, batch_format="pyarrow",
+                                            batch_size=None)
