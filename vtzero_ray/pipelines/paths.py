@@ -83,7 +83,23 @@ def site_paths_tiles_scalar(sf_dir: str, zoom: int = 2, extent: int = 4096):
         return pd.DataFrame({"z": [z], "x": [x], "y": [y],
                              "mvt": [tb.serialize()], "n_features": [n]})
 
-    out = ds.groupby(["z", "x", "y"]).map_groups(encode_group, batch_format="pandas")
+    # scalar TWIN with the production shuffle shape: bucketed tile key
+    # (bounded group count), per-tile work in a local pandas groupby
+    from ..stages.encode import add_tile_bucket
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        parts = [encode_group(g) for _, g in
+                 df.drop(columns=["bucket"]).groupby(["z", "x", "y"], sort=True)]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return pd.DataFrame({
+                "z": pd.Series([], dtype="int32"), "x": pd.Series([], dtype="int32"),
+                "y": pd.Series([], dtype="int32"), "mvt": pd.Series([], dtype=object),
+                "n_features": pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    bucketed = ds.map_batches(add_tile_bucket, batch_format="pyarrow")
+    out = bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
     return out.map_batches(lambda t: t, batch_format="pyarrow")
 
 

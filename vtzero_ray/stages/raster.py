@@ -199,5 +199,25 @@ def raster_to_vector_scalar(raster_ds, threshold: int = 2, grid: int = 16,
         return pd.DataFrame({"z": [z], "x": [x], "y": [y],
                              "mvt": [tb.serialize()], "n_cells": [len(df)]})
 
-    out = raster_ds.groupby(["z", "x", "y"]).map_groups(per_group, batch_format="pandas")
+    # scalar TWIN, but the shuffle shape matches production: bucketed tile
+    # key (bounded group count), per-tile work in a local pandas groupby
+    def per_bucket(df):
+        import pandas as pd
+
+        parts = [per_group(g) for _, g in
+                 df.drop(columns=["bucket"]).groupby(["z", "x", "y"], sort=True)]
+        parts = [p for p in parts if len(p)]
+        if not parts:
+            return pd.DataFrame({
+                "z": pd.Series([], dtype="int32"),
+                "x": pd.Series([], dtype="int32"),
+                "y": pd.Series([], dtype="int32"),
+                "mvt": pd.Series([], dtype=object),
+                "n_cells": pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    from .encode import add_tile_bucket
+
+    bucketed = raster_ds.map_batches(add_tile_bucket, batch_format="pyarrow")
+    out = bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
     return out.map_batches(lambda t: t, batch_format="pyarrow")
