@@ -169,15 +169,12 @@ def topk_lsh(ds, sf_dir: str, k: int = 5, n_queries: int = 10, n_bits: int = 8,
     return merged.sort(["query_id", "rank"])
 
 
-def lsh_candidate_scores(ids, mat, q_ids, q_mat, sgn, q_b) -> pa.Table:
-    """Bucket-hit candidate scoring for one batch. The dot products are
-    computed ONLY over columns that hit at least one query bucket (gather
-    then matmul) — candidate pruning prunes COMPUTE too, not just output
-    rows (at 100 TB an unmasked Q x B matmul is a disguised full scan)."""
-    v_b = _int_buckets(mat, sgn)  # (n_tables, B)
-    hit = np.zeros((q_ids.shape[0], ids.shape[0]), dtype=bool)
-    for t in range(v_b.shape[0]):
-        hit |= q_b[t][:, None] == v_b[t][None, :]
+def _hit_pair_scores(ids, mat, q_ids, q_mat, hit) -> pa.Table:
+    """(query, vector) scores for the True cells of ``hit``. The dot
+    products are computed ONLY over columns that hit at least one query
+    (gather then matmul) — candidate pruning prunes COMPUTE too, not just
+    output rows (at 100 TB an unmasked Q x B matmul is a disguised full
+    scan)."""
     qi, ci = np.nonzero(hit)
     cols = np.unique(ci)                           # hit columns only
     sub = mat[cols]                                # (C', dim)
@@ -192,6 +189,15 @@ def lsh_candidate_scores(ids, mat, q_ids, q_mat, sgn, q_b) -> pa.Table:
         "qdot": pa.array(qdot, pa.int64()),
         "score": pa.array(score, pa.float64()),
     })
+
+
+def lsh_candidate_scores(ids, mat, q_ids, q_mat, sgn, q_b) -> pa.Table:
+    """Bucket-hit candidate scoring for one batch (compute-pruned)."""
+    v_b = _int_buckets(mat, sgn)  # (n_tables, B)
+    hit = np.zeros((q_ids.shape[0], ids.shape[0]), dtype=bool)
+    for t in range(v_b.shape[0]):
+        hit |= q_b[t][:, None] == v_b[t][None, :]
+    return _hit_pair_scores(ids, mat, q_ids, q_mat, hit)
 
 
 def _merge_int_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -272,18 +278,10 @@ def topk_ivf(ds, sf_dir: str, k: int = 5, n_queries: int = 10,
         ids = batch.column("vec_id").to_numpy()
         cent = batch.column("centroid_id").to_numpy()
         mat = quantize(np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)))
-        # query q sees row v iff v's centroid is among q's probes
+        # query q sees row v iff v's centroid is among q's probes;
+        # gather hit columns BEFORE the matmul (same as topk_ivf_indexed)
         hit = (q_probes[:, :, None] == cent[None, None, :]).any(axis=1)  # (Q, B)
-        qdot = q_mat @ mat.T                       # exact int64
-        sumsq = (mat * mat).sum(axis=1)            # exact int64
-        score = qdot.astype(np.float64) / np.sqrt(sumsq.astype(np.float64))[None, :]
-        qi, ci = np.nonzero(hit)
-        return pa.table({
-            "query_id": pa.array(q_ids[qi], pa.int64()),
-            "vec_id": pa.array(ids[ci], pa.int64()),
-            "qdot": pa.array(qdot[qi, ci], pa.int64()),
-            "score": pa.array(score[qi, ci], pa.float64()),
-        })
+        return _hit_pair_scores(ids, mat, q_ids, q_mat, hit)
 
     cand = pruned.map_batches(search, batch_format="pyarrow", batch_size=4096)
     merged = cand.groupby("query_id").map_groups(
@@ -374,20 +372,7 @@ def topk_ivf_indexed(index_dir: str, sf_dir: str, k: int = 5,
         cent = batch.column("centroid_id").to_numpy()
         mat = quantize(np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)))
         hit = (q_probes[:, :, None] == cent[None, None, :]).any(axis=1)
-        qi, ci = np.nonzero(hit)
-        cols = np.unique(ci)
-        sub = mat[cols]
-        qdot_sub = q_mat @ sub.T
-        sumsq_sub = (sub * sub).sum(axis=1)
-        pos = np.searchsorted(cols, ci)
-        qdot = qdot_sub[qi, pos]
-        score = qdot.astype(np.float64) / np.sqrt(sumsq_sub[pos].astype(np.float64))
-        return pa.table({
-            "query_id": pa.array(q_ids[qi], pa.int64()),
-            "vec_id": pa.array(ids[ci], pa.int64()),
-            "qdot": pa.array(qdot, pa.int64()),
-            "score": pa.array(score, pa.float64()),
-        })
+        return _hit_pair_scores(ids, mat, q_ids, q_mat, hit)
 
     cand = pruned.map_batches(search, batch_format="pyarrow", batch_size=4096)
     merged = cand.groupby("query_id").map_groups(
