@@ -187,9 +187,13 @@ def select_layer(tiles_ds, layer_name: str):
 def merge_tiles(a_ds, b_ds, *more):
     """Union of N tile corpora: tiles with the same (z,x,y) merge by layer
     concatenation (add_existing_layer semantics, builder.hpp:119-132) —
-    Ray ds.union + ONE groupby(z,x,y) re-group regardless of corpus count
-    (SURVEY §2.5 set ops). Layer order follows argument order (src tag)."""
+    Ray ds.union + ONE bucketed shuffle regardless of corpus count
+    (SURVEY §2.5 set ops). Layer order follows argument order (src tag).
+    The shuffle key is the fixed-count tile bucket, not raw (z,x,y) —
+    tile cardinality approaches row cardinality at z12+ (repo invariant)."""
     import pandas as pd
+
+    from ..stages.encode import add_tile_bucket
 
     def merge_group(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("src", kind="stable")
@@ -203,6 +207,18 @@ def merge_tiles(a_ds, b_ds, *more):
             "mvt": [tb.serialize()],
         })
 
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        parts = [merge_group(g) for _, g in
+                 df.drop(columns=["bucket"]).groupby(["z", "x", "y"],
+                                                     sort=True)]
+        if not parts:
+            return pd.DataFrame({
+                "z": pd.Series([], dtype="int32"),
+                "x": pd.Series([], dtype="int32"),
+                "y": pd.Series([], dtype="int32"),
+                "mvt": pd.Series([], dtype=object)})
+        return pd.concat(parts, ignore_index=True)
+
     def tag(i):
         return lambda t: t.append_column("src", pa.array([i] * len(t), pa.int32()))
 
@@ -211,7 +227,9 @@ def merge_tiles(a_ds, b_ds, *more):
     both = parts[0]
     for p in parts[1:]:
         both = both.union(p)
-    return both.groupby(["z", "x", "y"]).map_groups(merge_group, batch_format="pandas")
+    bucketed = both.map_batches(add_tile_bucket, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(merge_bucket,
+                                                 batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
