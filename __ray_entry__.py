@@ -401,6 +401,15 @@ def _q_minhash_lsh(sf_dir: str):
     return minhash_lsh_candidates(_docs(sf_dir))
 
 
+def _q_dup_clusters(sf_dir: str):
+    """Dedup cluster assignment: MinHash-LSH candidate pairs → connected
+    components (tree-reduced union-find forests), cluster_id = the
+    component's min doc_id (the canonical survivor)."""
+    from vtzero_ray.functions.dedup import dup_clusters, minhash_lsh_candidates
+
+    return dup_clusters(minhash_lsh_candidates(_docs(sf_dir)))
+
+
 def _q_simhash(sf_dir: str):
     from vtzero_ray.functions.dedup import simhash_signatures
 
@@ -702,8 +711,10 @@ def _q_events_sessions(sf_dir: str):
 #   knn_join             -> broadcast twin of knn_cell_join / knn_top3
 #   simhash_signatures   -> ingredient of simhash_near_dups
 #   doc_sample_10pct     -> simpler cousin of sample_stratified
+#   distinct_langs       -> trivial DISTINCT, same op evidenced by
+#                           lang_page_counts' groupby keys
 _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
-                  "doc_sample_10pct")
+                  "doc_sample_10pct", "distinct_langs")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -760,6 +771,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "approx_distinct_texts": _q_approx_distinct,
         "distinct_langs": _q_distinct_langs,
+        "dup_clusters": _q_dup_clusters,
         "doc_sample_10pct": _q_doc_sample,
         "corpus_clean": _q_corpus_clean,
         "sample_stratified": _q_sample_stratified,
@@ -920,7 +932,8 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.ann import topk_lsh_sql as ann_lsh_sql
     from vtzero_ray.functions.dedup import \
         embedding_near_dups_lsh_sql as near_dups_lsh_sql
-    from vtzero_ray.functions.dedup_sql import (jaccard_verified_sql,
+    from vtzero_ray.functions.dedup_sql import (dup_clusters_sql,
+                                                jaccard_verified_sql,
                                                 minhash_candidates_sql,
                                                 simhash_near_dups_sql,
                                                 simhash_sql)
@@ -1172,6 +1185,9 @@ def _all_oracle_sql() -> dict[str, str]:
             "FROM counts QUALIFY rnk <= 10"
         ),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
+        # dup_clusters: recursive-CTE connected components over the SAME
+        # minhash candidate pairs; cluster = min doc_id in component
+        "dup_clusters": dup_clusters_sql(),
         "doc_sample_10pct": "SELECT doc_id FROM documents WHERE doc_id % 10 = 0",
         # -- dedup -------------------------------------------------------------
         "dedup_exact": (

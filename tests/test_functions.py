@@ -272,6 +272,70 @@ class TestANN:
         assert a.reset_index(drop=True).equals(full.reset_index(drop=True))
 
 
+class TestDupClusters:
+    @staticmethod
+    def _brute_components(edges):
+        lab = {}
+        for a, b in edges:
+            lab.setdefault(a, a)
+            lab.setdefault(b, b)
+        changed = True
+        while changed:
+            changed = False
+            for a, b in edges:
+                m = min(lab[a], lab[b])
+                if lab[a] != m or lab[b] != m:
+                    lab[a] = lab[b] = m
+                    changed = True
+        return lab
+
+    def test_components_match_bruteforce(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup import dup_clusters
+
+        rng = np.random.default_rng(7)
+        edges = [tuple(sorted(e)) for e in
+                 rng.integers(0, 200, size=(300, 2)).tolist() if e[0] != e[1]]
+        t = pa.table({"doc_a": pa.array([a for a, _ in edges], pa.int64()),
+                      "doc_b": pa.array([b for _, b in edges], pa.int64())})
+        got = dup_clusters(rd.from_arrow(t)).to_pandas()
+        exp = self._brute_components(edges)
+        assert dict(zip(got.doc_id, got.cluster_id)) == exp
+        # every cluster id is its own cluster's min member
+        assert (got.groupby("cluster_id").doc_id.min()
+                == got.groupby("cluster_id").cluster_id.first()).all()
+
+    def test_chain_across_blocks(self, ray_session):
+        """A long path graph forces components to merge ACROSS blocks —
+        the per-block forest compression must not break connectivity."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup import dup_clusters
+
+        n = 500
+        t = pa.table({"doc_a": pa.array(list(range(n - 1)), pa.int64()),
+                      "doc_b": pa.array(list(range(1, n)), pa.int64())})
+        # many small input blocks: the chain is split across every block
+        ds = rd.from_arrow(t).repartition(32)
+        got = dup_clusters(ds).to_pandas()
+        assert len(got) == n
+        assert (got.cluster_id == 0).all()
+
+    def test_empty_pairs(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup import dup_clusters
+
+        t = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})
+        got = dup_clusters(rd.from_arrow(t)).to_pandas()
+        assert len(got) == 0
+
+
 class TestEmbeddingNearDups:
     def test_lsh_subset_and_recall_vs_exact(self, ray_session, sf_dir):
         """The bucketed LSH path returns a subset of the exact all-pairs

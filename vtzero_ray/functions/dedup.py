@@ -599,6 +599,76 @@ def _block_pair_sims(ta: pa.Table, tb: pa.Table, same: bool,
     })
 
 
+def _uf_forest(a: np.ndarray, b: np.ndarray):
+    """Union-find (union-by-min-id, path compression) over edge arrays →
+    dict node → root. Roots are always the component's min id seen."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:          # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        parent.setdefault(x, x)
+        parent.setdefault(y, y)
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx            # root = smaller id
+    return parent, find
+
+
+def _forest_batch(batch: pa.Table) -> pa.Table:
+    """One block of edges → its spanning forest as (root, node) edges.
+    Components of the union of per-block forests equal components of the
+    union of the original edge sets, so blocks compress independently."""
+    a = batch.column("doc_a").to_numpy()
+    b = batch.column("doc_b").to_numpy()
+    parent, find = _uf_forest(a, b)
+    nodes = sorted(parent)
+    return pa.table({
+        "doc_a": pa.array([find(n) for n in nodes], pa.int64()),
+        "doc_b": pa.array(nodes, pa.int64()),
+    })
+
+
+def dup_clusters(pairs, fan_in=(16, 4, 1)):
+    """Connected components over dup pairs → (doc_id, cluster_id) where
+    cluster_id is the component's MIN doc_id (the canonical survivor).
+
+    Shape: tree reduce. Each round repartitions the edge set into fewer
+    blocks and compresses every block to its spanning forest (per-block
+    union-find, ≤ one edge per distinct node), so the edge volume shrinks
+    toward output size before the single final union-find task.
+    Partitioning assumption at 100 TB: the final forest (one edge per
+    paired doc) fits one worker; if dup-pair node counts outgrow that,
+    extend ``fan_in`` with more rounds — the forests keep shrinking.
+    """
+    ds = pairs.select_columns(["doc_a", "doc_b"])
+    for nb in fan_in:
+        ds = ds.repartition(nb).map_batches(
+            _forest_batch, batch_format="pyarrow", batch_size=None)
+
+    def components(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        parent, find = _uf_forest(a, b)
+        nodes = sorted(parent)
+        return pa.table({
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster_id": pa.array([find(n) for n in nodes], pa.int64()),
+        })
+
+    # fan_in ends at 1 block → ONE output-sized task, already sorted
+    return ds.map_batches(components, batch_format="pyarrow",
+                          batch_size=None)
+
+
 _SIGNS_MEMO: dict[tuple, np.ndarray] = {}
 
 

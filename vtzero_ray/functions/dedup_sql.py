@@ -182,3 +182,20 @@ def simhash_near_dups_sql(n_bands: int = 4, band_bits: int = 16,
         f" CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming"
         f" FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}"
     )
+
+
+def dup_clusters_sql(n_perm: int = 128, n_bands: int = 16, k: int = 5,
+                     seed: int = 42) -> str:
+    """DuckDB oracle for dup_clusters over minhash LSH candidate pairs:
+    connected components by recursive closure, cluster = min doc_id."""
+    ctes = _minhash_ctes(n_perm, n_bands, k, seed)
+    return (f"WITH RECURSIVE {ctes}"
+            f"pairs AS (SELECT DISTINCT doc_a, doc_b FROM cands), "
+            f"edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+            f" UNION ALL SELECT doc_b, doc_a FROM pairs), "
+            f"nodes AS (SELECT DISTINCT a AS n FROM edges), "
+            f"reach AS (SELECT n AS node, n AS label FROM nodes"
+            f" UNION SELECT e.b, r.label FROM reach r"
+            f" JOIN edges e ON e.a = r.node) "
+            f"SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id"
+            f" FROM reach GROUP BY 1")
