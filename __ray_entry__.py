@@ -697,6 +697,12 @@ def _q_events_asof(sf_dir: str):
     return events_asof_last_order(sf_dir)
 
 
+def _q_events_hopping(sf_dir: str):
+    from vtzero_ray.pipelines.relational import events_hopping_window
+
+    return events_hopping_window(sf_dir)
+
+
 def _q_events_sessions(sf_dir: str):
     from vtzero_ray.pipelines.relational import events_sessionize
 
@@ -714,7 +720,8 @@ def _q_events_sessions(sf_dir: str):
 #   distinct_langs       -> trivial DISTINCT, same op evidenced by
 #                           lang_page_counts' groupby keys
 _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
-                  "doc_sample_10pct", "distinct_langs")
+                  "doc_sample_10pct", "distinct_langs",
+                  "events_hopping_window")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -791,6 +798,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_sessions": _q_events_sessions,
         "events_asof_last_order": _q_events_asof,
+        # hopping window rides in queries_extra (50-entry driver budget)
+        "events_hopping_window": _q_events_hopping,
     }
 
 
@@ -1290,6 +1299,15 @@ def _all_oracle_sql() -> dict[str, str]:
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "
             "COUNT(*) AS n_events, round(SUM(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        # hopping window: every event lands in window_s/hop_s = 4
+        # overlapping windows (integer-floor window starts in µs)
+        "events_hopping_window": (
+            "SELECT event_type, make_timestamp("
+            "((epoch_us(ts) // 1000000 // 900) * 900 - 900 * i.range) * 1000000"
+            ") AS window_start, COUNT(*) AS n_events, "
+            "round(SUM(value), 6) AS sum_value "
+            "FROM events, range(4) i GROUP BY 1, 2"
         ),
         "events_asof_last_order": (
             "SELECT e.event_id, e.user_id, COALESCE((SELECT o.o_orderkey FROM orders o "

@@ -272,6 +272,27 @@ class TestANN:
         assert a.reset_index(drop=True).equals(full.reset_index(drop=True))
 
 
+class TestHoppingWindow:
+    def test_each_event_in_k_windows(self, ray_session, sf_dir):
+        import pyarrow.parquet as pq
+
+        from vtzero_ray.pipelines.relational import events_hopping_window
+
+        out = events_hopping_window(sf_dir, window_s=3600, hop_s=900).to_pandas()
+        n_events = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+        assert out.n_events.sum() == 4 * n_events
+        # brute-force a sample: an event at ts belongs to window w iff
+        # w <= ts < w + window_s and w % hop_s == 0
+        ev = pq.read_table(f"{sf_dir}/events.parquet",
+                           columns=["ts", "event_type"]).to_pandas().head(20)
+        for r in ev.itertuples():
+            t = int(r.ts.timestamp())
+            expect = {(t // 900) * 900 - 900 * i for i in range(4)}
+            got = set(out[out.event_type == r.event_type]
+                      .window_start.map(lambda w: int(w.timestamp())))
+            assert expect <= got
+
+
 class TestDupClusters:
     @staticmethod
     def _brute_components(edges):

@@ -230,6 +230,41 @@ def events_tumbling_window(sf_dir: str, window_s: int = 3600):
     return _round_cols(agg, {"sum_value": 6})
 
 
+def events_hopping_window(sf_dir: str, window_s: int = 3600, hop_s: int = 900):
+    """Hopping (sliding) window: each event contributes to window_s/hop_s
+    overlapping windows — the window-explode is vectorized per batch and
+    the only shuffle is the grouped merge over (event_type, window_start)
+    (bounded cardinality: types x time-range/hop)."""
+    import ray.data as rd
+
+    k = window_s // hop_s
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy().astype("datetime64[s]").astype(np.int64)
+        et = batch.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        val = batch.column("value").to_numpy()
+        base = (ts // hop_s) * hop_s
+        starts = (base[:, None] - hop_s * np.arange(k, dtype=np.int64)[None, :]).reshape(-1)
+        idx = np.repeat(np.arange(len(ts)), k)
+        return pa.table({
+            "event_type": et.take(pa.array(idx)),
+            "window_start": pa.array(
+                starts.astype("datetime64[s]").astype("datetime64[us]")),
+            "value": pa.array(val[idx]),
+        })
+
+    ds = ds.map_batches(explode, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    agg = ds.groupby(["event_type", "window_start"]).aggregate(Count(), Sum("value"))
+    agg = agg.rename_columns({"count()": "n_events", "sum(value)": "sum_value"})
+    return _round_cols(agg, {"sum_value": 6})
+
+
 def events_asof_last_order(sf_dir: str, n_buckets: int = 32):
     """As-of join (streaming-shaped): each event joined to the LATEST order
     of the matching customer with orderdate <= event time.
