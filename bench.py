@@ -287,13 +287,21 @@ def run_scaling() -> dict:
     # (not the max — that would bias the reported number upward); all_pairs
     # exposes the raw spread + per-level steal and single-core probe so
     # the number can be audited.
+    def pair_drift(p):
+        return abs(p["probe_hi_ms"] - p["probe_lo_ms"]) / max(p["probe_lo_ms"], 1.0)
+
     def dirt(p):
         return (max(0.0, min_bw - min(p["bw_lo_gbps"], p["bw_hi_gbps"])),
-                max(p["steal_lo_pct"], p["steal_hi_pct"]))
+                max(p["steal_lo_pct"], p["steal_hi_pct"]),
+                pair_drift(p))
 
+    # clean = same gate as the early-break: low steal, idle bandwidth AND
+    # matched single-core probes (a drifted pair compares two different
+    # host speeds, corrupting the ratio in either direction)
     clean = [p for p in pairs
              if max(p["steal_lo_pct"], p["steal_hi_pct"]) <= max_steal
-             and min(p["bw_lo_gbps"], p["bw_hi_gbps"]) >= min_bw]
+             and min(p["bw_lo_gbps"], p["bw_hi_gbps"]) >= min_bw
+             and pair_drift(p) <= 0.15]
     if clean:
         by_eff = sorted(clean, key=lambda p: p["scaling_efficiency"])
         best = by_eff[(len(by_eff) - 1) // 2]   # median clean pair
