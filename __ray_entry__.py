@@ -525,7 +525,10 @@ def _q_ann_ivf_indexed(sf_dir: str):
     from vtzero_ray.functions.ann import build_ivf_index, topk_ivf_indexed
 
     n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    index_dir = f"/tmp/vtzero_ray_ivf/{os.path.basename(os.path.normpath(sf_dir))}_{n_rows}"
+    # cache key includes params + format version so an index built by
+    # older code or other params is never silently reused
+    index_dir = (f"/tmp/vtzero_ray_ivf/"
+                 f"{os.path.basename(os.path.normpath(sf_dir))}_{n_rows}_c16_v2")
     if not os.path.isdir(f"{index_dir}/corpus"):
         ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])

@@ -252,6 +252,36 @@ def run_scaling() -> dict:
     # cap is hit. A fixed pair count kept landing entirely inside noisy
     # windows (efficiency read 0.48 where a calm window reads 0.8+ for
     # identical code).
+    def mp_ceiling() -> float:
+        """Ray-free multiprocessing md5 throughput at n vs 4n procs — the
+        box's compute-only scaling ceiling RIGHT NOW (an upper bound for
+        any pipeline; a low pipeline pair under a high ceiling implicates
+        Ray IPC/object-store latency or bandwidth, not CPU)."""
+        import hashlib
+        import multiprocessing as mp
+
+        def burn(q):
+            t0 = time.time()
+            cnt = 0
+            while time.time() - t0 < 2.0:
+                hashlib.md5(b"x" * 100000).digest()
+                cnt += 1
+            q.put(cnt)
+
+        def level(k):
+            q = mp.Queue()
+            ps = [mp.Process(target=burn, args=(q,)) for _ in range(k)]
+            for p in ps:
+                p.start()
+            tot = sum(q.get() for _ in ps)
+            for p in ps:
+                p.join()
+            return tot
+
+        lo = level(n)
+        hi = level(4 * n)
+        return round((hi / (4 * n)) / max(lo / n, 1e-9), 3)
+
     n_pairs = int(os.environ.get("GRAFT_SCALE_PAIRS", "6"))
     max_steal = float(os.environ.get("GRAFT_SCALE_MAX_STEAL", "2.0"))
     # neighbors can saturate memory bandwidth without showing as steal; a
@@ -273,6 +303,7 @@ def run_scaling() -> dict:
             "steal_lo_pct": lo.get("steal_pct", -1.0),
             "steal_hi_pct": hi.get("steal_pct", -1.0),
             "scaling_efficiency": round(eff, 3),
+            "mp_ceiling_eff": mp_ceiling(),
         }
         pairs.append(p)
         drift = abs(p["probe_hi_ms"] - p["probe_lo_ms"]) / max(p["probe_lo_ms"], 1.0)
