@@ -73,6 +73,30 @@ def bw_probe_gbps() -> float:
     return best
 
 
+def ray_rtt_ms() -> float:
+    """Median round-trip of a trivial Ray task on warm workers — the
+    scheduler/raylet RPC latency. ~1 ms on a healthy local node; measured
+    45 ms on a degraded sandbox boot, where it (not CPU, steal, or
+    bandwidth — all probed clean) capped 16-CPU pipeline throughput:
+    orchestration latency x task count floors every stage regardless of
+    cores, deflating scaling pairs. Recorded with every bench JSON so the
+    confound is attributable per run."""
+    import ray
+
+    @ray.remote
+    def _echo(x):
+        return x
+
+    ray.get(_echo.remote(0))  # warm one worker
+    samples = []
+    for _ in range(15):
+        t0 = time.time()
+        ray.get(_echo.remote(0))
+        samples.append((time.time() - t0) * 1000.0)
+    samples.sort()
+    return round(samples[len(samples) // 2], 2)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -96,6 +120,7 @@ def run_bench() -> dict:
 
     # warm the page cache + Ray workers with one untimed pass
     features_dataset(SF_DIR, zooms=(6,)).count()
+    extra["ray_rtt_ms"] = ray_rtt_ms()
 
     # headline: full encode pipeline (geoparse → assign → shuffle → encode →
     # vtzero-check validate), consumed as an aggregate (no driver materialize)
@@ -298,6 +323,8 @@ def run_scaling() -> dict:
             "tiles_per_sec_hi": hi["tiles_per_sec"],
             "probe_lo_ms": lo.get("host_probe_ms", -1.0),
             "probe_hi_ms": hi.get("host_probe_ms", -1.0),
+            "rtt_lo_ms": lo.get("ray_rtt_ms", -1.0),
+            "rtt_hi_ms": hi.get("ray_rtt_ms", -1.0),
             "bw_lo_gbps": lo.get("bw_probe_gbps", -1.0),
             "bw_hi_gbps": hi.get("bw_probe_gbps", -1.0),
             "steal_lo_pct": lo.get("steal_pct", -1.0),
