@@ -34,10 +34,24 @@ def tune_allocator(mmap_threshold: int = 128 << 20,
     if _ALLOC_TUNED or os.environ.get("VTZERO_NO_MALLOC_TUNE"):
         return _ALLOC_TUNED
     _ALLOC_TUNED = True  # one attempt per process either way
+    # ROOT CAUSE (found round 3): NumPy madvises MADV_HUGEPAGE on every
+    # allocation >= 4 MiB, and transparent-hugepage faults on this
+    # virtualized host run at ~10 MB/s — np.ones(256 MB) measured 26 s
+    # with the madvise vs 0.13 s without (200x). The mallopt/brk tuning
+    # below was only ever a partial shield (NumPy madvises brk pages
+    # too). Disable the madvise process-wide; PR_SET_THP_DISABLE covers
+    # non-NumPy allocators (Arrow, glibc) as well.
+    try:
+        from numpy.core import multiarray
+
+        multiarray._set_madvise_hugepage(False)
+    except Exception:
+        pass
     try:
         import ctypes
 
         libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.prctl(41, 1, 0, 0, 0)  # PR_SET_THP_DISABLE
         libc.mallopt(-3, int(mmap_threshold))  # M_MMAP_THRESHOLD
         libc.mallopt(-1, int(trim_threshold))  # M_TRIM_THRESHOLD
         if warm_mb:
