@@ -177,6 +177,17 @@ class TestSelectLayerFast:
         out = select_layer(rd.from_arrow(bad), "pages").to_pandas()
         assert len(out) == 0
 
+    def test_layer_name_overrun_raises(self):
+        """A name length running past the layer span must raise (take the
+        scalar fallback), never slice into adjacent tile bytes."""
+        from vtzero_ray.pipelines.filter import _layer_name_of
+
+        # layer message: field 1 (name), declared len 200 >> actual span
+        layer = b"\x0a\xc8\x01" + b"pages"
+        buf = layer + b"pages_adjacent_tile_bytes"
+        with pytest.raises(ValueError, match="overruns layer"):
+            _layer_name_of(buf, 0, len(layer))
+
 
 class TestBMPCodec:
     """Pure-NumPy BMP codec: the real (non-stub) media decode path."""

@@ -10,12 +10,18 @@ no shuffle is needed at all; this is the narrow-transform fast class).
 
 from __future__ import annotations
 
+import logging
+import struct
+
 import pyarrow as pa
 
+from ..exceptions import VtzeroError
 from ..mvt.builder import (GeometryFeatureBuilder, PropertyMapper,
                            TileBuilder)
 from ..mvt.decoder import VectorTile
 from ..mvt.values import encode_value
+
+_log = logging.getLogger(__name__)
 
 
 def filter_features(tiles_ds, layer_name: str, key: str, value) -> "ray.data.Dataset":
@@ -112,6 +118,8 @@ def _layer_name_of(buf: bytes, lo: int, hi: int) -> bytes:
         wt = key & 0x7
         if wt == 2:
             ln, pos = decode_varint(buf, pos)
+            if pos + ln > hi:
+                raise ValueError("field overruns layer")
             if key >> 3 == 1:
                 return buf[pos:pos + ln]
             pos += ln
@@ -141,20 +149,23 @@ def select_layer(tiles_ds, layer_name: str):
     want = layer_name.encode("utf-8")
 
     def scalar_one(data: bytes):
+        """Returns (picked_bytes_or_None, quarantined). Only parse-shaped
+        errors quarantine the tile; anything else propagates loudly."""
         try:
             for layer in VectorTile(data).layers():
                 if layer.name == want:
                     tb = TileBuilder()
                     tb.add_existing_layer(layer.data)
-                    return tb.serialize()
-        except Exception:
-            return None  # unparseable tile → quarantined (dropped)
-        return None
+                    return tb.serialize(), False
+        except (VtzeroError, ValueError, IndexError, struct.error):
+            return None, True  # unparseable tile → quarantined (dropped)
+        return None, False  # parsed fine, layer just absent
 
     def per_tile(batch: pa.Table) -> pa.Table:
         from ..mvt.pbf import encode_varint
 
         out = {"z": [], "x": [], "y": [], "mvt": []}
+        quarantined = 0
         for z, x, y, mvt in zip(batch.column("z").to_pylist(),
                                 batch.column("x").to_pylist(),
                                 batch.column("y").to_pylist(),
@@ -167,13 +178,17 @@ def select_layer(tiles_ds, layer_name: str):
                         picked = b"\x1a" + encode_varint(hi - lo) + data[lo:hi]
                         break
             except (ValueError, IndexError):
-                picked = scalar_one(data)  # quarantined-shape tiles
+                picked, bad = scalar_one(data)  # full-parse fallback
+                quarantined += bad
             if picked is None:
                 continue
             out["z"].append(z)
             out["x"].append(x)
             out["y"].append(y)
             out["mvt"].append(picked)
+        if quarantined:
+            _log.warning("select_layer: quarantined %d unparseable tile(s) "
+                         "in batch of %d", quarantined, batch.num_rows)
         return pa.table({
             "z": pa.array(out["z"], pa.int32()),
             "x": pa.array(out["x"], pa.int32()),
