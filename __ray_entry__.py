@@ -502,8 +502,11 @@ def _q_ann_lsh(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
-    """IVF ANN: centroid-bucketed index + partition-pruned probe search
-    (the scale path — only nprobe/n_centroids of the corpus is scanned)."""
+    """Inline IVF twin (queries_extra since round 4): centroid-bucketed +
+    partition-pruned probe search WITHOUT the persisted index — re-assigns
+    centroids over the corpus per run, so it is the verification twin of
+    ann_topk_ivf_indexed, not the scale path (VERDICT r3: no driver query
+    should perform a full corpus pass per ANN run)."""
     import ray.data as rd
 
     from vtzero_ray.functions.ann import topk_ivf
@@ -512,28 +515,42 @@ def _q_ann_ivf(sf_dir: str):
     return topk_ivf(ds, sf_dir, k=5, n_queries=10, n_centroids=16, nprobe=4)
 
 
-def _q_ann_ivf_indexed(sf_dir: str):
-    """IVF ANN over the PERSISTED index artifact: the corpus is written
-    partitioned by centroid_id ONCE (cached per sf_dir under /tmp) and
-    every query run reads only the probed partitions — the 100-TB shape
-    where the index build is the only full corpus pass."""
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Build-once cached IVF index dir for ``sf_dir`` under /tmp.
+
+    Cache key = source basename + row count + source parquet content
+    fingerprint (file size, mtime ns) + params + format version, so
+    regenerated-but-equal-row-count data, older code, or other params
+    never silently reuse an index. Completeness is gated on
+    ``centroids.parquet`` — build_ivf_index publishes the whole dir
+    atomically via os.rename and writes centroids last, so presence
+    implies a complete index (never a partial crashed build)."""
     import os
 
-    import pyarrow.parquet as pq
     import ray.data as rd
 
-    from vtzero_ray.functions.ann import build_ivf_index, topk_ivf_indexed
+    from vtzero_ray.functions.ann import build_ivf_index
 
-    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
-    # cache key includes params + format version so an index built by
-    # older code or other params is never silently reused
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
     index_dir = (f"/tmp/vtzero_ray_ivf/"
-                 f"{os.path.basename(os.path.normpath(sf_dir))}_{n_rows}_c16_v2")
-    if not os.path.isdir(f"{index_dir}/corpus"):
-        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                             columns=["vec_id", "embedding"])
+                 f"{os.path.basename(os.path.normpath(sf_dir))}"
+                 f"_{st.st_size}_{st.st_mtime_ns}_c16_v3")
+    if not os.path.isfile(f"{index_dir}/centroids.parquet"):
+        ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
         build_ivf_index(ds, index_dir, sf_dir, n_centroids=16)
-    return topk_ivf_indexed(index_dir, sf_dir, k=5, n_queries=10, nprobe=4)
+    return index_dir
+
+
+def _q_ann_ivf_indexed(sf_dir: str):
+    """IVF ANN over the PERSISTED index (the only IVF shape on the driver
+    path — no query run performs a full corpus pass): the corpus is written
+    partitioned by centroid_id ONCE (cached per sf_dir under /tmp) and every
+    query run reads only the probed partitions."""
+    from vtzero_ray.functions.ann import topk_ivf_indexed
+
+    return topk_ivf_indexed(_ivf_index_dir(sf_dir), sf_dir,
+                            k=5, n_queries=10, nprobe=4)
 
 
 # -- spatial joins -----------------------------------------------------------
@@ -722,9 +739,11 @@ def _q_events_sessions(sf_dir: str):
 #   doc_sample_10pct     -> simpler cousin of sample_stratified
 #   distinct_langs       -> trivial DISTINCT, same op evidenced by
 #                           lang_page_counts' groupby keys
+#   ann_topk_ivf         -> inline IVF (per-run centroid assignment);
+#                           verification twin of ann_topk_ivf_indexed
 _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "doc_sample_10pct", "distinct_langs",
-                  "events_hopping_window")
+                  "events_hopping_window", "ann_topk_ivf")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

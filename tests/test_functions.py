@@ -271,6 +271,36 @@ class TestANN:
                         n_centroids=16, nprobe=2).to_pandas()
         assert a.reset_index(drop=True).equals(full.reset_index(drop=True))
 
+    def test_ivf_index_build_is_atomic(self, ray_session, sf_dir, tmp_path):
+        """The index dir appears only as a complete artifact (rename
+        publish): centroids.parquet presence implies completeness, and a
+        second build onto an existing index leaves it untouched (the loser
+        of a concurrent race discards its copy) — ADVICE r3 #1."""
+        import glob
+        import os
+
+        import ray.data as rd
+
+        from vtzero_ray.functions.ann import build_ivf_index
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        idx = str(tmp_path / "ivf_atomic")
+        build_ivf_index(ds, idx, sf_dir, n_centroids=16)
+        assert os.path.isfile(f"{idx}/centroids.parquet")
+        files_before = sorted(glob.glob(f"{idx}/corpus/**/*.parquet",
+                                        recursive=True))
+        rows_before = rd.read_parquet(files_before).count()
+
+        # simulate the losing concurrent builder: rebuild onto the same dir
+        build_ivf_index(ds, idx, sf_dir, n_centroids=16)
+        files_after = sorted(glob.glob(f"{idx}/corpus/**/*.parquet",
+                                       recursive=True))
+        assert files_after == files_before  # no duplicated row files
+        assert rd.read_parquet(files_after).count() == rows_before
+        # no leftover temp build dirs
+        assert not glob.glob(f"{idx}.building.*")
+
 
 class TestHoppingWindow:
     def test_each_event_in_k_windows(self, ray_session, sf_dir):

@@ -299,7 +299,16 @@ def build_ivf_index(ds, out_dir: str, sf_dir: str, n_centroids: int = 16) -> str
     Layout: ``{out_dir}/corpus/cpart={cid}/*.parquet`` (centroid_id kept
     as a data column too, so explicit partition-dir reads need no hive
     inference) and ``{out_dir}/centroids.parquet``.
+
+    ATOMIC: the index is built into a process-private temp dir and
+    os.rename()d into place, so a crashed/interrupted build never leaves
+    a partial dir that a later run would silently reuse, and two
+    concurrent builders race harmlessly (the loser discards its copy —
+    rename onto an existing dir fails and the winner's index is used).
     """
+    import os
+    import shutil
+
     import ray
     import pyarrow.parquet as pq
 
@@ -311,12 +320,26 @@ def build_ivf_index(ds, out_dir: str, sf_dir: str, n_centroids: int = 16) -> str
 
     indexed = indexed.map_batches(dup_part_col, batch_format="pyarrow",
                                   batch_size=None)
-    indexed.write_parquet(f"{out_dir}/corpus", partition_cols=["cpart"])
-    pq.write_table(pa.table({
-        "centroid_id": pa.array(cids, pa.int64()),
-        "centroid": pa.array([[int(v) for v in row] for row in cmat],
-                             pa.list_(pa.int64())),
-    }), f"{out_dir}/centroids.parquet")
+    out_dir = os.path.normpath(out_dir)
+    tmp_dir = f"{out_dir}.building.{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    try:
+        indexed.write_parquet(f"{tmp_dir}/corpus", partition_cols=["cpart"])
+        pq.write_table(pa.table({
+            "centroid_id": pa.array(cids, pa.int64()),
+            "centroid": pa.array([[int(v) for v in row] for row in cmat],
+                                 pa.list_(pa.int64())),
+        }), f"{tmp_dir}/centroids.parquet")
+        try:
+            os.rename(tmp_dir, out_dir)  # atomic publish
+        except OSError:
+            # a concurrent builder won the race → its complete index
+            # stands (centroids.parquet is written last, so presence
+            # implies completeness); anything else is a real error
+            if not os.path.isfile(f"{out_dir}/centroids.parquet"):
+                raise
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
     return out_dir
 
 
