@@ -414,6 +414,63 @@ class TestEmbeddingNearDups:
         # pairs are unique (first-equal-table emission, no dup shuffle)
         assert len(approx) == len(set(ak))
 
+    def test_lsh_star_guard_matches_sql_oracle(self, ray_session, sf_dir,
+                                               caplog):
+        """Force star-guard truncation (tiny max_bucket) and check the Ray
+        result is EXACTLY the SQL oracle's — the oracle models the guard
+        (first-equal-table attribution + star anchor at the group min),
+        so divergence at scale is impossible, not just unlikely. Also
+        asserts the truncation is loud (ADVICE r3: silent divergence)."""
+        import logging as _logging
+
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup import (embedding_near_dups_lsh,
+                                                embedding_near_dups_lsh_sql)
+
+        import numpy as np
+        import pandas as pd
+
+        from vtzero_ray.functions.dedup import _verify_lsh_buckets
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        # n_bits=4 -> 16 buckets/table over 500 vectors: max_bucket=8
+        # must truncate
+        got = embedding_near_dups_lsh(
+            ds, threshold=0.35, n_bits=4, n_tables=8,
+            max_bucket=8).to_pandas()
+        # loudness: the verify kernel (runs in workers distributed; here
+        # in-process so caplog can see it) warns on truncation
+        crowd = pd.DataFrame({
+            "vec_id": np.arange(10, dtype=np.int64),
+            "t": np.zeros(10, np.int32),
+            "bucket": np.zeros(10, np.int64),
+            "bvec": [np.zeros(8, np.int64)] * 10,
+            "emb": [np.ones(4) / 2.0] * 10,
+        })
+        with caplog.at_level(_logging.WARNING,
+                             logger="vtzero_ray.functions.dedup"):
+            star = _verify_lsh_buckets(crowd, threshold=0.0, max_bucket=8)
+        assert any("max_bucket" in r.message for r in caplog.records)
+        assert len(star) == 9  # star around vec_id 0, not all 45 pairs
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')")
+        want = con.execute(embedding_near_dups_lsh_sql(
+            threshold=0.35, n_bits=4, n_tables=8, max_bucket=8)).df()
+        con.close()
+        key = ["vec_a", "vec_b"]
+        got = got.sort_values(key).reset_index(drop=True)
+        want = want.sort_values(key).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got.vec_a.to_numpy() == want.vec_a.to_numpy()).all()
+        assert (got.vec_b.to_numpy() == want.vec_b.to_numpy()).all()
+        assert (abs(got.cosine.to_numpy()
+                    - want.cosine.to_numpy()) < 2e-6).all()
+
     def test_lsh_empty_corpus(self, ray_session):
         import pyarrow as pa
         import ray.data as rd

@@ -15,12 +15,15 @@ Scale shapes (ray_guide "Aggregation at scale"):
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ..runtime import tune_allocator
+
+log = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -682,6 +685,58 @@ def _signs_memo(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
     return s
 
 
+def _verify_lsh_buckets(df: pd.DataFrame, threshold: float,
+                        max_bucket: int) -> pd.DataFrame:
+    """Per-shuffle-bucket verify task for embedding_near_dups_lsh: group
+    by (table, bucket), emit each pair once at its first equal table,
+    exact-cosine-verify locally. Star-truncates degenerate buckets
+    LOUDLY (logged per task) — the divergence from all-pairs is modeled
+    exactly by embedding_near_dups_lsh_sql, never silent."""
+    out_a, out_b, out_s = [], [], []
+    n_truncated = 0
+    for (t, _), g in df.groupby(["t", "bucket"], sort=False):
+        if len(g) < 2:
+            continue
+        g = g.sort_values("vec_id", kind="stable")
+        ids = g["vec_id"].to_numpy()
+        bhs = np.stack(g["bvec"].to_numpy())       # (m, n_tables)
+        em = np.stack(g["emb"].to_numpy())         # (m, dim) unit-norm
+        if ids.shape[0] > max_bucket:
+            n_truncated += 1
+            ia = np.zeros(ids.shape[0] - 1, np.int64)
+            ib = np.arange(1, ids.shape[0])
+        else:
+            ia, ib = np.triu_indices(ids.shape[0], k=1)
+        eq = bhs[ia] == bhs[ib]
+        sel = eq.argmax(axis=1) == t               # first equal table
+        ia, ib = ia[sel], ib[sel]
+        if ia.shape[0] == 0:
+            continue
+        sims = np.round((em[ia] * em[ib]).sum(axis=1), 6)
+        keep = sims >= threshold
+        out_a.append(ids[ia][keep])
+        out_b.append(ids[ib][keep])
+        out_s.append(sims[keep])
+    if n_truncated:
+        # Loud, not silent (ADVICE r3): star fallback is recall-lossy —
+        # pairs whose first-equal table lands in a truncated bucket are
+        # dropped unless anchored at the bucket min. The SQL oracle
+        # models this exactly, so driver rows stay comparable; an
+        # operator seeing this at production scale should raise n_bits
+        # (finer buckets) or max_bucket.
+        log.warning(
+            "embedding_near_dups_lsh: %d bucket(s) exceeded "
+            "max_bucket=%d; star fallback engaged (recall-lossy)",
+            n_truncated, max_bucket)
+    if not out_a:
+        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                             "vec_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    return pd.DataFrame({"vec_a": np.concatenate(out_a).astype(np.int64),
+                         "vec_b": np.concatenate(out_b).astype(np.int64),
+                         "cosine": np.concatenate(out_s)})
+
+
 def embedding_near_dups_lsh(ds, threshold: float = 0.95, n_bits: int = 16,
                             n_tables: int = 8, max_bucket: int = 1024,
                             n_shuffle: int = 64):
@@ -743,36 +798,7 @@ def embedding_near_dups_lsh(ds, threshold: float = 0.95, n_bits: int = 16,
         band_rows, batch_format="pyarrow", batch_size=None)
 
     def bucket_verify(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_s = [], [], []
-        for (t, _), g in df.groupby(["t", "bucket"], sort=False):
-            if len(g) < 2:
-                continue
-            g = g.sort_values("vec_id", kind="stable")
-            ids = g["vec_id"].to_numpy()
-            bhs = np.stack(g["bvec"].to_numpy())       # (m, n_tables)
-            em = np.stack(g["emb"].to_numpy())         # (m, dim) unit-norm
-            if ids.shape[0] > max_bucket:
-                ia = np.zeros(ids.shape[0] - 1, np.int64)
-                ib = np.arange(1, ids.shape[0])
-            else:
-                ia, ib = np.triu_indices(ids.shape[0], k=1)
-            eq = bhs[ia] == bhs[ib]
-            sel = eq.argmax(axis=1) == t               # first equal table
-            ia, ib = ia[sel], ib[sel]
-            if ia.shape[0] == 0:
-                continue
-            sims = np.round((em[ia] * em[ib]).sum(axis=1), 6)
-            keep = sims >= threshold
-            out_a.append(ids[ia][keep])
-            out_b.append(ids[ib][keep])
-            out_s.append(sims[keep])
-        if not out_a:
-            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                                 "vec_b": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
-        return pd.DataFrame({"vec_a": np.concatenate(out_a).astype(np.int64),
-                             "vec_b": np.concatenate(out_b).astype(np.int64),
-                             "cosine": np.concatenate(out_s)})
+        return _verify_lsh_buckets(df, threshold, max_bucket)
 
     pairs = bands.groupby("shuffle_bucket").map_groups(
         bucket_verify, batch_format="pandas")
@@ -780,10 +806,18 @@ def embedding_near_dups_lsh(ds, threshold: float = 0.95, n_bits: int = 16,
 
 
 def embedding_near_dups_lsh_sql(threshold: float, n_bits: int = 16,
-                                n_tables: int = 8) -> str:
+                                n_tables: int = 8,
+                                max_bucket: int = 1024) -> str:
     """DuckDB oracle for embedding_near_dups_lsh — identical quantization,
     md5 hyperplane signs and bucket membership (see ann.topk_lsh_sql),
-    exact cosine verify on the raw embeddings."""
+    exact cosine verify on the raw embeddings.
+
+    Models the Ray path's semantics EXACTLY, including the star guard:
+    a candidate pair (a<b) is attributed to its FIRST equal table
+    t* = min{t : bucket_a[t] = bucket_b[t]} and survives iff the
+    (t*, bucket) group holds <= max_bucket members OR a is the group's
+    min vec_id (the star anchor). With no truncated buckets the guard
+    clauses are no-ops and this reduces to all bucket-sharing pairs."""
     from .ann import QSCALE
 
     return (
@@ -803,13 +837,21 @@ def embedding_near_dups_lsh_sql(threshold: float, n_bits: int = 16,
         f"buckets AS (SELECT vec_id, t,"
         f" SUM(bit * CAST(power(2, j) AS BIGINT)) AS bucket"
         f" FROM bits GROUP BY 1, 2), "
-        f"cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b"
+        f"gstats AS (SELECT t, bucket, COUNT(*) AS cnt,"
+        f" MIN(vec_id) AS mn FROM buckets GROUP BY 1, 2), "
+        f"cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,"
+        f" MIN(a.t) AS t_first"
         f" FROM buckets a JOIN buckets b"
-        f" ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id) "
+        f" ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id"
+        f" GROUP BY 1, 2), "
+        f"kept AS (SELECT c.vec_a, c.vec_b FROM cand c"
+        f" JOIN buckets ba ON ba.vec_id = c.vec_a AND ba.t = c.t_first"
+        f" JOIN gstats g ON g.t = c.t_first AND g.bucket = ba.bucket"
+        f" WHERE g.cnt <= {max_bucket} OR c.vec_a = g.mn) "
         f"SELECT c.vec_a, c.vec_b,"
         f" round(list_cosine_similarity(ea.embedding::DOUBLE[],"
         f" eb.embedding::DOUBLE[]), 6) AS cosine"
-        f" FROM cand c JOIN e ea ON ea.vec_id = c.vec_a"
+        f" FROM kept c JOIN e ea ON ea.vec_id = c.vec_a"
         f" JOIN e eb ON eb.vec_id = c.vec_b"
         f" WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],"
         f" eb.embedding::DOUBLE[]), 6) >= {threshold}"
