@@ -503,6 +503,39 @@ class TestJoins:
             expect[inside] = row.admin_id
         assert (got == expect).all()
 
+    def test_pip_cell_index_prunes_and_matches_full_scan(self):
+        """VERDICT r3 #2: on a synthesized 10^4-polygon table the cell
+        index probes a candidate set << P per cell, and assignment is
+        byte-identical to the brute-force full O(P) scan."""
+        import pyarrow as pa
+
+        from vtzero_ray.stages.joins import (PIPJoin, _points_in_convex,
+                                             admin_polygons)
+
+        P = 10_000
+        polys = admin_polygons(P)
+        join = PIPJoin(polys)
+        # pruning: mean candidate-list length over occupied cells << P
+        sizes = np.array([len(v) for v in join.cells.values()])
+        assert sizes.mean() < 0.05 * P, sizes.mean()
+        assert sizes.max() < 0.25 * P, sizes.max()
+        # exactness vs the unindexed full scan
+        rng = np.random.default_rng(7)
+        n = 2_000
+        lat_us = rng.integers(-80_000_000, 80_000_000, n)
+        lon_us = rng.integers(-180_000_000, 180_000_000, n)
+        batch = pa.table({"lat": lat_us / 1e6, "lon": lon_us / 1e6})
+        got = join(batch).column("admin_id").to_numpy()
+        y2 = (lat_us * 2).astype(np.int64)
+        x2 = (lon_us * 2).astype(np.int64)
+        expect = np.full(n, -1, dtype=np.int64)
+        aid = polys["admin_id"].to_numpy()
+        for i in np.argsort(-aid, kind="stable"):
+            hit = _points_in_convex(polys["ring2"].iloc[i], x2, y2)
+            expect[hit] = aid[i]
+        assert (got == expect).all()
+        assert (got >= 0).any()  # probe actually exercises hits
+
     def test_knn_grid_matches_exact(self):
         import pyarrow as pa
 

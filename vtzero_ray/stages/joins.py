@@ -98,20 +98,56 @@ def _points_in_convex(ring2: np.ndarray, x2: np.ndarray, y2: np.ndarray) -> np.n
 
 class PIPJoin:
     """Actor-pool map_batches stage: assigns admin_id (min matching id,
-    -1 if none). Broadcast polygons fetched once per actor."""
+    -1 if none). Broadcast polygons fetched once per actor.
 
-    def __init__(self, polygons_ref=None) -> None:
-        if polygons_ref is not None:
+    Polygon probing is cell-bucketed (SURVEY §2.4's indexed-broadcast
+    row): ``__init__`` builds a coarse ``grid_n × grid_n`` grid over the
+    polygons' global bbox and buckets each polygon — in DESC admin_id
+    order — into every cell its bbox intersects; ``__call__`` groups the
+    batch's points by cell and tests ONLY that cell's candidates, so
+    per-point cost is O(candidates-in-cell), not O(P). Exactness: a
+    polygon whose bbox contains a point necessarily intersects the cell
+    containing that point, so the candidate list is a superset of the
+    bbox prefilter; DESC-id iteration inside the cell keeps the
+    min-id-wins write order byte-identical to the full scan.
+    """
+
+    def __init__(self, polygons_ref=None, grid_n: int = 64) -> None:
+        if polygons_ref is None:
+            self.polys = admin_polygons()
+        elif isinstance(polygons_ref, pd.DataFrame):
+            self.polys = polygons_ref  # direct table (tests / local use)
+        else:
             import ray
 
             self.polys = ray.get(polygons_ref)
-        else:
-            self.polys = admin_polygons()
         # bbox prefilter arrays (built once per actor)
         self.boxes = np.stack([
             np.array([r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()])
             for r in self.polys["ring2"]
         ])
+        self.aid = self.polys["admin_id"].to_numpy()
+        self.rings = list(self.polys["ring2"])
+        gx0 = int(self.boxes[:, 0].min())
+        gy0 = int(self.boxes[:, 1].min())
+        gx1 = int(self.boxes[:, 2].max())
+        gy1 = int(self.boxes[:, 3].max())
+        self.gx0, self.gy0, self.gx1, self.gy1 = gx0, gy0, gx1, gy1
+        self.grid_n = grid_n
+        self.csx = max(1, -(-(gx1 - gx0 + 1) // grid_n))
+        self.csy = max(1, -(-(gy1 - gy0 + 1) // grid_n))
+        cells: dict[int, list[int]] = {}
+        for i in np.argsort(-self.aid, kind="stable"):  # DESC admin_id
+            b = self.boxes[i]
+            cx0 = max(0, (int(b[0]) - gx0) // self.csx)
+            cx1 = min(grid_n - 1, (int(b[2]) - gx0) // self.csx)
+            cy0 = max(0, (int(b[1]) - gy0) // self.csy)
+            cy1 = min(grid_n - 1, (int(b[3]) - gy0) // self.csy)
+            for cx in range(cx0, cx1 + 1):
+                for cy in range(cy0, cy1 + 1):
+                    cells.setdefault(cx * grid_n + cy, []).append(int(i))
+        self.cells = {k: np.asarray(v, dtype=np.int64)
+                      for k, v in cells.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch.column("lat").to_numpy()
@@ -120,16 +156,31 @@ class PIPJoin:
         y2 = (np.round(lat * 1e6) * 2).astype(np.int64)
         x2 = (np.round(lon * 1e6) * 2).astype(np.int64)
         assigned = np.full(x2.shape[0], -1, dtype=np.int64)
-        # iterate polygons in DESC admin_id so the final write is the MIN id
-        order = np.argsort(-self.polys["admin_id"].to_numpy())
-        for i in order:
-            box = self.boxes[i]
-            cand = (x2 >= box[0]) & (y2 >= box[1]) & (x2 <= box[2]) & (y2 <= box[3])
-            if not cand.any():
-                continue
-            idx = np.nonzero(cand)[0]
-            hit = _points_in_convex(self.polys["ring2"].iloc[i], x2[idx], y2[idx])
-            assigned[idx[hit]] = self.polys["admin_id"].iloc[i]
+        inb = ((x2 >= self.gx0) & (x2 <= self.gx1)
+               & (y2 >= self.gy0) & (y2 <= self.gy1))
+        pidx = np.nonzero(inb)[0]
+        if pidx.size:
+            key = (((x2[pidx] - self.gx0) // self.csx) * self.grid_n
+                   + ((y2[pidx] - self.gy0) // self.csy))
+            order = np.argsort(key, kind="stable")
+            key_s, pidx = key[order], pidx[order]
+            starts = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+            bounds = np.r_[starts, key_s.size]
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                cand = self.cells.get(int(key_s[s]))
+                if cand is None:
+                    continue
+                sub = pidx[s:e]
+                xs, ys = x2[sub], y2[sub]
+                for i in cand:  # DESC admin_id -> final write is MIN id
+                    box = self.boxes[i]
+                    m = ((xs >= box[0]) & (ys >= box[1])
+                         & (xs <= box[2]) & (ys <= box[3]))
+                    if not m.any():
+                        continue
+                    j = np.nonzero(m)[0]
+                    hit = _points_in_convex(self.rings[i], xs[j], ys[j])
+                    assigned[sub[j[hit]]] = self.aid[i]
         return batch.append_column("admin_id", pa.array(assigned, pa.int64()))
 
 
