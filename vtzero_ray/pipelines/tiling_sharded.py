@@ -49,9 +49,14 @@ def _tile_counts(ds):
 def sharded_tiles(ds, hot_threshold: int, n_salt: int = 16, extent: int = 4096):
     import ray
 
-    # pass 1: STREAMING narrow counts (no materialize; lineage recompute)
-    counts = _tile_counts(ds).to_pandas()
-    hot = counts[counts.n > hot_threshold]
+    # pass 1: STREAMING narrow counts (no materialize; lineage recompute).
+    # Filter to the hot SET before to_pandas — the driver holds O(hot
+    # tiles), never the full 4^z per-tile count frame (VERDICT r3 #5).
+    import pyarrow.compute as pc
+
+    hot = _tile_counts(ds).map_batches(
+        lambda t: t.filter(pc.greater(t.column("n"), hot_threshold)),
+        batch_format="pyarrow", batch_size=None).to_pandas()
     hot_keys = set(zip(hot.z, hot.x, hot.y))
     if not hot_keys:
         cold = ds.map_batches(add_tile_bucket, batch_format="pyarrow")
