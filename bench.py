@@ -97,6 +97,54 @@ def ray_rtt_ms() -> float:
     return round(samples[len(samples) // 2], 2)
 
 
+def _steal_pct(window_s: float = 1.0) -> float:
+    """Hypervisor CPU steal over a short window, % of all-cpu ticks."""
+    def ticks():
+        try:
+            with open("/proc/stat") as fh:
+                vals = list(map(int, fh.readline().split()[1:]))
+            return vals[7], sum(vals)
+        except Exception:
+            return 0, 1
+
+    s0, t0 = ticks()
+    time.sleep(window_s)
+    s1, t1 = ticks()
+    return round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+
+
+def gate_window(extra: dict) -> None:
+    """Hold the sweep until the sandbox window is clean: ray_rtt <= ~2 ms
+    AND steal <= 2% (the same discipline --scaling applies per pair).
+    BENCH_r03 was recorded in a 5.2 ms-rtt window and its per-query walls
+    overstated cost 2-6x vs the same code minutes later — gating makes the
+    official JSON reflect the code, not the sandbox. On a degraded BOOT
+    (rtt never recovers) we proceed after the wait budget with
+    window_clean=false so the pollution is loud, not silent.
+
+    Tunables: GRAFT_GATE_RTT_MS (default 2.0), GRAFT_GATE_STEAL (2.0),
+    GRAFT_GATE_WAIT_S (300; 0 disables the gate)."""
+    max_rtt = float(os.environ.get("GRAFT_GATE_RTT_MS", "2.0"))
+    max_steal = float(os.environ.get("GRAFT_GATE_STEAL", "2.0"))
+    budget = float(os.environ.get("GRAFT_GATE_WAIT_S", "300"))
+    t0 = time.time()
+    attempts = []
+    while True:
+        rtt, steal = ray_rtt_ms(), _steal_pct()
+        attempts.append({"rtt_ms": rtt, "steal_pct": steal})
+        if rtt <= max_rtt and steal <= max_steal:
+            extra["window_clean"] = True
+            break
+        if time.time() - t0 >= budget:
+            extra["window_clean"] = False
+            break
+        time.sleep(10)
+    extra["gate_waited_s"] = round(time.time() - t0, 1)
+    extra["gate_attempts"] = attempts
+    extra["ray_rtt_ms"] = attempts[-1]["rtt_ms"]
+    extra["steal_pct"] = attempts[-1]["steal_pct"]
+
+
 def run_bench() -> dict:
     import ray
 
@@ -120,7 +168,13 @@ def run_bench() -> dict:
 
     # warm the page cache + Ray workers with one untimed pass
     features_dataset(SF_DIR, zooms=(6,)).count()
-    extra["ray_rtt_ms"] = ray_rtt_ms()
+    if QUICK:
+        # scaling runs gate at the pair level (all_pairs retry); a per-level
+        # wait here would skew the lo/hi windows apart
+        extra["ray_rtt_ms"] = ray_rtt_ms()
+    else:
+        # hold the sweep for a clean sandbox window, recording attempts
+        gate_window(extra)
 
     # headline: full encode pipeline (geoparse → assign → shuffle → encode →
     # vtzero-check validate), consumed as an aggregate (no driver materialize)
@@ -216,6 +270,10 @@ def run_bench() -> dict:
                 queries[name] = round(time.time() - t0, 3)
     except Exception:
         pass
+
+    # post-sweep rtt: a clean gate + degraded post-rtt flags mid-sweep
+    # window rot (per-query walls after the rot are suspect)
+    extra["ray_rtt_ms_post"] = ray_rtt_ms()
 
     return {
         "metric": "MVT tiles encoded/sec (vtzero-check-validated), end-to-end pages pipeline",
