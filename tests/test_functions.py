@@ -302,6 +302,129 @@ class TestANN:
         assert not glob.glob(f"{idx}.building.*")
 
 
+class TestTrainedCentroids:
+    """Deterministic k-means (train_centroids): on a skewed corpus whose
+    first-N vectors all sit in the dominant cluster, trained centroids
+    must beat the first-N seed on minority-cluster recall at fixed nprobe
+    (VERDICT r3 #4)."""
+
+    DIM = 8
+    N_CENT = 16
+
+    def _skewed(self):
+        """900 docs near e0, 120 near e1, 60 near e2; vec_ids 0..15 are
+        ALL in the dominant e0 cluster (worst case for first-N seeding)."""
+        rng = np.random.default_rng(7)
+        import numpy as _np
+
+        def cluster(axis, n, sigma):
+            m = rng.normal(0, sigma, size=(n, self.DIM))
+            m[:, axis] += 1.0
+            return m
+
+        # broad minority clusters: their members scatter across the all-A
+        # seed buckets, so fixed-nprobe probing misses neighbors unless
+        # training dedicates centroids to them
+        mat = _np.concatenate([cluster(0, 900, 0.05), cluster(1, 120, 0.2),
+                               cluster(2, 60, 0.2)])
+        ids = _np.arange(mat.shape[0], dtype=_np.int64)
+        labels = _np.array([0] * 900 + [1] * 120 + [2] * 60)
+        return ids, mat, labels
+
+    @staticmethod
+    def _recall(qmat_i, ids, mat_i, cids, cmat, k, nprobe):
+        """IVF recall@k vs exact, pure-numpy mirror of the engine's
+        exact-int assignment/probing/scoring formulas."""
+        from vtzero_ray.functions.ann import _query_probes
+
+        cnorm = np.sqrt((cmat * cmat).sum(1).astype(np.float64))
+        sim = (cmat @ mat_i.T).astype(np.float64) / cnorm[:, None]
+        assign = cids[np.argmax(sim, axis=0)]
+        probes = _query_probes(qmat_i, np.arange(len(qmat_i)), cids, cmat,
+                               nprobe)
+        norms = np.sqrt((mat_i * mat_i).sum(1).astype(np.float64))
+        qs = (qmat_i @ mat_i.T).astype(np.float64) / norms[None, :]
+        hits = 0
+        for qi in range(len(qmat_i)):
+            exact = set(ids[np.lexsort((ids, -qs[qi]))[:k]].tolist())
+            m = np.isin(assign, probes[qi])
+            got_ids, got_sc = ids[m], qs[qi][m]
+            got = set(got_ids[np.lexsort((got_ids, -got_sc))[:k]].tolist())
+            hits += len(exact & got)
+        return hits / (k * len(qmat_i))
+
+    def test_trained_beats_first_n_on_skewed_minorities(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.ann import quantize, train_centroids
+
+        ids, mat, labels = self._skewed()
+        df = pd.DataFrame({"vec_id": ids,
+                           "embedding": [row.tolist() for row in mat]})
+        ds = rd.from_pandas(df)
+        mat_i = quantize(mat)
+
+        seed_ids = ids[:self.N_CENT]
+        seed_mat = mat_i[:self.N_CENT]
+        tc, tm = train_centroids(ds, self.N_CENT, n_iters=5,
+                                 seed_centroids=(seed_ids, seed_mat))
+
+        # queries: 5 from each minority cluster
+        q_idx = np.concatenate([np.where(labels == 1)[0][:5],
+                                np.where(labels == 2)[0][:5]])
+        qmat_i = mat_i[q_idx]
+        r_seed = self._recall(qmat_i, ids, mat_i, seed_ids, seed_mat,
+                              k=10, nprobe=2)
+        r_trained = self._recall(qmat_i, ids, mat_i, tc, tm, k=10, nprobe=2)
+        assert r_trained > r_seed + 0.1, (r_seed, r_trained)
+        assert r_trained >= 0.95, r_trained
+
+    def test_training_is_deterministic_and_on_grid(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.ann import quantize, train_centroids
+
+        ids, mat, _ = self._skewed()
+        df = pd.DataFrame({"vec_id": ids,
+                           "embedding": [row.tolist() for row in mat]})
+        seed = (ids[:self.N_CENT], quantize(mat)[:self.N_CENT])
+        a = train_centroids(rd.from_pandas(df), self.N_CENT, n_iters=3,
+                            seed_centroids=seed)
+        b = train_centroids(rd.from_pandas(df), self.N_CENT, n_iters=3,
+                            seed_centroids=seed)
+        assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+        assert a[1].dtype == np.int64  # stays on the QSCALE grid
+        # mini-batch path: deterministic subsample, still converges
+        c = train_centroids(rd.from_pandas(df), self.N_CENT, n_iters=3,
+                            seed_centroids=seed, sample_mod=2)
+        d = train_centroids(rd.from_pandas(df), self.N_CENT, n_iters=3,
+                            seed_centroids=seed, sample_mod=2)
+        assert np.array_equal(c[1], d[1])
+
+    def test_build_ivf_index_trained(self, ray_session, sf_dir, tmp_path):
+        """build_ivf_index(train_iters>0) publishes trained centroids;
+        the indexed search still runs, is deterministic, and the default
+        (first-N) path is untouched."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.ann import (build_ivf_index,
+                                              load_centroids,
+                                              load_ivf_centroids,
+                                              topk_ivf_indexed)
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        idx = str(tmp_path / "ivf_trained")
+        build_ivf_index(ds, idx, sf_dir, n_centroids=16, train_iters=3)
+        cids, cmat = load_ivf_centroids(idx)
+        assert len(cids) == 16
+        _, seed_mat = load_centroids(sf_dir, 16)
+        assert not np.array_equal(cmat, seed_mat)  # training moved them
+        a = topk_ivf_indexed(idx, sf_dir, k=5, n_queries=3, nprobe=2).to_pandas()
+        b = topk_ivf_indexed(idx, sf_dir, k=5, n_queries=3, nprobe=2).to_pandas()
+        assert a.equals(b) and len(a) == 15
+
+
 class TestHoppingWindow:
     def test_each_event_in_k_windows(self, ray_session, sf_dir):
         import pyarrow.parquet as pq

@@ -218,6 +218,113 @@ def load_centroids(sf_dir: str, n_centroids: int = 16):
     return load_queries_quantized(sf_dir, n_centroids)
 
 
+def _seed_first_n(ds, n: int):
+    """First n vectors by vec_id WITHOUT a full sort shuffle: per-batch
+    partial top-n-smallest inside map_batches, tiny driver merge."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        ids = batch.column("vec_id").to_numpy()
+        keep = np.argsort(ids, kind="stable")[:n]
+        return batch.take(pa.array(np.sort(keep)))
+
+    small = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    small = small.sort_values("vec_id").head(n)
+    cids = small["vec_id"].to_numpy().astype(np.int64)
+    cmat = quantize(np.stack(small["embedding"].to_numpy()))
+    return cids, cmat
+
+
+def train_centroids(ds, n_centroids: int = 16, n_iters: int = 4,
+                    seed_centroids=None, sample_mod: int = 1):
+    """Deterministic Lloyd k-means over integer-quantized embeddings,
+    expressed as ``n_iters`` streaming Ray passes. Feeds
+    ``build_ivf_index(train_iters=...)`` — trained centroids concentrate
+    probes where the data is, so recall at fixed nprobe beats the
+    first-N seed on skewed corpora (asserted in tests).
+
+    Determinism (bit-exact regardless of block scheduling):
+    - assignment uses the SAME exact-int cosine as ``assign_centroids``
+      (int64 dot / float64 centroid norm; ties → smaller centroid id);
+    - the update step sums int64 vectors per batch inside map_batches and
+      combines the per-batch partials on the driver — integer addition is
+      order-independent, unlike float sums;
+    - the new centroid is a round-half-up integer division
+      ``(2*s + c) // (2*c)``, so centroids stay on the int64 QSCALE grid
+      and every later compare is exact;
+    - an empty cluster keeps its previous centroid.
+
+    The driver-side combine holds n_centroids rows per input block (tiny).
+    Partial sums fit int64 at any realistic scale: |q| <= ~QSCALE so even
+    10^12 rows sum to ~4e15 << 2^63.
+
+    ``sample_mod > 1`` is the mini-batch/100-TB path: train on the
+    deterministic subsample ``vec_id % sample_mod == 0``, materialized
+    ONCE (size it to fit the cluster), so the n_iters passes re-read
+    cached blocks instead of recomputing the full-corpus lineage each
+    iteration. The full corpus is only ever touched by build_ivf_index's
+    single assignment pass.
+    """
+    import ray
+
+    if sample_mod > 1:
+        def samp(batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy()
+            return batch.filter(pa.array(ids % sample_mod == 0))
+
+        ds = ds.map_batches(samp, batch_format="pyarrow",
+                            batch_size=None).materialize()
+
+    if seed_centroids is None:
+        _, cmat = _seed_first_n(ds, n_centroids)
+    else:
+        _, cmat = seed_centroids
+    # trained centroids are synthetic points: ids are their rank 0..C-1
+    # (ascending, so argmax tie-break still prefers the smaller id)
+    cids = np.arange(cmat.shape[0], dtype=np.int64)
+
+    for _ in range(max(0, n_iters)):
+        cref = ray.put((cids, cmat))
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            c_ids, c_mat = ray.get(cref)
+            if len(batch) == 0:
+                return pa.table({"cid": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(pa.int64())),
+                                 "cnt": pa.array([], pa.int64())})
+            mat = quantize(np.stack(
+                batch.column("embedding").to_numpy(zero_copy_only=False)))
+            cnorm = np.sqrt((c_mat * c_mat).sum(axis=1).astype(np.float64))
+            sim = (c_mat @ mat.T).astype(np.float64) / np.clip(
+                cnorm[:, None], 1e-12, None)
+            best = np.argmax(sim, axis=0)  # first max → smaller cid
+            out_c, out_s, out_n = [], [], []
+            for ci in np.unique(best):
+                sel = mat[best == ci]
+                out_c.append(int(c_ids[ci]))
+                out_s.append(sel.sum(axis=0, dtype=np.int64).tolist())
+                out_n.append(sel.shape[0])
+            return pa.table({"cid": pa.array(out_c, pa.int64()),
+                             "vsum": pa.array(out_s, pa.list_(pa.int64())),
+                             "cnt": pa.array(out_n, pa.int64())})
+
+        parts = ds.map_batches(partial_sums, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+        new = cmat.copy()
+        for ci in range(cmat.shape[0]):
+            rows = parts[parts.cid == ci]
+            if not len(rows):
+                continue  # empty cluster keeps its centroid
+            s = np.sum(np.stack([np.asarray(v, np.int64) for v in rows.vsum]),
+                       axis=0, dtype=np.int64)
+            c = int(rows.cnt.sum())
+            new[ci] = (2 * s + c) // (2 * c)  # round-half-up, stays on grid
+        cmat = new
+    return cids, cmat
+
+
 def assign_centroids(ds, cents_ref):
     """IVF index build: tag every vector with its nearest coarse centroid
     (exact-int dot / centroid norm; ties → smaller centroid id). At scale
@@ -289,7 +396,8 @@ def topk_ivf(ds, sf_dir: str, k: int = 5, n_queries: int = 10,
     return merged.sort(["query_id", "rank"])
 
 
-def build_ivf_index(ds, out_dir: str, sf_dir: str, n_centroids: int = 16) -> str:
+def build_ivf_index(ds, out_dir: str, sf_dir: str, n_centroids: int = 16,
+                    train_iters: int = 0, train_sample_mod: int = 1) -> str:
     """Persist the IVF index: the corpus written as parquet PARTITIONED BY
     centroid_id (one directory per coarse bucket) plus a tiny centroid
     metadata file. Built ONCE and reused by every query run — at 100 TB
@@ -312,7 +420,16 @@ def build_ivf_index(ds, out_dir: str, sf_dir: str, n_centroids: int = 16) -> str
     import ray
     import pyarrow.parquet as pq
 
-    cids, cmat = load_centroids(sf_dir, n_centroids)
+    if train_iters > 0:
+        # k-means-trained centroids (deterministic; see train_centroids).
+        # The first-N seed stays the default because it is SQL-expressible
+        # — the driver oracle twin depends on it.
+        cids, cmat = train_centroids(
+            ds, n_centroids, n_iters=train_iters,
+            seed_centroids=load_centroids(sf_dir, n_centroids),
+            sample_mod=train_sample_mod)
+    else:
+        cids, cmat = load_centroids(sf_dir, n_centroids)
     indexed = assign_centroids(ds, ray.put((cids, cmat)))
 
     def dup_part_col(t: pa.Table) -> pa.Table:
