@@ -248,6 +248,21 @@ def _q_media_features(sf_dir: str):
                           batch_size=64, concurrency=(1, 4))
 
 
+def _q_media_features_png(sf_dir: str):
+    """REAL PNG decode: deterministic PNG corpus (filter type cycles
+    media_id % 5, so every defilter branch — None/Sub/Up/Average/Paeth —
+    runs) → per-image pixel channel sums through the pure-NumPy+zlib PNG
+    codec (stages/png.py). The oracle recomputes the pixel formula with
+    generate_series, so every decoded byte is checked."""
+    import ray.data as rd
+
+    from vtzero_ray.stages.multimodal import ImageStats, synth_media_png
+
+    ds = rd.from_arrow(synth_media_png(128)).repartition(8)
+    return ds.map_batches(ImageStats, batch_format="pyarrow",
+                          batch_size=64, concurrency=(1, 4))
+
+
 def _q_combined_layers_z2(sf_dir: str):
     """Tile merge (add_existing_layer concat over ds.union + regroup):
     pages point tiles + site-path line tiles at z2 → per (tile, layer)
@@ -743,7 +758,8 @@ def _q_events_sessions(sf_dir: str):
 #                           verification twin of ann_topk_ivf_indexed
 _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "doc_sample_10pct", "distinct_langs",
-                  "events_hopping_window", "ann_topk_ivf")
+                  "events_hopping_window", "ann_topk_ivf",
+                  "media_features_png")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -779,6 +795,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "combined_layers_z2": _q_combined_layers_z2,
         "multilayer_tiles_z6": _q_multilayer_z6,
         "media_features": _q_media_features,
+        "media_features_png": _q_media_features_png,
         # spatial joins (SURVEY §2.4)
         "pip_join": _q_pip_join,
         "knn_join": _q_knn_join,
@@ -1137,6 +1154,22 @@ def _all_oracle_sql() -> dict[str, str]:
         "media_features": (
             "WITH m AS (SELECT range AS id, 8 + (range * 37) % 25 AS w, "
             "8 + (range * 53) % 25 AS h FROM range(128)), "
+            "px AS (SELECT m.id, m.w, m.h, x.range AS x, y.range AS y "
+            "FROM m, range(32) x, range(32) y "
+            "WHERE x.range < m.w AND y.range < m.h) "
+            "SELECT id AS media_id, CAST(w AS INTEGER) AS width, "
+            "CAST(h AS INTEGER) AS height, "
+            "CAST(SUM((id * 7 + x * 13 + y * 31) % 256) AS BIGINT) AS sum_r, "
+            "CAST(SUM((id * 7 + x * 13 + y * 31 + 97) % 256) AS BIGINT) AS sum_g, "
+            "CAST(SUM((id * 7 + x * 13 + y * 31 + 194) % 256) AS BIGINT) AS sum_b "
+            "FROM px GROUP BY 1, 2, 3"
+        ),
+        # media_features_png: same pixel formula, PNG dims; the Ray side
+        # decodes REAL PNGs (filter type media_id % 5 — every defilter
+        # branch) through the pure-NumPy+zlib codec
+        "media_features_png": (
+            "WITH m AS (SELECT range AS id, 8 + (range * 41) % 25 AS w, "
+            "8 + (range * 29) % 25 AS h FROM range(128)), "
             "px AS (SELECT m.id, m.w, m.h, x.range AS x, y.range AS y "
             "FROM m, range(32) x, range(32) y "
             "WHERE x.range < m.w AND y.range < m.h) "

@@ -2,10 +2,12 @@
 with typed metadata, processed by actor-pool map_batches stages.
 
 Three decoder modes:
-- ``decoder="numpy"``: REAL pixel decode via the pure-NumPy 24-bit BMP
-  codec below (encode_bmp/decode_bmp) — decode, pixel features, nearest-
-  neighbor resize and frame extraction all operate on actual pixels with
-  no external library.
+- ``decoder="numpy"``: REAL pixel decode via the pure-NumPy codecs —
+  the 24-bit BMP codec below (encode_bmp/decode_bmp) and the PNG codec
+  in stages/png.py (stdlib zlib inflate + all five scanline filters),
+  format-sniffed per payload. Decode, pixel features, nearest-neighbor
+  resize and frame extraction all operate on actual pixels with no
+  external library.
 - ``decoder="fake"``: deterministic bytes-derived features (plumbing
   testable on arbitrary payloads).
 - ``decoder="real"``: plug a compressed-format library (Pillow/ffmpeg)
@@ -151,16 +153,47 @@ def split_bmp_frames(payload: bytes) -> list[bytes]:
     return frames
 
 
-class BMPStats:
-    """Actor-pool stage: REAL pixel statistics from BMP payloads —
-    integer channel sums so the DuckDB oracle reproduces them exactly.
-    Dimensions come from the decoded pixels, NOT the metadata columns."""
+def _png_dims(media_id: int) -> tuple[int, int]:
+    return 8 + (media_id * 41) % 25, 8 + (media_id * 29) % 25
+
+
+def synth_media_png(n: int = 128) -> pa.Table:
+    """Deterministic REAL-PNG image corpus: the same media_id-derived
+    pixel formula as the BMP corpus, PNG-encoded with filter type
+    ``media_id % 5`` — so a full sweep exercises every defilter branch
+    (None/Sub/Up/Average/Paeth) against the SQL pixel oracle."""
+    from .png import encode_png
+
+    ids = np.arange(n, dtype=np.int64)
+    payloads, ws, hs = [], [], []
+    for i in ids:
+        w, h = _png_dims(int(i))
+        payloads.append(encode_png(synth_pixels(int(i), w, h),
+                                   filter_type=int(i) % 5))
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "media_id": pa.array(ids),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(np.array(ws, np.int32)),
+        "height": pa.array(np.array(hs, np.int32)),
+    })
+
+
+class ImageStats:
+    """Actor-pool stage: REAL pixel statistics from encoded image payloads
+    (format-sniffed: PNG or BMP) — integer channel sums so the DuckDB
+    oracle reproduces them exactly. Dimensions come from the decoded
+    pixels, NOT the metadata columns."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .png import decode_image
+
         ids, ws, hs, sr, sg, sb = [], [], [], [], [], []
         for mid, p in zip(batch.column("media_id").to_pylist(),
                           batch.column("payload")):
-            px = decode_bmp(p.as_py()).astype(np.int64)
+            px = decode_image(p.as_py()).astype(np.int64)
             ids.append(mid)
             hs.append(px.shape[0])
             ws.append(px.shape[1])
@@ -176,6 +209,11 @@ class BMPStats:
             "sum_g": pa.array(sg, pa.int64()),
             "sum_b": pa.array(sb, pa.int64()),
         })
+
+
+# backwards-compatible name: the BMP-only corpus flows through the same
+# sniffing stage (a BMP payload decodes identically)
+BMPStats = ImageStats
 
 
 class ImageDecode:
@@ -200,8 +238,11 @@ class ImageDecode:
 
     def _features(self, payload: bytes) -> np.ndarray:
         if self.decoder == "numpy":
-            # REAL pixel-derived features from the pure-NumPy BMP codec
-            px = decode_bmp(payload).astype(np.float64)
+            # REAL pixel-derived features from the pure-NumPy codecs
+            # (format-sniffed: PNG via stages/png.py or 24-bit BMP)
+            from .png import decode_image
+
+            px = decode_image(payload).astype(np.float64)
             gray = px.mean(axis=2)
             h, w, _ = px.shape
             return np.array([w, h,
@@ -230,15 +271,21 @@ class ImageResize:
         if self.decoder == "real":
             raise NotImplementedError("real resize requires an imaging library")
         if self.decoder == "numpy":
-            # REAL nearest-neighbor resize via the pure-NumPy BMP codec
-            px = decode_bmp(payload)
+            # REAL nearest-neighbor resize via the pure-NumPy codecs;
+            # the output re-encodes in the SOURCE format (PNG stays PNG)
+            from .png import decode_image, encode_png, sniff_image
+
+            px = decode_image(payload)
             sh, sw = px.shape[:2]
             scale = self.target / max(sh, sw, 1)
             nw = max(1, int(sw * scale))
             nh = max(1, int(sh * scale))
             yi = np.minimum((np.arange(nh) / scale).astype(np.int64), sh - 1)
             xi = np.minimum((np.arange(nw) / scale).astype(np.int64), sw - 1)
-            return encode_bmp(px[yi][:, xi])
+            out = np.ascontiguousarray(px[yi][:, xi])
+            if sniff_image(payload) == "png":
+                return encode_png(out)
+            return encode_bmp(out)
         # deterministic fake: truncate/pad payload proportionally
         scale = (self.target * self.target) / max(1, w * h)
         n = max(16, min(len(payload), int(len(payload) * scale)))
