@@ -56,6 +56,26 @@ def clean_corpus(sf_dir: str, min_quality: float = 0.7):
     return agg.rename_columns({"min(doc_id)": "keep_id", "count()": "n_dups"})
 
 
+def clean_corpus_checkpointed(sf_dir: str, out_dir: str,
+                              min_quality: float = 0.7,
+                              n_parts: int = 16,
+                              _fail_parts: frozenset = frozenset()) -> dict:
+    """clean_corpus with checkpoint/resume (SURVEY §4, VERDICT r3 #7):
+    the keep-list is bucketed by crc32(md5) % n_parts and written through
+    the per-partition-atomic sink (sources/checkpoint.py) — each bucket
+    is durable the moment its task finishes, and a resumed run
+    anti-joins completed buckets out BEFORE the shuffle. Returns the
+    write summary; read the result back with checkpoint.read_partitioned.
+    """
+    from vtzero_ray.sources.checkpoint import hash_part, write_partitioned
+
+    ds = clean_corpus(sf_dir, min_quality=min_quality)
+    ds = ds.map_batches(hash_part("md5", n_parts), batch_format="pyarrow",
+                        batch_size=None)
+    return write_partitioned(ds, out_dir, part_col="part",
+                             _fail_parts=_fail_parts)
+
+
 def stratified_sample(sf_dir: str, n_per_group: int = 20,
                       group_col: str = "lang", salt: str = "samp"):
     """Deterministic N docs per group, ranked by md5-derived hash.
