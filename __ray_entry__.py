@@ -263,6 +263,20 @@ def _q_media_features_png(sf_dir: str):
                           batch_size=64, concurrency=(1, 4))
 
 
+def _q_audio_features(sf_dir: str):
+    """REAL audio decode: deterministic WAV/PCM16 corpus → per-clip
+    integer channel sums through the pure-NumPy RIFF codec
+    (stages/wav.py) — the oracle recomputes the sample formula with
+    generate_series, so every decoded sample is checked."""
+    import ray.data as rd
+
+    from vtzero_ray.stages.wav import AudioStats, synth_media_wav
+
+    ds = rd.from_arrow(synth_media_wav(128)).repartition(8)
+    return ds.map_batches(AudioStats, batch_format="pyarrow",
+                          batch_size=64, concurrency=(1, 4))
+
+
 def _q_combined_layers_z2(sf_dir: str):
     """Tile merge (add_existing_layer concat over ds.union + regroup):
     pages point tiles + site-path line tiles at z2 → per (tile, layer)
@@ -759,7 +773,7 @@ def _q_events_sessions(sf_dir: str):
 _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "doc_sample_10pct", "distinct_langs",
                   "events_hopping_window", "ann_topk_ivf",
-                  "media_features_png")
+                  "audio_features")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -796,6 +810,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "multilayer_tiles_z6": _q_multilayer_z6,
         "media_features": _q_media_features,
         "media_features_png": _q_media_features_png,
+        "audio_features": _q_audio_features,
         # spatial joins (SURVEY §2.4)
         "pip_join": _q_pip_join,
         "knn_join": _q_knn_join,
@@ -1179,6 +1194,23 @@ def _all_oracle_sql() -> dict[str, str]:
             "CAST(SUM((id * 7 + x * 13 + y * 31 + 97) % 256) AS BIGINT) AS sum_g, "
             "CAST(SUM((id * 7 + x * 13 + y * 31 + 194) % 256) AS BIGINT) AS sum_b "
             "FROM px GROUP BY 1, 2, 3"
+        ),
+        # audio_features: the WAV sample formula ((id*7 + i*13 + c*97) %
+        # 65536) - 32768 re-derived per sample — verifies the REAL
+        # pure-NumPy RIFF/PCM16 decode (stages/wav.py)
+        "audio_features": (
+            "WITH m AS (SELECT range AS id, "
+            "256 + (range * 31) % 512 AS n, "
+            "8000 + (range % 3) * 4000 AS rate, "
+            "1 + range % 2 AS ch FROM range(128)), "
+            "s AS (SELECT m.id, m.n, m.rate, m.ch, i.range AS i "
+            "FROM m, range(768) i WHERE i.range < m.n) "
+            "SELECT id AS media_id, CAST(rate AS INTEGER) AS sample_rate, "
+            "CAST(ch AS INTEGER) AS channels, CAST(n AS INTEGER) AS n_samples, "
+            "CAST(SUM((id * 7 + i * 13) % 65536 - 32768) AS BIGINT) AS sum_c0, "
+            "CAST(SUM(CASE WHEN ch > 1 THEN (id * 7 + i * 13 + 97) % 65536 - 32768 "
+            "ELSE 0 END) AS BIGINT) AS sum_c1 "
+            "FROM s GROUP BY 1, 2, 3, 4"
         ),
         # -- spatial joins ---------------------------------------------------
         "pip_join": (
