@@ -87,10 +87,23 @@ def topk_bruteforce(ds, sf_dir: str, k: int = 5, n_queries: int = 10):
 
     partial = ds.map_batches(batch_topk, batch_format="pyarrow",
                              batch_size=4096)
-    merged = partial.groupby("query_id").map_groups(
-        lambda df: _merge_topk(df, k), batch_format="pandas"
-    )
-    return merged
+
+    # output-sized final merge: ONE repartition(1)+map_batches task, not
+    # a groupby sort barrier (k * n_queries rows)
+    def merge_all(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        parts = [_merge_topk(g, k)
+                 for _, g in df.groupby("query_id", sort=True)]
+        out = (pd.concat(parts, ignore_index=True) if parts
+               else pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                  "vec_id": pd.Series([], dtype="int64"),
+                                  "cosine": pd.Series([], dtype="float64"),
+                                  "rank": pd.Series([], dtype="int64")}))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return partial.repartition(1).map_batches(merge_all,
+                                              batch_format="pyarrow",
+                                              batch_size=None)
 
 
 QSCALE = 4096  # 12-bit quantization: every downstream compare is exact-int
@@ -160,13 +173,11 @@ def topk_lsh(ds, sf_dir: str, k: int = 5, n_queries: int = 10, n_bits: int = 8,
         q_ids, q_mat, sgn, q_b = ray.get(qref)
         ids = batch.column("vec_id").to_numpy()
         mat = quantize(np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)))
-        return lsh_candidate_scores(ids, mat, q_ids, q_mat, sgn, q_b)
+        scores = lsh_candidate_scores(ids, mat, q_ids, q_mat, sgn, q_b)
+        return _partial_topk_int(scores, k)
 
     cand = ds.map_batches(candidates, batch_format="pyarrow", batch_size=4096)
-    merged = cand.groupby("query_id").map_groups(
-        lambda df: _merge_int_topk(df, k), batch_format="pandas")
-    # deterministic global output order (tiny: k * n_queries rows)
-    return merged.sort(["query_id", "rank"])
+    return _merge_int_topk_single(cand, k)
 
 
 def _hit_pair_scores(ids, mat, q_ids, q_mat, hit) -> pa.Table:
@@ -209,6 +220,46 @@ def _merge_int_topk(df: pd.DataFrame, k: int) -> pd.DataFrame:
     out = df[["query_id", "vec_id", "qdot"]].copy()
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+def _partial_topk_int(t: pa.Table, k: int) -> pa.Table:
+    """Per-batch per-query top-k prune on a candidate-score table
+    (query_id, vec_id, qdot, score): any global top-k row is in its
+    batch's top-k under the SAME (score desc, vec_id asc) criterion, so
+    pruning here cannot change the merged result — it only bounds what
+    ships to the single merge task (k rows per query per batch)."""
+    if len(t) == 0:
+        return t
+    q = t.column("query_id").to_numpy()
+    v = t.column("vec_id").to_numpy()
+    s = t.column("score").to_numpy()
+    order = np.lexsort((v, -s, q))  # q asc, then score desc, vec_id asc
+    qs = q[order]
+    starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    sizes = np.diff(np.r_[starts, qs.size])
+    rank_in_group = np.arange(qs.size) - np.repeat(starts, sizes)
+    keep = np.sort(order[rank_in_group < k])
+    return t.take(pa.array(keep))
+
+
+def _merge_int_topk_single(cand, k: int):
+    """Output-sized final merge as ONE repartition(1)+map_batches task
+    (CLAUDE invariant: never a groupby sort barrier for a k*Q-row
+    output). Emits (query_id asc, rank asc) deterministically — the same
+    order the old groupby+sort produced."""
+    def merge_all(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        parts = [_merge_int_topk(g, k)
+                 for _, g in df.groupby("query_id", sort=True)]
+        out = (pd.concat(parts, ignore_index=True) if parts
+               else pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                  "vec_id": pd.Series([], dtype="int64"),
+                                  "qdot": pd.Series([], dtype="int64"),
+                                  "rank": pd.Series([], dtype="int64")}))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return cand.repartition(1).map_batches(merge_all, batch_format="pyarrow",
+                                           batch_size=None)
 
 
 def load_centroids(sf_dir: str, n_centroids: int = 16):
@@ -388,12 +439,11 @@ def topk_ivf(ds, sf_dir: str, k: int = 5, n_queries: int = 10,
         # query q sees row v iff v's centroid is among q's probes;
         # gather hit columns BEFORE the matmul (same as topk_ivf_indexed)
         hit = (q_probes[:, :, None] == cent[None, None, :]).any(axis=1)  # (Q, B)
-        return _hit_pair_scores(ids, mat, q_ids, q_mat, hit)
+        return _partial_topk_int(
+            _hit_pair_scores(ids, mat, q_ids, q_mat, hit), k)
 
     cand = pruned.map_batches(search, batch_format="pyarrow", batch_size=4096)
-    merged = cand.groupby("query_id").map_groups(
-        lambda df: _merge_int_topk(df, k), batch_format="pandas")
-    return merged.sort(["query_id", "rank"])
+    return _merge_int_topk_single(cand, k)
 
 
 def build_ivf_index(ds, out_dir: str, sf_dir: str, n_centroids: int = 16,
@@ -512,12 +562,11 @@ def topk_ivf_indexed(index_dir: str, sf_dir: str, k: int = 5,
         cent = batch.column("centroid_id").to_numpy()
         mat = quantize(np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)))
         hit = (q_probes[:, :, None] == cent[None, None, :]).any(axis=1)
-        return _hit_pair_scores(ids, mat, q_ids, q_mat, hit)
+        return _partial_topk_int(
+            _hit_pair_scores(ids, mat, q_ids, q_mat, hit), k)
 
     cand = pruned.map_batches(search, batch_format="pyarrow", batch_size=4096)
-    merged = cand.groupby("query_id").map_groups(
-        lambda df: _merge_int_topk(df, k), batch_format="pandas")
-    return merged.sort(["query_id", "rank"])
+    return _merge_int_topk_single(cand, k)
 
 
 def topk_ivf_sql(k: int = 5, n_queries: int = 10, n_centroids: int = 16,
