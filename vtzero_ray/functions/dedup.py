@@ -190,9 +190,12 @@ class MinHasher:
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         sigs = self.batch_signatures(texts)
+        sig = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.ascontiguousarray(sigs).ravel()),
+            self.n_perm).cast(pa.list_(pa.uint64(), self.n_perm))
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "sig": pa.array(list(sigs), pa.list_(pa.uint64(), self.n_perm)),
+            "sig": sig,
         })
 
 
@@ -563,9 +566,14 @@ def _normalize_block(batch: pa.Table) -> pa.Table:
         if len(batch) else np.empty((0, 0), np.float64)
     if mat.size:
         mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    dim = mat.shape[1] if mat.size else 0
+    offs = (np.arange(0, (ids.shape[0] + 1) * dim, dim, dtype=np.int32)
+            if dim else np.zeros(ids.shape[0] + 1, np.int32))
+    emb = pa.ListArray.from_arrays(pa.array(offs),
+                                   pa.array(mat.ravel(), pa.float64()))
     return pa.table({
         "vec_id": pa.array(ids, pa.int64()),
-        "embedding": pa.array(list(mat), pa.list_(pa.float64())),
+        "embedding": emb,
     })
 
 
@@ -785,12 +793,23 @@ def embedding_near_dups_lsh(ds, threshold: float = 0.95, n_bits: int = 16,
         buckets = b[ti, vi]
         h = ((buckets.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
              ^ (ti.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))) % np.uint64(n_shuffle)
+        # list columns built straight from the flat numpy buffers — a
+        # python-list construction here costs ~0.4 s per 200k rows
+        bvec = pa.FixedSizeListArray.from_arrays(
+            pa.array(b.T[vi].ravel()), n_tables).cast(
+                pa.list_(pa.int64(), n_tables))
+        dim = nm.shape[1]
+        emb_vals = nm[vi].ravel()
+        emb = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (vi.shape[0] + 1) * dim, dim,
+                               dtype=np.int32)),
+            pa.array(emb_vals))
         return pa.table({
             "vec_id": pa.array(ids[vi], pa.int64()),
             "t": pa.array(ti, pa.int32()),
             "bucket": pa.array(buckets, pa.int64()),
-            "bvec": pa.array(list(b.T[vi]), pa.list_(pa.int64(), n_tables)),
-            "emb": pa.array(list(nm[vi]), pa.list_(pa.float64())),
+            "bvec": bvec,
+            "emb": emb,
             "shuffle_bucket": pa.array(h.astype(np.int32)),
         })
 
