@@ -758,6 +758,12 @@ def _q_events_sessions(sf_dir: str):
     return events_sessionize(sf_dir)
 
 
+def _q_range_join(sf_dir: str):
+    from vtzero_ray.pipelines.relational import orders_shipped_in_range
+
+    return orders_shipped_in_range(sf_dir)
+
+
 # Redundant twins kept OUT of the driver's queries() (the driver checks at
 # most 50 entries in dict order — round 2 silently dropped the last two):
 # each is the simple/alternate twin of a kept query, still exercised by
@@ -770,10 +776,12 @@ def _q_events_sessions(sf_dir: str):
 #                           lang_page_counts' groupby keys
 #   ann_topk_ivf         -> inline IVF (per-run centroid assignment);
 #                           verification twin of ann_topk_ivf_indexed
+#   top_orders           -> plain sort/top-k; strictly subsumed by
+#                           top_unshipped_orders' final sort+limit stage
 _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "doc_sample_10pct", "distinct_langs",
                   "events_hopping_window", "ann_topk_ivf",
-                  "audio_features")
+                  "audio_features", "top_orders")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -852,6 +860,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_sessions": _q_events_sessions,
         "events_asof_last_order": _q_events_asof,
+        # range (band) join: orders x lineitem on a shipdate interval
+        "range_join_shipped_7d": _q_range_join,
         # hopping window rides in queries_extra (50-entry driver budget)
         "events_hopping_window": _q_events_hopping,
     }
@@ -1395,6 +1405,19 @@ def _all_oracle_sql() -> dict[str, str]:
             ") AS window_start, COUNT(*) AS n_events, "
             "round(SUM(value), 6) AS sum_value "
             "FROM events, range(4) i GROUP BY 1, 2"
+        ),
+        # range join: both interval ends inclusive; quantities summed in
+        # integer cents so the totals are order-independent
+        "range_join_shipped_7d": (
+            "SELECT o.o_orderkey, "
+            "CAST(COUNT(s.ship_s) AS BIGINT) AS n_shipped, "
+            "CAST(COALESCE(SUM(s.qty_c), 0) AS BIGINT) AS qty_cents "
+            "FROM orders o LEFT JOIN ("
+            "SELECT CAST(epoch(l_shipdate) AS BIGINT) AS ship_s, "
+            "CAST(round(l_quantity * 100) AS BIGINT) AS qty_c FROM lineitem) s "
+            "ON s.ship_s BETWEEN CAST(epoch(o.o_orderdate) AS BIGINT) "
+            "AND CAST(epoch(o.o_orderdate) AS BIGINT) + 604800 "
+            "GROUP BY o.o_orderkey"
         ),
         "events_asof_last_order": (
             "SELECT e.event_id, e.user_id, COALESCE((SELECT o.o_orderkey FROM orders o "

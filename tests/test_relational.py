@@ -1,0 +1,97 @@
+"""Range (band) join — orders_shipped_in_range.
+
+Covers the distributed correctness hazards of the bucket-replication plan:
+window endpoints (both inclusive), probes exactly on bucket boundaries,
+candidates found only via the bucket-(b-1) replica, zero-match probes,
+and full parity against a DuckDB LEFT-JOIN oracle on real testdata.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from vtzero_ray.pipelines.relational import orders_shipped_in_range
+
+W = 7 * 86400  # the pipeline's default window (seconds)
+
+
+def _ts(seconds):
+    return pd.to_datetime(np.asarray(seconds, np.int64) * 1_000_000, unit="us")
+
+
+def _write_fixture(tmp_path, order_ts, ship_ts, qty):
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(1, len(order_ts) + 1, dtype=np.int64)),
+        "o_orderdate": pa.array(_ts(order_ts)).cast(pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_shipdate": pa.array(_ts(ship_ts)).cast(pa.timestamp("us")),
+        "l_quantity": pa.array(np.asarray(qty, np.float64)),
+    }), str(tmp_path / "lineitem.parquet"))
+
+
+def _run(tmp_path):
+    df = orders_shipped_in_range(str(tmp_path)).to_pandas()
+    return df.sort_values("o_orderkey").reset_index(drop=True)
+
+
+class TestRangeJoinBoundaries:
+    def test_inclusive_endpoints_and_bucket_edges(self, ray_session, tmp_path):
+        # order 1 starts exactly on a bucket boundary (t0 = W): its window
+        # [W, 2W] ends exactly on the NEXT boundary — shipment at 2W lives
+        # in bucket 2 and is only visible through the b-1 replica.
+        t0 = W
+        ships = [t0 - 1,        # 1s before the window: excluded
+                 t0,            # left endpoint: included
+                 t0 + W,        # right endpoint (next bucket start): included
+                 t0 + W + 1]    # 1s past: excluded
+        _write_fixture(tmp_path, [t0], ships, [1.25, 2.50, 4.00, 8.00])
+        out = _run(tmp_path)
+        assert out["n_shipped"].tolist() == [2]
+        assert out["qty_cents"].tolist() == [250 + 400]
+
+    def test_zero_match_probe_emitted(self, ray_session, tmp_path):
+        # order 2's window is empty -> LEFT-join row with n_shipped = 0;
+        # order 3 sits mid-bucket and matches across the bucket boundary
+        _write_fixture(
+            tmp_path,
+            order_ts=[0, 10 * W, 2 * W + 1000],
+            ship_ts=[500, 3 * W - 1],  # in buckets 0 and 2
+            qty=[1.00, 3.00],
+        )
+        out = _run(tmp_path)
+        assert out["o_orderkey"].tolist() == [1, 2, 3]
+        assert out["n_shipped"].tolist() == [1, 0, 1]
+        assert out["qty_cents"].tolist() == [100, 0, 300]
+
+    def test_no_double_count_on_replicas(self, ray_session, tmp_path):
+        # a shipment is replicated into two buckets; a window spanning both
+        # buckets must still count it exactly once (it has ONE home bucket)
+        _write_fixture(tmp_path, [W // 2], [W // 2 + 100], [2.00])
+        out = _run(tmp_path)
+        assert out["n_shipped"].tolist() == [1]
+        assert out["qty_cents"].tolist() == [200]
+
+
+def test_range_join_matches_duckdb(ray_session, sf_dir):
+    import duckdb
+
+    got = orders_shipped_in_range(sf_dir).to_pandas()
+    got = got.sort_values("o_orderkey").reset_index(drop=True)
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        SELECT o.o_orderkey,
+               CAST(COUNT(s.ship_s) AS BIGINT) AS n_shipped,
+               CAST(COALESCE(SUM(s.qty_c), 0) AS BIGINT) AS qty_cents
+        FROM '{sf_dir}/orders.parquet' o LEFT JOIN (
+            SELECT CAST(epoch(l_shipdate) AS BIGINT) AS ship_s,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+            FROM '{sf_dir}/lineitem.parquet') s
+        ON s.ship_s BETWEEN CAST(epoch(o.o_orderdate) AS BIGINT)
+                        AND CAST(epoch(o.o_orderdate) AS BIGINT) + {W}
+        GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+    """).df()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["n_shipped"] > 0).any()

@@ -336,6 +336,99 @@ def events_asof_last_order(sf_dir: str, n_buckets: int = 32):
     return out.map_batches(lambda t: t, batch_format="pyarrow")
 
 
+def orders_shipped_in_range(sf_dir: str, window_days: int = 7):
+    """Range (band/interval) join: for every order, the count and total
+    quantity of lineitem shipments — ANY order's items — whose
+    ``l_shipdate`` falls in ``[o_orderdate, o_orderdate + window]``
+    (both ends inclusive). This is the brief's "range join" operator:
+    neither an equi-join key nor an as-of point lookup, but a time-band
+    predicate between two large tables.
+
+    Ray shape — ONE bucketed shuffle, NO pair materialization:
+    time is bucketed at exactly the window width W, so every probe
+    interval ``[t0, t0+W]`` touches at most two adjacent buckets. Probes
+    (orders) land in their single home bucket ``t0 // W``; build points
+    (shipments) are replicated into their own bucket and the previous
+    one, which co-locates every candidate with its probes. Per bucket the
+    band lookup is two vectorized ``np.searchsorted`` calls over the
+    sorted shipment times plus a prefix-sum for the quantity total —
+    counts and sums come out WITHOUT materializing the pair explosion
+    (O((n+m) log m) per bucket; at 100 TB the pair count can be 1000x the
+    input and never exists here). Each build point lives in exactly one
+    home bucket, so per-probe results are exact in one group — no second
+    combine shuffle. Bucket count is time-range / window (bounded, ~350
+    here), satisfying the fixed-group-count shuffle invariant.
+
+    Quantities are summed in integer cents (order-independent; matches
+    the DuckDB oracle bit-exactly). Orders with zero shipments in range
+    are emitted with n_shipped = 0 (LEFT-join semantics).
+    """
+    import ray.data as rd
+
+    w_s = window_days * 86400
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_shipdate", "l_quantity"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        t0 = t.column("o_orderdate").cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy() // 1_000_000
+        return pa.table({
+            "bucket": pa.array(t0 // w_s),
+            "kind": pa.array(np.zeros(len(t), np.int8)),
+            "key": t.column("o_orderkey").cast(pa.int64()),
+            "t_s": pa.array(t0),
+            "qty_c": pa.array(np.zeros(len(t), np.int64)),
+        })
+
+    def prep_shipments(t: pa.Table) -> pa.Table:
+        ship = t.column("l_shipdate").cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy() // 1_000_000
+        qty_c = np.round(t.column("l_quantity").to_numpy() * 100).astype(np.int64)
+        b = ship // w_s
+        n = len(ship)
+        # replicate each point into (its bucket, its bucket - 1): probes in
+        # bucket b see candidates from [b*W, (b+2)*W) ⊇ [t0, t0+W] ∀ t0∈b
+        return pa.table({
+            "bucket": pa.array(np.concatenate([b, b - 1])),
+            "kind": pa.array(np.ones(2 * n, np.int8)),
+            "key": pa.array(np.zeros(2 * n, np.int64)),
+            "t_s": pa.array(np.concatenate([ship, ship])),
+            "qty_c": pa.array(np.concatenate([qty_c, qty_c])),
+        })
+
+    both = orders.map_batches(prep_orders, batch_format="pyarrow").union(
+        li.map_batches(prep_shipments, batch_format="pyarrow"))
+
+    def resolve_bucket(t: pa.Table) -> pa.Table:
+        kind = t.column("kind").to_numpy()
+        ts = t.column("t_s").to_numpy()
+        probe = kind == 0
+        pt = ts[probe]
+        if len(pt) == 0:  # build-only bucket (e.g. the b-1 replicas' edge)
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "n_shipped": pa.array([], pa.int64()),
+                             "qty_cents": pa.array([], pa.int64())})
+        keys = t.column("key").to_numpy()[probe]
+        bt = ts[~probe]
+        bq = t.column("qty_c").to_numpy()[~probe]
+        order = np.argsort(bt, kind="stable")
+        bt = bt[order]
+        pref = np.concatenate([np.zeros(1, np.int64), np.cumsum(bq[order])])
+        lo = np.searchsorted(bt, pt, "left")
+        hi = np.searchsorted(bt, pt + w_s, "right")
+        return pa.table({
+            "o_orderkey": pa.array(keys),
+            "n_shipped": pa.array((hi - lo).astype(np.int64)),
+            "qty_cents": pa.array(pref[hi] - pref[lo]),
+        })
+
+    return both.groupby("bucket").map_groups(
+        resolve_bucket, batch_format="pyarrow")
+
+
 def events_sessionize(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
     """Session windows per user: BUCKETED sessionization — user_id is the
     highest-cardinality key in the schema, so the shuffle groups by
