@@ -278,17 +278,19 @@ def _q_audio_features(sf_dir: str):
 
 
 def _q_combined_layers_z2(sf_dir: str):
-    """Tile merge (add_existing_layer concat over ds.union + regroup):
-    pages point tiles + site-path line tiles at z2 → per (tile, layer)
-    feature counts after decoding the MERGED tiles."""
-    from vtzero_ray.pipelines.decode import decode_tiles
-    from vtzero_ray.pipelines.filter import merge_tiles
-    from vtzero_ray.pipelines.paths import site_paths_tiles
-    from vtzero_ray.pipelines.tiling import tiles_pipeline
+    """Two-layer tiles at z2 (pages points + site-path lines) → per
+    (tile, layer) feature counts after decoding the merged tiles.
 
-    pages = tiles_pipeline(sf_dir, zooms=(2,), validate=False)
-    paths = site_paths_tiles(sf_dir, zoom=2)
-    merged = merge_tiles(pages, paths)
+    Uses the FUSED single-pass assembler (one read, one tile shuffle, both
+    layers per task — pipelines/paths.py) — byte-identical to the
+    merge_tiles(points, paths) multi-pass twin, asserted in
+    tests/test_decode_filter.py::TestFusedMultilayer. merge_tiles itself
+    (add_existing_layer concat over ds.union + regroup) stays driver-
+    exercised by the 3-way multilayer_tiles_z6."""
+    from vtzero_ray.pipelines.decode import decode_tiles
+    from vtzero_ray.pipelines.paths import pages_paths_tiles_fused
+
+    merged = pages_paths_tiles_fused(sf_dir, zoom=2)
     feats = decode_tiles(merged, with_props=False, with_geometry=False)
     agg = feats.groupby(["z", "x", "y", "layer"]).count()
 

@@ -452,3 +452,43 @@ class TestFilterFastEdgeCases:
         assert list(ok) == [True, True, False, False, False]
         assert strs[0].as_py() == "hi"
         assert strs[1].as_py() == "x" * 200
+
+
+class TestFusedMultilayer:
+    """pages_paths_tiles_fused: ONE shuffle, two layers — byte-identical to
+    the multi-pass merge_tiles(points, paths) twin."""
+
+    def test_byte_identity_with_merge_twin(self, ray_session, sf_dir):
+        from vtzero_ray.pipelines.filter import merge_tiles
+        from vtzero_ray.pipelines.paths import (pages_paths_tiles_fused,
+                                                site_paths_tiles)
+        from vtzero_ray.pipelines.tiling import tiles_pipeline
+
+        fused = pages_paths_tiles_fused(sf_dir, zoom=2).to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        pages = tiles_pipeline(sf_dir, zooms=(2,), validate=False)
+        paths = site_paths_tiles(sf_dir, zoom=2)
+        merged = merge_tiles(
+            pages, paths.select_columns(["z", "x", "y", "mvt"])).to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        assert len(fused) == len(merged) > 0
+        assert fused["z"].tolist() == merged["z"].tolist()
+        assert fused["x"].tolist() == merged["x"].tolist()
+        assert fused["y"].tolist() == merged["y"].tolist()
+        for a, b in zip(fused["mvt"], merged["mvt"]):
+            assert bytes(a) == bytes(b)
+
+    def test_layers_and_counts_decode(self, ray_session, sf_dir):
+        from vtzero_ray.pipelines.paths import pages_paths_tiles_fused
+
+        fused = pages_paths_tiles_fused(sf_dir, zoom=2).to_pandas()
+        two_layer = 0
+        for r in fused.itertuples():
+            layers = list(VectorTile(bytes(r.mvt)).layers())
+            names = [l.name for l in layers]
+            assert names[0] == b"pages"  # merge order: points first
+            n = sum(l.num_features for l in layers)
+            assert n == r.n_features
+            if b"site_paths" in names:
+                two_layer += 1
+        assert two_layer > 0

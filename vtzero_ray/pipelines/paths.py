@@ -105,3 +105,77 @@ def site_paths_tiles_scalar(sf_dir: str, zoom: int = 2, extent: int = 4096):
 
 def _enc_uint(v: int) -> bytes:
     return encode_value(v, VT_UINT)
+
+
+class FusedPagesPathsAssembler:
+    """map_groups callable: ONE bucket of tile-assigned page rows → merged
+    two-layer tiles (``pages`` points + ``site_paths`` linestrings).
+
+    Byte-identical to ``merge_tiles(points_tiles, paths_tiles)`` BY
+    CONSTRUCTION: a single-layer tile's bytes ARE exactly its layer field
+    (``field_bytes(3, payload)``), and tile merge is verbatim layer-field
+    concatenation in source order (add_existing_layer passthrough,
+    reference builder.hpp:119-132) — so fusing the two encoders reduces to
+    concatenating their per-tile outputs. Both layers derive from the SAME
+    feature rows, which is what makes the fusion sound: one read, one
+    geoparse, ONE tile shuffle instead of two encode pipelines + a third
+    merge shuffle (the round-3 verdict's combined_layers gap).
+    """
+
+    def __init__(self, extent: int = 4096) -> None:
+        from ..stages.encode import PointTileAssembler
+        from ..stages.encode_lines import LinePathAssembler
+
+        self._points = PointTileAssembler(extent=extent)
+        self._lines = LinePathAssembler(extent=extent)
+        self.__name__ = "FusedPagesPathsAssembler"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pts = self._points(batch)
+        lns = self._lines(batch)
+        if len(lns) == 0:
+            return pts
+        # both outputs are (z,x,y)-sorted; every row is a point feature, so
+        # the line-layer tile set is a subset of the point-layer tile set
+        def key(t: pa.Table) -> np.ndarray:
+            return ((t.column("z").to_numpy().astype(np.int64) << 56)
+                    | (t.column("x").to_numpy().astype(np.int64) << 28)
+                    | t.column("y").to_numpy().astype(np.int64))
+
+        pk, lk = key(pts), key(lns)
+        pos = np.searchsorted(pk, lk)
+        if not np.array_equal(pk[pos], lk):  # pragma: no cover - invariant
+            raise AssertionError("line-layer tile missing from point tiles")
+        p_mvt = pts.column("mvt").to_pylist()
+        l_mvt = lns.column("mvt").to_pylist()
+        nf = pts.column("n_features").to_numpy().copy()
+        for i, p in enumerate(pos):
+            p_mvt[p] = p_mvt[p] + l_mvt[i]
+        nf[pos] += lns.column("n_features").to_numpy()
+        return pa.table({
+            "z": pts.column("z"), "x": pts.column("x"), "y": pts.column("y"),
+            "mvt": pa.array(p_mvt, pa.binary()),
+            "n_features": pa.array(nf, pa.int64()),
+        })
+
+
+def pages_paths_tiles_fused(sf_dir: str, zoom: int = 2, extent: int = 4096):
+    """pages + site_paths two-layer tiles in a SINGLE pass: read → geoparse
+    → assign → ONE bucketed tile shuffle → fused per-bucket encode of both
+    layers. The multi-pass twin (`merge_tiles(tiles_pipeline, site_paths_
+    tiles)`) is the byte-identity anchor, asserted in tests; merge_tiles
+    itself stays driver-exercised by the 3-way multilayer_tiles_z6 (whose
+    hotcells layer genuinely derives from encoded tiles and cannot fuse).
+    """
+    from ..stages.encode import add_tile_bucket
+    from ..stages.geoparse import AssignTiles, geoparse
+    from ..sources.pages import read_pages
+
+    ds = read_pages(sf_dir, include_html=False)
+    ds = geoparse(ds)
+    ds = ds.select_columns(["url", "lang", "doc_id", "lat", "lon"])
+    ds = ds.map_batches(AssignTiles((zoom,), extent), batch_format="pyarrow")
+    ds = ds.select_columns(["z", "x", "y", "doc_id", "px", "py", "url", "lang"])
+    ds = ds.map_batches(add_tile_bucket, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(
+        FusedPagesPathsAssembler(extent=extent), batch_format="pyarrow")
