@@ -263,6 +263,23 @@ def _q_media_features_png(sf_dir: str):
                           batch_size=64, concurrency=(1, 4))
 
 
+def _q_media_features_jpeg(sf_dir: str):
+    """REAL baseline-JPEG decode — exact through a LOSSY codec:
+    grayscale corpus, quality 100, one constant value per 8x8 block, so
+    the Huffman entropy decode, dequantize and IDCT reproduce the pixel
+    formula with zero error (stages/jpeg.py; see synth_media_jpeg for
+    the math). Restart interval cycles media_id % 3, so DRI/RSTn
+    segmentation and byte destuffing are driver-checked too. The oracle
+    recomputes the block formula with generate_series."""
+    import ray.data as rd
+
+    from vtzero_ray.stages.multimodal import ImageStats, synth_media_jpeg
+
+    ds = rd.from_arrow(synth_media_jpeg(128)).repartition(8)
+    return ds.map_batches(ImageStats, batch_format="pyarrow",
+                          batch_size=64, concurrency=(1, 4))
+
+
 def _q_audio_features(sf_dir: str):
     """REAL audio decode: deterministic WAV/PCM16 corpus → per-clip
     integer channel sums through the pure-NumPy RIFF codec
@@ -780,10 +797,15 @@ def _q_range_join(sf_dir: str):
 #                           verification twin of ann_topk_ivf_indexed
 #   top_orders           -> plain sort/top-k; strictly subsumed by
 #                           top_unshipped_orders' final sort+limit stage
+#   media_features       -> BMP twin of the sniffed ImageStats stage;
+#                           media_features_png / media_features_jpeg in
+#                           the main 50 drive the same stage through the
+#                           harder codecs (PNG defilter matrix, lossy
+#                           JPEG entropy decode)
 _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "doc_sample_10pct", "distinct_langs",
                   "events_hopping_window", "ann_topk_ivf",
-                  "audio_features", "top_orders")
+                  "audio_features", "top_orders", "media_features")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -820,6 +842,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "multilayer_tiles_z6": _q_multilayer_z6,
         "media_features": _q_media_features,
         "media_features_png": _q_media_features_png,
+        "media_features_jpeg": _q_media_features_jpeg,
         "audio_features": _q_audio_features,
         # spatial joins (SURVEY §2.4)
         "pip_join": _q_pip_join,
@@ -1205,6 +1228,23 @@ def _all_oracle_sql() -> dict[str, str]:
             "CAST(SUM((id * 7 + x * 13 + y * 31) % 256) AS BIGINT) AS sum_r, "
             "CAST(SUM((id * 7 + x * 13 + y * 31 + 97) % 256) AS BIGINT) AS sum_g, "
             "CAST(SUM((id * 7 + x * 13 + y * 31 + 194) % 256) AS BIGINT) AS sum_b "
+            "FROM px GROUP BY 1, 2, 3"
+        ),
+        # media_features_jpeg: grayscale flat-block corpus — value
+        # constant per 8x8 block, quality 100, so the LOSSY codec is
+        # exact and the block formula re-derives every decoded pixel;
+        # gray expands to 3 identical channels (sum_r = sum_g = sum_b)
+        "media_features_jpeg": (
+            "WITH m AS (SELECT range AS id, 8 + (range * 43) % 25 AS w, "
+            "8 + (range * 23) % 25 AS h FROM range(128)), "
+            "px AS (SELECT m.id, m.w, m.h, x.range AS x, y.range AS y "
+            "FROM m, range(32) x, range(32) y "
+            "WHERE x.range < m.w AND y.range < m.h) "
+            "SELECT id AS media_id, CAST(w AS INTEGER) AS width, "
+            "CAST(h AS INTEGER) AS height, "
+            "CAST(SUM((id * 7 + (x // 8) * 13 + (y // 8) * 31) % 256) AS BIGINT) AS sum_r, "
+            "CAST(SUM((id * 7 + (x // 8) * 13 + (y // 8) * 31) % 256) AS BIGINT) AS sum_g, "
+            "CAST(SUM((id * 7 + (x // 8) * 13 + (y // 8) * 31) % 256) AS BIGINT) AS sum_b "
             "FROM px GROUP BY 1, 2, 3"
         ),
         # audio_features: the WAV sample formula ((id*7 + i*13 + c*97) %

@@ -3,16 +3,17 @@ with typed metadata, processed by actor-pool map_batches stages.
 
 Three decoder modes:
 - ``decoder="numpy"``: REAL pixel decode via the pure-NumPy codecs —
-  the 24-bit BMP codec below (encode_bmp/decode_bmp) and the PNG codec
-  in stages/png.py (stdlib zlib inflate + all five scanline filters),
-  format-sniffed per payload. Decode, pixel features, nearest-neighbor
-  resize and frame extraction all operate on actual pixels with no
-  external library.
+  the 24-bit BMP codec below (encode_bmp/decode_bmp), the PNG codec in
+  stages/png.py (stdlib zlib inflate + all five scanline filters) and
+  the baseline JPEG codec in stages/jpeg.py (Huffman entropy coding,
+  4:4:4/4:2:0, restart markers), format-sniffed per payload. Decode,
+  pixel features, nearest-neighbor resize and frame extraction all
+  operate on actual pixels with no external library.
 - ``decoder="fake"``: deterministic bytes-derived features (plumbing
   testable on arbitrary payloads).
-- ``decoder="real"``: plug a compressed-format library (Pillow/ffmpeg)
-  here — NotImplementedError until one is installed; swapping it in
-  changes ONE method per stage.
+- ``decoder="real"``: plug a media library (Pillow/ffmpeg) here for
+  formats beyond BMP/PNG/JPEG — NotImplementedError until one is
+  installed; swapping it in changes ONE method per stage.
 
 Batch-size note (memory-aware, ray_guide): wide binary rows must ride in
 SMALL batches — size batch_size so batch_bytes x concurrency fits the
@@ -181,6 +182,44 @@ def synth_media_png(n: int = 128) -> pa.Table:
     })
 
 
+def _jpeg_dims(media_id: int) -> tuple[int, int]:
+    return 8 + (media_id * 43) % 25, 8 + (media_id * 23) % 25
+
+
+def synth_media_jpeg(n: int = 128) -> pa.Table:
+    """Deterministic REAL-JPEG image corpus — exact through a LOSSY
+    codec: grayscale, quality 100 (all-ones quant tables) and one
+    constant value per 8x8 block, value = (id*7 + (x//8)*13 +
+    (y//8)*31) % 256. Flat blocks carry a single integer DC coefficient
+    (8*(v-128)), which quantizes, Huffman-codes and inverse-transforms
+    back to v with zero error, so the SQL pixel-formula oracle checks
+    every byte of the entropy decode. Edge padding replicates the last
+    real pixel, which shares its 8-wide block, so boundary blocks stay
+    flat. Restart interval cycles media_id % 3 (0 = none), exercising
+    DRI/RSTn segmentation and the destuffer across the corpus."""
+    from .jpeg import encode_jpeg
+
+    ids = np.arange(n, dtype=np.int64)
+    payloads, ws, hs = [], [], []
+    for i in ids:
+        w, h = _jpeg_dims(int(i))
+        bx = np.arange(w) // 8
+        by = np.arange(h) // 8
+        px = ((int(i) * 7 + bx[None, :] * 13 + by[:, None] * 31) % 256
+              ).astype(np.uint8)
+        payloads.append(encode_jpeg(px, quality=100,
+                                    restart_interval=int(i) % 3))
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "media_id": pa.array(ids),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(np.array(ws, np.int32)),
+        "height": pa.array(np.array(hs, np.int32)),
+    })
+
+
 class ImageStats:
     """Actor-pool stage: REAL pixel statistics from encoded image payloads
     (format-sniffed: PNG or BMP) — integer channel sums so the DuckDB
@@ -233,7 +272,7 @@ class ImageDecode:
                 raise NotImplementedError(
                     "real image decode requires an imaging library; "
                     "this container has none — use decoder='fake' or "
-                    "decoder='numpy' (pure-NumPy BMP)"
+                    "decoder='numpy' (pure-NumPy BMP/PNG/JPEG)"
                 ) from e
 
     def _features(self, payload: bytes) -> np.ndarray:
@@ -283,8 +322,13 @@ class ImageResize:
             yi = np.minimum((np.arange(nh) / scale).astype(np.int64), sh - 1)
             xi = np.minimum((np.arange(nw) / scale).astype(np.int64), sw - 1)
             out = np.ascontiguousarray(px[yi][:, xi])
-            if sniff_image(payload) == "png":
+            kind = sniff_image(payload)
+            if kind == "png":
                 return encode_png(out)
+            if kind == "jpeg":
+                from .jpeg import encode_jpeg
+
+                return encode_jpeg(out, quality=90)
             return encode_bmp(out)
         # deterministic fake: truncate/pad payload proportionally
         scale = (self.target * self.target) / max(1, w * h)

@@ -190,17 +190,20 @@ def _defilter(rows: np.ndarray, ftypes: np.ndarray, bpp: int) -> np.ndarray:
 
 
 def sniff_image(payload: bytes) -> str:
-    """'png' | 'bmp' | 'unknown' from magic bytes."""
+    """'png' | 'bmp' | 'jpeg' | 'unknown' from magic bytes."""
     if payload[:8] == _SIG:
         return "png"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "unknown"
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Format-sniffing decode: PNG or BMP → uint8 RGB (h, w, 3).
-    Grayscale expands to 3 channels; RGBA drops alpha (documented)."""
+    """Format-sniffing decode: PNG, BMP or baseline JPEG → uint8 RGB
+    (h, w, 3). Grayscale expands to 3 channels; RGBA drops alpha
+    (documented)."""
     kind = sniff_image(payload)
     if kind == "png":
         px = decode_png(payload)
@@ -211,4 +214,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         from .multimodal import decode_bmp
 
         return decode_bmp(payload)
-    raise ValueError("payload is neither PNG nor BMP")
+    if kind == "jpeg":
+        from .jpeg import decode_jpeg
+
+        px = decode_jpeg(payload)
+        if px.ndim == 2:
+            return np.repeat(px[:, :, None], 3, axis=2)
+        return px
+    raise ValueError("payload is not PNG, BMP or JPEG")
