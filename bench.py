@@ -114,29 +114,43 @@ def _steal_pct(window_s: float = 1.0) -> float:
 
 
 def gate_window(extra: dict) -> None:
-    """Hold the sweep until the sandbox window is clean: ray_rtt <= ~2 ms
-    AND steal <= 2% (the same discipline --scaling applies per pair).
+    """Hold the sweep until the sandbox window is clean: ray_rtt low AND
+    steal <= 2% (the same discipline --scaling applies per pair).
     BENCH_r03 was recorded in a 5.2 ms-rtt window and its per-query walls
     overstated cost 2-6x vs the same code minutes later — gating makes the
-    official JSON reflect the code, not the sandbox. On a degraded BOOT
-    (rtt never recovers) we proceed after the wait budget with
+    official JSON reflect the code, not the sandbox.
+
+    The rtt bar RELAXES with elapsed wait (2 ms -> 3 ms after 60 s ->
+    4.5 ms after 180 s): holding out for a perfect window while a
+    good-enough one is live is how a round-4 attempt burned a 2.5 ms
+    window waiting for 2.0 and then swept at 16.6 ms after the budget
+    expired — windows rot on minute timescales, so take the best one ON
+    OFFER, soon. window_clean records whether the STRICT bar was met;
+    gate_tier_rtt_ms records the bar actually applied. On a degraded
+    BOOT (rtt never recovers) we proceed after the wait budget with
     window_clean=false so the pollution is loud, not silent.
 
-    Tunables: GRAFT_GATE_RTT_MS (default 2.0), GRAFT_GATE_STEAL (2.0),
-    GRAFT_GATE_WAIT_S (300; 0 disables the gate)."""
-    max_rtt = float(os.environ.get("GRAFT_GATE_RTT_MS", "2.0"))
+    Tunables: GRAFT_GATE_RTT_MS (strict bar, default 2.0),
+    GRAFT_GATE_STEAL (2.0), GRAFT_GATE_WAIT_S (300; 0 disables)."""
+    strict_rtt = float(os.environ.get("GRAFT_GATE_RTT_MS", "2.0"))
     max_steal = float(os.environ.get("GRAFT_GATE_STEAL", "2.0"))
     budget = float(os.environ.get("GRAFT_GATE_WAIT_S", "300"))
     t0 = time.time()
     attempts = []
     while True:
+        waited = time.time() - t0
+        tier = strict_rtt if waited < 60 else (
+            strict_rtt * 1.5 if waited < 180 else strict_rtt * 2.25)
         rtt, steal = ray_rtt_ms(), _steal_pct()
-        attempts.append({"rtt_ms": rtt, "steal_pct": steal})
-        if rtt <= max_rtt and steal <= max_steal:
-            extra["window_clean"] = True
+        attempts.append({"rtt_ms": rtt, "steal_pct": steal,
+                         "tier_rtt_ms": round(tier, 2)})
+        if rtt <= tier and steal <= max_steal:
+            extra["window_clean"] = rtt <= strict_rtt
+            extra["gate_tier_rtt_ms"] = round(tier, 2)
             break
-        if time.time() - t0 >= budget:
+        if waited >= budget:
             extra["window_clean"] = False
+            extra["gate_tier_rtt_ms"] = round(tier, 2)
             break
         time.sleep(10)
     extra["gate_waited_s"] = round(time.time() - t0, 1)
@@ -260,8 +274,8 @@ def run_bench() -> dict:
         qs = e.queries()
         for name in ("dedup_exact", "minhash_lsh_candidates", "ann_topk_bruteforce",
                      "ann_topk_ivf_indexed", "simhash_near_dups",
-                     "embedding_near_dups_lsh", "ngram_topk", "media_features",
-                     "clipped_paths_z2"):
+                     "embedding_near_dups_lsh", "ngram_topk",
+                     "media_features_jpeg", "clipped_paths_z2"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

@@ -101,3 +101,64 @@ def test_tile_roundtrip(feats):
         got = f.properties()
         expect = {k: (v.encode() if isinstance(v, str) else v) for k, v in props.items()}
         assert got == expect
+
+
+# --- JPEG codec (stages/jpeg.py) ---------------------------------------
+
+from vtzero_ray.stages.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_jpeg_flat_blocks_exact(data):
+    """ANY image that is constant per 8x8 block round-trips exactly at
+    quality 100 (single integer DC coefficient per block), for arbitrary
+    dims, block values and restart intervals — the generalization of the
+    driver corpus's formula-based exactness."""
+    h = data.draw(st.integers(8, 40))
+    w = data.draw(st.integers(8, 40))
+    dri = data.draw(st.integers(0, 3))
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    blocks = data.draw(st.lists(st.integers(0, 255), min_size=bh * bw,
+                                max_size=bh * bw))
+    bv = np.array(blocks, np.uint8).reshape(bh, bw)
+    px = np.repeat(np.repeat(bv, 8, axis=0), 8, axis=1)[:h, :w]
+    out = decode_jpeg(encode_jpeg(px, quality=100, restart_interval=dri))
+    assert out.shape == (h, w) and out.dtype == np.uint8
+    assert np.array_equal(out, px)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_jpeg_gray_q100_bounded(data):
+    """Arbitrary grayscale content at quality 100: every pixel within a
+    small rounding bound (quantizers are all 1, so the only error is
+    coefficient/IDCT rounding)."""
+    h = data.draw(st.integers(1, 33))
+    w = data.draw(st.integers(1, 33))
+    seed = data.draw(st.integers(0, 2**31))
+    px = np.random.default_rng(seed).integers(0, 256, (h, w), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quality=100))
+    assert out.shape == (h, w)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 6
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_jpeg_rgb_decodes_valid(data):
+    """Arbitrary RGB content, any quality/subsampling/restart setting:
+    the stream always parses back to the exact dims, and 4:4:4 quality
+    100 stays within the rounding bound of the YCbCr round trip."""
+    h = data.draw(st.integers(1, 24))
+    w = data.draw(st.integers(1, 24))
+    q = data.draw(st.integers(5, 100))
+    sub = data.draw(st.sampled_from(["444", "420"]))
+    dri = data.draw(st.integers(0, 2))
+    seed = data.draw(st.integers(0, 2**31))
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3),
+                                              dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quality=q, subsample=sub,
+                                  restart_interval=dri))
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    if sub == "444" and q == 100:
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= 6

@@ -222,9 +222,9 @@ def synth_media_jpeg(n: int = 128) -> pa.Table:
 
 class ImageStats:
     """Actor-pool stage: REAL pixel statistics from encoded image payloads
-    (format-sniffed: PNG or BMP) — integer channel sums so the DuckDB
-    oracle reproduces them exactly. Dimensions come from the decoded
-    pixels, NOT the metadata columns."""
+    (format-sniffed: PNG, BMP or baseline JPEG) — integer channel sums so
+    the DuckDB oracle reproduces them exactly. Dimensions come from the
+    decoded pixels, NOT the metadata columns."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .png import decode_image
