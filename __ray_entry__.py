@@ -244,8 +244,8 @@ def _q_media_features(sf_dir: str):
     from vtzero_ray.stages.multimodal import BMPStats, synth_media_bmp
 
     ds = rd.from_arrow(synth_media_bmp(128)).repartition(8)
-    return ds.map_batches(BMPStats, batch_format="pyarrow",
-                          batch_size=64, concurrency=(1, 4))
+    return ds.map_batches(BMPStats(), batch_format="pyarrow",
+                          batch_size=64)
 
 
 def _q_media_features_png(sf_dir: str):
@@ -259,8 +259,8 @@ def _q_media_features_png(sf_dir: str):
     from vtzero_ray.stages.multimodal import ImageStats, synth_media_png
 
     ds = rd.from_arrow(synth_media_png(128)).repartition(8)
-    return ds.map_batches(ImageStats, batch_format="pyarrow",
-                          batch_size=64, concurrency=(1, 4))
+    return ds.map_batches(ImageStats(), batch_format="pyarrow",
+                          batch_size=64)
 
 
 def _q_media_features_jpeg(sf_dir: str):
@@ -276,8 +276,8 @@ def _q_media_features_jpeg(sf_dir: str):
     from vtzero_ray.stages.multimodal import ImageStats, synth_media_jpeg
 
     ds = rd.from_arrow(synth_media_jpeg(128)).repartition(8)
-    return ds.map_batches(ImageStats, batch_format="pyarrow",
-                          batch_size=64, concurrency=(1, 4))
+    return ds.map_batches(ImageStats(), batch_format="pyarrow",
+                          batch_size=64)
 
 
 def _q_audio_features(sf_dir: str):
@@ -290,8 +290,8 @@ def _q_audio_features(sf_dir: str):
     from vtzero_ray.stages.wav import AudioStats, synth_media_wav
 
     ds = rd.from_arrow(synth_media_wav(128)).repartition(8)
-    return ds.map_batches(AudioStats, batch_format="pyarrow",
-                          batch_size=64, concurrency=(1, 4))
+    return ds.map_batches(AudioStats(), batch_format="pyarrow",
+                          batch_size=64)
 
 
 def _q_combined_layers_z2(sf_dir: str):

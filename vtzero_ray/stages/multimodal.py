@@ -221,10 +221,16 @@ def synth_media_jpeg(n: int = 128) -> pa.Table:
 
 
 class ImageStats:
-    """Actor-pool stage: REAL pixel statistics from encoded image payloads
-    (format-sniffed: PNG, BMP or baseline JPEG) — integer channel sums so
-    the DuckDB oracle reproduces them exactly. Dimensions come from the
-    decoded pixels, NOT the metadata columns."""
+    """REAL pixel statistics from encoded image payloads (format-sniffed:
+    PNG, BMP or baseline JPEG) — integer channel sums so the DuckDB
+    oracle reproduces them exactly. Dimensions come from the decoded
+    pixels, NOT the metadata columns.
+
+    STATELESS, so drive it as a task-pool stage (pass an INSTANCE to
+    map_batches, no concurrency arg): actor-pool spin-up costs more than
+    the decode on small corpora, and there is no per-actor setup to
+    amortize. ImageDecode below (which probes codec libs once) is the
+    actor-pool example."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .png import decode_image

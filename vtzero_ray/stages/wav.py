@@ -107,9 +107,10 @@ def synth_media_wav(n: int = 128):
 
 
 class AudioStats:
-    """Actor-pool stage: REAL sample statistics from WAV payloads —
-    integer per-channel sums so the DuckDB oracle reproduces them
-    exactly. Rate/shape come from the decoded header, NOT metadata."""
+    """REAL sample statistics from WAV payloads — integer per-channel
+    sums so the DuckDB oracle reproduces them exactly. Rate/shape come
+    from the decoded header, NOT metadata. Stateless: drive as a
+    task-pool stage (instance, no concurrency) — see ImageStats."""
 
     def __call__(self, batch):
         import pyarrow as pa
