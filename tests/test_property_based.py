@@ -143,6 +143,92 @@ def test_jpeg_gray_q100_bounded(data):
     assert np.abs(out.astype(int) - px.astype(int)).max() <= 6
 
 
+# --- PNG codec (stages/png.py) ------------------------------------------
+
+from vtzero_ray.stages.png import decode_png, encode_png  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_png_roundtrip_all_filters(data):
+    """Arbitrary RGB pixels × every scanline filter type round-trip
+    bit-exactly (PNG is lossless; each filter exercises a distinct
+    defilter branch: None / Sub cumsum / Up / Average / Paeth scans)."""
+    h = data.draw(st.integers(1, 20))
+    w = data.draw(st.integers(1, 20))
+    ft = data.draw(st.integers(0, 4))
+    seed = data.draw(st.integers(0, 2**31))
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3),
+                                              dtype=np.uint8)
+    out = decode_png(encode_png(px, filter_type=ft))
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    assert np.array_equal(out, px)
+
+
+# --- WAV codec (stages/wav.py) -------------------------------------------
+
+from vtzero_ray.stages.wav import decode_wav, encode_wav  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_wav_roundtrip(data):
+    """Arbitrary int16 samples × 1–8 channels × any rate round-trip
+    bit-exactly, including full-range extremes and n=0 frames."""
+    n = data.draw(st.integers(0, 200))
+    ch = data.draw(st.integers(1, 8))
+    rate = data.draw(st.integers(1, 192000))
+    seed = data.draw(st.integers(0, 2**31))
+    s = np.random.default_rng(seed).integers(-(2**15), 2**15, (n, ch))
+    s = s.astype(np.int16)
+    out, got_rate = decode_wav(encode_wav(s, rate))
+    assert got_rate == rate
+    assert out.shape == (n, ch)
+    assert np.array_equal(out, s)
+
+
+# --- PBF varint / zigzag (mvt/pbf.py) -------------------------------------
+
+from vtzero_ray.mvt import pbf  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(-(2**31), 2**31 - 1))
+def test_zigzag32_roundtrip(v):
+    assert pbf.zigzag_decode32(pbf.zigzag_encode32(v)) == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(-(2**63), 2**63 - 1))
+def test_zigzag64_roundtrip(v):
+    assert pbf.zigzag_decode64(pbf.zigzag_encode64(v)) == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 2**32 - 1), max_size=100))
+def test_packed_varint_roundtrip(vals):
+    """Scalar encode_varint, vectorized encode_varints_np and the packed
+    decoder agree for arbitrary u32 sequences (incl. multi-byte
+    boundaries 2^7k ± 1)."""
+    arr = np.array(vals, dtype=np.uint32)
+    packed = pbf.encode_varints_np(arr.astype(np.uint64))
+    scalar = b"".join(pbf.encode_varint(int(v)) for v in vals)
+    assert packed == scalar
+    assert pbf.decode_packed_uint32(packed).tolist() == vals
+    assert pbf.varint_lengths_np(arr.astype(np.uint64)).sum() == len(packed)
+
+
+# --- zigzag scalar vs vectorized twin --------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(-(2**31), 2**31 - 1), min_size=1, max_size=64))
+def test_zigzag32_np_matches_scalar(vals):
+    arr = np.array(vals, dtype=np.int64)
+    enc = pbf.zigzag_encode32_np(arr)
+    assert enc.tolist() == [pbf.zigzag_encode32(v) for v in vals]
+    assert pbf.zigzag_decode32_np(enc).tolist() == vals
+
+
 @settings(max_examples=15, deadline=None)
 @given(st.data())
 def test_jpeg_rgb_decodes_valid(data):
