@@ -507,6 +507,26 @@ def _q_approx_distinct(sf_dir: str):
     return approx_distinct(_docs(sf_dir), "text", hash="md5")
 
 
+# fixed deterministic probe list for the count-min sketch query: the
+# synth corpus's head tokens plus one absent token (whose estimate is the
+# pure collision mass — also exactly reproduced by the SQL twin)
+_CMS_PROBES = ("join", "hash", "row", "batch", "scan", "the", "a",
+               "window", "zzz_absent_token")
+
+
+def _q_cms_token_est(sf_dir: str):
+    """Count-min sketch point-frequency estimates: per-batch partial
+    sketches over the batch vocabulary (corpus text never shuffles; only
+    depth x 2^w_bits int64 counter blobs leave each task) → driver merge
+    (elementwise integer addition — order-independent, bit-deterministic
+    under any block scheduling) → min-over-rows probe estimates. Hash =
+    DuckDB md5_number_lower bit-slices, so every counter the estimate
+    reads is exactly reproduced by functions/sketch_sql.cms_est_sql."""
+    from vtzero_ray.functions.sketch import cms_token_est
+
+    return cms_token_est(_docs(sf_dir), _CMS_PROBES)
+
+
 def _q_embedding_near_dups(sf_dir: str):
     import ray.data as rd
 
@@ -802,10 +822,14 @@ def _q_range_join(sf_dir: str):
 #                           the main 50 drive the same stage through the
 #                           harder codecs (PNG defilter matrix, lossy
 #                           JPEG entropy decode)
+#   clipped_segments_z2  -> per-segment ingredient of clipped_paths_z2
+#                           (same Liang-Barsky clip stage; the kept query
+#                           additionally chains parts)
 _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "doc_sample_10pct", "distinct_langs",
                   "events_hopping_window", "ann_topk_ivf",
-                  "audio_features", "top_orders", "media_features")
+                  "audio_features", "top_orders", "media_features",
+                  "clipped_segments_z2")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -864,6 +888,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "simhash_signatures": _q_simhash,
         "simhash_near_dups": _q_simhash_near_dups,
         "approx_distinct_texts": _q_approx_distinct,
+        "cms_token_est": _q_cms_token_est,
         "distinct_langs": _q_distinct_langs,
         "dup_clusters": _q_dup_clusters,
         "doc_sample_10pct": _q_doc_sample,
@@ -1035,7 +1060,7 @@ def _all_oracle_sql() -> dict[str, str]:
                                                 minhash_candidates_sql,
                                                 simhash_near_dups_sql,
                                                 simhash_sql)
-    from vtzero_ray.functions.sketch_sql import hll_facts_sql
+    from vtzero_ray.functions.sketch_sql import cms_est_sql, hll_facts_sql
     from vtzero_ray.stages.joins import SQL_ADMIN, SQL_POI
 
     t2 = _sql_tile(2)
@@ -1365,6 +1390,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "simhash_near_dups": simhash_near_dups_sql(),
         "jaccard_verified_dups": jaccard_verified_sql(),
         "approx_distinct_texts": hll_facts_sql(),
+        "cms_token_est": cms_est_sql(_CMS_PROBES),
         "embedding_near_dups": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
             "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "

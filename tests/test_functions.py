@@ -758,6 +758,112 @@ class TestHLL:
         assert abs(got - exact) / max(exact, 1) < 0.05
 
 
+class TestCMS:
+    def test_upper_bound_and_exactness(self):
+        """CMS estimates are >= true counts, exact when the probe's
+        buckets are collision-free, and 0-or-collision-mass for absent
+        tokens."""
+        import numpy as np
+
+        from vtzero_ray.functions.sketch import CMS
+
+        tokens = [f"tok{i}" for i in range(500)]
+        counts = np.arange(1, 501, dtype=np.int64)
+        c = CMS(w_bits=12, depth=4)
+        c.add(tokens, counts)
+        est = c.estimate(tokens)
+        assert (est >= counts).all()
+        # 500 tokens in 4096 buckets x 4 rows: min-over-rows is exact for
+        # the overwhelming majority; require > 90% exact
+        assert (est == counts).mean() > 0.9
+        assert int(c.estimate(["never_seen_tok"])[0]) >= 0
+
+    def test_merge_order_independent(self):
+        """Any split of the input into partial sketches merges to the
+        SAME counters (integer addition commutes) — the property that
+        makes the distributed result bit-deterministic."""
+        import numpy as np
+
+        from vtzero_ray.functions.sketch import CMS
+
+        tokens = [f"w{i % 97}" for i in range(300)]
+        counts = np.ones(300, np.int64)
+        whole = CMS(10, 3)
+        whole.add(tokens, counts)
+        for cut in (1, 37, 150, 299):
+            a, b = CMS(10, 3), CMS(10, 3)
+            a.add(tokens[:cut], counts[:cut])
+            b.add(tokens[cut:], counts[cut:])
+            assert (b.merge(a).counters == whole.counters).all()
+
+    def test_bytes_roundtrip(self):
+        import numpy as np
+
+        from vtzero_ray.functions.sketch import CMS
+
+        c = CMS(9, 2)
+        c.add(["x", "y", "x"], np.array([5, 7, 1], np.int64))
+        c2 = CMS.from_bytes(c.to_bytes())
+        assert c2.w_bits == 9 and c2.depth == 2
+        assert (c2.counters == c.counters).all()
+
+    def test_matches_duckdb_oracle(self):
+        """Every probe estimate (incl. an absent token's collision mass)
+        must be reproduced exactly by the SQL twin."""
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+
+        from vtzero_ray.functions.sketch import CMS, _split_tokens
+        from vtzero_ray.functions.sketch_sql import cms_est_sql
+
+        texts = [f"alpha beta g{i % 13} beta" for i in range(211)]
+        tab = pa.table({"text": texts})
+        vocab, counts, total = _split_tokens(tab, "text")
+        c = CMS()
+        c.add(vocab, counts)
+        probes = ["alpha", "beta", "g0", "g12", "zz_absent"]
+        est = c.estimate(probes)
+        con = duckdb.connect()
+        con.register("documents", tab)
+        df = con.execute(cms_est_sql(probes)).fetchdf()
+        got = dict(zip(df["token"], df["est"]))
+        assert {p: int(e) for p, e in zip(probes, est)} == \
+               {k: int(v) for k, v in got.items()}
+        assert int(df["total_tokens"].iloc[0]) == total == 211 * 4
+
+    def test_distributed_matches_local(self, ray_session, sf_dir):
+        """cms_token_est over a repartitioned Dataset == one local sketch
+        over the whole table (merge determinism end-to-end), and est ==
+        exact count for the head tokens at this scale."""
+        import duckdb
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from vtzero_ray.functions.sketch import CMS, _split_tokens, \
+            cms_token_est
+
+        probes = ["join", "hash", "scan", "zz_absent"]
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["text"]).repartition(8)
+        out = cms_token_est(ds, probes)
+        tab = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        vocab, counts, total = _split_tokens(tab, "text")
+        c = CMS()
+        c.add(vocab, counts)
+        assert out["est"].tolist() == c.estimate(probes).tolist()
+        assert out["total_tokens"].iloc[0] == total
+        con = duckdb.connect()
+        con.register("documents", tab)
+        exact = dict(con.execute(
+            "WITH t AS (SELECT unnest(regexp_split_to_array(trim(text),"
+            " '\\s+')) tok FROM documents WHERE trim(text) != '')"
+            " SELECT tok, COUNT(*) FROM t WHERE tok != '' GROUP BY 1"
+        ).fetchall())
+        for p, e in zip(probes, out["est"]):
+            assert e >= exact.get(p, 0)
+
+
 class TestCorpusPipelines:
     def test_clean_corpus_subset_of_dedup(self, ray_session, sf_dir):
         """Every kept group must also exist in plain exact-dedup output,

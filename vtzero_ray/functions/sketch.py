@@ -135,6 +135,145 @@ def approx_distinct(ds, column: str, p: int = 12, hash: str = "blake2b"):
 
 
 # ---------------------------------------------------------------------------
+# count-min sketch: mergeable heavy-hitter / point-frequency estimates
+# ---------------------------------------------------------------------------
+
+
+class CMS:
+    """Count-min sketch over whitespace tokens.
+
+    Same reproducibility contract as HLL: the hash is DuckDB
+    ``md5_number_lower`` and row ``r``'s bucket is bit-slice
+    ``(h >> 16*r) & (2^w_bits - 1)`` — pure integer ops both engines
+    compute identically, so every counter (and therefore every point
+    estimate) is exact in the SQL twin (sketch_sql.cms_est_sql). Merge is
+    elementwise int64 addition: order-independent, bit-deterministic
+    under any Ray block scheduling. depth <= 4 (4 disjoint-ish 16-bit
+    slices of the 64-bit hash), w_bits <= 16.
+    """
+
+    __slots__ = ("w_bits", "depth", "counters")
+
+    def __init__(self, w_bits: int = 12, depth: int = 4,
+                 counters: np.ndarray | None = None) -> None:
+        if not (1 <= depth <= 4 and 1 <= w_bits <= 16):
+            raise ValueError(f"bad CMS shape depth={depth} w_bits={w_bits}")
+        self.w_bits = w_bits
+        self.depth = depth
+        self.counters = (counters if counters is not None
+                         else np.zeros((depth, 1 << w_bits), np.int64))
+
+    @staticmethod
+    def hash64(values) -> np.ndarray:
+        """lower-8-md5-bytes little-endian = DuckDB md5_number_lower."""
+        gen = (int.from_bytes(hashlib.md5(
+            (v if isinstance(v, bytes) else str(v).encode())
+        ).digest()[8:], "little") for v in values)
+        return np.fromiter(gen, dtype=np.uint64, count=len(values))
+
+    def _buckets(self, h: np.ndarray) -> np.ndarray:
+        mask = np.uint64((1 << self.w_bits) - 1)
+        return np.stack([((h >> np.uint64(16 * r)) & mask).astype(np.int64)
+                         for r in range(self.depth)])
+
+    def add(self, tokens, counts: np.ndarray) -> None:
+        """Add distinct tokens with their counts (hash the vocabulary
+        once, not every occurrence)."""
+        if not len(tokens):
+            return
+        b = self._buckets(self.hash64(tokens))
+        c = np.asarray(counts, np.int64)
+        for r in range(self.depth):
+            np.add.at(self.counters[r], b[r], c)
+
+    def merge(self, other: "CMS") -> "CMS":
+        return CMS(self.w_bits, self.depth, self.counters + other.counters)
+
+    def estimate(self, tokens) -> np.ndarray:
+        """Point estimates: min over rows of the token's bucket counter
+        (>= true count; == bucket collision mass for absent tokens)."""
+        if not len(tokens):
+            return np.empty(0, np.int64)
+        b = self._buckets(self.hash64(tokens))
+        return np.stack([self.counters[r][b[r]]
+                         for r in range(self.depth)]).min(axis=0)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.w_bits, self.depth]) + self.counters.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CMS":
+        w_bits, depth = b[0], b[1]
+        counters = np.frombuffer(b[2:], np.int64).reshape(depth, 1 << w_bits)
+        return cls(w_bits, depth, counters.copy())
+
+
+def _split_tokens(batch: "pa.Table", column: str):
+    """Arrow whitespace split, empty tokens dropped (byte-equal to the
+    SQL twin's regexp_split_to_array(trim(text),'\\s+') + token != '')
+    → (vocab list, per-vocab int64 counts, total token count)."""
+    import pyarrow.compute as pc
+
+    texts = batch.column(column)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    if len(flat) == 0:
+        return [], np.empty(0, np.int64), 0
+    d = pc.dictionary_encode(flat)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = d.dictionary.to_pylist()
+    counts = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+    keep = [i for i, v in enumerate(vocab) if v]
+    if len(keep) != len(vocab):
+        vocab = [vocab[i] for i in keep]
+        counts = counts[np.asarray(keep, np.int64)]
+    return vocab, counts, int(counts.sum())
+
+
+def cms_token_est(ds, probes, column: str = "text",
+                  w_bits: int = 12, depth: int = 4):
+    """Distributed token-frequency estimation: per-batch partial CMS
+    over the batch vocabulary (the corpus never shuffles; only
+    depth*2^w_bits-int64 blobs leave each task) → driver-side merge of
+    ~#blocks sketches → point estimates for the fixed probe list.
+
+    Returns a pandas DataFrame (token, est, total_tokens): est is the
+    CMS upper bound (exact integer, reproduced by the SQL twin
+    sketch_sql.cms_est_sql), total_tokens the exact corpus token count.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..runtime import tune_allocator
+
+        tune_allocator()
+        vocab, counts, total = _split_tokens(batch, column)
+        c = CMS(w_bits, depth)
+        c.add(vocab, counts)
+        return pa.table({"sketch": pa.array([c.to_bytes()], pa.binary()),
+                         "n_tokens": pa.array([total], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    merged = CMS(w_bits, depth)
+    total = 0
+    for row in parts.take_all():
+        merged = merged.merge(CMS.from_bytes(row["sketch"]))
+        total += int(row["n_tokens"])
+    probes = list(probes)
+    return pd.DataFrame({
+        "token": probes,
+        "est": merged.estimate(probes).astype(np.int64),
+        "total_tokens": np.full(len(probes), total, np.int64),
+    })
+
+
+# ---------------------------------------------------------------------------
 # exact distributed quantiles via mergeable histograms
 # ---------------------------------------------------------------------------
 

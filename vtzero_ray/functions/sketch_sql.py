@@ -22,6 +22,38 @@ order exactly.
 from __future__ import annotations
 
 
+def cms_est_sql(probes, column: str = "text", table: str = "documents",
+                w_bits: int = 12, depth: int = 4) -> str:
+    """Exact SQL twin of sketch.cms_token_est: a CMS counter is the SUM
+    of counts of every corpus token sharing the bucket, so the point
+    estimate is MIN over depth rows of that bucket sum — pure integer
+    math on md5_number_lower bit-slices, reproduced verbatim here
+    (including the collision mass an absent probe reads)."""
+    mask = (1 << w_bits) - 1
+    vals = ", ".join(f"('{p}')" for p in probes)
+    return (
+        f"WITH toks AS (SELECT unnest(regexp_split_to_array(trim({column}),"
+        f" '\\s+')) AS token FROM {table} WHERE trim({column}) != ''), "
+        f"tc AS (SELECT token, COUNT(*)::BIGINT AS n FROM toks"
+        f" WHERE token != '' GROUP BY 1), "
+        f"h AS (SELECT n, md5_number_lower(token)::UBIGINT AS hv FROM tc), "
+        f"probes(token) AS (VALUES {vals}), "
+        f"ph AS (SELECT token, md5_number_lower(token)::UBIGINT AS hv"
+        f" FROM probes), "
+        f"rws AS (SELECT unnest(generate_series(0, {depth - 1})) AS r), "
+        f"cells AS (SELECT p.token, r.r, COALESCE(SUM(c.n), 0) AS rowsum"
+        f" FROM ph p CROSS JOIN rws r LEFT JOIN h c"
+        f" ON ((c.hv >> (16 * r.r)) & {mask}::UBIGINT)"
+        f" = ((p.hv >> (16 * r.r)) & {mask}::UBIGINT)"
+        f" GROUP BY 1, 2) "
+        f"SELECT e.token, e.est,"
+        f" (SELECT COUNT(*) FROM toks WHERE token != '')::BIGINT"
+        f" AS total_tokens FROM"
+        f" (SELECT token, MIN(rowsum)::BIGINT AS est FROM cells"
+        f" GROUP BY 1) e"
+    )
+
+
 def hll_facts_sql(p: int = 12, column: str = "text",
                   table: str = "documents") -> str:
     m = 1 << p
