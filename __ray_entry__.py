@@ -551,6 +551,23 @@ def _q_embedding_near_dups_lsh(sf_dir: str):
 
 # -- similarity search -------------------------------------------------------
 
+# fixed deterministic BM25 query terms: mid-df tokens from the synth
+# corpus vocabulary (df ~380-400 of 500 docs at sf0.01 -> positive idf)
+_BM25_TERMS = ("vector", "window", "merge", "spark")
+
+
+def _q_bm25_topk(sf_dir: str):
+    """Lexical top-k search (BM25) — the keyword complement of the
+    embedding ANN family. Two passes: integer term-stats combiner
+    (O(terms) reduced frame, broadcast back as plain floats) then one
+    vectorized scoring scan with per-batch top-k prune and a single
+    output-sized merge task. Scores round(.,9)-pinned to the SQL twin
+    (same literals, parse order, libm ln in both engines)."""
+    from vtzero_ray.functions.search import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), _BM25_TERMS, k=20)
+
+
 def _q_ann_bruteforce(sf_dir: str):
     import ray.data as rd
 
@@ -825,11 +842,15 @@ def _q_range_join(sf_dir: str):
 #   clipped_segments_z2  -> per-segment ingredient of clipped_paths_z2
 #                           (same Liang-Barsky clip stage; the kept query
 #                           additionally chains parts)
+#   embedding_near_dups  -> O(B^2) all-pairs exact twin; verification
+#                           baseline of embedding_near_dups_lsh (the
+#                           shipping sub-quadratic scale path, kept in
+#                           the main 50)
 _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "doc_sample_10pct", "distinct_langs",
                   "events_hopping_window", "ann_topk_ivf",
                   "audio_features", "top_orders", "media_features",
-                  "clipped_segments_z2")
+                  "clipped_segments_z2", "embedding_near_dups")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -896,7 +917,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": _q_sample_stratified,
         "embedding_near_dups": _q_embedding_near_dups,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
-        # similarity search
+        # similarity search (lexical + embedding)
+        "bm25_topk": _q_bm25_topk,
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
@@ -1055,6 +1077,7 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.ann import topk_lsh_sql as ann_lsh_sql
     from vtzero_ray.functions.dedup import \
         embedding_near_dups_lsh_sql as near_dups_lsh_sql
+    from vtzero_ray.functions.search import bm25_sql as bm25_oracle_sql
     from vtzero_ray.functions.dedup_sql import (dup_clusters_sql,
                                                 jaccard_verified_sql,
                                                 minhash_candidates_sql,
@@ -1403,6 +1426,11 @@ def _all_oracle_sql() -> dict[str, str]:
         "embedding_near_dups_lsh": near_dups_lsh_sql(threshold=0.35,
                                                      n_bits=4, n_tables=8),
         # -- similarity search --------------------------------------------------
+        # bm25_topk: same whitespace tokenizer, integer tf/df/dl stats,
+        # and the SAME float expression text (literal constants, parse
+        # order, libm ln) as functions/search.bm25_topk; round(.,9) pins
+        # both engines before ranking
+        "bm25_topk": bm25_oracle_sql(_BM25_TERMS, k=20),
         "ann_topk_bruteforce": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10) "
             "SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "

@@ -1,0 +1,116 @@
+"""BM25 keyword search (functions/search.py).
+
+The contract under test: bm25_topk is (1) exactly reproduced by its
+DuckDB twin bm25_sql — same tokenizer, integer stats, float expression
+text — and (2) invariant to block partitioning (per-batch top-k prune +
+integer stats combiners are provably order-independent).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _corpus():
+    """Small corpus exercising: repeated terms (tf>1), docs with no query
+    terms (score 0 -> excluded), empty/whitespace docs, score ties broken
+    by doc_id, and the every-doc term (df == n_docs still has idf > 0
+    under the +1-inside-ln variant)."""
+    texts = [
+        "hash join beats merge join",          # tf(join)=2
+        "hash table scan",
+        "window functions and window frames",  # tf(window)=2
+        "merge sort is stable",
+        "nothing relevant here at all",
+        "",
+        "   ",
+        "hash hash hash",                      # tf(hash)=3
+        "the quick scan",
+        "join window merge hash",              # all four terms once
+    ]
+    return pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+
+
+TERMS = ("hash", "join", "window", "merge")
+
+
+class TestBM25:
+    def test_matches_duckdb_twin_synth(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.search import bm25_sql, bm25_topk
+
+        tab = _corpus()
+        got = bm25_topk(rd.from_arrow(tab).repartition(4), TERMS, k=8)
+        con = duckdb.connect()
+        con.register("documents", tab)
+        want = con.execute(bm25_sql(TERMS, k=8)).fetchdf()
+        assert list(got.columns) == list(want.columns)
+        assert got.dtypes.equals(want.dtypes)
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+    def test_matches_duckdb_twin_sfdata(self, ray_session, sf_dir):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.search import bm25_sql, bm25_topk
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+        got = bm25_topk(ds, ("vector", "window", "merge", "spark"), k=20)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+        want = con.execute(
+            bm25_sql(("vector", "window", "merge", "spark"), k=20)).fetchdf()
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+    def test_partition_invariance(self, ray_session):
+        """Same result at 1 block and at more blocks than rows: the
+        integer stats merge and the per-batch top-k prune may not depend
+        on block boundaries."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.search import bm25_topk
+
+        tab = _corpus()
+        a = bm25_topk(rd.from_arrow(tab).repartition(1), TERMS, k=5)
+        b = bm25_topk(rd.from_arrow(tab).repartition(16), TERMS, k=5)
+        assert a.equals(b)
+
+    def test_semantics(self, ray_session):
+        """Hand-checkable facts: zero-hit and blank docs excluded; ranks
+        are 1..n dense; higher-tf short docs outrank single-hit docs for
+        a one-term query."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.search import bm25_topk
+
+        out = bm25_topk(rd.from_arrow(_corpus()), ("hash",), k=10)
+        # docs containing "hash": 0, 1, 7, 9 — nothing else may appear
+        assert set(out.doc_id) == {0, 1, 7, 9}
+        assert list(out.rnk) == list(range(1, len(out) + 1))
+        assert list(out.score) == sorted(out.score, reverse=True)
+        # doc 7 ("hash hash hash", tf=3, dl=3) is the clear winner
+        assert out.doc_id.iloc[0] == 7
+
+    def test_idf_positive_at_full_df(self, ray_session):
+        """The +1-inside-ln idf keeps every term's contribution positive
+        even when df == n_docs, so ubiquitous terms never flip ranking
+        signs between engines."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.search import bm25_topk
+
+        tab = pa.table({
+            "doc_id": pa.array(np.arange(3, dtype=np.int64)),
+            "text": pa.array(["the a", "the the b", "the c d e"]),
+        })
+        out = bm25_topk(rd.from_arrow(tab), ("the",), k=3)
+        assert len(out) == 3
+        assert (out.score > 0).all()
