@@ -627,6 +627,35 @@ def _ivf_index_dir(sf_dir: str) -> str:
     return index_dir
 
 
+def _text_index_dir(sf_dir: str) -> str:
+    """Build-once cached BM25 inverted-index dir for ``sf_dir`` under
+    /tmp — the _ivf_index_dir contract: content-fingerprinted cache key,
+    completeness gated on meta.parquet (written last inside the temp
+    dir; build_text_index publishes atomically via os.rename)."""
+    import os
+
+    from vtzero_ray.functions.search import build_text_index
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    index_dir = (f"/tmp/vtzero_ray_textidx/"
+                 f"{os.path.basename(os.path.normpath(sf_dir))}"
+                 f"_{st.st_size}_{st.st_mtime_ns}_b64_v1")
+    if not os.path.isfile(f"{index_dir}/meta.parquet"):
+        build_text_index(_docs(sf_dir), index_dir, n_buckets=64)
+    return index_dir
+
+
+def _q_bm25_topk_indexed(sf_dir: str):
+    """BM25 over the PERSISTED inverted index (queries_extra twin of
+    bm25_topk — byte-equal by construction, so it shares the same SQL
+    oracle): postings written partitioned by crc32(term) % 64 ONCE, then
+    every query run reads only its terms' bucket partitions."""
+    from vtzero_ray.functions.search import bm25_topk_indexed
+
+    return bm25_topk_indexed(_text_index_dir(sf_dir), _BM25_TERMS, k=20)
+
+
 def _q_ann_ivf_indexed(sf_dir: str):
     """IVF ANN over the PERSISTED index (the only IVF shape on the driver
     path — no query run performs a full corpus pass): the corpus is written
@@ -846,11 +875,15 @@ def _q_range_join(sf_dir: str):
 #                           baseline of embedding_near_dups_lsh (the
 #                           shipping sub-quadratic scale path, kept in
 #                           the main 50)
+#   bm25_topk_indexed    -> persisted-inverted-index twin of bm25_topk
+#                           (byte-equal, shares its oracle; evidences
+#                           the build-once/pruned-read scale path)
 _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "doc_sample_10pct", "distinct_langs",
                   "events_hopping_window", "ann_topk_ivf",
                   "audio_features", "top_orders", "media_features",
-                  "clipped_segments_z2", "embedding_near_dups")
+                  "clipped_segments_z2", "embedding_near_dups",
+                  "bm25_topk_indexed")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -919,6 +952,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         # similarity search (lexical + embedding)
         "bm25_topk": _q_bm25_topk,
+        "bm25_topk_indexed": _q_bm25_topk_indexed,
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
@@ -1431,6 +1465,10 @@ def _all_oracle_sql() -> dict[str, str]:
         # order, libm ln) as functions/search.bm25_topk; round(.,9) pins
         # both engines before ranking
         "bm25_topk": bm25_oracle_sql(_BM25_TERMS, k=20),
+        # bm25_topk_indexed is byte-equal to bm25_topk by construction
+        # (in-group term-order float sums reproduce the scan path's adds
+        # exactly; asserted in test_search.py) → same oracle
+        "bm25_topk_indexed": bm25_oracle_sql(_BM25_TERMS, k=20),
         "ann_topk_bruteforce": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 10) "
             "SELECT q.vec_id AS query_id, e.vec_id AS vec_id, "

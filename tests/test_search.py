@@ -99,6 +99,64 @@ class TestBM25:
         # doc 7 ("hash hash hash", tf=3, dl=3) is the clear winner
         assert out.doc_id.iloc[0] == 7
 
+    def test_indexed_byte_equal_and_pruned(self, ray_session, tmp_path):
+        """The persisted-index path must (1) return the exact frame the
+        scan path returns — same floats, same ranks — and (2) list only
+        the query terms' bucket partitions into read_parquet."""
+        import glob
+
+        import ray.data as rd
+
+        from vtzero_ray.functions.search import (bm25_topk,
+                                                 bm25_topk_indexed,
+                                                 build_text_index,
+                                                 index_paths_for)
+
+        tab = _corpus()
+        idx = str(tmp_path / "idx")
+        build_text_index(rd.from_arrow(tab).repartition(4), idx,
+                         n_buckets=16)
+        for terms in [TERMS, ("hash",), ("scan", "stable")]:
+            scan = bm25_topk(rd.from_arrow(tab).repartition(3), terms, k=6)
+            indexed = bm25_topk_indexed(idx, terms, k=6)
+            assert scan.equals(indexed), terms
+        all_files = glob.glob(f"{idx}/postings/bpart=*/*.parquet")
+        pruned = index_paths_for(idx, ("hash",))
+        assert 0 < len(pruned) < len(all_files)
+
+    def test_index_build_atomic_and_rebuild_safe(self, ray_session,
+                                                 tmp_path):
+        """meta.parquet presence implies completeness; a second build
+        into an existing dir is a harmless no-op race-loser."""
+        import os
+
+        import ray.data as rd
+
+        from vtzero_ray.functions.search import (bm25_topk_indexed,
+                                                 build_text_index)
+
+        tab = _corpus()
+        idx = str(tmp_path / "idx2")
+        build_text_index(rd.from_arrow(tab), idx)
+        assert os.path.isfile(f"{idx}/meta.parquet")
+        first = bm25_topk_indexed(idx, TERMS, k=5)
+        build_text_index(rd.from_arrow(tab), idx)  # concurrent-loser path
+        assert bm25_topk_indexed(idx, TERMS, k=5).equals(first)
+
+    def test_indexed_absent_term(self, ray_session, tmp_path):
+        """A term hashing to a bucket that was never written returns a
+        typed empty frame, not a read error."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.search import (bm25_topk_indexed,
+                                                 build_text_index)
+
+        idx = str(tmp_path / "idx3")
+        build_text_index(rd.from_arrow(_corpus()), idx, n_buckets=256)
+        out = bm25_topk_indexed(idx, ("qqqqzzzz",), k=5)
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "score", "rnk"]
+
     def test_idf_positive_at_full_df(self, ray_session):
         """The +1-inside-ln idf keeps every term's contribution positive
         even when df == n_docs, so ubiquitous terms never flip ranking

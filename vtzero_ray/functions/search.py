@@ -75,12 +75,32 @@ def _score(tf: np.ndarray, dl: np.ndarray, idf: list, avgdl: float,
     return np.round(s, 9)
 
 
+def _merge_topk(cands, k: int):
+    """Final output-sized merge: ONE repartition(1)+map_batches task (the
+    repo's merge rule — no second groupby barrier). Shared by the scan
+    and indexed paths so their ranking is one code path."""
+    import pandas as pd
+
+    def merge_all(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="stable").head(k).reset_index(drop=True)
+        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = cands.repartition(1).map_batches(merge_all, batch_format="pyarrow",
+                                           batch_size=None).to_pandas()
+    if len(out) == 0:  # zero candidates → typed empty frame
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                            "score": pd.Series([], dtype=np.float64),
+                            "rnk": pd.Series([], dtype=np.int64)})
+    return out
+
+
 def bm25_topk(ds, terms, k: int = 10, k1: float = 1.2, b: float = 0.75,
               column: str = "text", id_column: str = "doc_id"):
     """Top-k documents by BM25 for a fixed term list → pandas DataFrame
     (doc_id, score, rnk), rank = (score DESC, doc_id ASC), score > 0."""
-    import pandas as pd
-
     terms = tuple(terms)
 
     def stats_partial(batch: pa.Table) -> pa.Table:
@@ -117,17 +137,249 @@ def bm25_topk(ds, terms, k: int = 10, k1: float = 1.2, b: float = 0.75,
 
     cands = ds.map_batches(score_topk, batch_format="pyarrow",
                            batch_size=None)
+    return _merge_topk(cands, k)
 
-    def merge_all(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df.sort_values(["score", "doc_id"], ascending=[False, True],
-                            kind="stable").head(k).reset_index(drop=True)
-        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
 
-    out = cands.repartition(1).map_batches(merge_all, batch_format="pyarrow",
-                                           batch_size=None)
-    return out.to_pandas()
+# ---------------------------------------------------------------------------
+# persisted inverted index — the 100-TB scale path (build once, then every
+# query reads ONLY the posting buckets of its terms; mirrors the
+# build_ivf_index / topk_ivf_indexed pattern in functions/ann.py)
+# ---------------------------------------------------------------------------
+
+_INDEX_VERSION = 1
+
+
+def _term_bucket(term: str, n_buckets: int) -> int:
+    import zlib
+
+    return zlib.crc32(term.encode()) % n_buckets
+
+
+def _postings_of(batch: pa.Table, column: str, id_column: str,
+                 n_buckets: int) -> pa.Table:
+    """Posting rows (term, doc_id, tf, dl, bpart) for one batch, plus ONE
+    stats row per batch in the sentinel partition bpart == n_buckets
+    (term='', doc_id=<batch rows incl. empty docs>, tf=<batch token
+    total>, dl=0) — so corpus-global stats ride the same single pass.
+
+    Vectorized: dictionary-encode the flat token stream, then count
+    unique (doc, code) pairs with one np.unique over a fused int64 key
+    (dl replicated per posting keeps query-time scoring join-free)."""
+    import pyarrow.compute as pc
+    import zlib
+
+    texts = batch.column(column)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    ids = batch.column(id_column).to_numpy().astype(np.int64)
+    n = len(texts)
+    toks = pc.utf8_split_whitespace(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    offs = np.asarray(toks.offsets, np.int64)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    terms = np.empty(0, object)
+    docs = tfs = dls = np.empty(0, np.int64)
+    dl = np.zeros(n, np.int64)
+    if len(flat):
+        nonempty = pc.binary_length(flat).to_numpy().astype(np.int64) > 0
+        doc_idx = doc_idx[nonempty]
+        dl = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        d = pc.dictionary_encode(flat.filter(pa.array(nonempty)))
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(d.dictionary.to_pylist(), object)
+        pair, tfs = np.unique(doc_idx * len(vocab) + codes,
+                              return_counts=True)
+        pdoc, pcode = pair // len(vocab), pair % len(vocab)
+        terms, docs, dls = vocab[pcode], ids[pdoc], dl[pdoc]
+        tfs = tfs.astype(np.int64)
+    # bucket via the batch vocabulary (crc32 once per unique term)
+    if len(terms):
+        uvoc, inv = np.unique(terms, return_inverse=True)
+        vh = np.fromiter((zlib.crc32(v.encode()) for v in uvoc),
+                         np.int64, count=len(uvoc))
+        bparts = (vh[inv] % n_buckets).astype(np.int64)
+    else:
+        bparts = np.empty(0, np.int64)
+    return pa.table({
+        "term": pa.array(np.append(terms, [""]), pa.string()),
+        "doc_id": pa.array(np.append(docs, [n])),
+        "tf": pa.array(np.append(tfs, [int(dl.sum())])),
+        "dl": pa.array(np.append(dls, [0])),
+        "bpart": pa.array(np.append(bparts, [n_buckets])),
+    })
+
+
+def build_text_index(ds, out_dir: str, n_buckets: int = 64,
+                     column: str = "text", id_column: str = "doc_id") -> str:
+    """Persist a BM25 inverted index: posting rows written as parquet
+    PARTITIONED BY bpart = crc32(term) % n_buckets, stats rows in the
+    sentinel partition bpart == n_buckets. ONE corpus pass, no shuffle
+    (write_parquet partition_cols splits per task). Built once; every
+    query after that reads only its terms' buckets (bm25_topk_indexed).
+
+    ATOMIC: built into a process-private temp dir, os.rename()d into
+    place; meta.parquet is written LAST inside the temp dir, so presence
+    implies a complete index (the build_ivf_index publish contract,
+    functions/ann.py:461)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    postings = ds.map_batches(
+        lambda t: _postings_of(t, column, id_column, n_buckets),
+        batch_format="pyarrow", batch_size=None)
+    out_dir = os.path.normpath(out_dir)
+    tmp_dir = f"{out_dir}.building.{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    try:
+        postings.write_parquet(f"{tmp_dir}/postings", partition_cols=["bpart"])
+        pq.write_table(pa.table({
+            "n_buckets": pa.array([n_buckets], pa.int64()),
+            "version": pa.array([_INDEX_VERSION], pa.int64()),
+        }), f"{tmp_dir}/meta.parquet")
+        try:
+            os.rename(tmp_dir, out_dir)  # atomic publish
+        except OSError:
+            if not os.path.isfile(f"{out_dir}/meta.parquet"):
+                raise  # loser of a concurrent race is fine; else real
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_dir
+
+
+def index_paths_for(index_dir: str, terms) -> list:
+    """Parquet files of ONLY the buckets the query terms hash into —
+    unmatched buckets never leave storage (file-level pruning; the
+    topk_ivf_indexed probe-partition rule)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    nb = int(pq.read_table(f"{index_dir}/meta.parquet")
+             .column("n_buckets")[0].as_py())
+    needed = sorted({_term_bucket(t, nb) for t in terms})
+    return sorted(f for bkt in needed for f in
+                  glob.glob(f"{index_dir}/postings/bpart={bkt}/*.parquet"))
+
+
+def _index_stats(index_dir: str, n_buckets: int):
+    """Corpus globals from the tiny sentinel partition: (n_docs,
+    total_tokens) — integer sums, order-independent."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = glob.glob(f"{index_dir}/postings/bpart={n_buckets}/*.parquet")
+    n_docs = total = 0
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id", "tf"])
+        n_docs += int(np.asarray(t.column("doc_id")).sum())
+        total += int(np.asarray(t.column("tf")).sum())
+    return n_docs, total
+
+
+def bm25_topk_indexed(index_dir: str, terms, k: int = 10, k1: float = 1.2,
+                      b: float = 0.75):
+    """BM25 over a PERSISTED inverted index — byte-equal to bm25_topk on
+    the same corpus (asserted in tests), but reads only the posting
+    buckets of the query terms instead of scanning the corpus.
+
+    Shape: pruned read → per-batch df partials (integer, tiny) → pruned
+    read again for scoring → ONE bounded doc-bucket shuffle (a doc's
+    postings for different terms live in different bucket partitions, so
+    its score sum crosses blocks) → in-group term-ORDER summation
+    (np.add.at per term, reproducing the scan path's left-to-right float
+    adds exactly) → per-group top-k prune → one output-sized merge."""
+    import pyarrow.compute as pc_mod
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    terms = tuple(terms)
+    nb = int(pq.read_table(f"{index_dir}/meta.parquet")
+             .column("n_buckets")[0].as_py())
+    n_docs, total = _index_stats(index_dir, nb)
+    paths = index_paths_for(index_dir, terms)
+    avgdl = total / n_docs
+    term_list = list(terms)
+
+    if not paths:  # no query term bucket exists in the corpus at all
+        import pandas as pd
+
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64),
+                             "rnk": pd.Series([], dtype=np.int64)})
+
+    def read_pruned():
+        return rd.read_parquet(
+            paths, columns=["term", "doc_id", "tf", "dl"],
+            filter=pc_mod.field("term").isin(term_list))
+
+    # pass 1: df per term (posting rows are unique (term, doc) pairs, so
+    # df == row count per term) — integer partials, bit-deterministic
+    def df_partial(t: pa.Table) -> pa.Table:
+        tcol = t.column("term")
+        cols = {f"df_{i}": pa.array(
+            [int(pc_mod.sum(pc_mod.equal(tcol, trm)).as_py() or 0)],
+            pa.int64()) for i, trm in enumerate(terms)}
+        return pa.table(cols)
+
+    parts = read_pruned().map_batches(df_partial, batch_format="pyarrow",
+                                      batch_size=None).take_all()
+    dfs = [sum(r[f"df_{i}"] for r in parts) for i in range(len(terms))]
+    idf = [float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+           for df in dfs]
+
+    # pass 2: route postings to doc buckets (bounded key space), sum each
+    # doc's contributions IN TERM ORDER, prune per group
+    def add_term_idx(t: pa.Table) -> pa.Table:
+        tcol = t.column("term")
+        tidx = pc_mod.index_in(tcol, value_set=pa.array(term_list))
+        db = pc_mod.cast(
+            pc_mod.bit_wise_and(t.column("doc_id"), 63), pa.int64())
+        return (t.drop_columns(["term"])
+                 .append_column("tidx", pc_mod.cast(tidx, pa.int64()))
+                 .append_column("dbucket", db))
+
+    routed = read_pruned().map_batches(add_term_idx, batch_format="pyarrow",
+                                       batch_size=None)
+
+    def score_group(df):
+        from ..runtime import tune_allocator
+
+        tune_allocator()
+        ids = df["doc_id"].to_numpy(np.int64)
+        tf = df["tf"].to_numpy(np.int64)
+        dl = df["dl"].to_numpy(np.int64)
+        ti = df["tidx"].to_numpy(np.int64)
+        uids, pos = np.unique(ids, return_inverse=True)
+        s = np.zeros(len(uids), np.float64)
+        dn_all = dl.astype(np.float64) / avgdl
+        for i in range(len(terms)):  # term order == scan path's sum order
+            m = ti == i
+            t = tf[m].astype(np.float64)
+            s[pos[m]] += (idf[i] * (t * (k1 + 1.0))) / (
+                t + k1 * ((1.0 - b) + b * dn_all[m]))
+        s = np.round(s, 9)
+        keep = s > 0.0
+        uids, s = uids[keep], s[keep]
+        order = np.lexsort((uids, -s))[:k]
+        import pandas as pd
+
+        return pd.DataFrame({"doc_id": uids[order], "score": s[order]})
+
+    cands = routed.groupby("dbucket").map_groups(score_group,
+                                                 batch_format="pandas")
+
+    def drop_key(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "score"]) if t.num_columns > 2 else t
+
+    return _merge_topk(cands.map_batches(drop_key, batch_format="pyarrow",
+                                         batch_size=None), k)
 
 
 def bm25_sql(terms, k: int = 10, k1: float = 1.2, b: float = 0.75,
