@@ -423,6 +423,19 @@ def _q_fingerprint(sf_dir: str):
 
 # -- dedup -------------------------------------------------------------------
 
+def _q_pack_sequences(sf_dir: str):
+    """Training-data sequence packing — the distributed prefix-sum
+    pattern: per-range integer partials (order-independent int64 adds) →
+    tiny driver exclusive scan → ONE bounded groupby(range) shuffle with
+    in-range local scans. Every doc gets its global token offset and the
+    2048-token context window it starts in. Pure-int outputs, window-
+    cumsum SQL oracle. range_width=64 so sf0.01 exercises multiple
+    ranges; at 10^12 docs pick 2^20 (driver frame stays ~10^6 rows)."""
+    from vtzero_ray.functions.pack import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), seq_len=2048, range_width=64)
+
+
 def _q_dedup_exact(sf_dir: str):
     from vtzero_ray.functions.dedup import dedup_exact
 
@@ -878,12 +891,15 @@ def _q_range_join(sf_dir: str):
 #   bm25_topk_indexed    -> persisted-inverted-index twin of bm25_topk
 #                           (byte-equal, shares its oracle; evidences
 #                           the build-once/pruned-read scale path)
+#   knn_top3             -> broadcast k=3 cousin of knn_join (also in
+#                           extras); the co-partitioned scale path
+#                           knn_cell_join keeps the driver slot
 _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "doc_sample_10pct", "distinct_langs",
                   "events_hopping_window", "ann_topk_ivf",
                   "audio_features", "top_orders", "media_features",
                   "clipped_segments_z2", "embedding_near_dups",
-                  "bm25_topk_indexed")
+                  "bm25_topk_indexed", "knn_top3")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -935,6 +951,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": _q_fingerprint,
         "ngram_topk": _q_ngram_topk,
         "length_quantiles": _q_length_quantiles,
+        "pack_sequences": _q_pack_sequences,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1111,6 +1128,8 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.ann import topk_lsh_sql as ann_lsh_sql
     from vtzero_ray.functions.dedup import \
         embedding_near_dups_lsh_sql as near_dups_lsh_sql
+    from vtzero_ray.functions.pack import \
+        pack_sequences_sql as pack_oracle_sql
     from vtzero_ray.functions.search import bm25_sql as bm25_oracle_sql
     from vtzero_ray.functions.dedup_sql import (dup_clusters_sql,
                                                 jaccard_verified_sql,
@@ -1414,6 +1433,9 @@ def _all_oracle_sql() -> dict[str, str]:
             "(PARTITION BY lang ORDER BY n DESC, ngram) AS BIGINT) AS rnk "
             "FROM counts QUALIFY rnk <= 10"
         ),
+        # pack_sequences: window cumsum in doc_id order, same tokenizer
+        # as token_stats, pure-int outputs (functions/pack.py)
+        "pack_sequences": pack_oracle_sql(seq_len=2048),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         # dup_clusters: recursive-CTE connected components over the SAME
         # minhash candidate pairs; cluster = min doc_id in component

@@ -1,0 +1,104 @@
+"""Sequence packing (functions/pack.py) — the distributed prefix-sum.
+
+Contract: global token offsets in doc_id order, exactly reproduced by
+the DuckDB window-cumsum twin, invariant to block partitioning and to
+the range_width knob (which only changes the scan's bucketing, never
+the result).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _corpus():
+    texts = [
+        "alpha beta gamma",       # 3 tokens
+        "",                       # 0 — must not advance the offset
+        "one",                    # 1
+        "   ",                    # 0 (whitespace-only)
+        "a b c d e f g h i j",    # 10
+        "x y",                    # 2
+        "solo",                   # 1
+    ]
+    return pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })
+
+
+def _run(tab, ray_session, **kw):
+    import ray.data as rd
+
+    from vtzero_ray.functions.pack import pack_sequences
+
+    return (pack_sequences(rd.from_arrow(tab).repartition(4), **kw)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+
+class TestPackSequences:
+    def test_hand_checked_offsets(self, ray_session):
+        out = _run(_corpus(), ray_session, seq_len=4, range_width=2)
+        assert list(out.n_tokens) == [3, 0, 1, 0, 10, 2, 1]
+        # exclusive prefix sums: 0,3,3,4,4,14,16
+        assert list(out.t_offset) == [0, 3, 3, 4, 4, 14, 16]
+        assert list(out.seq_id) == [0, 0, 0, 1, 1, 3, 4]
+        assert list(out.seq_pos) == [0, 3, 3, 0, 0, 2, 0]
+
+    def test_matches_duckdb_twin(self, ray_session):
+        import duckdb
+
+        from vtzero_ray.functions.pack import pack_sequences_sql
+
+        tab = _corpus()
+        got = _run(tab, ray_session, seq_len=4, range_width=3)
+        con = duckdb.connect()
+        con.register("documents", tab)
+        want = (con.execute(pack_sequences_sql(seq_len=4)).fetchdf()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert got.equals(want)
+
+    def test_matches_duckdb_twin_sfdata(self, ray_session, sf_dir):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.pack import (pack_sequences,
+                                               pack_sequences_sql)
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+        got = (pack_sequences(ds, seq_len=2048, range_width=64).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/documents.parquet')")
+        want = (con.execute(pack_sequences_sql(seq_len=2048)).fetchdf()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert got.equals(want)
+
+    def test_invariant_to_partitioning_and_range_width(self, ray_session):
+        """Block layout and the scan's bucketing knob are implementation
+        details — the output may not depend on either."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.pack import pack_sequences
+
+        tab = _corpus()
+        ref = _run(tab, ray_session, seq_len=4, range_width=2)
+        for parts, width in [(1, 2), (16, 2), (4, 1), (4, 1000)]:
+            out = (pack_sequences(rd.from_arrow(tab).repartition(parts),
+                                  seq_len=4, range_width=width)
+                   .to_pandas().sort_values("doc_id")
+                   .reset_index(drop=True))
+            assert out.equals(ref), (parts, width)
+
+    def test_sparse_nonzero_ids(self, ray_session):
+        """doc_ids with gaps and not starting at 0: ranges are id-space
+        buckets, not dense ranks — offsets still follow id order."""
+        tab = pa.table({
+            "doc_id": pa.array([1000, 7, 500000, 42], pa.int64()),
+            "text": pa.array(["b b", "a", "d d d d", "c c c"]),
+        })
+        out = _run(tab, ray_session, seq_len=4, range_width=16)
+        assert list(out.doc_id) == [7, 42, 1000, 500000]
+        assert list(out.t_offset) == [0, 1, 4, 6]

@@ -1,0 +1,118 @@
+"""Sequence packing for training-data prep: assign every document a
+GLOBAL token offset (exclusive prefix sum of token counts in doc_id
+order) and the fixed-length context window it starts in.
+
+This is the distributed prefix-sum pattern — the one aggregate shape the
+engine didn't have yet. No single task may see the whole corpus, yet
+every row's output depends on the sum of everything before it. Two-level
+scan:
+
+1. RANGE PARTIALS: rid = doc_id // range_width buckets the id space into
+   contiguous ranges. A per-batch integer combiner emits (rid, partial
+   token sum) — order-independent int64 adds, so the merged per-range
+   totals are bit-deterministic under any block scheduling. The reduced
+   frame is O(n_docs / range_width) and the driver turns it into BASE
+   offsets with one exclusive cumsum (at 10^12 docs pick range_width so
+   this stays ~10^6 rows; a third scan level would lift that too, but
+   two levels already cover 10^13 docs at range_width 2^20).
+2. IN-RANGE SCAN: ONE bounded shuffle co-locates each range
+   (groupby(rid) — rid IS the bucketed key, per the repo's
+   high-cardinality-groupby invariant), sorts the group by doc_id,
+   local exclusive cumsum + broadcast base offset = global offset.
+
+Everything is int64 arithmetic → the DuckDB window-cumsum oracle
+(pack_sequences_sql) hash-matches exactly.
+
+Token counts reuse textstats._token_counts — the oracle-proven
+whitespace tokenizer (len(split(trim(text))), empty → 0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pack_sequences(ds, seq_len: int = 2048, range_width: int = 4096,
+                   column: str = "text", id_column: str = "doc_id"):
+    """→ Dataset(doc_id, n_tokens, t_offset, seq_id, seq_pos): t_offset =
+    exclusive prefix sum of n_tokens in doc_id order; seq_id / seq_pos =
+    the context window (of seq_len tokens) and position the doc starts
+    at under greedy concat-then-chunk packing."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .textstats import _token_counts
+
+    def with_counts(t: pa.Table) -> pa.Table:
+        stripped = pc.utf8_trim_whitespace(t.column(column))
+        if isinstance(stripped, pa.ChunkedArray):
+            stripped = stripped.combine_chunks()
+        n = _token_counts(stripped)
+        ids = t.column(id_column)
+        rid = pc.divide(ids, range_width)  # int64 floor-div for >= 0 ids
+        return pa.table({id_column: ids,
+                         "n_tokens": pa.array(n, pa.int64()),
+                         "rid": pc.cast(rid, pa.int64())})
+
+    counted = ds.map_batches(with_counts, batch_format="pyarrow",
+                             batch_size=None)
+
+    # level 1: per-batch per-range integer partials → tiny driver scan
+    def range_partial(t: pa.Table) -> pa.Table:
+        rid = t.column("rid").to_numpy()
+        n = t.column("n_tokens").to_numpy()
+        ur, inv = np.unique(rid, return_inverse=True)
+        sums = np.zeros(len(ur), np.int64)
+        np.add.at(sums, inv, n.astype(np.int64))  # int64 scatter-add: exact
+        return pa.table({"rid": pa.array(ur), "tsum": pa.array(sums)})
+
+    parts = counted.map_batches(range_partial, batch_format="pyarrow",
+                                batch_size=None).take_all()
+    agg: dict = {}
+    for r in parts:
+        agg[r["rid"]] = agg.get(r["rid"], 0) + int(r["tsum"])
+    rids = np.array(sorted(agg), np.int64)
+    totals = np.array([agg[r] for r in rids], np.int64)
+    base = np.concatenate([[0], np.cumsum(totals)[:-1]]).astype(np.int64)
+    base_ref = ray.put(dict(zip(rids.tolist(), base.tolist())))
+
+    # level 2: co-locate each range, local exclusive scan + base offset
+    def scan_range(df):
+        import pandas as pd
+
+        bases = ray.get(base_ref)
+        df = df.sort_values("doc_id", kind="stable").reset_index(drop=True)
+        n = df["n_tokens"].to_numpy(np.int64)
+        off = (np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+               + bases[int(df["rid"].iloc[0])])
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_tokens": n,
+            "t_offset": off,
+            "seq_id": off // seq_len,
+            "seq_pos": off % seq_len,
+        })
+
+    return counted.groupby("rid").map_groups(scan_range,
+                                             batch_format="pandas")
+
+
+def pack_sequences_sql(seq_len: int = 2048, column: str = "text",
+                       table: str = "documents",
+                       id_column: str = "doc_id") -> str:
+    """DuckDB twin: window cumsum in doc_id order, same tokenizer as the
+    token_stats oracle, pure-integer outputs."""
+    ntok = (f"(CASE WHEN trim({column}) = '' THEN 0 ELSE "
+            f"length(regexp_split_to_array(trim({column}), '\\s+')) END)")
+    return (
+        f"WITH t AS (SELECT {id_column} AS doc_id, "
+        f"CAST({ntok} AS BIGINT) AS n_tokens FROM {table}), "
+        f"o AS (SELECT doc_id, n_tokens, "
+        f"COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t_offset "
+        f"FROM t) "
+        f"SELECT doc_id, n_tokens, CAST(t_offset AS BIGINT) AS t_offset, "
+        f"CAST(t_offset // {seq_len} AS BIGINT) AS seq_id, "
+        f"CAST(t_offset % {seq_len} AS BIGINT) AS seq_pos FROM o"
+    )
