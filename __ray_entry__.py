@@ -423,6 +423,18 @@ def _q_fingerprint(sf_dir: str):
 
 # -- dedup -------------------------------------------------------------------
 
+def _q_redact_pii(sf_dir: str):
+    """PII scrub (emails → <EMAIL>, then phones → <PHONE>) over a
+    deterministic PII-bearing corpus synthesized from documents (the
+    read_pages / media-corpus synthesis precedent — the raw synth corpus
+    contains no digits at all, so the contact suffixes are what give the
+    regexes real work). Vectorized RE2 kernels; both engines run the
+    same pattern strings through RE2."""
+    from vtzero_ray.functions.textstats import redact_pii, synth_contacts
+
+    return redact_pii(synth_contacts(_docs(sf_dir)))
+
+
 def _q_pack_sequences(sf_dir: str):
     """Training-data sequence packing — the distributed prefix-sum
     pattern: per-range integer partials (order-independent int64 adds) →
@@ -899,7 +911,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "events_hopping_window", "ann_topk_ivf",
                   "audio_features", "top_orders", "media_features",
                   "clipped_segments_z2", "embedding_near_dups",
-                  "bm25_topk_indexed", "knn_top3")
+                  "bm25_topk_indexed", "knn_top3", "redact_pii")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -952,6 +964,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "ngram_topk": _q_ngram_topk,
         "length_quantiles": _q_length_quantiles,
         "pack_sequences": _q_pack_sequences,
+        "redact_pii": _q_redact_pii,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1130,6 +1143,8 @@ def _all_oracle_sql() -> dict[str, str]:
         embedding_near_dups_lsh_sql as near_dups_lsh_sql
     from vtzero_ray.functions.pack import \
         pack_sequences_sql as pack_oracle_sql
+    from vtzero_ray.functions.textstats import \
+        redact_pii_sql as redact_oracle_sql
     from vtzero_ray.functions.search import bm25_sql as bm25_oracle_sql
     from vtzero_ray.functions.dedup_sql import (dup_clusters_sql,
                                                 jaccard_verified_sql,
@@ -1436,6 +1451,8 @@ def _all_oracle_sql() -> dict[str, str]:
         # pack_sequences: window cumsum in doc_id order, same tokenizer
         # as token_stats, pure-int outputs (functions/pack.py)
         "pack_sequences": pack_oracle_sql(seq_len=2048),
+        # redact_pii: same RE2 patterns + replacement order in DuckDB
+        "redact_pii": redact_oracle_sql(),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         # dup_clusters: recursive-CTE connected components over the SAME
         # minhash candidate pairs; cluster = min doc_id in component

@@ -1000,3 +1000,75 @@ class TestLengthQuantiles:
                 want = int(lens[max(math.ceil(p * lens.shape[0]), 1) - 1])
                 got = out[(out.lang == lang) & (out.p == p)].len_q.iloc[0]
                 assert got == want, (lang, p)
+
+
+class TestRedactPII:
+    def _tab(self):
+        import pyarrow as pa
+
+        texts = [
+            "write to alice.smith+x@sub.example.co.uk today",  # email w/ dots
+            "two mails a@b.io and c_d%e@f-g.org here",          # two emails
+            "call +1 555-0100 100 or 555 123 4567",             # phone shapes
+            "no pii at all",
+            "a@b.io sits by +44 20 7946 0958",                  # email + phone
+            "",
+            "not-an-email @ example . com and short 12-34",     # negatives
+        ]
+        return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                         "text": pa.array(texts)})
+
+    def test_matches_duckdb_twin(self, ray_session):
+        """Same RE2 patterns through Arrow and DuckDB: identical clean
+        text and counts on adversarial shapes (multi-match, boundary
+        digits, empty strings, near-misses)."""
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.textstats import redact_pii, redact_pii_sql
+
+        tab = self._tab()
+        got = (redact_pii(rd.from_arrow(tab).repartition(3)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", tab)
+        want = (con.execute(redact_pii_sql(synth=False)).fetchdf()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert got.equals(want)
+
+    def test_semantics(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.textstats import redact_pii
+
+        out = (redact_pii(rd.from_arrow(self._tab())).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert list(out.n_emails) == [1, 2, 0, 0, 1, 0, 0]
+        assert "<EMAIL>" not in out.clean_text[3]
+        assert out.clean_text[1].count("<EMAIL>") == 2
+        assert "alice" not in out.clean_text[0]
+        assert "<PHONE>" in out.clean_text[4]
+        # near-misses survive untouched
+        assert out.clean_text[6] == self._tab()["text"][6].as_py()
+
+    def test_synth_contacts_twin(self, ray_session):
+        """The deterministic PII-bearing corpus builder matches its SQL
+        expression exactly (suffix cycling by doc_id % 3)."""
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.textstats import (synth_contacts,
+                                                    synth_contacts_sql_expr)
+
+        tab = self._tab()
+        got = (synth_contacts(rd.from_arrow(tab)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", tab)
+        want = con.execute(
+            f"SELECT doc_id, {synth_contacts_sql_expr()} AS text "
+            "FROM documents ORDER BY doc_id").fetchdf()
+        assert got.equals(want)
+        assert got.text[1].endswith("@ex1.org")          # email only
+        assert got.text[2].endswith(" now")              # email + phone
+        assert got.text[3] == tab["text"][3].as_py()     # unchanged

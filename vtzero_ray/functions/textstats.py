@@ -354,3 +354,103 @@ def ngram_topk(ds, k: int = 10, n_buckets: int = 64):
 
     return cands.repartition(1).map_batches(merge_all, batch_format="pyarrow",
                                             batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — webtext cleaning stage
+# ---------------------------------------------------------------------------
+
+# RE2 patterns, evaluated by Arrow AND DuckDB (both embed RE2, so the
+# same pattern strings match identically — the langid/token precedent)
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9 -]{6,}[0-9]"
+
+
+def redact_pii(ds, column: str = "text", id_column: str = "doc_id"):
+    """Scrub emails then phone numbers from ``column`` → Dataset
+    (doc_id, clean_text, n_emails, n_phones).
+
+    Stateless vectorized RE2 kernels in a task-pool map_batches (no
+    setup to amortize → no actor pool, the media-stats lesson). Counts
+    are taken BEFORE each replacement and the two replacements run
+    sequentially (phones counted on the email-redacted text) — the SQL
+    twin mirrors that order exactly."""
+
+    def scrub(t: pa.Table) -> pa.Table:
+        txt = _as_array(t.column(column))
+        n_email = pc.cast(pc.count_substring_regex(txt, EMAIL_PATTERN),
+                          pa.int64())
+        no_email = pc.replace_substring_regex(txt, EMAIL_PATTERN, "<EMAIL>")
+        n_phone = pc.cast(pc.count_substring_regex(no_email, PHONE_PATTERN),
+                          pa.int64())
+        clean = pc.replace_substring_regex(no_email, PHONE_PATTERN,
+                                           "<PHONE>")
+        return pa.table({id_column: t.column(id_column),
+                         "clean_text": clean,
+                         "n_emails": n_email,
+                         "n_phones": n_phone})
+
+    return ds.map_batches(scrub, batch_format="pyarrow", batch_size=None)
+
+
+def synth_contacts(ds, column: str = "text", id_column: str = "doc_id"):
+    """Deterministic PII-bearing corpus from the documents table (the
+    read_pages / media-corpus synthesis precedent — no external data):
+    doc_id % 3 == 0 → no contact suffix, 1 → an email, 2 → email +
+    phone. Reproduced verbatim by synth_contacts_sql_expr()."""
+
+    def _imod(arr, n: int):  # pyarrow.compute has no mod kernel
+        return pc.subtract(arr, pc.multiply(pc.divide(arr, n), n))
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column)
+        id_s = pc.cast(ids, pa.string())
+        dom = pc.cast(_imod(ids, 7), pa.string())
+        last4 = pc.utf8_lpad(pc.cast(_imod(ids, 10000), pa.string()),
+                             4, "0")
+        email = pc.binary_join_element_wise(
+            " mail user", id_s, "@ex", dom, ".org", "")
+        phone = pc.binary_join_element_wise(
+            " call +1 555-", last4, " now", "")
+        m = _imod(ids, 3)
+        suffix = pc.if_else(
+            pc.equal(m, 0), "",
+            pc.if_else(pc.equal(m, 1), email,
+                       pc.binary_join_element_wise(email, phone, "")))
+        txt = pc.binary_join_element_wise(
+            _as_array(t.column(column)), suffix, "")
+        return pa.table({id_column: ids, column: txt})
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None)
+
+
+def synth_contacts_sql_expr(column: str = "text",
+                            id_column: str = "doc_id") -> str:
+    """SQL expression producing exactly synth_contacts()' text column."""
+    email = (f"(' mail user' || {id_column} || '@ex' || "
+             f"({id_column} % 7) || '.org')")
+    phone = (f"(' call +1 555-' || "
+             f"lpad(CAST({id_column} % 10000 AS VARCHAR), 4, '0') || ' now')")
+    return (f"({column} || CASE WHEN {id_column} % 3 = 0 THEN '' "
+            f"WHEN {id_column} % 3 = 1 THEN {email} "
+            f"ELSE {email} || {phone} END)")
+
+
+def redact_pii_sql(table: str = "documents", column: str = "text",
+                   id_column: str = "doc_id", synth: bool = True) -> str:
+    """DuckDB twin of synth_contacts |> redact_pii: same RE2 patterns,
+    same email-then-phone order, counts before each replacement."""
+    src = synth_contacts_sql_expr(column, id_column) if synth else column
+    return (
+        f"WITH s AS (SELECT {id_column} AS doc_id, {src} AS t FROM {table}), "
+        f"e AS (SELECT doc_id, "
+        f"CAST(length(regexp_extract_all(t, '{EMAIL_PATTERN}')) AS BIGINT)"
+        f" AS n_emails, "
+        f"regexp_replace(t, '{EMAIL_PATTERN}', '<EMAIL>', 'g') AS t2 "
+        f"FROM s) "
+        f"SELECT doc_id, "
+        f"regexp_replace(t2, '{PHONE_PATTERN}', '<PHONE>', 'g')"
+        f" AS clean_text, n_emails, "
+        f"CAST(length(regexp_extract_all(t2, '{PHONE_PATTERN}')) AS BIGINT)"
+        f" AS n_phones FROM e"
+    )
