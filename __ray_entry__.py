@@ -900,9 +900,12 @@ def _q_range_join(sf_dir: str):
 #                           baseline of embedding_near_dups_lsh (the
 #                           shipping sub-quadratic scale path, kept in
 #                           the main 50)
-#   bm25_topk_indexed    -> persisted-inverted-index twin of bm25_topk
-#                           (byte-equal, shares its oracle; evidences
-#                           the build-once/pruned-read scale path)
+#   bm25_topk            -> corpus-scan verification twin of
+#                           bm25_topk_indexed (byte-equal, same oracle);
+#                           the persisted-index path holds the driver
+#                           slot per the r3 verdict rule — no driver
+#                           query performs a full corpus pass per run
+#                           (the ann_topk_ivf precedent)
 #   knn_top3             -> broadcast k=3 cousin of knn_join (also in
 #                           extras); the co-partitioned scale path
 #                           knn_cell_join keeps the driver slot
@@ -911,7 +914,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "events_hopping_window", "ann_topk_ivf",
                   "audio_features", "top_orders", "media_features",
                   "clipped_segments_z2", "embedding_near_dups",
-                  "bm25_topk_indexed", "knn_top3", "redact_pii")
+                  "bm25_topk", "knn_top3", "redact_pii")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -274,7 +274,8 @@ def run_bench() -> dict:
         qs = e.queries()
         for name in ("dedup_exact", "minhash_lsh_candidates", "ann_topk_bruteforce",
                      "ann_topk_ivf_indexed", "simhash_near_dups",
-                     "embedding_near_dups_lsh", "ngram_topk", "bm25_topk",
+                     "embedding_near_dups_lsh", "ngram_topk",
+                     "bm25_topk_indexed",
                      "media_features_jpeg", "clipped_paths_z2"):
             if name in qs:
                 t0 = time.time()
