@@ -423,6 +423,16 @@ def _q_fingerprint(sf_dir: str):
 
 # -- dedup -------------------------------------------------------------------
 
+def _q_shuffle_epoch(sf_dir: str):
+    """Deterministic training-epoch shuffle: dense global rank of the
+    md5 shuffle key — the pack_sequences two-level scan ordered by hash
+    instead of id (the hash IS the balanced range partitioner; no
+    global sort barrier)."""
+    from vtzero_ray.functions.pack import shuffle_epoch
+
+    return shuffle_epoch(_docs(sf_dir), seed=42)
+
+
 def _q_redact_pii(sf_dir: str):
     """PII scrub (emails → <EMAIL>, then phones → <PHONE>) over a
     deterministic PII-bearing corpus synthesized from documents (the
@@ -914,7 +924,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "events_hopping_window", "ann_topk_ivf",
                   "audio_features", "top_orders", "media_features",
                   "clipped_segments_z2", "embedding_near_dups",
-                  "bm25_topk", "knn_top3", "redact_pii")
+                  "bm25_topk", "knn_top3", "redact_pii", "shuffle_epoch")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -967,6 +977,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "ngram_topk": _q_ngram_topk,
         "length_quantiles": _q_length_quantiles,
         "pack_sequences": _q_pack_sequences,
+        "shuffle_epoch": _q_shuffle_epoch,
         "redact_pii": _q_redact_pii,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -1146,6 +1157,8 @@ def _all_oracle_sql() -> dict[str, str]:
         embedding_near_dups_lsh_sql as near_dups_lsh_sql
     from vtzero_ray.functions.pack import \
         pack_sequences_sql as pack_oracle_sql
+    from vtzero_ray.functions.pack import \
+        shuffle_epoch_sql as shuffle_oracle_sql
     from vtzero_ray.functions.textstats import \
         redact_pii_sql as redact_oracle_sql
     from vtzero_ray.functions.search import bm25_sql as bm25_oracle_sql
@@ -1456,6 +1469,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "pack_sequences": pack_oracle_sql(seq_len=2048),
         # redact_pii: same RE2 patterns + replacement order in DuckDB
         "redact_pii": redact_oracle_sql(),
+        # shuffle_epoch: row_number over the same md5_number_lower key
+        "shuffle_epoch": shuffle_oracle_sql(seed=42),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
         # dup_clusters: recursive-CTE connected components over the SAME
         # minhash candidate pairs; cluster = min doc_id in component

@@ -102,3 +102,42 @@ class TestPackSequences:
         out = _run(tab, ray_session, seq_len=4, range_width=16)
         assert list(out.doc_id) == [7, 42, 1000, 500000]
         assert list(out.t_offset) == [0, 1, 4, 6]
+
+
+class TestShuffleEpoch:
+    def test_is_permutation_and_matches_twin(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.pack import shuffle_epoch, shuffle_epoch_sql
+
+        tab = pa.table({
+            "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            "text": pa.array(["x"] * 200),
+        })
+        got = (shuffle_epoch(rd.from_arrow(tab).repartition(8), seed=7)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert sorted(got.pos) == list(range(200))  # dense permutation
+        con = duckdb.connect()
+        con.register("documents", tab)
+        want = (con.execute(shuffle_epoch_sql(seed=7)).fetchdf()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert got.equals(want)
+
+    def test_seed_changes_order_partitioning_does_not(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.pack import shuffle_epoch
+
+        tab = pa.table({
+            "doc_id": pa.array(np.arange(64, dtype=np.int64)),
+            "text": pa.array(["x"] * 64),
+        })
+        a = (shuffle_epoch(rd.from_arrow(tab).repartition(1), seed=1)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (shuffle_epoch(rd.from_arrow(tab).repartition(16), seed=1)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        c = (shuffle_epoch(rd.from_arrow(tab), seed=2)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert a.equals(b)
+        assert not a.pos.equals(c.pos)

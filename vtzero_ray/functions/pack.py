@@ -116,3 +116,96 @@ def pack_sequences_sql(seq_len: int = 2048, column: str = "text",
         f"CAST(t_offset // {seq_len} AS BIGINT) AS seq_id, "
         f"CAST(t_offset % {seq_len} AS BIGINT) AS seq_pos FROM o"
     )
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle — deterministic global permutation for training order
+# ---------------------------------------------------------------------------
+
+def _shuffle_keys(ids: np.ndarray, seed: int) -> np.ndarray:
+    """uint64 shuffle key per doc: md5 digest bytes [8:16] little-endian
+    of '{seed}:{doc_id}' — DuckDB ``md5_number_lower`` exactly (the
+    sketch.py hash64 precedent). Per-row Python, crypto-bound like
+    fingerprint_md5; at 100 TB the production shape is to persist the
+    keyed column once (the text-index pattern) rather than re-hash per
+    epoch."""
+    import hashlib
+
+    pre = f"{seed}:".encode()
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(pre + str(i).encode()).digest()[8:],
+                        "little") for i in ids),
+        np.uint64, count=len(ids))
+
+
+def shuffle_epoch(ds, seed: int = 0, id_column: str = "doc_id"):
+    """→ Dataset(doc_id, pos): pos = dense 0..N-1 rank of the md5 shuffle
+    key (ties → doc_id) — a deterministic, seed-parameterized global
+    permutation, the training-epoch document order.
+
+    Same two-level scan as pack_sequences, but ordered by HASH instead
+    of id: bucket = top 8 key bits (256 ordered, uniformly-filled
+    buckets), per-batch integer bucket counts → tiny driver exclusive
+    scan → ONE bounded groupby(bucket) shuffle, local sort + broadcast
+    base offset. No global sort barrier; the hash itself IS the
+    balanced range partitioner."""
+    import pyarrow.compute as pc
+    import ray
+
+    def with_keys(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column).to_numpy().astype(np.int64)
+        hk = _shuffle_keys(ids, seed)
+        return pa.table({id_column: t.column(id_column),
+                         "hkey": pa.array(hk, pa.uint64()),
+                         "bucket": pa.array((hk >> np.uint64(56))
+                                            .astype(np.int64))})
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy()
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(ub),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    # pass 1: bucket histogram (counts only) → exclusive scan on driver
+    parts = (ds.map_batches(with_keys, batch_format="pyarrow",
+                            batch_size=None)
+             .map_batches(bucket_counts, batch_format="pyarrow",
+                          batch_size=None).take_all())
+    agg: dict = {}
+    for r in parts:
+        agg[r["bucket"]] = agg.get(r["bucket"], 0) + int(r["n"])
+    buckets = sorted(agg)
+    base = {}
+    run = 0
+    for bkt in buckets:
+        base[bkt] = run
+        run += agg[bkt]
+    base_ref = ray.put(base)
+
+    # pass 2: co-locate each bucket, local sort by (hkey, doc_id) + base
+    def rank_bucket(df):
+        import pandas as pd
+
+        bases = ray.get(base_ref)
+        df = df.sort_values(["hkey", "doc_id"],
+                            kind="stable").reset_index(drop=True)
+        off = bases[int(df["bucket"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "pos": np.arange(off, off + len(df), dtype=np.int64),
+        })
+
+    keyed = ds.map_batches(with_keys, batch_format="pyarrow",
+                           batch_size=None)
+    return keyed.groupby("bucket").map_groups(rank_bucket,
+                                              batch_format="pandas")
+
+
+def shuffle_epoch_sql(seed: int = 0, table: str = "documents",
+                      id_column: str = "doc_id") -> str:
+    """DuckDB twin: row_number over the same md5_number_lower key."""
+    key = (f"md5_number_lower('{seed}:' || "
+           f"CAST({id_column} AS VARCHAR))::UBIGINT")
+    return (f"SELECT {id_column} AS doc_id, "
+            f"CAST(row_number() OVER (ORDER BY {key}, {id_column}) - 1 "
+            f"AS BIGINT) AS pos FROM {table}")
