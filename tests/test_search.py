@@ -172,3 +172,21 @@ class TestBM25:
         out = bm25_topk(rd.from_arrow(tab), ("the",), k=3)
         assert len(out) == 3
         assert (out.score > 0).all()
+
+    def test_indexed_absent_term_shared_bucket(self, ray_session, tmp_path):
+        """n_buckets=1 forces every term into ONE bucket: an absent term
+        reads real posting files, matches zero rows (df=0), and the
+        result still equals the scan path for the present terms."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.search import (bm25_topk,
+                                                 bm25_topk_indexed,
+                                                 build_text_index)
+
+        tab = _corpus()
+        idx = str(tmp_path / "idx1b")
+        build_text_index(rd.from_arrow(tab), idx, n_buckets=1)
+        terms = ("hash", "qqqqzzzz")
+        scan = bm25_topk(rd.from_arrow(tab), terms, k=5)
+        indexed = bm25_topk_indexed(idx, terms, k=5)
+        assert scan.equals(indexed)
