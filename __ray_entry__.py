@@ -421,6 +421,15 @@ def _q_fingerprint(sf_dir: str):
     return ds.select_columns(["doc_id", "md5"])
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition filter signals: per-doc top-bigram char
+    mass + duplicated-5-gram mass — one map_batches, no shuffle, all
+    integer outputs."""
+    from vtzero_ray.functions.textstats import repetition_stats
+
+    return repetition_stats(_docs(sf_dir), dup_n=5)
+
+
 # -- dedup -------------------------------------------------------------------
 
 def _q_shuffle_epoch(sf_dir: str):
@@ -924,7 +933,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "events_hopping_window", "ann_topk_ivf",
                   "audio_features", "top_orders", "media_features",
                   "clipped_segments_z2", "embedding_near_dups",
-                  "bm25_topk", "knn_top3", "redact_pii", "shuffle_epoch")
+                  "bm25_topk", "knn_top3", "redact_pii", "shuffle_epoch",
+                  # identity read probe — geoparse exercises the same
+                  # pruned-read path; slot freed for repetition_stats
+                  "pages_text_identity")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -975,6 +987,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "fingerprint_md5": _q_fingerprint,
         "ngram_topk": _q_ngram_topk,
+        "repetition_stats": _q_repetition_stats,
         "length_quantiles": _q_length_quantiles,
         "pack_sequences": _q_pack_sequences,
         "shuffle_epoch": _q_shuffle_epoch,
@@ -1161,6 +1174,7 @@ def _all_oracle_sql() -> dict[str, str]:
         shuffle_epoch_sql as shuffle_oracle_sql
     from vtzero_ray.functions.textstats import \
         redact_pii_sql as redact_oracle_sql
+    from vtzero_ray.functions.textstats import repetition_sql
     from vtzero_ray.functions.search import bm25_sql as bm25_oracle_sql
     from vtzero_ray.functions.dedup_sql import (dup_clusters_sql,
                                                 jaccard_verified_sql,
@@ -1464,6 +1478,9 @@ def _all_oracle_sql() -> dict[str, str]:
             "(PARTITION BY lang ORDER BY n DESC, ngram) AS BIGINT) AS rnk "
             "FROM counts QUALIFY rnk <= 10"
         ),
+        # repetition_stats: same trim+split tokenizer as ngram_topk, all
+        # integer outputs (functions/textstats.repetition_sql)
+        "repetition_stats": repetition_sql(dup_n=5),
         # pack_sequences: window cumsum in doc_id order, same tokenizer
         # as token_stats, pure-int outputs (functions/pack.py)
         "pack_sequences": pack_oracle_sql(seq_len=2048),

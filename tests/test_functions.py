@@ -1072,3 +1072,79 @@ class TestRedactPII:
         assert got.text[1].endswith("@ex1.org")          # email only
         assert got.text[2].endswith(" now")              # email + phone
         assert got.text[3] == tab["text"][3].as_py()     # unchanged
+
+
+class TestRepetitionStats:
+    """Gopher-style repetition signals: hand-checked masses, tie-break,
+    unicode char lengths, DuckDB-twin equality, composite-key helper."""
+
+    def _tab(self):
+        import pyarrow as pa
+
+        texts = [
+            "a b a b a b",                    # top bigram "a b" x3
+            "x y x y x y x y x y",            # duplicated 5-grams
+            "b a a b",                        # all-tie -> smallest gram
+            "solo",                           # < 2 tokens
+            "",                               # empty doc
+            "  padded   spaces  ",            # trim + empty-drop semantics
+            "的 是 的 是 的",                  # unicode char (not byte) mass
+        ]
+        return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                         "text": pa.array(texts)})
+
+    def test_hand_checked(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.textstats import repetition_stats
+
+        out = (repetition_stats(rd.from_arrow(self._tab()).repartition(3))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(out.n_tokens) == [6, 10, 4, 1, 0, 2, 5]
+        assert out.top2_gram[0] == "a b" and out.top2_cnt[0] == 3
+        assert out.top2_chars[0] == 9
+        # "x y x y x" and "y x y x y" each occur 3 times
+        assert out.dup5_distinct[1] == 2
+        assert out.dup5_occ[1] == 6
+        assert out.dup5_chars[1] == 6 * 9
+        assert out.dup5_distinct[0] == 0          # 5-grams unique in doc 0
+        assert out.top2_gram[2] == "a a"          # tie -> lexicographic min
+        assert out.top2_gram[3] == "" and out.top2_cnt[3] == 0
+        assert out.n_tokens[4] == 0
+        assert out.top2_gram[5] == "padded spaces"
+        # zh bigram is 3 CHARS, not 7 utf-8 bytes; tie "的 是"x2 vs
+        # "是 的"x2 -> codepoint-smaller "是 的" (U+662F < U+7684)
+        assert out.top2_gram[6] == "是 的" and out.top2_chars[6] == 2 * 3
+
+    def test_matches_duckdb_twin(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.textstats import (repetition_sql,
+                                                    repetition_stats)
+
+        tab = self._tab()
+        got = (repetition_stats(rd.from_arrow(tab).repartition(4))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", tab)
+        want = (con.execute(repetition_sql()).fetchdf()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert got.equals(want)
+
+    def test_group_count_paths_agree(self):
+        """Packed base-V keys and unique-rows produce identical groups
+        (the rows path is the V**n-overflow fallback for huge vocabs)."""
+        import numpy as np
+
+        from vtzero_ray.functions.textstats import _group_count
+
+        rng = np.random.RandomState(7)
+        parts = [rng.randint(0, 9, 4000).astype(np.int64)
+                 for _ in range(4)]
+        packed_cols, packed_cnt = _group_count(parts, 9)
+        rows = np.column_stack(parts)
+        uniq, cnt = np.unique(rows, axis=0, return_counts=True)
+        assert np.array_equal(packed_cnt, cnt)
+        for i in range(4):
+            assert np.array_equal(packed_cols[i], uniq[:, i])

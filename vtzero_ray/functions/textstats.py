@@ -357,6 +357,186 @@ def ngram_topk(ds, k: int = 10, n_buckets: int = 64):
 
 
 # ---------------------------------------------------------------------------
+# repetition statistics — Gopher-style repetition filter signals
+# ---------------------------------------------------------------------------
+
+
+def _group_count(parts: list, V: int):
+    """Composite-key counting: np.unique over base-V packed int64 keys when
+    the packed range fits (fast 1-D path), unique-rows otherwise (webtext
+    vocabularies can push V**n past int64). Returns (cols, counts) with
+    cols[i] = i-th key column of each unique row."""
+    hi = int(parts[0].max()) + 1 if parts[0].size else 1
+    maxkey = hi
+    for _ in range(len(parts) - 1):
+        maxkey *= max(V, 1)
+    if maxkey < 2 ** 62:
+        key = parts[0].astype(np.int64)
+        for p in parts[1:]:
+            key = key * V + p
+        uniq, cnt = np.unique(key, return_counts=True)
+        cols = []
+        for _ in range(len(parts) - 1):
+            cols.append(uniq % V)
+            uniq = uniq // V
+        cols.append(uniq)
+        return cols[::-1], cnt
+    rows = np.column_stack(parts)
+    uniq, cnt = np.unique(rows, axis=0, return_counts=True)
+    return [uniq[:, i] for i in range(len(parts))], cnt
+
+
+def repetition_stats(ds, dup_n: int = 5, column: str = "text",
+                     id_column: str = "doc_id"):
+    """Per-document repetition signals (the Gopher repetition filters:
+    "fraction of characters in the most common 2-gram" and "fraction of
+    characters in duplicated n-grams"):
+
+    - ``n_tokens``      whitespace tokens (trim + split, empties dropped)
+    - ``top2_gram``     most frequent word bigram (ties → lexicographically
+                        smallest), '' when the doc has < 2 tokens
+    - ``top2_cnt``      its occurrence count (0 when none)
+    - ``top2_chars``    top2_cnt * length(top2_gram) — the Gopher char mass
+    - ``dup{n}_distinct / dup{n}_occ / dup{n}_chars``  distinct duplicated
+      (count >= 2) word n-grams, their total occurrences and char mass
+
+    Every output is an integer (the oracle-exactness invariant), and each
+    row is a whole document, so the operator is ONE map_batches — no
+    shuffle at any corpus size. Vectorized like ngram_topk's combiner:
+    dictionary-coded tokens, composite-int np.unique gram counting;
+    strings materialize only for the per-doc top candidates."""
+    import pandas as pd
+
+    def rep(batch: pa.Table) -> pa.Table:
+        from ..runtime import tune_allocator
+
+        tune_allocator()
+        texts = _as_array(batch.column(column))
+        ids = batch.column(id_column)
+        n_docs = len(texts)
+        toks = pc.utf8_split_whitespace(texts)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        d = pc.dictionary_encode(flat)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64) \
+            if len(flat) else np.empty(0, np.int64)
+        vocab = d.dictionary
+        vlen = pc.utf8_length(vocab).to_numpy().astype(np.int64) \
+            if len(vocab) else np.empty(0, np.int64)
+        tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64),
+                            offs[1:] - offs[:-1])
+        keep = vlen[codes] > 0 if codes.size else np.empty(0, bool)
+        codes = codes[keep]
+        tok_doc = tok_doc[keep]
+        V = len(vocab)
+        n_tokens = np.bincount(tok_doc, minlength=n_docs).astype(np.int64)
+
+        top_cnt = np.zeros(n_docs, np.int64)
+        top_chars = np.zeros(n_docs, np.int64)
+        top_gram = np.full(n_docs, "", dtype=object)
+        if codes.size >= 2:
+            m = tok_doc[:-1] == tok_doc[1:]
+            if m.any():
+                (ud, u1, u2), cnt = _group_count(
+                    [tok_doc[:-1][m], codes[:-1][m], codes[1:][m]], V)
+                grams = pc.binary_join_element_wise(
+                    vocab.take(pa.array(u1)), vocab.take(pa.array(u2)), " ")
+                df = pd.DataFrame({"d": ud, "cnt": cnt.astype(np.int64),
+                                   "gram": grams.to_pandas()})
+                df = df.sort_values(["d", "cnt", "gram"],
+                                    ascending=[True, False, True],
+                                    kind="stable")
+                first = df.groupby("d", sort=False).head(1)
+                di = first["d"].to_numpy()
+                top_cnt[di] = first["cnt"].to_numpy()
+                top_gram[di] = first["gram"].to_numpy()
+                top_chars[di] = top_cnt[di] * \
+                    first["gram"].str.len().to_numpy().astype(np.int64)
+
+        dup_distinct = np.zeros(n_docs, np.int64)
+        dup_occ = np.zeros(n_docs, np.int64)
+        dup_chars = np.zeros(n_docs, np.int64)
+        w = dup_n
+        if codes.size >= w:
+            same = tok_doc[: -(w - 1)] == tok_doc[w - 1:]
+            if same.any():
+                parts = [tok_doc[: -(w - 1)][same]]
+                parts += [codes[i: codes.size - (w - 1) + i][same]
+                          for i in range(w)]
+                cols, cnt = _group_count(parts, V)
+                dmask = cnt >= 2
+                if dmask.any():
+                    docs_of = cols[0][dmask].astype(np.int64)
+                    gram_chars = sum(vlen[c[dmask]] for c in cols[1:]) \
+                        + np.int64(w - 1)
+                    dup_distinct = np.bincount(
+                        docs_of, minlength=n_docs).astype(np.int64)
+                    dup_occ = np.bincount(
+                        docs_of, weights=cnt[dmask],
+                        minlength=n_docs).astype(np.int64)
+                    dup_chars = np.bincount(
+                        docs_of, weights=cnt[dmask] * gram_chars,
+                        minlength=n_docs).astype(np.int64)
+
+        return pa.table({
+            id_column: ids,
+            "n_tokens": pa.array(n_tokens),
+            "top2_gram": pa.array(top_gram, pa.string()),
+            "top2_cnt": pa.array(top_cnt),
+            "top2_chars": pa.array(top_chars),
+            f"dup{w}_distinct": pa.array(dup_distinct),
+            f"dup{w}_occ": pa.array(dup_occ),
+            f"dup{w}_chars": pa.array(dup_chars),
+        })
+
+    return ds.map_batches(rep, batch_format="pyarrow", batch_size=None)
+
+
+def repetition_sql(table: str = "documents", dup_n: int = 5,
+                   column: str = "text", id_column: str = "doc_id") -> str:
+    """DuckDB twin of repetition_stats: same trim+split tokenizer (the
+    ngram_topk expression), same tie-break (count DESC, gram ASC), same
+    integer char-mass definitions."""
+    w = dup_n
+    gram5 = " || ' ' || ".join(f"ws[i + {j}]" if j else "ws[i]"
+                               for j in range(w))
+    return (
+        f"WITH t AS (SELECT {id_column} AS doc_id, "
+        f"regexp_split_to_array(trim({column}), '\\s+') AS ws FROM {table}), "
+        "nt AS (SELECT doc_id, CASE WHEN len(ws) = 1 AND ws[1] = '' "
+        "THEN 0 ELSE len(ws) END AS n_tokens FROM t), "
+        "big AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i + 1] "
+        "for i in generate_series(1, len(ws) - 1)]) AS gram "
+        "FROM t WHERE len(ws) >= 2), "
+        "bc AS (SELECT doc_id, gram, COUNT(*) AS c FROM big GROUP BY 1, 2), "
+        "btop AS (SELECT doc_id, gram, c FROM ("
+        "SELECT doc_id, gram, c, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY c DESC, gram) AS rn FROM bc) WHERE rn = 1), "
+        f"five AS (SELECT doc_id, unnest([{gram5} "
+        f"for i in generate_series(1, len(ws) - {w - 1})]) AS gram "
+        f"FROM t WHERE len(ws) >= {w}), "
+        "fc AS (SELECT doc_id, gram, COUNT(*) AS c FROM five GROUP BY 1, 2), "
+        "fdup AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dd, "
+        "CAST(SUM(c) AS BIGINT) AS docc, "
+        "CAST(SUM(c * length(gram)) AS BIGINT) AS dch "
+        "FROM fc WHERE c >= 2 GROUP BY 1) "
+        "SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens, "
+        "COALESCE(b.gram, '') AS top2_gram, "
+        "CAST(COALESCE(b.c, 0) AS BIGINT) AS top2_cnt, "
+        "CAST(COALESCE(b.c * length(b.gram), 0) AS BIGINT) AS top2_chars, "
+        f"CAST(COALESCE(f.dd, 0) AS BIGINT) AS dup{w}_distinct, "
+        f"CAST(COALESCE(f.docc, 0) AS BIGINT) AS dup{w}_occ, "
+        f"CAST(COALESCE(f.dch, 0) AS BIGINT) AS dup{w}_chars "
+        "FROM nt n LEFT JOIN btop b USING (doc_id) "
+        "LEFT JOIN fdup f USING (doc_id)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction — webtext cleaning stage
 # ---------------------------------------------------------------------------
 
