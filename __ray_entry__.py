@@ -421,6 +421,16 @@ def _q_fingerprint(sf_dir: str):
     return ds.select_columns(["doc_id", "md5"])
 
 
+def _q_doc_perplexity(sf_dir: str):
+    """CCNet-style LM quality filter: train the corpus' own unigram LM
+    (bucketed count shuffle, vocab-sized collect) then score every doc's
+    add-1-smoothed NLL — integer-quantized terms, so the per-doc sum is
+    bit-deterministic under any block order."""
+    from vtzero_ray.functions.lm import doc_perplexity
+
+    return doc_perplexity(_docs(sf_dir))
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition filter signals: per-doc top-bigram char
     mass + duplicated-5-gram mass — one map_batches, no shuffle, all
@@ -936,7 +946,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "bm25_topk", "knn_top3", "redact_pii", "shuffle_epoch",
                   # identity read probe — geoparse exercises the same
                   # pruned-read path; slot freed for repetition_stats
-                  "pages_text_identity")
+                  "pages_text_identity",
+                  # cell counts twin — tile_assignment_z12 covers the
+                  # cell-assignment path; slot freed for doc_perplexity
+                  "cell_page_counts")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -988,6 +1001,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": _q_fingerprint,
         "ngram_topk": _q_ngram_topk,
         "repetition_stats": _q_repetition_stats,
+        "doc_perplexity": _q_doc_perplexity,
         "length_quantiles": _q_length_quantiles,
         "pack_sequences": _q_pack_sequences,
         "shuffle_epoch": _q_shuffle_epoch,
@@ -1175,6 +1189,7 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.textstats import \
         redact_pii_sql as redact_oracle_sql
     from vtzero_ray.functions.textstats import repetition_sql
+    from vtzero_ray.functions.lm import doc_perplexity_sql
     from vtzero_ray.functions.search import bm25_sql as bm25_oracle_sql
     from vtzero_ray.functions.dedup_sql import (dup_clusters_sql,
                                                 jaccard_verified_sql,
@@ -1481,6 +1496,8 @@ def _all_oracle_sql() -> dict[str, str]:
         # repetition_stats: same trim+split tokenizer as ngram_topk, all
         # integer outputs (functions/textstats.repetition_sql)
         "repetition_stats": repetition_sql(dup_n=5),
+        # doc_perplexity: int64-quantized logprob terms -> order-free sums
+        "doc_perplexity": doc_perplexity_sql(),
         # pack_sequences: window cumsum in doc_id order, same tokenizer
         # as token_stats, pure-int outputs (functions/pack.py)
         "pack_sequences": pack_oracle_sql(seq_len=2048),

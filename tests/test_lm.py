@@ -1,0 +1,116 @@
+"""Unigram-LM perplexity scoring (functions/lm.py): hand-checked math,
+DuckDB-twin equality, vocabulary truncation, partition invariance."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _tab(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts)})
+
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the dog sat",
+    "rare unique tokens here",
+    "",
+    "   ",                      # whitespace-only -> 0 tokens
+    "the the the the",
+]
+
+
+class TestUnigramCounts:
+    def test_counts(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.lm import unigram_counts
+
+        out = (unigram_counts(rd.from_arrow(_tab(CORPUS)).repartition(3))
+               .to_pandas().set_index("tok")["n"].to_dict())
+        assert out["the"] == 7
+        assert out["sat"] == 2
+        assert out["rare"] == 1
+        assert "" not in out
+        assert sum(out.values()) == 17
+
+
+class TestDocPerplexity:
+    def _expected(self, texts):
+        """Reference NLL computed with plain Python floats — the same
+        ops in the same order as both engines."""
+        toks = [t.strip().split() if t.strip() else [] for t in texts]
+        from collections import Counter
+        cnt = Counter(tok for ts in toks for tok in ts)
+        T, V = sum(cnt.values()), len(cnt)
+        denom = float(T + V)
+        out = []
+        for ts in toks:
+            s = 0
+            for tok, tf in sorted(Counter(ts).items()):
+                import math
+                s += int(math.floor((float(tf) *
+                                     math.log((cnt[tok] + 1.0) / denom))
+                                    * 1e9 + 0.5))
+            out.append((len(ts), -s))
+        return out
+
+    def test_hand_checked(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.lm import doc_perplexity
+
+        got = (doc_perplexity(rd.from_arrow(_tab(CORPUS)).repartition(3))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        exp = self._expected(CORPUS)
+        assert list(got.n_tokens) == [e[0] for e in exp]
+        assert list(got.nll_q9) == [e[1] for e in exp]
+        # rare-token doc scores worse per token than the common-token doc
+        avg = got.nll_q9 / np.maximum(got.n_tokens, 1)
+        assert avg[2] > avg[5]
+
+    def test_matches_duckdb_twin(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.lm import doc_perplexity, doc_perplexity_sql
+
+        tab = _tab(CORPUS)
+        got = (doc_perplexity(rd.from_arrow(tab).repartition(4))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", tab)
+        want = (con.execute(doc_perplexity_sql()).fetchdf()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert got.equals(want)
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.lm import doc_perplexity
+
+        outs = []
+        for parts in (1, 5):
+            outs.append(doc_perplexity(
+                rd.from_arrow(_tab(CORPUS)).repartition(parts))
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert outs[0].equals(outs[1])
+
+    def test_max_vocab_truncation(self, ray_session):
+        """Truncated-away tokens score as unseen (c=0) while T and V keep
+        the full-corpus values — the 100-TB broadcast-pruning path."""
+        import math
+
+        import ray.data as rd
+
+        from vtzero_ray.functions.lm import doc_perplexity
+
+        texts = ["a a a b", "z"]
+        got = (doc_perplexity(rd.from_arrow(_tab(texts)), max_vocab=1)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # corpus: a x3, b, z -> T=5, V=3; kept model = {a: 3}
+        denom = 8.0
+        q = lambda tf, c: int(math.floor(
+            (float(tf) * math.log((c + 1.0) / denom)) * 1e9 + 0.5))
+        assert got.nll_q9[0] == -(q(3, 3) + q(1, 0))
+        assert got.nll_q9[1] == -q(1, 0)

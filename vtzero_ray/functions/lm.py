@@ -1,0 +1,192 @@
+"""Unigram language-model scoring — a CCNet-style perplexity quality
+filter for training-data pipelines.
+
+Two passes, the only shape that scales (model statistics are corpus
+globals, scores are per-doc locals — the BM25 precedent in
+functions/search.py):
+
+1. TRAIN: per-batch combiner (dictionary-coded tokens, one np.bincount)
+   → ONE bounded crc32-bucket shuffle (the ngram_topk invariant: never
+   groupby the raw high-cardinality token key) → in-bucket integer sums
+   → the vocabulary table collects to the driver for broadcast. The
+   collected frame is bounded by MODEL VOCABULARY, not corpus size; at
+   100 TB prune to top-V tokens + an OOV mass before broadcasting
+   (``max_vocab``).
+2. SCORE: broadcast (ray.put once) token→count arrays; one vectorized
+   scan emits each doc's add-1-smoothed negative log-likelihood.
+
+Float parity contract (STRONGER than BM25's order mirroring): each
+per-(doc, distinct token) term is quantized to int64 BEFORE any
+summation — ``q = floor((tf * ln((c+1)/(T+V))) * 1e9 + 0.5)`` — so the
+per-doc reduction is an integer sum: order-independent under any block
+scheduling and bit-equal to DuckDB's ``SUM`` (CAST to BIGINT). ln is
+libm in both engines and every ln argument is derived from exact
+integers, so the doubles agree bit-for-bit (the clip/HLL/BM25
+precedent). No float addition ever crosses a task boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..runtime import tune_allocator
+
+tune_allocator()
+import pyarrow.compute as pc
+
+QUANT = 1_000_000_000.0  # 1e-9 logprob quantum (the repo's round-9 grid)
+
+
+def _split_codes(batch: pa.Table, column: str):
+    """Trim+split tokenizer shared with textstats: whitespace split,
+    empty tokens dropped → (codes, tok_doc, vocab, n_docs)."""
+    texts = batch.column(column)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    toks = pc.utf8_split_whitespace(texts)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    d = pc.dictionary_encode(flat)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64) \
+        if len(flat) else np.empty(0, np.int64)
+    vocab = d.dictionary
+    tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64),
+                        offs[1:] - offs[:-1])
+    if len(vocab):
+        keep = pc.utf8_length(vocab).to_numpy().astype(np.int64)[codes] > 0
+        codes = codes[keep]
+        tok_doc = tok_doc[keep]
+    return codes, tok_doc, vocab, n_docs
+
+
+_EMPTY_COUNTS = pa.table({"tok": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+
+
+def unigram_counts(ds, column: str = "text", n_buckets: int = 64):
+    """Corpus unigram counts → Dataset (tok, n). The corpus text never
+    shuffles: only per-batch (tok, n) partials (bounded by batch
+    vocabulary) leave each task, then ONE crc32(tok)%n_buckets bucket
+    shuffle sums them (each token lives in exactly one bucket)."""
+    import zlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tune_allocator()
+        codes, _, vocab, _ = _split_codes(batch, column)
+        if codes.size == 0:
+            return _EMPTY_COUNTS
+        cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        nz = cnt > 0
+        return pa.table({"tok": vocab.filter(pa.array(nz)),
+                         "n": pa.array(cnt[nz])})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        toks = t.column("tok")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        b = np.fromiter((zlib.crc32(v.encode()) % n_buckets
+                         for v in toks.to_pylist()),
+                        np.int32, count=len(toks))
+        return t.append_column("bucket", pa.array(b))
+
+    def bucket_sum(df):
+        tot = df.groupby("tok", sort=False)["n"].sum().reset_index()
+        return tot[["tok", "n"]]
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return (parts.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(bucket_sum, batch_format="pandas"))
+
+
+def doc_perplexity(ds, column: str = "text", id_column: str = "doc_id",
+                   max_vocab: int | None = None):
+    """Per-doc add-1-smoothed unigram NLL over the corpus' own LM →
+    Dataset (doc_id, n_tokens, nll_q9) with nll_q9 = the integer-
+    quantized negative log-likelihood (sum of per-term
+    ``-floor((tf * ln((c+1)/(T+V))) * 1e9 + 0.5)``; divide by 1e9 and by
+    n_tokens for the average NLL; exp of that is the perplexity).
+
+    Pure-integer outputs — the oracle-exactness invariant. ``max_vocab``
+    truncates the broadcast model to the most frequent tokens (count
+    desc, token asc) for huge vocabularies; truncated-away tokens score
+    as unseen (c=0). The driver query leaves it None (exact twin).
+    """
+    import ray
+
+    vocab_tab = unigram_counts(ds, column=column).to_pandas()
+    vocab_tab = vocab_tab.sort_values(["n", "tok"], ascending=[False, True],
+                                      kind="stable")
+    T = int(vocab_tab["n"].sum())
+    V = int(len(vocab_tab))  # smoothing denominator uses the FULL vocab
+    if max_vocab is not None:
+        vocab_tab = vocab_tab.head(max_vocab)
+    # sorted token array so the score scan can searchsorted-join against it
+    vocab_tab = vocab_tab.sort_values("tok", kind="stable")
+    model_ref = ray.put((vocab_tab["tok"].to_numpy(),
+                         vocab_tab["n"].to_numpy().astype(np.int64), T, V))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tune_allocator()
+        toks_sorted, cnts, T_, V_ = ray.get(model_ref)
+        codes, tok_doc, vocab, n_docs = _split_codes(batch, column)
+        ids = batch.column(id_column)
+        n_tokens = np.bincount(tok_doc, minlength=n_docs).astype(np.int64)
+        nll = np.zeros(n_docs, np.int64)
+        if codes.size:
+            # per-(doc, distinct token) tf via one sorted np.unique pass
+            key = tok_doc * np.int64(len(vocab)) + codes
+            uniq, tf = np.unique(key, return_counts=True)
+            ud = uniq // len(vocab)
+            uc = uniq % len(vocab)
+            # batch vocab → model counts (absent → 0, scores as unseen)
+            vtoks = vocab.to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(toks_sorted, vtoks)
+            pos_c = np.minimum(pos, len(toks_sorted) - 1)
+            hit = (len(toks_sorted) > 0) & (toks_sorted[pos_c] == vtoks)
+            c = np.where(hit, cnts[pos_c], 0).astype(np.int64) \
+                if len(toks_sorted) else np.zeros(len(vocab), np.int64)
+            denom = np.float64(T_ + V_)
+            lnp = np.log((c.astype(np.float64) + 1.0) / denom)
+            q = np.floor((tf.astype(np.float64) * lnp[uc]) * QUANT + 0.5) \
+                .astype(np.int64)
+            # uniq is sorted → pairs grouped by doc: cumsum-diff segments
+            cum = np.concatenate([[0], np.cumsum(q)])
+            starts = np.searchsorted(ud, np.arange(n_docs + 1))
+            nll = -(cum[starts[1:]] - cum[starts[:-1]])
+        return pa.table({id_column: ids,
+                         "n_tokens": pa.array(n_tokens),
+                         "nll_q9": pa.array(nll)})
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def doc_perplexity_sql(table: str = "documents", column: str = "text",
+                       id_column: str = "doc_id") -> str:
+    """DuckDB twin: same tokenizer, same add-1 smoothing, same int64
+    quantization before the per-doc sum (ln is libm in both engines and
+    every argument is integer-derived, so terms agree bit-for-bit)."""
+    return (
+        f"WITH toks AS (SELECT doc_id, tok FROM (SELECT {id_column} AS doc_id, "
+        f"unnest(regexp_split_to_array(trim({column}), '\\s+')) AS tok "
+        f"FROM {table}) WHERE tok <> ''), "
+        "cs AS (SELECT COUNT(*) AS T, COUNT(DISTINCT tok) AS V FROM toks), "
+        "cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1), "
+        "dtf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM toks GROUP BY 1, 2), "
+        "terms AS (SELECT d.doc_id, d.tf, CAST(floor((CAST(d.tf AS DOUBLE) * "
+        "ln((CAST(c.c AS DOUBLE) + 1.0) / CAST(cs.T + cs.V AS DOUBLE))) * "
+        "1000000000.0 + 0.5) AS BIGINT) AS q "
+        "FROM dtf d JOIN cnt c USING (tok) CROSS JOIN cs) "
+        f"SELECT doc.{id_column} AS doc_id, "
+        "CAST(COALESCE(s.nt, 0) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(-s.snll, 0) AS BIGINT) AS nll_q9 "
+        f"FROM {table} doc LEFT JOIN (SELECT doc_id, SUM(tf) AS nt, "
+        "SUM(q) AS snll FROM terms GROUP BY 1) s "
+        f"ON s.doc_id = doc.{id_column}"
+    )
