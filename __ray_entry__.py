@@ -622,6 +622,19 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir), _BM25_TERMS, k=20)
 
 
+def _q_cluster_docs(sf_dir: str):
+    """Document clustering: nearest-centroid assignment over the
+    embedding column (the IVF assignment, broadcast centroids) → tiny
+    per-cluster aggregate merged in ONE output-sized task."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.ann import cluster_sizes
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return cluster_sizes(ds, sf_dir, n_centroids=16)
+
+
 def _q_ann_bruteforce(sf_dir: str):
     import ray.data as rd
 
@@ -949,7 +962,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "pages_text_identity",
                   # cell counts twin — tile_assignment_z12 covers the
                   # cell-assignment path; slot freed for doc_perplexity
-                  "cell_page_counts")
+                  "cell_page_counts",
+                  # exact-cosine baseline — LSH + persisted IVF keep the
+                  # driver ANN slots; slot freed for cluster_docs
+                  "ann_topk_bruteforce")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1024,6 +1040,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (lexical + embedding)
         "bm25_topk": _q_bm25_topk,
         "bm25_topk_indexed": _q_bm25_topk_indexed,
+        "cluster_docs": _q_cluster_docs,
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
@@ -1178,6 +1195,7 @@ def oracle_sql_extra() -> dict[str, str]:
 
 
 def _all_oracle_sql() -> dict[str, str]:
+    from vtzero_ray.functions.ann import cluster_sizes_sql
     from vtzero_ray.functions.ann import topk_ivf_sql as ann_ivf_sql
     from vtzero_ray.functions.ann import topk_lsh_sql as ann_lsh_sql
     from vtzero_ray.functions.dedup import \
@@ -1571,6 +1589,7 @@ def _all_oracle_sql() -> dict[str, str]:
         # ann_topk_lsh: integer-quantized embeddings + md5-derived ±1
         # hyperplanes → buckets, dots and ranking are exact ints in BOTH
         # engines (functions/ann.py topk_lsh_sql)
+        "cluster_docs": cluster_sizes_sql(n_centroids=16),
         "ann_topk_lsh": ann_lsh_sql(),
         # ann_topk_ivf: same quantization; centroid assignment, probe
         # routing and re-rank are all exact-int dots + one float divide

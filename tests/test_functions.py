@@ -1148,3 +1148,37 @@ class TestRepetitionStats:
         assert np.array_equal(packed_cnt, cnt)
         for i in range(4):
             assert np.array_equal(packed_cols[i], uniq[:, i])
+
+
+class TestClusterSizes:
+    def test_conservation_and_exact_assignment(self, ray_session):
+        """Cluster sizes partition the corpus (counts and vec_id mass are
+        conserved) and match a direct numpy nearest-centroid assignment."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from vtzero_ray.functions.ann import (cluster_sizes, load_centroids,
+                                              quantize)
+
+        sf = "/root/testdata/sf0.001"
+        ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        out = cluster_sizes(ds, sf, n_centroids=16).to_pandas()
+        t = pq.read_table(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"]).to_pandas()
+        assert out.n_vecs.sum() == len(t)
+        assert out.sum_vec_id.sum() == t.vec_id.sum()
+        # direct brute-force assignment
+        cids, cmat = load_centroids(sf, 16)
+        mat = quantize(np.stack(t.embedding.to_numpy()))
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+        sim = (cmat @ mat.T).astype(np.float64) / cnorm[:, None]
+        best = cids[np.argmax(sim, axis=0)]
+        want = (np.bincount(
+            np.searchsorted(np.sort(np.unique(best)), best)))
+        got = out.set_index("centroid_id").n_vecs
+        for cid in np.unique(best):
+            assert got[cid] == (best == cid).sum()
+        # every centroid that captured nothing is absent from the output
+        assert set(out.centroid_id) == set(np.unique(best))

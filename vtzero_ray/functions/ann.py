@@ -569,11 +569,11 @@ def topk_ivf_indexed(index_dir: str, sf_dir: str, k: int = 5,
     return _merge_int_topk_single(cand, k)
 
 
-def topk_ivf_sql(k: int = 5, n_queries: int = 10, n_centroids: int = 16,
-                 nprobe: int = 4) -> str:
-    """DuckDB oracle for topk_ivf — same quantization, same centroid
-    assignment (dot/||c||, ties → min cid), same probe routing, same
-    exact-int re-rank."""
+def _assign_sql_prefix(n_centroids: int) -> str:
+    """Shared WITH-prefix: quantized components + first-N centroids +
+    the exact assignment CTE (dot/||c||, ties → min cid). Used verbatim
+    by topk_ivf_sql and cluster_sizes_sql so both oracles stay one
+    expression of the same assignment semantics."""
     return (
         f"WITH e AS (SELECT vec_id, embedding FROM embeddings), "
         f"comp0 AS (SELECT vec_id, unnest(embedding) AS x0,"
@@ -590,6 +590,16 @@ def topk_ivf_sql(k: int = 5, n_queries: int = 10, n_centroids: int = 16,
         f"SELECT v.vec_id, v.cid, row_number() OVER (PARTITION BY v.vec_id"
         f" ORDER BY (v.dot::DOUBLE / n.nrm) DESC, v.cid) AS rn"
         f" FROM vdot v JOIN cnorm n ON n.cid = v.cid) WHERE rn = 1), "
+    )
+
+
+def topk_ivf_sql(k: int = 5, n_queries: int = 10, n_centroids: int = 16,
+                 nprobe: int = 4) -> str:
+    """DuckDB oracle for topk_ivf — same quantization, same centroid
+    assignment (dot/||c||, ties → min cid), same probe routing, same
+    exact-int re-rank."""
+    return (
+        _assign_sql_prefix(n_centroids) +
         f"qv AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT {n_queries}), "
         f"probes AS (SELECT vec_id AS query_id, cid FROM ("
         f"SELECT v.vec_id, v.cid, row_number() OVER (PARTITION BY v.vec_id"
@@ -654,4 +664,64 @@ def topk_lsh_sql(k: int = 5, n_queries: int = 10, n_bits: int = 8,
         f" FROM dots d JOIN sumsq s ON s.vec_id = d.vec_id) "
         f"SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= {k} "
         f"ORDER BY query_id, rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# document clustering — per-cluster corpus statistics
+# ---------------------------------------------------------------------------
+
+
+def cluster_sizes(ds, sf_dir: str, n_centroids: int = 16):
+    """Corpus clustering over the embedding column: every vector joins
+    its nearest coarse centroid (``assign_centroids`` — the exact-int
+    cosine the IVF index uses; first-N seed so the assignment is
+    SQL-expressible; swap ``train_centroids`` output in at scale), then a
+    per-cluster aggregate → (centroid_id, n_vecs, sum_vec_id).
+
+    Shape: broadcast centroids (ray.put once) → assignment scan →
+    per-batch combiner (≤ n_centroids rows leave each task) → ONE
+    output-sized repartition(1) merge task (the repo's merge rule — no
+    groupby barrier for an n_centroids-row output).
+    """
+    import ray
+
+    cids, cmat = load_centroids(sf_dir, n_centroids)
+    assigned = assign_centroids(ds, ray.put((cids, cmat)))
+
+    def part(t: pa.Table) -> pa.Table:
+        c = t.column("centroid_id").to_numpy(zero_copy_only=False)
+        v = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(c, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, v)
+        return pa.table({"centroid_id": pa.array(uniq.astype(np.int64)),
+                         "n_vecs": pa.array(n),
+                         "sum_vec_id": pa.array(s)})
+
+    parts = assigned.map_batches(part, batch_format="pyarrow",
+                                 batch_size=None)
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        out = (df.groupby("centroid_id", sort=True)[["n_vecs", "sum_vec_id"]]
+               .sum().reset_index())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return parts.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def cluster_sizes_sql(n_centroids: int = 16) -> str:
+    """DuckDB twin of cluster_sizes — the SAME assignment prefix as
+    topk_ivf_sql, aggregated per cluster."""
+    return (
+        _assign_sql_prefix(n_centroids) +
+        "sizes AS (SELECT cid AS centroid_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_vecs, "
+        "CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id "
+        "FROM assign GROUP BY 1) "
+        "SELECT centroid_id, n_vecs, sum_vec_id FROM sizes "
+        "ORDER BY centroid_id"
     )
