@@ -452,6 +452,25 @@ def _q_shuffle_epoch(sf_dir: str):
     return shuffle_epoch(_docs(sf_dir), seed=42)
 
 
+# mixture weights exercising every branch: drop-all, heavy down-sample,
+# fractional up-sample, integer up-sample; unlisted sources ride the
+# 1.0 default (exactly one copy)
+_MIX_WEIGHTS = {"src0": 0.0, "src1": 0.25, "src2": 1.75, "src3": 3.0}
+
+
+def _q_mix_weighted(sf_dir: str):
+    """Training-mixture composition: deterministic per-source weighted
+    up/down-sampling (Pile-style epoch weights) — one map_batches, the
+    doc's own md5 key decides its fractional copy."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.pack import mix_weighted
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return mix_weighted(ds, _MIX_WEIGHTS, seed=7)
+
+
 def _q_redact_pii(sf_dir: str):
     """PII scrub (emails → <EMAIL>, then phones → <PHONE>) over a
     deterministic PII-bearing corpus synthesized from documents (the
@@ -965,7 +984,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "cell_page_counts",
                   # exact-cosine baseline — LSH + persisted IVF keep the
                   # driver ANN slots; slot freed for cluster_docs
-                  "ann_topk_bruteforce")
+                  "ann_topk_bruteforce",
+                  # tumbling window — sessions (harder) + hopping (extra)
+                  # keep the family; slot freed for mix_weighted
+                  "events_window")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1021,6 +1043,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": _q_length_quantiles,
         "pack_sequences": _q_pack_sequences,
         "shuffle_epoch": _q_shuffle_epoch,
+        "mix_weighted": _q_mix_weighted,
         "redact_pii": _q_redact_pii,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -1204,6 +1227,7 @@ def _all_oracle_sql() -> dict[str, str]:
         pack_sequences_sql as pack_oracle_sql
     from vtzero_ray.functions.pack import \
         shuffle_epoch_sql as shuffle_oracle_sql
+    from vtzero_ray.functions.pack import mix_weighted_sql
     from vtzero_ray.functions.textstats import \
         redact_pii_sql as redact_oracle_sql
     from vtzero_ray.functions.textstats import repetition_sql
@@ -1516,6 +1540,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "repetition_stats": repetition_sql(dup_n=5),
         # doc_perplexity: int64-quantized logprob terms -> order-free sums
         "doc_perplexity": doc_perplexity_sql(),
+        # mix_weighted: same md5 key + driver-resolved integer thresholds
+        "mix_weighted": mix_weighted_sql(_MIX_WEIGHTS, seed=7),
         # pack_sequences: window cumsum in doc_id order, same tokenizer
         # as token_stats, pure-int outputs (functions/pack.py)
         "pack_sequences": pack_oracle_sql(seq_len=2048),

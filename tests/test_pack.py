@@ -141,3 +141,74 @@ class TestShuffleEpoch:
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert a.equals(b)
         assert not a.pos.equals(c.pos)
+
+
+class TestMixWeighted:
+    """Dataset mixing: deterministic weighted up/down-sampling."""
+
+    def _tab(self, n=400):
+        import pyarrow as pa
+
+        srcs = ["a", "b", "c", "d"] * (n // 4)
+        return pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                         "source": pa.array(srcs)})
+
+    def test_semantics(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from vtzero_ray.functions.pack import mix_weighted
+
+        w = {"a": 0.0, "b": 2.0, "c": 0.5, "d": 2.25}
+        out = (mix_weighted(rd.from_arrow(self._tab()).repartition(3), w,
+                            seed=3).to_pandas())
+        by = out.groupby("source")
+        assert "a" not in set(out.source)                 # dropped
+        assert (by.get_group("b").groupby("doc_id").size() == 2).all()
+        nc = len(by.get_group("c").doc_id.unique())
+        assert 20 <= nc <= 80                             # ~50 of 100 kept
+        d = by.get_group("d").groupby("doc_id").size()
+        assert set(d.unique()) <= {2, 3}                  # 2 or 3 copies
+        assert 0.05 <= (d == 3).mean() <= 0.55            # ~25% get the 3rd
+        # copy index is 1..n per doc
+        assert (out.groupby(["source", "doc_id"])["copy"].max()
+                == out.groupby(["source", "doc_id"]).size()).all()
+        assert out["copy"].min() == 1
+
+    def test_default_weight_and_twin(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.pack import mix_weighted, mix_weighted_sql
+
+        tab = self._tab()
+        w = {"a": 0.0, "d": 3.5}
+        got = (mix_weighted(rd.from_arrow(tab).repartition(4), w, seed=9)
+               .to_pandas().sort_values(["doc_id", "source", "copy"])
+               .reset_index(drop=True))
+        # unlisted sources ride the default: exactly one copy
+        assert (got[got.source.isin(["b", "c"])]
+                .groupby("doc_id").size() == 1).all()
+        con = duckdb.connect()
+        con.register("documents", tab)
+        want = (con.execute(mix_weighted_sql(w, seed=9)).fetchdf()
+                .sort_values(["doc_id", "source", "copy"])
+                .reset_index(drop=True))
+        assert got.equals(want)
+
+    def test_seed_and_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.pack import mix_weighted
+
+        tab = self._tab()
+        w = {"a": 0.5, "b": 1.5}
+
+        def run(parts, seed):
+            return (mix_weighted(rd.from_arrow(tab).repartition(parts), w,
+                                 seed=seed).to_pandas()
+                    .sort_values(["doc_id", "source", "copy"])
+                    .reset_index(drop=True))
+
+        assert run(1, 5).equals(run(7, 5))         # partition-invariant
+        assert not run(1, 5).equals(run(1, 6))     # seed-sensitive

@@ -209,3 +209,99 @@ def shuffle_epoch_sql(seed: int = 0, table: str = "documents",
     return (f"SELECT {id_column} AS doc_id, "
             f"CAST(row_number() OVER (ORDER BY {key}, {id_column}) - 1 "
             f"AS BIGINT) AS pos FROM {table}")
+
+
+# ---------------------------------------------------------------------------
+# dataset mixing — weighted per-source up/down-sampling (training mixture)
+# ---------------------------------------------------------------------------
+
+def _micro_weights(weights: dict, default_weight: float):
+    """Resolve float weights to exact integer micro-weights ONCE on the
+    driver: w → (floor copies, fractional-part micro threshold). Both
+    engines then compare integers only — no float weight ever reaches a
+    task or the SQL."""
+    out = {}
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative mix weight for {s!r}: {w}")
+        micro = int(round(float(w) * 1_000_000))
+        out[s] = (micro // 1_000_000, micro % 1_000_000)
+    dmicro = int(round(float(default_weight) * 1_000_000))
+    return out, (dmicro // 1_000_000, dmicro % 1_000_000)
+
+
+def mix_weighted(ds, weights: dict, default_weight: float = 1.0,
+                 seed: int = 0, id_column: str = "doc_id",
+                 source_column: str = "source"):
+    """Training-mixture composition: re-weight a multi-source corpus →
+    Dataset (doc_id, source, copy). A source with weight w keeps
+    floor(w) copies of every doc plus one more with probability
+    frac(w), decided by the deterministic per-doc md5 key (the
+    shuffle_epoch key — seed-parameterized, reproducible across runs
+    and engines). w < 1 down-samples, w > 1 up-samples (the Pile-style
+    epoch weighting); copy = 1..n is the repeat index so downstream
+    packing/shuffling can treat repeats as distinct rows.
+
+    ONE map_batches, no shuffle at any corpus size: the weight map
+    rides the closure (driver-resolved integer thresholds), each row's
+    fate depends only on its own id hash."""
+    micro, dflt = _micro_weights(weights, default_weight)
+
+    def mix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids_col = t.column(id_column)
+        src = t.column(source_column)
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = pc.dictionary_encode(src)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64) \
+            if len(t) else np.empty(0, np.int64)
+        per = [micro.get(s, dflt) for s in d.dictionary.to_pylist()]
+        base = np.array([p[0] for p in per], np.int64)[codes] \
+            if len(per) else np.empty(0, np.int64)
+        frac = np.array([p[1] for p in per], np.int64)[codes] \
+            if len(per) else np.empty(0, np.int64)
+        ids = ids_col.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (_shuffle_keys(ids, seed) % np.uint64(1_000_000)).astype(np.int64)
+        copies = base + (h < frac)
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), copies)
+        ends = np.cumsum(copies)
+        copy_idx = np.arange(int(ends[-1]) if len(ends) else 0,
+                             dtype=np.int64) - np.repeat(ends - copies,
+                                                         copies) + 1
+        return pa.table({
+            "doc_id": pa.array(ids[rep]),
+            "source": src.take(pa.array(rep)),
+            "copy": pa.array(copy_idx),
+        })
+
+    return ds.map_batches(mix, batch_format="pyarrow", batch_size=None)
+
+
+def mix_weighted_sql(weights: dict, default_weight: float = 1.0,
+                     seed: int = 0, table: str = "documents",
+                     id_column: str = "doc_id",
+                     source_column: str = "source") -> str:
+    """DuckDB twin: same md5 key, same driver-resolved integer
+    thresholds (inlined literals), same generate_series explode."""
+    micro, (dbase, dfrac) = _micro_weights(weights, default_weight)
+    base_case = " ".join(f"WHEN '{s}' THEN {b}"
+                         for s, (b, _) in sorted(micro.items()))
+    frac_case = " ".join(f"WHEN '{s}' THEN {f}"
+                         for s, (_, f) in sorted(micro.items()))
+    return (
+        f"WITH d AS (SELECT {id_column} AS doc_id, {source_column} AS source, "
+        f"CAST(md5_number_lower('{seed}:' || CAST({id_column} AS VARCHAR))"
+        f"::UBIGINT % 1000000 AS BIGINT) AS h, "
+        f"CASE {source_column} {base_case} ELSE {dbase} END AS base, "
+        f"CASE {source_column} {frac_case} ELSE {dfrac} END AS frac "
+        f"FROM {table}), "
+        "c AS (SELECT doc_id, source, "
+        "base + CASE WHEN h < frac THEN 1 ELSE 0 END AS n FROM d) "
+        "SELECT doc_id, source, "
+        "CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy "
+        "FROM c WHERE n > 0"
+    )
