@@ -458,6 +458,17 @@ def _q_shuffle_epoch(sf_dir: str):
 _MIX_WEIGHTS = {"src0": 0.0, "src1": 0.25, "src2": 1.75, "src3": 3.0}
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs sharing any word 4-gram with the
+    deterministic eval split (doc_id % 50 == 0) are flagged — broadcast
+    benchmark gram set, one corpus scan, no shuffle. (Real pipelines use
+    8-13-grams; the synthetic small-vocab corpus needs n=4 for the row
+    to carry a non-trivial hit distribution.)"""
+    from vtzero_ray.functions.decontam import decontaminate_mod
+
+    return decontaminate_mod(_docs(sf_dir), sf_dir, n=4, mod=50)
+
+
 def _q_mix_weighted(sf_dir: str):
     """Training-mixture composition: deterministic per-source weighted
     up/down-sampling (Pile-style epoch weights) — one map_batches, the
@@ -987,7 +998,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "ann_topk_bruteforce",
                   # tumbling window — sessions (harder) + hopping (extra)
                   # keep the family; slot freed for mix_weighted
-                  "events_window")
+                  "events_window",
+                  # fused-assembler twin of multilayer_tiles_z6 (byte-
+                  # identity asserted in tests); slot freed for decontaminate
+                  "combined_layers_z2")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1044,6 +1058,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "shuffle_epoch": _q_shuffle_epoch,
         "mix_weighted": _q_mix_weighted,
+        "decontaminate": _q_decontaminate,
         "redact_pii": _q_redact_pii,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -1228,6 +1243,7 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.pack import \
         shuffle_epoch_sql as shuffle_oracle_sql
     from vtzero_ray.functions.pack import mix_weighted_sql
+    from vtzero_ray.functions.decontam import decontaminate_sql
     from vtzero_ray.functions.textstats import \
         redact_pii_sql as redact_oracle_sql
     from vtzero_ray.functions.textstats import repetition_sql
@@ -1542,6 +1558,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "doc_perplexity": doc_perplexity_sql(),
         # mix_weighted: same md5 key + driver-resolved integer thresholds
         "mix_weighted": mix_weighted_sql(_MIX_WEIGHTS, seed=7),
+        # decontaminate: same tokenizer + distinct-8-gram membership
+        "decontaminate": decontaminate_sql(n=4, mod=50),
         # pack_sequences: window cumsum in doc_id order, same tokenizer
         # as token_stats, pure-int outputs (functions/pack.py)
         "pack_sequences": pack_oracle_sql(seq_len=2048),
