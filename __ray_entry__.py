@@ -341,20 +341,34 @@ def _q_multilayer_z6(sf_dir: str):
     pages = tiles_pipeline(sf_dir, zooms=(6,), validate=False).materialize()
     paths = site_paths_tiles(sf_dir, zoom=6)
     hot = raster_to_vector(rasterize_tiles(pages, grid=16), threshold=2, grid=16)
+    # z6 tile-space is bounded (<= 4096 tiles) → output-sized single-task
+    # merge instead of the groupby barrier (8.8 s orchestration for 0.12 s
+    # of merge work, measured at sf0.01)
     merged = merge_tiles(pages, paths,
-                         hot.select_columns(["z", "x", "y", "mvt"]))
+                         hot.select_columns(["z", "x", "y", "mvt"]),
+                         single_task=True)
     feats = decode_tiles(merged, with_props=False, with_geometry=False)
-    agg = feats.groupby(["z", "x", "y", "layer"]).count()
 
-    def rename(t):
-        import pyarrow as pa
+    # per-layer counts the same way: per-batch combiner + ONE output-sized
+    # merge task, no Aggregate barrier for a (tiles x layers)-row output
+    def pcount(df):
+        out = (df.groupby(["z", "x", "y", "layer"], sort=True)
+               .size().rename("n_features").reset_index())
+        for c in ("z", "x", "y", "n_features"):
+            out[c] = out[c].astype("int64")
+        return out
 
-        if isinstance(t, pa.Table) and "count()" in t.column_names:
-            return t.rename_columns(
-                [c if c != "count()" else "n_features" for c in t.column_names])
-        return t
+    def psum(df):
+        out = (df.groupby(["z", "x", "y", "layer"], sort=True)["n_features"]
+               .sum().reset_index())
+        for c in ("z", "x", "y", "n_features"):
+            out[c] = out[c].astype("int64")
+        return out
 
-    return agg.map_batches(rename, batch_format="pyarrow")
+    parts = feats.map_batches(pcount, batch_format="pandas",
+                              batch_size=None)
+    return parts.repartition(1).map_batches(psum, batch_format="pandas",
+                                            batch_size=None)
 
 
 def _q_rasterize_z6(sf_dir: str):

@@ -101,6 +101,22 @@ class TestFilterPipelines:
         names = [l.name for l in VectorTile(row["mvt"]).layers()]
         assert all(n == b"pages" for n in names)
 
+    def test_merge_single_task_byte_identical(self, ray_session, tiles):
+        """The output-sized single-task merge path produces byte-identical
+        tiles to the bucketed-shuffle path (both are merge_group under
+        the hood; single_task only removes the groupby orchestration)."""
+        from vtzero_ray.pipelines.filter import filter_features, merge_tiles
+
+        en = filter_features(tiles, "pages", "lang", "en").materialize()
+        de = filter_features(tiles, "pages", "lang", "de").materialize()
+        a = (merge_tiles(en, de).to_pandas()
+             .sort_values(["z", "x", "y"]).reset_index(drop=True))
+        b = (merge_tiles(en, de, single_task=True).to_pandas()
+             .sort_values(["z", "x", "y"]).reset_index(drop=True))
+        assert len(a) == len(b)
+        assert (a.mvt == b.mvt).all()
+        assert list(a.columns) == list(b.columns)
+
 
 class TestMultimodal:
     def test_image_decode_plumbing(self, ray_session):
