@@ -272,11 +272,17 @@ def run_bench() -> dict:
         import __ray_entry__ as e
 
         qs = e.queries()
+        qs.update(e.queries_extra())
         for name in ("dedup_exact", "minhash_lsh_candidates", "ann_topk_bruteforce",
                      "ann_topk_ivf_indexed", "simhash_near_dups",
                      "embedding_near_dups_lsh", "ngram_topk",
                      "bm25_topk_indexed",
-                     "media_features_jpeg", "clipped_paths_z2"):
+                     "media_features_jpeg", "clipped_paths_z2",
+                     # round-4 training-data ops (all single-scan corpus
+                     # stages — cheap, and their sf0.1 walls are the
+                     # scale evidence)
+                     "repetition_stats", "doc_perplexity",
+                     "mix_weighted", "decontaminate", "cluster_docs"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)
