@@ -472,6 +472,14 @@ def _q_shuffle_epoch(sf_dir: str):
 _MIX_WEIGHTS = {"src0": 0.0, "src1": 0.25, "src2": 1.75, "src3": 3.0}
 
 
+def _q_tfidf_topk(sf_dir: str):
+    """Per-doc keyword extraction: top-3 TF-IDF terms (quantize-then-rank
+    parity — integer scores, string tie-break)."""
+    from vtzero_ray.functions.lm import tfidf_topk
+
+    return tfidf_topk(_docs(sf_dir), k=3)
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs sharing any word 4-gram with the
     deterministic eval split (doc_id % 50 == 0) are flagged — broadcast
@@ -1015,7 +1023,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "events_window",
                   # fused-assembler twin of multilayer_tiles_z6 (byte-
                   # identity asserted in tests); slot freed for decontaminate
-                  "combined_layers_z2")
+                  "combined_layers_z2",
+                  # per-doc keyword extraction rides in extras (the text
+                  # family already holds many driver slots)
+                  "tfidf_topk")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1073,6 +1084,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_epoch": _q_shuffle_epoch,
         "mix_weighted": _q_mix_weighted,
         "decontaminate": _q_decontaminate,
+        "tfidf_topk": _q_tfidf_topk,
         "redact_pii": _q_redact_pii,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -1261,7 +1273,7 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.textstats import \
         redact_pii_sql as redact_oracle_sql
     from vtzero_ray.functions.textstats import repetition_sql
-    from vtzero_ray.functions.lm import doc_perplexity_sql
+    from vtzero_ray.functions.lm import doc_perplexity_sql, tfidf_topk_sql
     from vtzero_ray.functions.search import bm25_sql as bm25_oracle_sql
     from vtzero_ray.functions.dedup_sql import (dup_clusters_sql,
                                                 jaccard_verified_sql,
@@ -1574,6 +1586,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "mix_weighted": mix_weighted_sql(_MIX_WEIGHTS, seed=7),
         # decontaminate: same tokenizer + distinct-8-gram membership
         "decontaminate": decontaminate_sql(n=4, mod=50),
+        # tfidf_topk: int64-quantized scores, (score DESC, term ASC) rank
+        "tfidf_topk": tfidf_topk_sql(k=3),
         # pack_sequences: window cumsum in doc_id order, same tokenizer
         # as token_stats, pure-int outputs (functions/pack.py)
         "pack_sequences": pack_oracle_sql(seq_len=2048),

@@ -114,3 +114,44 @@ class TestDocPerplexity:
             (float(tf) * math.log((c + 1.0) / denom)) * 1e9 + 0.5))
         assert got.nll_q9[0] == -(q(3, 3) + q(1, 0))
         assert got.nll_q9[1] == -q(1, 0)
+
+
+class TestTfidfTopk:
+    def test_hand_checked(self, ray_session):
+        """Term unique to one doc outranks corpus-wide terms; ties break
+        by term ASC; rank is dense 1..k."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.lm import tfidf_topk
+
+        texts = [
+            "common common zebra",     # zebra: tf1 * ln(3/1) tops
+            "common yak yak",          # yak: tf2 * ln(3/1)
+            "common common common",    # only common -> score 0
+        ]
+        out = (tfidf_topk(rd.from_arrow(_tab(texts)).repartition(2), k=2)
+               .to_pandas().sort_values(["doc_id", "rnk"])
+               .reset_index(drop=True))
+        assert out[out.doc_id == 0].term.tolist() == ["zebra", "common"]
+        assert out[out.doc_id == 1].term.tolist() == ["yak", "common"]
+        d2 = out[out.doc_id == 2]
+        assert d2.term.tolist() == ["common"]   # only one term exists
+        assert (d2.tfidf_q9 == 0).all()         # df == N -> ln 1 = 0
+        assert out.groupby("doc_id").rnk.apply(
+            lambda s: s.tolist() == list(range(1, len(s) + 1))).all()
+
+    def test_matches_duckdb_twin(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.lm import tfidf_topk, tfidf_topk_sql
+
+        tab = _tab(CORPUS)
+        got = (tfidf_topk(rd.from_arrow(tab).repartition(3), k=3)
+               .to_pandas().sort_values(["doc_id", "rnk"])
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", tab)
+        want = (con.execute(tfidf_topk_sql(k=3)).fetchdf()
+                .sort_values(["doc_id", "rnk"]).reset_index(drop=True))
+        assert got.equals(want)

@@ -190,3 +190,139 @@ def doc_perplexity_sql(table: str = "documents", column: str = "text",
         "SUM(q) AS snll FROM terms GROUP BY 1) s "
         f"ON s.doc_id = doc.{id_column}"
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction — per-document top-k terms
+# ---------------------------------------------------------------------------
+
+
+def doc_freqs(ds, column: str = "text", n_buckets: int = 64):
+    """Corpus document frequencies → Dataset (tok, df). Same shape as
+    unigram_counts (per-batch combiner, ONE bucketed count shuffle), but
+    counting DISTINCT docs per token — exact because every doc lives
+    wholly inside one row/batch."""
+    import zlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tune_allocator()
+        codes, tok_doc, vocab, _ = _split_codes(batch, column)
+        if codes.size == 0:
+            return _EMPTY_COUNTS
+        # distinct (doc, token) pairs, then count pairs per token
+        key = tok_doc * np.int64(len(vocab)) + codes
+        uniq = np.unique(key)
+        uc = (uniq % len(vocab)).astype(np.int64)
+        cnt = np.bincount(uc, minlength=len(vocab)).astype(np.int64)
+        nz = cnt > 0
+        return pa.table({"tok": vocab.filter(pa.array(nz)),
+                         "n": pa.array(cnt[nz])})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        toks = t.column("tok")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        b = np.fromiter((zlib.crc32(v.encode()) % n_buckets
+                         for v in toks.to_pylist()),
+                        np.int32, count=len(toks))
+        return t.append_column("bucket", pa.array(b))
+
+    def bucket_sum(df):
+        tot = df.groupby("tok", sort=False)["n"].sum().reset_index()
+        return tot[["tok", "n"]]
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return (parts.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(bucket_sum, batch_format="pandas"))
+
+
+def tfidf_topk(ds, k: int = 3, column: str = "text",
+               id_column: str = "doc_id"):
+    """Per-document keyword extraction: top-k terms by
+    ``tf * ln(N / df)`` → Dataset (doc_id, term, tfidf_q9, rnk).
+
+    The doc-level complement of BM25 (corpus-level query ranking) and
+    ngram_topk (corpus-level phrase stats). Scores ride the
+    quantize-then-rank parity contract: tfidf_q9 = int64
+    ``floor((tf * ln(N/df)) * 1e9 + 0.5)`` — rank = (score DESC, term
+    ASC) compares integers/strings only, so the DuckDB twin matches
+    bit-for-bit. Two passes: df stats (bucketed count shuffle, broadcast
+    vocab-bounded table) then one scoring scan; no corpus shuffle."""
+    import pandas as pd
+    import ray
+
+    # N (total docs) via a per-batch count combiner — no data shuffles
+    def ndocs_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+    n_docs_total = sum(
+        r["n"] for r in ds.map_batches(ndocs_partial, batch_format="pyarrow",
+                                       batch_size=None).take_all())
+
+    df_tab = doc_freqs(ds, column=column).to_pandas().sort_values("tok")
+    model_ref = ray.put((df_tab["tok"].to_numpy(),
+                         df_tab["n"].to_numpy().astype(np.int64),
+                         int(n_docs_total)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tune_allocator()
+        toks_sorted, dfs, N = ray.get(model_ref)
+        codes, tok_doc, vocab, n_docs = _split_codes(batch, column)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if codes.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tfidf_q9": pa.array([], pa.int64()),
+                             "rnk": pa.array([], pa.int64())})
+        key = tok_doc * np.int64(len(vocab)) + codes
+        uniq, tf = np.unique(key, return_counts=True)
+        ud = (uniq // len(vocab)).astype(np.int64)
+        uc = (uniq % len(vocab)).astype(np.int64)
+        vtoks = vocab.to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(toks_sorted, vtoks)
+        pos_c = np.minimum(pos, max(len(toks_sorted) - 1, 0))
+        hit = (toks_sorted[pos_c] == vtoks) if len(toks_sorted) else \
+            np.zeros(len(vtoks), bool)
+        dfv = np.where(hit, dfs[pos_c] if len(dfs) else 0, 0)
+        # every scanned token is in the model when trained on the same
+        # corpus; guard df=0 anyway (scores as df=N → 0)
+        dfv = np.where(dfv == 0, N, dfv).astype(np.int64)
+        lnidf = np.log(np.float64(N) / dfv.astype(np.float64))
+        q = np.floor((tf.astype(np.float64) * lnidf[uc]) * QUANT + 0.5) \
+            .astype(np.int64)
+        frame = pd.DataFrame({"doc_id": ids[ud],
+                              "term": pd.Series(vtoks[uc], dtype=object),
+                              "tfidf_q9": q})
+        frame = frame.sort_values(["doc_id", "tfidf_q9", "term"],
+                                  ascending=[True, False, True],
+                                  kind="stable")
+        top = frame.groupby("doc_id", sort=False).head(k).reset_index(drop=True)
+        top["rnk"] = (top.groupby("doc_id", sort=False).cumcount() + 1) \
+            .astype(np.int64)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def tfidf_topk_sql(k: int = 3, table: str = "documents",
+                   column: str = "text", id_column: str = "doc_id") -> str:
+    """DuckDB twin: same tokenizer, same int64-quantized score, same
+    (score DESC, term ASC) rank."""
+    return (
+        f"WITH toks AS (SELECT doc_id, tok FROM (SELECT {id_column} AS doc_id, "
+        f"unnest(regexp_split_to_array(trim({column}), '\\s+')) AS tok "
+        f"FROM {table}) WHERE tok <> ''), "
+        f"n AS (SELECT COUNT(*) AS nd FROM {table}), "
+        "dfs AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1), "
+        "dtf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM toks GROUP BY 1, 2), "
+        "scored AS (SELECT d.doc_id, d.tok AS term, "
+        "CAST(floor((CAST(d.tf AS DOUBLE) * "
+        "ln(CAST(n.nd AS DOUBLE) / CAST(f.df AS DOUBLE))) * 1000000000.0 "
+        "+ 0.5) AS BIGINT) AS tfidf_q9 "
+        "FROM dtf d JOIN dfs f USING (tok) CROSS JOIN n) "
+        "SELECT doc_id, term, tfidf_q9, CAST(row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY tfidf_q9 DESC, term) AS BIGINT) AS rnk "
+        f"FROM scored QUALIFY rnk <= {k}"
+    )
