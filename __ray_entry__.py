@@ -472,6 +472,15 @@ def _q_shuffle_epoch(sf_dir: str):
 _MIX_WEIGHTS = {"src0": 0.0, "src1": 0.25, "src2": 1.75, "src3": 3.0}
 
 
+def _q_corpus_filter_ppl(sf_dir: str):
+    """CCNet's filtering step: keep docs at or below the corpus median
+    average-NLL bucket (composition: LM scorer + mergeable-histogram
+    quantile + filter)."""
+    from vtzero_ray.functions.lm import filter_by_perplexity
+
+    return filter_by_perplexity(_docs(sf_dir), p=0.5)
+
+
 def _q_tfidf_topk(sf_dir: str):
     """Per-doc keyword extraction: top-3 TF-IDF terms (quantize-then-rank
     parity — integer scores, string tie-break)."""
@@ -1026,7 +1035,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "combined_layers_z2",
                   # per-doc keyword extraction rides in extras (the text
                   # family already holds many driver slots)
-                  "tfidf_topk")
+                  "tfidf_topk",
+                  # composed perplexity gate (doc_perplexity is the
+                  # driver row; the composition rides in extras)
+                  "corpus_filter_ppl")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1085,6 +1097,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "mix_weighted": _q_mix_weighted,
         "decontaminate": _q_decontaminate,
         "tfidf_topk": _q_tfidf_topk,
+        "corpus_filter_ppl": _q_corpus_filter_ppl,
         "redact_pii": _q_redact_pii,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -1273,7 +1286,9 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.textstats import \
         redact_pii_sql as redact_oracle_sql
     from vtzero_ray.functions.textstats import repetition_sql
-    from vtzero_ray.functions.lm import doc_perplexity_sql, tfidf_topk_sql
+    from vtzero_ray.functions.lm import (doc_perplexity_sql,
+                                         filter_by_perplexity_sql,
+                                         tfidf_topk_sql)
     from vtzero_ray.functions.search import bm25_sql as bm25_oracle_sql
     from vtzero_ray.functions.dedup_sql import (dup_clusters_sql,
                                                 jaccard_verified_sql,
@@ -1588,6 +1603,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "decontaminate": decontaminate_sql(n=4, mod=50),
         # tfidf_topk: int64-quantized scores, (score DESC, term ASC) rank
         "tfidf_topk": tfidf_topk_sql(k=3),
+        # corpus_filter_ppl: same bucket ints, quantile_disc cutoff
+        "corpus_filter_ppl": filter_by_perplexity_sql(p=0.5),
         # pack_sequences: window cumsum in doc_id order, same tokenizer
         # as token_stats, pure-int outputs (functions/pack.py)
         "pack_sequences": pack_oracle_sql(seq_len=2048),

@@ -155,3 +155,34 @@ class TestTfidfTopk:
         want = (con.execute(tfidf_topk_sql(k=3)).fetchdf()
                 .sort_values(["doc_id", "rnk"]).reset_index(drop=True))
         assert got.equals(want)
+
+
+class TestFilterByPerplexity:
+    def test_median_gate_and_twin(self, ray_session):
+        """Kept set == DuckDB quantile_disc twin; empty docs land in
+        bucket 0 (always kept); kept fraction covers >= p of docs."""
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.lm import (filter_by_perplexity,
+                                             filter_by_perplexity_sql)
+
+        texts = CORPUS + ["zz yy xx ww vv uu",        # rare -> high nll
+                          "the cat sat",               # common -> low
+                          "qq rr ss tt"] * 3
+        tab = _tab(texts)
+        got = (filter_by_perplexity(rd.from_arrow(tab).repartition(4),
+                                    p=0.5)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", tab)
+        want = (con.execute(filter_by_perplexity_sql(p=0.5)).fetchdf()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert got.equals(want)
+        assert len(got) >= len(texts) / 2            # median keeps >= half
+        kept = set(got.doc_id)
+        assert 3 in kept and 4 in kept               # empty docs: bucket 0
+        # the rare-token doc scores above the common-token docs' buckets
+        all_b = {r.doc_id: r.ppl_bucket for r in got.itertuples()}
+        if 6 in kept and 7 in kept:
+            assert all_b[6] > all_b[7]

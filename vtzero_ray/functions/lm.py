@@ -326,3 +326,80 @@ def tfidf_topk_sql(k: int = 3, table: str = "documents",
         "(PARTITION BY doc_id ORDER BY tfidf_q9 DESC, term) AS BIGINT) AS rnk "
         f"FROM scored QUALIFY rnk <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# perplexity quality gate — composed filter (scorer + histogram quantile)
+# ---------------------------------------------------------------------------
+
+
+def filter_by_perplexity(ds, p: float = 0.5, bucket_div: int = 1_000_000,
+                         column: str = "text", id_column: str = "doc_id"):
+    """CCNet's actual filtering step: drop the worst-perplexity tail.
+    Keeps docs whose average-NLL bucket (``(nll_q9 // n_tokens) //
+    bucket_div`` — millinat resolution by default, 0 for empty docs) is
+    <= the corpus p-quantile bucket → Dataset (doc_id, ppl_bucket).
+
+    Composition of doc_perplexity + the mergeable-histogram quantile
+    (sketch.length_quantiles' quantile_disc rule: sorted v[ceil(p*n)-1]
+    read off the cumulative histogram). The histogram is bounded by the
+    bucket grid (~50k rows for 0-50 nats), never corpus size. The scored
+    frame (3 int columns) is materialized once and consumed by both the
+    histogram and the filter — at 100 TB persist it to parquet instead
+    (the text-index pattern) so the filter pass is a pruned re-read."""
+    import math
+
+    scored = doc_perplexity(ds, column=column,
+                            id_column=id_column).materialize()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        nt = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        nll = t.column("nll_q9").to_numpy(zero_copy_only=False)
+        b = np.where(nt > 0, (nll // np.maximum(nt, 1)) // bucket_div,
+                     0).astype(np.int64)
+        return pa.table({id_column: t.column(id_column),
+                         "ppl_bucket": pa.array(b)})
+
+    buck = scored.map_batches(bucketize, batch_format="pyarrow",
+                              batch_size=None)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        b = t.column("ppl_bucket").to_numpy(zero_copy_only=False)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(ub.astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = buck.map_batches(hist_partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    hist = parts.groupby("b", sort=True)["cnt"].sum()
+    cum = hist.to_numpy(np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return buck
+    idx = int(np.searchsorted(cum, max(math.ceil(p * n), 1)))
+    cutoff = int(hist.index.to_numpy(np.int64)[idx])
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = t.column("ppl_bucket").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(b <= cutoff))
+
+    return buck.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def filter_by_perplexity_sql(p: float = 0.5, bucket_div: int = 1_000_000,
+                             table: str = "documents",
+                             column: str = "text",
+                             id_column: str = "doc_id") -> str:
+    """DuckDB twin: scored CTE = doc_perplexity_sql, same integer
+    bucketing, quantile_disc cutoff (the length_quantiles-verified
+    equivalence), same <= filter."""
+    scored = doc_perplexity_sql(table=table, column=column,
+                                id_column=id_column)
+    return (
+        f"WITH scored AS ({scored}), "
+        "b AS (SELECT doc_id, CAST(CASE WHEN n_tokens = 0 THEN 0 "
+        f"ELSE (nll_q9 // n_tokens) // {bucket_div} END AS BIGINT) "
+        "AS ppl_bucket FROM scored), "
+        f"cut AS (SELECT quantile_disc(ppl_bucket, {p}) AS c FROM b) "
+        "SELECT doc_id, ppl_bucket FROM b, cut WHERE ppl_bucket <= cut.c"
+    )
