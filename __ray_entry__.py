@@ -472,6 +472,14 @@ def _q_shuffle_epoch(sf_dir: str):
 _MIX_WEIGHTS = {"src0": 0.0, "src1": 0.25, "src2": 1.75, "src3": 3.0}
 
 
+def _q_chunk_docs(sf_dir: str):
+    """RAG-prep chunking: overlapping token windows per doc (size 32,
+    overlap 8) — one vectorized scan, single Arrow take+join."""
+    from vtzero_ray.functions.pack import chunk_docs
+
+    return chunk_docs(_docs(sf_dir), size=32, overlap=8)
+
+
 def _q_corpus_filter_ppl(sf_dir: str):
     """CCNet's filtering step: keep docs at or below the corpus median
     average-NLL bucket (composition: LM scorer + mergeable-histogram
@@ -1038,7 +1046,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "tfidf_topk",
                   # composed perplexity gate (doc_perplexity is the
                   # driver row; the composition rides in extras)
-                  "corpus_filter_ppl")
+                  "corpus_filter_ppl",
+                  # RAG chunking (pack_sequences holds the driver slot
+                  # for the sequence-prep family)
+                  "chunk_docs")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1098,6 +1109,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "tfidf_topk": _q_tfidf_topk,
         "corpus_filter_ppl": _q_corpus_filter_ppl,
+        "chunk_docs": _q_chunk_docs,
         "redact_pii": _q_redact_pii,
         # dedup family
         "dedup_exact": _q_dedup_exact,
@@ -1281,7 +1293,7 @@ def _all_oracle_sql() -> dict[str, str]:
         pack_sequences_sql as pack_oracle_sql
     from vtzero_ray.functions.pack import \
         shuffle_epoch_sql as shuffle_oracle_sql
-    from vtzero_ray.functions.pack import mix_weighted_sql
+    from vtzero_ray.functions.pack import chunk_docs_sql, mix_weighted_sql
     from vtzero_ray.functions.decontam import decontaminate_sql
     from vtzero_ray.functions.textstats import \
         redact_pii_sql as redact_oracle_sql
@@ -1605,6 +1617,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "tfidf_topk": tfidf_topk_sql(k=3),
         # corpus_filter_ppl: same bucket ints, quantile_disc cutoff
         "corpus_filter_ppl": filter_by_perplexity_sql(p=0.5),
+        # chunk_docs: same integer window arithmetic, list-slice join
+        "chunk_docs": chunk_docs_sql(size=32, overlap=8),
         # pack_sequences: window cumsum in doc_id order, same tokenizer
         # as token_stats, pure-int outputs (functions/pack.py)
         "pack_sequences": pack_oracle_sql(seq_len=2048),

@@ -212,3 +212,55 @@ class TestMixWeighted:
 
         assert run(1, 5).equals(run(7, 5))         # partition-invariant
         assert not run(1, 5).equals(run(1, 6))     # seed-sensitive
+
+
+class TestChunkDocs:
+    def test_hand_checked(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.pack import chunk_docs
+
+        texts = ["a b c d e f g h i j",   # 10 toks, size 4 stride 2
+                 "x y z",                 # n <= size -> one chunk
+                 "",                      # no chunks
+                 "  p   q  "]             # trim/split -> 2 toks
+        tab = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                        "text": pa.array(texts)})
+        out = (chunk_docs(rd.from_arrow(tab).repartition(2), size=4,
+                          overlap=2).to_pandas()
+               .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+        d0 = out[out.doc_id == 0]
+        # chunks: [1-4],[3-6],[5-8],[7-10] -> 4 chunks
+        assert d0.chunk_text.tolist() == ["a b c d", "c d e f",
+                                          "e f g h", "g h i j"]
+        assert d0.start_tok.tolist() == [1, 3, 5, 7]
+        assert (d0.n_toks == 4).all()
+        assert out[out.doc_id == 1].chunk_text.tolist() == ["x y z"]
+        assert 2 not in set(out.doc_id)
+        assert out[out.doc_id == 3].chunk_text.tolist() == ["p q"]
+
+    def test_tail_chunk_and_twin(self, ray_session):
+        """Uneven tail: last chunk is shorter; DuckDB twin equality."""
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.pack import chunk_docs, chunk_docs_sql
+
+        texts = ["t" + " u v w x y z a b"[:k] for k in range(0, 17, 3)]
+        tab = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                        "text": pa.array(texts)})
+        got = (chunk_docs(rd.from_arrow(tab).repartition(3), size=3,
+                          overlap=1).to_pandas()
+               .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", tab)
+        want = (con.execute(chunk_docs_sql(size=3, overlap=1)).fetchdf()
+                .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+        assert got.equals(want)
+        # coverage: every token appears in some chunk, tail included
+        last = got.groupby("doc_id").tail(1)
+        toks = {i: len(t.split()) for i, t in enumerate(texts)}
+        for r in last.itertuples():
+            assert r.start_tok + r.n_toks - 1 == toks[r.doc_id]

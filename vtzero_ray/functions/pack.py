@@ -305,3 +305,102 @@ def mix_weighted_sql(weights: dict, default_weight: float = 1.0,
         "CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy "
         "FROM c WHERE n > 0"
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking — sliding token windows (RAG / embedding prep)
+# ---------------------------------------------------------------------------
+
+def chunk_docs(ds, size: int = 32, overlap: int = 8, column: str = "text",
+               id_column: str = "doc_id"):
+    """Split every doc into overlapping token windows → Dataset
+    (doc_id, chunk_id, start_tok, n_toks, chunk_text) — the split-side
+    complement of pack_sequences (which concatenates), and the prep
+    stage ahead of embed→index in a RAG pipeline.
+
+    Chunk c covers tokens [c*stride+1, min(c*stride+size, n)] (1-based,
+    stride = size - overlap); a doc with n <= size yields one chunk;
+    empty docs yield none. ONE vectorized map_batches — tokens are
+    gathered with a single take over the batch's flat token array and
+    joined per chunk with one Arrow binary_join; no shuffle, no per-row
+    Python."""
+    from .lm import _split_codes
+
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+
+    def chunk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        codes, tok_doc, vocab, n_docs = _split_codes(t, column)
+        ids = t.column(id_column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_id": pa.array([], pa.int64()),
+            "start_tok": pa.array([], pa.int64()),
+            "n_toks": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        })
+        if codes.size == 0:
+            return empty
+        flat = vocab.take(pa.array(codes))  # compacted tokens, doc order
+        doc_off = np.searchsorted(tok_doc, np.arange(n_docs + 1))
+        n = (doc_off[1:] - doc_off[:-1]).astype(np.int64)
+        n_chunks = np.where(
+            n == 0, 0,
+            np.where(n <= size, 1, (n - size + stride - 1) // stride + 1))
+        total_chunks = int(n_chunks.sum())
+        if total_chunks == 0:
+            return empty
+        doc_rep = np.repeat(np.arange(n_docs, dtype=np.int64), n_chunks)
+        excl = np.cumsum(n_chunks) - n_chunks
+        chunk_id = np.arange(total_chunks, dtype=np.int64) - \
+            np.repeat(excl, n_chunks)
+        start0 = chunk_id * stride
+        end0 = np.minimum(start0 + size, n[doc_rep])
+        n_toks = end0 - start0
+        gstart = doc_off[:-1][doc_rep] + start0
+        total_toks = int(n_toks.sum())
+        texcl = np.cumsum(n_toks) - n_toks
+        idx = np.arange(total_toks, dtype=np.int64) - \
+            np.repeat(texcl, n_toks) + np.repeat(gstart, n_toks)
+        taken = flat.take(pa.array(idx))
+        offs = np.concatenate([[0], np.cumsum(n_toks)]).astype(np.int32)
+        larr = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), taken)
+        texts = pc.binary_join(larr, " ")
+        return pa.table({
+            "doc_id": pa.array(ids[doc_rep]),
+            "chunk_id": pa.array(chunk_id),
+            "start_tok": pa.array(start0 + 1),
+            "n_toks": pa.array(n_toks),
+            "chunk_text": texts,
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow", batch_size=None)
+
+
+def chunk_docs_sql(size: int = 32, overlap: int = 8,
+                   table: str = "documents", column: str = "text",
+                   id_column: str = "doc_id") -> str:
+    """DuckDB twin: same tokenizer, same integer chunk arithmetic,
+    1-based-inclusive list slice + array_to_string."""
+    stride = size - overlap
+    return (
+        f"WITH t AS (SELECT {id_column} AS doc_id, "
+        f"regexp_split_to_array(trim({column}), '\\s+') AS ws FROM {table}), "
+        "nn AS (SELECT doc_id, ws, CASE WHEN len(ws) = 1 AND ws[1] = '' "
+        "THEN 0 ELSE len(ws) END AS n FROM t), "
+        f"c AS (SELECT doc_id, ws, n, unnest(generate_series(0, "
+        f"CASE WHEN n <= {size} THEN 0 "
+        f"ELSE (n - {size} + {stride} - 1) // {stride} END)) AS chunk_id "
+        "FROM nn WHERE n > 0) "
+        "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+        f"CAST(chunk_id * {stride} + 1 AS BIGINT) AS start_tok, "
+        f"CAST(LEAST(chunk_id * {stride} + {size}, n) - chunk_id * {stride} "
+        "AS BIGINT) AS n_toks, "
+        f"array_to_string(ws[chunk_id * {stride} + 1 : "
+        f"LEAST(chunk_id * {stride} + {size}, n)], ' ') AS chunk_text "
+        "FROM c"
+    )
