@@ -533,6 +533,31 @@ def _q_redact_pii(sf_dir: str):
     return redact_pii(synth_contacts(_docs(sf_dir)))
 
 
+def _q_clean_lines_c4(sf_dir: str):
+    """C4's line-level cleaning (Raffel et al. 2020 §2.2: terminal
+    punctuation, >= 5 words, boilerplate blocklist, >= 2 kept lines, no
+    '{') over a deterministic multiline corpus synthesized from
+    documents (the raw synth text has no newlines — the synth_contacts
+    precedent). One vectorized scan, line order preserved, clean_text
+    byte-identical to the SQL twin's list_filter + array_to_string."""
+    from vtzero_ray.functions.webclean import clean_lines, synth_multiline
+
+    return clean_lines(synth_multiline(_docs(sf_dir)))
+
+
+def _q_url_dedup(sf_dir: str):
+    """URL canonicalization dedup (the RefinedWeb/CCNet URL pass):
+    lowercase scheme+host, strip query/fragment/trailing slash, keep the
+    min-doc_id document per canonical URL. Synthesized URL variants
+    (3 per page: plain / tracking params / fragment, odd ids uppercase
+    the host). dedup_exact shape — per-batch combiner, ONE bucketed
+    shuffle of (url, min_id, cnt) triples."""
+    from vtzero_ray.functions.webclean import (canonical_url_dedup,
+                                               synth_url_variants)
+
+    return canonical_url_dedup(synth_url_variants(_docs(sf_dir)))
+
+
 def _q_pack_sequences(sf_dir: str):
     """Training-data sequence packing — the distributed prefix-sum
     pattern: per-range integer partials (order-independent int64 adds) →
@@ -1049,7 +1074,11 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "corpus_filter_ppl",
                   # RAG chunking (pack_sequences holds the driver slot
                   # for the sequence-prep family)
-                  "chunk_docs")
+                  "chunk_docs",
+                  # web cleaning (C4 line filter + URL canonicalization
+                  # dedup) rides in extras — the corpus_clean/dedup
+                  # families hold the driver slots
+                  "clean_lines_c4", "url_dedup")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1111,6 +1140,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "corpus_filter_ppl": _q_corpus_filter_ppl,
         "chunk_docs": _q_chunk_docs,
         "redact_pii": _q_redact_pii,
+        "clean_lines_c4": _q_clean_lines_c4,
+        "url_dedup": _q_url_dedup,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1297,6 +1328,10 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.decontam import decontaminate_sql
     from vtzero_ray.functions.textstats import \
         redact_pii_sql as redact_oracle_sql
+    from vtzero_ray.functions.webclean import \
+        canonical_url_dedup_sql as url_dedup_oracle_sql
+    from vtzero_ray.functions.webclean import \
+        clean_lines_sql as clean_lines_oracle_sql
     from vtzero_ray.functions.textstats import repetition_sql
     from vtzero_ray.functions.lm import (doc_perplexity_sql,
                                          filter_by_perplexity_sql,
@@ -1624,6 +1659,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "pack_sequences": pack_oracle_sql(seq_len=2048),
         # redact_pii: same RE2 patterns + replacement order in DuckDB
         "redact_pii": redact_oracle_sql(),
+        "clean_lines_c4": clean_lines_oracle_sql(),
+        "url_dedup": url_dedup_oracle_sql(),
         # shuffle_epoch: row_number over the same md5_number_lower key
         "shuffle_epoch": shuffle_oracle_sql(seed=42),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",

@@ -1,0 +1,216 @@
+"""Web-corpus cleaning (functions/webclean.py): C4 line filter and URL
+canonicalization dedup — hand-checked semantics, DuckDB-twin equality
+on adversarial shapes and on the sf corpus, partition invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _tab(cols):
+    return pa.table(cols)
+
+
+HAND_DOCS = [
+    # doc 0: two good lines + unterminated tail -> kept (n_kept=2)
+    "this line has enough words here.\nanother line with plenty of words!\ntail with no punct",
+    # doc 1: one good line only -> dropped (min_kept=2)
+    "this line has enough words here.\nshort one.",
+    # doc 2: blocklist phrase kills line 2 -> dropped
+    "this line has enough words here.\nplease click here for more info now.",
+    # doc 3: curly brace kills the whole doc
+    "this line has enough words here.\nanother line with plenty of words!\nvar x = {",
+    # doc 4: no newlines at all, one good sentence -> dropped (1 < 2)
+    "a single line with plenty of words in it.",
+    # doc 5: question + exclamation terminals both count
+    "is this a line with enough words?\nyes it is a line with words!",
+    # doc 6: empty text
+    "",
+    # doc 7: javascript boilerplate
+    "enable javascript to view this site now.\nanother line with plenty of words!\nand a third good line of words here.",
+]
+
+
+def naive_clean(texts, min_words=5, min_kept=2,
+                blocklist=("click here", "javascript", "cookie policy")):
+    import re
+    out = []
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        kept = [l for l in lines
+                if re.search(r"[.!?]$", l)
+                and len(re.findall("[^ ]+", l)) >= min_words
+                and not any(p in l for p in blocklist)]
+        if len(kept) >= min_kept and "{" not in t:
+            out.append((i, len(lines), len(kept), "\n".join(kept)))
+    return pd.DataFrame(out, columns=["doc_id", "n_lines", "n_kept",
+                                      "clean_text"])
+
+
+class TestCleanLines:
+    def test_hand_checked(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import clean_lines
+
+        t = _tab({"doc_id": pa.array(range(len(HAND_DOCS)), pa.int64()),
+                  "text": pa.array(HAND_DOCS)})
+        got = (clean_lines(rd.from_arrow(t)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = naive_clean(HAND_DOCS)
+        assert got["doc_id"].to_list() == [0, 5, 7]
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # int64 outputs (the driver hash is dtype-sensitive)
+        assert got["n_lines"].dtype == np.int64
+        assert got["n_kept"].dtype == np.int64
+
+    def test_duckdb_twin_hand_corpus(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import clean_lines, clean_lines_sql
+
+        t = _tab({"doc_id": pa.array(range(len(HAND_DOCS)), pa.int64()),
+                  "text": pa.array(HAND_DOCS)})
+        got = (clean_lines(rd.from_arrow(t)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = (con.execute(clean_lines_sql(synth=False)).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[want.columns], want,
+                                      check_dtype=True)
+
+    def test_synth_twin_on_sf(self, ray_session, sf_dir):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import (clean_lines,
+                                                   clean_lines_sql,
+                                                   synth_multiline)
+
+        ds = rd.read_parquet(sf_dir + "/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+        got = (clean_lines(synth_multiline(ds)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        want = (con.execute(clean_lines_sql()).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert len(got) > 0
+        pd.testing.assert_frame_equal(got[want.columns], want,
+                                      check_dtype=True)
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import clean_lines
+
+        t = _tab({"doc_id": pa.array(range(len(HAND_DOCS)), pa.int64()),
+                  "text": pa.array(HAND_DOCS)})
+        a = (clean_lines(rd.from_arrow(t).repartition(1)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (clean_lines(rd.from_arrow(t).repartition(5)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+
+HAND_URLS = [
+    (0, "https://Site7.Example/p/1?utm_source=x"),
+    (1, "https://site7.example/p/1#frag"),
+    (2, "https://site7.example/p/1/"),
+    (3, "https://site7.example/p/1"),
+    (4, "https://other.example/p/2"),
+    (5, "HTTPS://OTHER.EXAMPLE/p/2"),
+    (6, "https://other.example/P/2"),   # path case preserved -> distinct
+]
+
+
+def naive_url_dedup(rows):
+    import re
+    groups = {}
+    for did, url in rows:
+        s = re.sub(r"[?#].*$", "", url)
+        m = re.match(r"(^[^/]*//[^/]*)(.*)$", s)
+        canon = m.group(1).lower() + re.sub(r"/$", "", m.group(2))
+        g = groups.setdefault(canon, [0, None])
+        g[0] += 1
+        g[1] = did if g[1] is None else min(g[1], did)
+    return pd.DataFrame(
+        [(k, v[1], v[0]) for k, v in groups.items()],
+        columns=["canon_url", "keep_id", "n_dups"]
+    ).sort_values("canon_url").reset_index(drop=True)
+
+
+class TestCanonicalUrlDedup:
+    def test_hand_checked(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import canonical_url_dedup
+
+        t = _tab({"doc_id": pa.array([r[0] for r in HAND_URLS], pa.int64()),
+                  "url": pa.array([r[1] for r in HAND_URLS])})
+        got = (canonical_url_dedup(rd.from_arrow(t)).to_pandas()
+               .sort_values("canon_url").reset_index(drop=True))
+        want = naive_url_dedup(HAND_URLS)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        row = got.set_index("canon_url").loc["https://site7.example/p/1"]
+        assert row["keep_id"] == 0 and row["n_dups"] == 4
+        # path case is NOT normalized
+        assert "https://other.example/P/2" in set(got["canon_url"])
+
+    def test_duckdb_twin_hand_corpus(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import (canonical_url_dedup,
+                                                   canonical_url_dedup_sql)
+
+        t = _tab({"doc_id": pa.array([r[0] for r in HAND_URLS], pa.int64()),
+                  "url": pa.array([r[1] for r in HAND_URLS])})
+        got = (canonical_url_dedup(rd.from_arrow(t)).to_pandas()
+               .sort_values("canon_url").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("urls", t)
+        want = (con.execute(canonical_url_dedup_sql(table="urls",
+                                                    url_expr="url")).df()
+                .sort_values("canon_url").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[want.columns], want,
+                                      check_dtype=True)
+
+    def test_synth_twin_on_sf(self, ray_session, sf_dir):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import (canonical_url_dedup,
+                                                   canonical_url_dedup_sql,
+                                                   synth_url_variants)
+
+        ds = rd.read_parquet(sf_dir + "/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+        got = (canonical_url_dedup(synth_url_variants(ds)).to_pandas()
+               .sort_values("canon_url").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        want = (con.execute(canonical_url_dedup_sql()).df()
+                .sort_values("canon_url").reset_index(drop=True))
+        assert len(got) > 0
+        # every full page triple collapses to one row with n_dups == 3
+        assert (want["n_dups"] <= 3).all()
+        pd.testing.assert_frame_equal(got[want.columns], want,
+                                      check_dtype=True)
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import canonical_url_dedup
+
+        t = _tab({"doc_id": pa.array([r[0] for r in HAND_URLS], pa.int64()),
+                  "url": pa.array([r[1] for r in HAND_URLS])})
+        a = (canonical_url_dedup(rd.from_arrow(t).repartition(1)).to_pandas()
+             .sort_values("canon_url").reset_index(drop=True))
+        b = (canonical_url_dedup(rd.from_arrow(t).repartition(4)).to_pandas()
+             .sort_values("canon_url").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)

@@ -1,0 +1,297 @@
+"""Web-corpus cleaning operators: C4-style line-level filtering and
+URL canonicalization dedup (RefinedWeb/CCNet's URL pass).
+
+Both are single-scan map_batches stages with exact DuckDB twins:
+
+- ``clean_lines`` implements the line rules of C4 (Raffel et al. 2020,
+  "Exploring the Limits of Transfer Learning", §2.2): keep only lines
+  that end in terminal punctuation AND have >= ``min_words`` words AND
+  contain no boilerplate blocklist phrase; then drop documents with
+  fewer than ``min_kept`` surviving lines or containing '{'. All
+  predicates are RE2/contains kernels evaluated identically by Arrow
+  and DuckDB; line order is preserved (Arrow list filter ==
+  DuckDB list_filter), so the joined clean_text matches byte-for-byte.
+  The per-doc work never shuffles — lines explode and re-join INSIDE
+  one batch.
+- ``canonical_url_dedup`` canonicalizes URLs (lowercase scheme+host,
+  strip query string / fragment / trailing slash — the standard crawl
+  canonicalization) and keeps the first (min doc_id) document per
+  canonical URL. Shape = dedup_exact: per-batch partial (url, min_id,
+  cnt) combiner → ONE crc32-bucketed shuffle → in-bucket merge; only
+  the canonical-url/id/count triple ever leaves a task, never text.
+
+The synthetic corpora (``synth_multiline`` / ``synth_url_variants``)
+derive deterministically from the documents table — the
+synth_contacts/media-corpus precedent: the raw synth text has no
+newlines and the derived URLs no variants, so the driver rows
+synthesize them and the SQL twin reproduces the synthesis verbatim.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..runtime import tune_allocator
+
+tune_allocator()
+import pyarrow.compute as pc
+
+BLOCKLIST = ("click here", "javascript", "cookie policy")
+TERMINAL_RE = r"[.!?]$"
+WORD_RE = "[^ ]+"
+
+
+def _arr(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic corpora (SQL-reproducible, no external data)
+# ---------------------------------------------------------------------------
+
+
+def synth_multiline(ds, column: str = "text", id_column: str = "doc_id"):
+    """Multiline corpus from the documents table: three lines per doc —
+    a well-formed sentence, a boilerplate line on every 5th doc (else a
+    second sentence), and an unterminated tail. Reproduced verbatim by
+    synth_multiline_sql_expr()."""
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column)
+        txt = _arr(t.column(column))
+        l1 = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(txt, 0, 80), ".", "")
+        m5 = pc.subtract(ids, pc.multiply(pc.divide(ids, 5), 5))
+        l2 = pc.if_else(
+            pc.equal(m5, 0),
+            pa.scalar("click here to read more now"),
+            pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(txt, 80, 160), "!", ""))
+        l3 = pc.utf8_slice_codeunits(txt, 160, 360)
+        out = pc.binary_join_element_wise(l1, l2, l3, "\n")
+        return pa.table({id_column: ids, column: out})
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None)
+
+
+def synth_multiline_sql_expr(column: str = "text",
+                             id_column: str = "doc_id") -> str:
+    """SQL expression producing exactly synth_multiline()'s text."""
+    return (
+        f"(substr({column}, 1, 80) || '.' || chr(10) || "
+        f"CASE WHEN {id_column} % 5 = 0 THEN 'click here to read more now' "
+        f"ELSE substr({column}, 81, 80) || '!' END || chr(10) || "
+        f"substr({column}, 161, 200))"
+    )
+
+
+def synth_url_variants(ds, id_column: str = "doc_id"):
+    """URL corpus with duplicates-after-canonicalization: every 3
+    consecutive doc_ids share a page (doc_id // 3); variants cycle
+    doc_id % 3 → plain / tracking query string / fragment, and odd ids
+    uppercase the host. Reproduced verbatim by
+    synth_url_variants_sql_expr()."""
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column)
+        page = pc.divide(ids, 3)
+        hostn = pc.cast(pc.subtract(page, pc.multiply(
+            pc.divide(page, 97), 97)), pa.string())
+        m2 = pc.subtract(ids, pc.multiply(pc.divide(ids, 2), 2))
+        host = pc.if_else(pc.equal(m2, 1),
+                          pc.binary_join_element_wise(
+                              pa.scalar("SITE"), hostn, ".EXAMPLE", ""),
+                          pc.binary_join_element_wise(
+                              pa.scalar("site"), hostn, ".example", ""))
+        m3 = pc.subtract(ids, pc.multiply(pc.divide(ids, 3), 3))
+        suffix = pc.if_else(
+            pc.equal(m3, 0), "/",
+            pc.if_else(pc.equal(m3, 1), "?utm_source=feed&ref=rss",
+                       "#comments"))
+        url = pc.binary_join_element_wise(
+            "https://", host, "/p/", pc.cast(page, pa.string()), suffix, "")
+        return pa.table({id_column: ids, "url": url})
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None)
+
+
+def synth_url_variants_sql_expr(id_column: str = "doc_id") -> str:
+    """SQL expression producing exactly synth_url_variants()'s url."""
+    host = (f"(CASE WHEN {id_column} % 2 = 1 "
+            f"THEN 'SITE' || (({id_column} // 3) % 97) || '.EXAMPLE' "
+            f"ELSE 'site' || (({id_column} // 3) % 97) || '.example' END)")
+    suffix = (f"(CASE WHEN {id_column} % 3 = 0 THEN '/' "
+              f"WHEN {id_column} % 3 = 1 THEN '?utm_source=feed&ref=rss' "
+              f"ELSE '#comments' END)")
+    return (f"('https://' || {host} || '/p/' || ({id_column} // 3) "
+            f"|| {suffix})")
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning
+# ---------------------------------------------------------------------------
+
+
+def clean_lines(ds, min_words: int = 5, min_kept: int = 2,
+                blocklist: tuple = BLOCKLIST, column: str = "text",
+                id_column: str = "doc_id"):
+    """C4's line filter → Dataset (doc_id, n_lines, n_kept, clean_text)
+    with only surviving documents. One vectorized scan: split each doc
+    on newlines (Arrow list), evaluate the line predicates on the FLAT
+    line array (RE2 terminal-punctuation match, [^ ]+ word-run count,
+    blocklist contains), rebuild the kept-lines list from numpy offsets
+    and re-join with ``pc.binary_join`` — no Python loop over lines, no
+    shuffle (each doc lives wholly inside its batch)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        ids = t.column(id_column)
+        txt = _arr(t.column(column))
+        n = len(txt)
+        lines = pc.split_pattern(txt, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = lines.values
+        offs = np.asarray(lines.offsets, dtype=np.int64)
+        keep = pc.and_(
+            pc.match_substring_regex(flat, TERMINAL_RE),
+            pc.greater_equal(
+                pc.count_substring_regex(flat, WORD_RE),
+                pa.scalar(min_words, pa.int32())))
+        for phrase in blocklist:
+            keep = pc.and_(keep, pc.invert(pc.match_substring(flat, phrase)))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        n_lines = offs[1:] - offs[:-1]
+        line_doc = np.repeat(np.arange(n, dtype=np.int64), n_lines)
+        n_kept = np.bincount(line_doc[keep_np], minlength=n).astype(np.int64) \
+            if keep_np.size else np.zeros(n, np.int64)
+        kept_flat = flat.filter(keep)
+        kept_offs = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int32)
+        kept_list = pa.ListArray.from_arrays(pa.array(kept_offs, pa.int32()),
+                                             kept_flat)
+        clean = pc.binary_join(kept_list, "\n")
+        doc_ok = pc.and_(
+            pa.array(n_kept >= min_kept),
+            pc.invert(pc.match_substring(txt, "{")))
+        return pa.table({id_column: ids,
+                         "n_lines": pa.array(n_lines),
+                         "n_kept": pa.array(n_kept),
+                         "clean_text": clean}).filter(doc_ok)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def clean_lines_sql(min_words: int = 5, min_kept: int = 2,
+                    blocklist: tuple = BLOCKLIST, table: str = "documents",
+                    column: str = "text", id_column: str = "doc_id",
+                    synth: bool = True) -> str:
+    """DuckDB twin: same split, same RE2 predicates, order-preserving
+    list_filter, same join — byte-identical clean_text."""
+    src = synth_multiline_sql_expr(column, id_column) if synth else column
+    block = " AND ".join(
+        f"NOT contains(l, '{p}')" for p in blocklist)
+    return (
+        f"WITH src AS (SELECT {id_column} AS doc_id, {src} AS text "
+        f"FROM {table}), "
+        f"f AS (SELECT doc_id, text, "
+        f"list_filter(string_split(text, chr(10)), l -> "
+        f"regexp_matches(l, '{TERMINAL_RE}') AND "
+        f"length(regexp_extract_all(l, '{WORD_RE}')) >= {min_words} AND "
+        f"{block}) AS kept FROM src) "
+        f"SELECT doc_id, "
+        f"CAST(length(string_split(text, chr(10))) AS BIGINT) AS n_lines, "
+        f"CAST(length(kept) AS BIGINT) AS n_kept, "
+        f"array_to_string(kept, chr(10)) AS clean_text "
+        f"FROM f WHERE length(kept) >= {min_kept} "
+        f"AND NOT contains(text, '{{')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup
+# ---------------------------------------------------------------------------
+
+_CANON_HEAD = r"^([^/]*//[^/?#]*)"
+
+
+def canonicalize_urls(ds, url_column: str = "url",
+                      id_column: str = "doc_id"):
+    """→ Dataset (doc_id, canon_url): lowercase scheme+host, strip
+    query/fragment, strip one trailing slash. RE2 in both engines."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        urls = _arr(t.column(url_column))
+        stripped = pc.replace_substring_regex(urls, r"[?#].*$", "")
+        # head = scheme://host (up to the first path slash); rest = path
+        m = pc.extract_regex(stripped,
+                             r"(?P<head>^[^/]*//[^/]*)(?P<rest>.*)")
+        head = pc.utf8_lower(pc.struct_field(m, "head"))
+        rest = pc.replace_substring_regex(
+            pc.struct_field(m, "rest"), r"/$", "")
+        canon = pc.binary_join_element_wise(head, rest, "")
+        return pa.table({id_column: t.column(id_column), "canon_url": canon})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def canonical_url_dedup(ds, url_column: str = "url",
+                        id_column: str = "doc_id", n_buckets: int = 64):
+    """Keep the first (min doc_id) document per canonical URL →
+    Dataset (canon_url, keep_id, n_dups). dedup_exact shape: per-batch
+    partial (canon, min_id, cnt) → ONE crc32(canon)-bucketed shuffle →
+    in-bucket merge. Only the triple shuffles, never document text."""
+    import zlib
+
+    canon = canonicalize_urls(ds, url_column=url_column,
+                              id_column=id_column)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        urls = _arr(t.column("canon_url"))
+        ids = t.column(id_column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = pc.dictionary_encode(urls)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = len(d.dictionary)
+        min_id = np.full(nv, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(min_id, codes, ids)
+        cnt = np.bincount(codes, minlength=nv).astype(np.int64)
+        b = np.fromiter((zlib.crc32(u.encode()) % n_buckets
+                         for u in d.dictionary.to_pylist()),
+                        np.int32, count=nv)
+        return pa.table({"canon_url": d.dictionary,
+                         "keep_id": pa.array(min_id),
+                         "n_dups": pa.array(cnt),
+                         "bucket": pa.array(b)})
+
+    def merge(df):
+        out = df.groupby("canon_url", sort=False).agg(
+            keep_id=("keep_id", "min"), n_dups=("n_dups", "sum"))
+        return out.reset_index()[["canon_url", "keep_id", "n_dups"]]
+
+    return (canon.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+            .groupby("bucket").map_groups(merge, batch_format="pandas"))
+
+
+def canonical_url_dedup_sql(table: str = "documents",
+                            id_column: str = "doc_id",
+                            synth: bool = True,
+                            url_expr: str | None = None) -> str:
+    """DuckDB twin: same synthesis, same canonicalization regexes,
+    min/count per canonical URL."""
+    src = url_expr or (synth_url_variants_sql_expr(id_column) if synth
+                       else "url")
+    return (
+        f"WITH u AS (SELECT {id_column} AS doc_id, {src} AS url "
+        f"FROM {table}), "
+        "c AS (SELECT doc_id, lower(regexp_extract(s, '^[^/]*//[^/]*')) || "
+        "regexp_replace(regexp_extract(s, '^[^/]*//[^/]*(.*)$', 1), "
+        "'/$', '') AS canon_url FROM "
+        "(SELECT doc_id, regexp_replace(url, '[?#].*$', '') AS s FROM u)) "
+        "SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_id, "
+        "CAST(count(*) AS BIGINT) AS n_dups FROM c GROUP BY 1"
+    )
