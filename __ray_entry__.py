@@ -558,6 +558,44 @@ def _q_url_dedup(sf_dir: str):
     return canonical_url_dedup(synth_url_variants(_docs(sf_dir)))
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup against a persisted md5 fingerprint
+    index — the continuous-crawl scale path (the persisted BM25/IVF
+    index precedent): old shard (doc_id % 3 == 0) fingerprints build a
+    bucket-partitioned index ONCE (cached under /tmp, content-
+    fingerprinted key, atomic publish, meta-last); the new shard
+    anti-joins it reading ONLY the buckets its own docs hash into.
+    Corpus synthesized onto a bounded template space (real docs have no
+    exact duplicates) so all three outcomes occur: dropped-as-indexed,
+    kept with a within-shard dup, kept unique."""
+    import os
+
+    import pyarrow as pa
+
+    from vtzero_ray.functions.dedup_index import (build_md5_index,
+                                                  dedup_against_index,
+                                                  synth_dup_corpus)
+
+    def _split(keep_old: bool):
+        # fresh lineage per consumer (never fan one Dataset out twice)
+        def f(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 3 == 0) if keep_old else (ids % 3 != 0)
+            return t.filter(pa.array(mask))
+
+        return synth_dup_corpus(_docs(sf_dir)).map_batches(
+            f, batch_format="pyarrow", batch_size=None)
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    index_dir = (f"/tmp/vtzero_ray_md5idx/"
+                 f"{os.path.basename(os.path.normpath(sf_dir))}"
+                 f"_{st.st_size}_{st.st_mtime_ns}_b64_v1")
+    if not os.path.isfile(f"{index_dir}/meta.parquet"):
+        build_md5_index(_split(True), index_dir)
+    return dedup_against_index(_split(False), index_dir)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Training-data sequence packing — the distributed prefix-sum
     pattern: per-range integer partials (order-independent int64 adds) →
@@ -1078,7 +1116,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # web cleaning (C4 line filter + URL canonicalization
                   # dedup) rides in extras — the corpus_clean/dedup
                   # families hold the driver slots
-                  "clean_lines_c4", "url_dedup")
+                  "clean_lines_c4", "url_dedup",
+                  # incremental dedup vs a persisted fingerprint index
+                  # (dedup_exact holds the driver slot for the family)
+                  "dedup_incremental")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1142,6 +1183,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "clean_lines_c4": _q_clean_lines_c4,
         "url_dedup": _q_url_dedup,
+        "dedup_incremental": _q_dedup_incremental,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1328,6 +1370,7 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.decontam import decontaminate_sql
     from vtzero_ray.functions.textstats import \
         redact_pii_sql as redact_oracle_sql
+    from vtzero_ray.functions.dedup_index import dedup_incremental_sql
     from vtzero_ray.functions.webclean import \
         canonical_url_dedup_sql as url_dedup_oracle_sql
     from vtzero_ray.functions.webclean import \
@@ -1661,6 +1704,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "redact_pii": redact_oracle_sql(),
         "clean_lines_c4": clean_lines_oracle_sql(),
         "url_dedup": url_dedup_oracle_sql(),
+        "dedup_incremental": dedup_incremental_sql(),
         # shuffle_epoch: row_number over the same md5_number_lower key
         "shuffle_epoch": shuffle_oracle_sql(seed=42),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",

@@ -1,0 +1,166 @@
+"""Incremental dedup against a persisted md5 index
+(functions/dedup_index.py): brute-force semantics, bucket-pruned reads
+(proved by deleting untouched buckets), atomic rebuild, DuckDB twin."""
+
+import glob
+import hashlib
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _tab(ids, texts):
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts)})
+
+
+OLD = _tab([0, 2, 4, 6], ["alpha", "beta", "gamma", "alpha"])
+NEW = _tab([1, 3, 5, 7, 9, 11],
+           ["alpha",     # already indexed -> dropped
+            "delta",     # novel, dup within shard (min id 3 wins)
+            "delta",
+            "beta",      # already indexed -> dropped
+            "epsilon",   # novel unique
+            "delta"])    # third shard copy
+
+
+def brute(old_texts, new_rows):
+    seen = {hashlib.md5(t.encode()).hexdigest() for t in old_texts}
+    groups = {}
+    for did, t in new_rows:
+        m = hashlib.md5(t.encode()).hexdigest()
+        g = groups.setdefault(m, [None, 0])
+        g[0] = did if g[0] is None else min(g[0], did)
+        g[1] += 1
+    rows = [(m, v[0], v[1]) for m, v in groups.items() if m not in seen]
+    return (pd.DataFrame(rows, columns=["md5", "keep_id", "n_dups"])
+            .sort_values("md5").reset_index(drop=True))
+
+
+class TestDedupAgainstIndex:
+    def _build(self, tmp_path, ray_session, n_buckets=8):
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup_index import build_md5_index
+
+        d = str(tmp_path / "idx")
+        build_md5_index(rd.from_arrow(OLD).repartition(2), d,
+                        n_buckets=n_buckets)
+        return d
+
+    def test_hand_checked(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup_index import dedup_against_index
+
+        idx = self._build(tmp_path, ray_session)
+        got = (dedup_against_index(rd.from_arrow(NEW).repartition(3), idx)
+               .to_pandas().sort_values("md5").reset_index(drop=True))
+        want = brute(["alpha", "beta", "gamma", "alpha"],
+                     list(zip(NEW["doc_id"].to_pylist(),
+                              NEW["text"].to_pylist())))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        kept_texts = {"delta", "epsilon"}
+        assert len(got) == 2
+        row = got.set_index("md5").loc[
+            hashlib.md5(b"delta").hexdigest()]
+        assert row["keep_id"] == 3 and row["n_dups"] == 3
+
+    def test_untouched_buckets_never_read(self, ray_session, tmp_path):
+        """Delete every index bucket the new shard does NOT hash into;
+        the query must still succeed with identical output — proof the
+        anti-join reads only its own buckets."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup_index import (_md5_bucket_array,
+                                                      dedup_against_index)
+
+        idx = self._build(tmp_path, ray_session, n_buckets=8)
+        before = (dedup_against_index(rd.from_arrow(NEW), idx)
+                  .to_pandas().sort_values("md5").reset_index(drop=True))
+        new_md5 = pa.array([hashlib.md5(t.encode()).hexdigest()
+                            for t in NEW["text"].to_pylist()])
+        touched = set(_md5_bucket_array(new_md5, 8).tolist())
+        removed = 0
+        for p in glob.glob(f"{idx}/md5s/bpart=*"):
+            b = int(p.rsplit("=", 1)[1])
+            if b not in touched:
+                shutil.rmtree(p)
+                removed += 1
+        assert removed > 0, "fixture must leave some buckets untouched"
+        after = (dedup_against_index(rd.from_arrow(NEW), idx)
+                 .to_pandas().sort_values("md5").reset_index(drop=True))
+        pd.testing.assert_frame_equal(before, after)
+
+    def test_atomic_rebuild(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup_index import (build_md5_index,
+                                                      dedup_against_index)
+
+        idx = self._build(tmp_path, ray_session)
+        assert os.path.isfile(f"{idx}/meta.parquet")
+        # second build over the published dir must not corrupt it
+        build_md5_index(rd.from_arrow(OLD), idx, n_buckets=8)
+        assert os.path.isfile(f"{idx}/meta.parquet")
+        assert not glob.glob(f"{idx}.building.*")
+        got = (dedup_against_index(rd.from_arrow(NEW), idx)
+               .to_pandas().sort_values("md5").reset_index(drop=True))
+        assert len(got) == 2
+
+    def test_partition_invariance(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup_index import dedup_against_index
+
+        idx = self._build(tmp_path, ray_session)
+        a = (dedup_against_index(rd.from_arrow(NEW).repartition(1), idx)
+             .to_pandas().sort_values("md5").reset_index(drop=True))
+        b = (dedup_against_index(rd.from_arrow(NEW).repartition(6), idx)
+             .to_pandas().sort_values("md5").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestSynthTwin:
+    def test_duckdb_twin_on_sf(self, ray_session, sf_dir, tmp_path):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup_index import (build_md5_index,
+                                                      dedup_against_index,
+                                                      dedup_incremental_sql,
+                                                      synth_dup_corpus)
+
+        def load():
+            return rd.read_parquet(sf_dir + "/documents.parquet",
+                                   columns=["doc_id"]).repartition(8)
+
+        def split(ds, keep_old):
+            def f(t):
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                mask = (ids % 3 == 0) if keep_old else (ids % 3 != 0)
+                return t.filter(pa.array(mask))
+            return ds.map_batches(f, batch_format="pyarrow",
+                                  batch_size=None)
+
+        idx = str(tmp_path / "sfidx")
+        build_md5_index(split(synth_dup_corpus(load()), True), idx)
+        got = (dedup_against_index(
+            split(synth_dup_corpus(load()), False), idx)
+            .to_pandas().sort_values("md5").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        want = (con.execute(dedup_incremental_sql()).df()
+                .sort_values("md5").reset_index(drop=True))
+        # all three outcomes must occur in the fixture
+        assert len(want) > 0
+        assert (want["n_dups"] == 2).any() and (want["n_dups"] == 1).any()
+        n_new = con.execute(
+            "SELECT count(*) FROM documents WHERE doc_id % 3 <> 0"
+        ).fetchone()[0]
+        assert int(want["n_dups"].sum()) < n_new  # some were indexed
+        pd.testing.assert_frame_equal(got[want.columns], want,
+                                      check_dtype=True)

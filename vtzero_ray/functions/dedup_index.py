@@ -1,0 +1,199 @@
+"""Incremental exact dedup against a persisted fingerprint index — the
+continuous-crawl shape: fingerprints of the corpus-so-far live in a
+bucket-partitioned parquet index built ONCE; each new shard dedupes
+against it by reading ONLY the buckets its own documents hash into.
+
+This is the dedup-family member of the persisted-index pattern
+(search.build_text_index / ann.build_ivf_index): at 100 TB the corpus-
+so-far never rescans — the index is O(distinct documents) of 32-byte
+hashes, new shards are the only data in flight, and file-level pruning
+means an incremental batch touches a bounded subset of index files.
+
+Semantics (exactly SQL-expressible — the driver oracle):
+- keep a new-shard document iff its md5 is NOT in the index;
+- within the new shard, first occurrence wins (min doc_id), n_dups
+  counts the shard's copies — i.e. dedup_exact over the shard followed
+  by an anti-join against the corpus-so-far.
+
+Scale shape: md5 per batch (the add_md5 kernel) → per-batch combiner
+(md5, min_id, cnt — only fingerprints shuffle, never text) → ONE
+groupby(bucket) where each group task reads its OWN index bucket files
+and anti-joins in memory. Bucket files are bounded by
+|corpus| / n_buckets; raise n_buckets as the corpus grows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..runtime import tune_allocator
+
+tune_allocator()
+import pyarrow.compute as pc
+
+_INDEX_VERSION = 1
+
+
+def _md5_bucket_array(md5_hex: pa.Array, n_buckets: int) -> np.ndarray:
+    """Bucket of each md5 hex string: first 8 hex chars as int, mod
+    n_buckets. Deterministic and cheap; md5 is uniform so buckets
+    balance."""
+    return np.fromiter((int(m[:8], 16) % n_buckets
+                        for m in md5_hex.to_pylist()),
+                       np.int32, count=len(md5_hex))
+
+
+def build_md5_index(ds, out_dir: str, n_buckets: int = 64,
+                    column: str = "text") -> str:
+    """Persist the corpus' content fingerprints: unique-per-batch md5
+    rows written as parquet PARTITIONED BY bpart = int(md5[:8], 16) %
+    n_buckets. ONE corpus pass, no shuffle (write_parquet
+    partition_cols splits per task; cross-batch duplicate fingerprints
+    are harmless — the index is a membership set).
+
+    ATOMIC: built into a process-private temp dir, os.rename()d into
+    place; meta.parquet is written LAST inside the temp dir, so
+    presence implies a complete index (the build_text_index publish
+    contract, functions/search.py:216)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from .dedup import add_md5
+
+    def rows(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        md5 = add_md5(t, column=column).column("md5")
+        if isinstance(md5, pa.ChunkedArray):
+            md5 = md5.combine_chunks()
+        uniq = pc.unique(md5)
+        return pa.table({
+            "md5": uniq,
+            "bpart": pa.array(_md5_bucket_array(uniq, n_buckets)),
+        })
+
+    fps = ds.map_batches(rows, batch_format="pyarrow", batch_size=None)
+    out_dir = os.path.normpath(out_dir)
+    tmp_dir = f"{out_dir}.building.{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    try:
+        fps.write_parquet(f"{tmp_dir}/md5s", partition_cols=["bpart"])
+        pq.write_table(pa.table({
+            "n_buckets": pa.array([n_buckets], pa.int64()),
+            "version": pa.array([_INDEX_VERSION], pa.int64()),
+        }), f"{tmp_dir}/meta.parquet")
+        try:
+            os.rename(tmp_dir, out_dir)  # atomic publish
+        except OSError:
+            if not os.path.isfile(f"{out_dir}/meta.parquet"):
+                raise  # loser of a concurrent race is fine; else real
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_dir
+
+
+def dedup_against_index(ds, index_dir: str, column: str = "text",
+                        id_column: str = "doc_id"):
+    """New-shard exact dedup against a persisted md5 index →
+    Dataset (md5, keep_id, n_dups) of the shard's NOVEL documents
+    (first shard occurrence wins; documents already fingerprinted in
+    the index are dropped).
+
+    Each bucket group's task reads ONLY its own ``bpart=`` partition
+    files — untouched index buckets never leave storage (asserted in
+    tests by deleting an untouched bucket)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from .dedup import add_md5
+
+    nb = int(pq.read_table(f"{index_dir}/meta.parquet")
+             .column("n_buckets")[0].as_py())
+
+    def partial(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        t2 = add_md5(t, column=column)
+        md5 = t2.column("md5")
+        if isinstance(md5, pa.ChunkedArray):
+            md5 = md5.combine_chunks()
+        ids = t2.column(id_column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = pc.dictionary_encode(md5)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = len(d.dictionary)
+        min_id = np.full(nv, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(min_id, codes, ids)
+        cnt = np.bincount(codes, minlength=nv).astype(np.int64)
+        return pa.table({
+            "md5": d.dictionary,
+            "keep_id": pa.array(min_id),
+            "n_dups": pa.array(cnt),
+            "bpart": pa.array(_md5_bucket_array(d.dictionary, nb)),
+        })
+
+    def check_bucket(df):
+        b = int(df["bpart"].iloc[0])
+        agg = df.groupby("md5", sort=False).agg(
+            keep_id=("keep_id", "min"), n_dups=("n_dups", "sum")
+        ).reset_index()
+        seen: set = set()
+        for f in glob.glob(f"{index_dir}/md5s/bpart={b}/*.parquet"):
+            seen.update(pq.read_table(f, columns=["md5"])
+                        .column("md5").to_pylist())
+        if seen:
+            agg = agg[~agg["md5"].isin(seen)]
+        return agg[["md5", "keep_id", "n_dups"]]
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    return parts.groupby("bpart").map_groups(check_bucket,
+                                             batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic corpus for the driver row (the synth_contacts
+# precedent): real documents have no exact duplicates, so collapse texts
+# onto a bounded template space; split old/new on doc_id % 3
+# ---------------------------------------------------------------------------
+
+SYNTH_MOD = 313  # > half the doc count → templates with 1 and 2 members
+
+
+def synth_dup_corpus(ds, id_column: str = "doc_id"):
+    """→ (doc_id, text) with text = 'crawl mirror page <doc_id % 313>'.
+    With ~500 docs this yields template groups of size 1 and 2 whose
+    members straddle the old/new split (313 ≡ 1 mod 3), so the driver
+    row exercises all three outcomes: dropped-as-indexed, kept with a
+    within-shard dup, kept unique."""
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column)
+        m = pc.subtract(ids, pc.multiply(pc.divide(ids, SYNTH_MOD),
+                                         SYNTH_MOD))
+        txt = pc.binary_join_element_wise(
+            "crawl mirror page ", pc.cast(m, pa.string()), "")
+        return pa.table({id_column: ids, "text": txt})
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None)
+
+
+def dedup_incremental_sql(table: str = "documents",
+                          id_column: str = "doc_id") -> str:
+    """DuckDB twin of synth_dup_corpus |> split |> build_md5_index(old)
+    |> dedup_against_index(new): DuckDB's md5() equals hashlib md5
+    hexdigest (the dedup_exact oracle precedent)."""
+    return (
+        f"WITH s AS (SELECT {id_column} AS doc_id, "
+        f"'crawl mirror page ' || ({id_column} % {SYNTH_MOD}) AS t "
+        f"FROM {table}), "
+        "old AS (SELECT md5(t) AS m FROM s WHERE doc_id % 3 = 0), "
+        "new AS (SELECT doc_id, md5(t) AS md5 FROM s WHERE doc_id % 3 <> 0) "
+        "SELECT md5, CAST(min(doc_id) AS BIGINT) AS keep_id, "
+        "CAST(count(*) AS BIGINT) AS n_dups FROM new "
+        "WHERE md5 NOT IN (SELECT m FROM old) GROUP BY 1"
+    )
