@@ -282,7 +282,9 @@ def run_bench() -> dict:
                      # stages — cheap, and their sf0.1 walls are the
                      # scale evidence)
                      "repetition_stats", "doc_perplexity",
-                     "mix_weighted", "decontaminate", "cluster_docs"):
+                     "mix_weighted", "decontaminate", "cluster_docs",
+                     # web cleaning + incremental dedup (late round 4)
+                     "clean_lines_c4", "url_dedup", "dedup_incremental"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

@@ -123,6 +123,72 @@ class TestDedupAgainstIndex:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestExtendIndex:
+    def test_crawl_loop_chain(self, ray_session, tmp_path):
+        """build(A) → dedup(B) → extend(novel B) → dedup(C) must equal
+        brute force with seen = A ∪ B."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup_index import (build_md5_index,
+                                                      dedup_against_index,
+                                                      extend_md5_index)
+
+        A = _tab([0, 1], ["alpha", "beta"])
+        B = _tab([10, 11, 12], ["beta", "delta", "delta"])
+        C = _tab([20, 21, 22, 23],
+                 ["alpha",    # in A
+                  "delta",    # novel in B, extended -> dropped
+                  "omega",    # novel
+                  "omega"])   # shard dup
+        idx = str(tmp_path / "chain")
+        build_md5_index(rd.from_arrow(A), idx, n_buckets=4)
+        kept_b = dedup_against_index(rd.from_arrow(B), idx).materialize()
+        n = extend_md5_index(idx, kept_b, md5_column="md5")
+        assert n == kept_b.count() == 1  # only 'delta'
+        got = (dedup_against_index(rd.from_arrow(C), idx).to_pandas()
+               .sort_values("md5").reset_index(drop=True))
+        want = brute(["alpha", "beta", "delta"],
+                     list(zip(C["doc_id"].to_pylist(),
+                              C["text"].to_pylist())))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert got["keep_id"].to_list() == [
+            k for k, t in [(22, "omega")]]
+
+    def test_extend_idempotent(self, ray_session, tmp_path):
+        """Re-running the same extension (crash-retry) changes nothing
+        semantically — the index is a membership set."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup_index import (build_md5_index,
+                                                      dedup_against_index,
+                                                      extend_md5_index)
+
+        idx = str(tmp_path / "idem")
+        build_md5_index(rd.from_arrow(OLD), idx, n_buckets=4)
+        extra = _tab([100], ["zeta"])
+        extend_md5_index(idx, rd.from_arrow(extra))
+        extend_md5_index(idx, rd.from_arrow(extra))  # retry
+        probe = _tab([200, 201], ["zeta", "eta"])
+        got = (dedup_against_index(rd.from_arrow(probe), idx).to_pandas())
+        assert got["keep_id"].to_list() == [201]  # zeta seen once-extended
+
+    def test_extend_from_text_column(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup_index import (build_md5_index,
+                                                      dedup_against_index,
+                                                      extend_md5_index)
+
+        idx = str(tmp_path / "txt")
+        build_md5_index(rd.from_arrow(OLD), idx, n_buckets=4)
+        n = extend_md5_index(idx, rd.from_arrow(
+            _tab([50, 51], ["theta", "theta"])))
+        assert n == 1  # per-batch unique
+        got = dedup_against_index(
+            rd.from_arrow(_tab([60], ["theta"])), idx).to_pandas()
+        assert len(got) == 0
+
+
 class TestSynthTwin:
     def test_duckdb_twin_on_sf(self, ray_session, sf_dir, tmp_path):
         import duckdb

@@ -155,6 +155,62 @@ def dedup_against_index(ds, index_dir: str, column: str = "text",
                                              batch_format="pandas")
 
 
+def extend_md5_index(index_dir: str, ds, column: str = "text",
+                     md5_column: str | None = None) -> int:
+    """Append a shard's fingerprints to a published index (the crawl
+    loop: build → dedup shard → extend with its novel md5s → dedup the
+    next shard). ``md5_column`` skips hashing when ``ds`` already
+    carries fingerprints (e.g. dedup_against_index output).
+
+    Files are staged by a normal partitioned write, then os.rename()d
+    into the live ``bpart=`` dirs (Ray writes unique filenames, so no
+    collisions). A crash mid-move leaves a PARTIALLY extended index,
+    which is safe: the index is a membership set, so the worst case is
+    a future shard keeping an already-seen duplicate — re-running the
+    extension is idempotent for correctness (duplicate fingerprint rows
+    are harmless). Returns the number of fingerprint rows appended."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from .dedup import add_md5
+
+    nb = int(pq.read_table(f"{index_dir}/meta.parquet")
+             .column("n_buckets")[0].as_py())
+
+    def rows(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        if md5_column is None:
+            md5 = add_md5(t, column=column).column("md5")
+        else:
+            md5 = t.column(md5_column)
+        if isinstance(md5, pa.ChunkedArray):
+            md5 = md5.combine_chunks()
+        uniq = pc.unique(md5)
+        return pa.table({
+            "md5": uniq,
+            "bpart": pa.array(_md5_bucket_array(uniq, nb)),
+        })
+
+    staging = f"{index_dir}.extending.{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    n = 0
+    try:
+        fps = ds.map_batches(rows, batch_format="pyarrow", batch_size=None)
+        fps.write_parquet(f"{staging}/md5s", partition_cols=["bpart"])
+        for src in glob.glob(f"{staging}/md5s/bpart=*/*.parquet"):
+            bdir = os.path.basename(os.path.dirname(src))
+            dst_dir = f"{index_dir}/md5s/{bdir}"
+            os.makedirs(dst_dir, exist_ok=True)
+            n += pq.read_metadata(src).num_rows
+            os.rename(src, f"{dst_dir}/{os.path.basename(src)}")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return n
+
+
 # ---------------------------------------------------------------------------
 # deterministic synthetic corpus for the driver row (the synth_contacts
 # precedent): real documents have no exact duplicates, so collapse texts
