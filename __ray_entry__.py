@@ -596,6 +596,38 @@ def _q_dedup_incremental(sf_dir: str):
     return dedup_against_index(_split(False), index_dir)
 
 
+def _q_minhash_incremental(sf_dir: str):
+    """Incremental NEAR-dup candidates against a persisted MinHash
+    band-bucket index (the dedup_incremental pattern applied to LSH):
+    old shard (doc_id % 3 == 0) band rows persist once; the new shard
+    probes only the buckets its own band hashes hit, emitting every
+    candidate pair with >= 1 new member at its first equal band."""
+    import os
+
+    import pyarrow as pa
+
+    from vtzero_ray.functions.dedup_index import (
+        build_band_index, near_dup_candidates_vs_index)
+
+    def _split(keep_old: bool):
+        def f(t):
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 3 == 0) if keep_old else (ids % 3 != 0)
+            return t.filter(pa.array(mask))
+
+        return _docs(sf_dir).map_batches(f, batch_format="pyarrow",
+                                         batch_size=None)
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    index_dir = (f"/tmp/vtzero_ray_bandidx/"
+                 f"{os.path.basename(os.path.normpath(sf_dir))}"
+                 f"_{st.st_size}_{st.st_mtime_ns}_b64_v1")
+    if not os.path.isfile(f"{index_dir}/meta.parquet"):
+        build_band_index(_split(True), index_dir)
+    return near_dup_candidates_vs_index(_split(False), index_dir)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Training-data sequence packing — the distributed prefix-sum
     pattern: per-range integer partials (order-independent int64 adds) →
@@ -1117,9 +1149,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # dedup) rides in extras — the corpus_clean/dedup
                   # families hold the driver slots
                   "clean_lines_c4", "url_dedup",
-                  # incremental dedup vs a persisted fingerprint index
-                  # (dedup_exact holds the driver slot for the family)
-                  "dedup_incremental")
+                  # incremental exact/near dedup vs persisted indexes
+                  # (dedup_exact / minhash_lsh_candidates hold the
+                  # driver slots for the family)
+                  "dedup_incremental", "minhash_incremental")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1184,6 +1217,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "clean_lines_c4": _q_clean_lines_c4,
         "url_dedup": _q_url_dedup,
         "dedup_incremental": _q_dedup_incremental,
+        "minhash_incremental": _q_minhash_incremental,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1370,7 +1404,8 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.decontam import decontaminate_sql
     from vtzero_ray.functions.textstats import \
         redact_pii_sql as redact_oracle_sql
-    from vtzero_ray.functions.dedup_index import dedup_incremental_sql
+    from vtzero_ray.functions.dedup_index import (dedup_incremental_sql,
+                                                  minhash_incremental_sql)
     from vtzero_ray.functions.webclean import \
         canonical_url_dedup_sql as url_dedup_oracle_sql
     from vtzero_ray.functions.webclean import \
@@ -1705,6 +1740,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "clean_lines_c4": clean_lines_oracle_sql(),
         "url_dedup": url_dedup_oracle_sql(),
         "dedup_incremental": dedup_incremental_sql(),
+        "minhash_incremental": minhash_incremental_sql(),
         # shuffle_epoch: row_number over the same md5_number_lower key
         "shuffle_epoch": shuffle_oracle_sql(seed=42),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",

@@ -189,6 +189,156 @@ class TestExtendIndex:
         assert len(got) == 0
 
 
+BASE = "the quick brown fox jumps over the lazy dog " * 10
+
+
+def _near_docs(ids_texts):
+    return _tab([i for i, _ in ids_texts], [t for _, t in ids_texts])
+
+
+NEAR_ALL = [
+    (0, BASE),
+    (2, BASE),                                   # old exact dup of 0
+    (4, BASE + "with an extra tail of words"),   # old near-dup
+    (6, "completely unrelated text about ray data pipelines and arrow "
+        "batches flowing through a streaming executor with backpressure"),
+    (1, BASE),                                   # new dup of old 0/2
+    (3, BASE.replace("lazy", "sleepy")),         # new near-dup
+    (5, BASE),                                   # new dup (also of 1)
+    (7, "another fully distinct document mentioning parquet row groups "
+        "and bucketed shuffles and combiner partials"),
+]
+
+
+class TestBandIndex:
+    def _full_filtered(self, rows, is_new):
+        """Reference: full-corpus LSH candidates filtered to pairs with
+        >= 1 new member."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup import minhash_lsh_candidates
+
+        full = (minhash_lsh_candidates(rd.from_arrow(_near_docs(rows)))
+                .to_pandas())
+        mask = full.apply(lambda r: is_new(r["doc_a"]) or is_new(r["doc_b"]),
+                          axis=1)
+        return (full[mask].sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True))
+
+    def test_matches_full_scan_filtered(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup_index import (
+            build_band_index, near_dup_candidates_vs_index)
+
+        old = [r for r in NEAR_ALL if r[0] % 2 == 0]
+        new = [r for r in NEAR_ALL if r[0] % 2 == 1]
+        idx = str(tmp_path / "bands")
+        build_band_index(rd.from_arrow(_near_docs(old)), idx, n_buckets=8)
+        got = (near_dup_candidates_vs_index(
+            rd.from_arrow(_near_docs(new)).repartition(3), idx)
+            .to_pandas().sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))
+        want = self._full_filtered(NEAR_ALL, lambda i: i % 2 == 1)
+        assert len(want) > 0  # fixture must produce candidates
+        assert (want["doc_a"] % 2 == 0).any()  # incl. old-new pairs
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_chained_extend(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup_index import (
+            build_band_index, extend_band_index,
+            near_dup_candidates_vs_index)
+
+        A = [(0, BASE), (2, "unrelated filler text with many distinct "
+                            "words nothing shared here at all")]
+        B = [(10, BASE), (12, BASE.replace("dog", "cat"))]
+        C = [(20, BASE), (21, "yet another disjoint document")]
+        idx = str(tmp_path / "chain_bands")
+        build_band_index(rd.from_arrow(_near_docs(A)), idx, n_buckets=8)
+        n = extend_band_index(idx, rd.from_arrow(_near_docs(B)))
+        assert n > 0
+        got = (near_dup_candidates_vs_index(
+            rd.from_arrow(_near_docs(C)), idx)
+            .to_pandas().sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True))
+        want = self._full_filtered(A + B + C, lambda i: i >= 20)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # doc 20 must pair with the indexed BASE copies from BOTH shards
+        partners = set(got.loc[got["doc_b"] == 20, "doc_a"]) | \
+            set(got.loc[got["doc_a"] == 20, "doc_b"])
+        assert {0, 10} <= partners
+
+    def test_untouched_buckets_never_read(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup_index import (
+            build_band_index, near_dup_candidates_vs_index)
+
+        old = [r for r in NEAR_ALL if r[0] % 2 == 0]
+        # one probe doc → ≤16 band rows touch ≤16 of 32 buckets, and it
+        # is a dup of indexed copies so the comparison is non-empty
+        new = [(9, BASE)]
+        idx = str(tmp_path / "prune_bands")
+        build_band_index(rd.from_arrow(_near_docs(old)), idx,
+                         n_buckets=32)
+        before = near_dup_candidates_vs_index(
+            rd.from_arrow(_near_docs(new)), idx).to_pandas()
+        # delete every bucket the probe does not touch
+        import pyarrow.parquet as pq
+
+        from vtzero_ray.functions.dedup_index import _band_meta, _band_rows
+        meta = _band_meta(idx)
+        touched = set(
+            _band_rows(rd.from_arrow(_near_docs(new)), meta["n_perm"],
+                       meta["n_bands"], meta["k"], meta["seed"],
+                       meta["n_buckets"])
+            .to_pandas()["bpart"].tolist())
+        removed = 0
+        for p in glob.glob(f"{idx}/bands/bpart=*"):
+            if int(p.rsplit("=", 1)[1]) not in touched:
+                shutil.rmtree(p)
+                removed += 1
+        assert removed > 0
+        after = near_dup_candidates_vs_index(
+            rd.from_arrow(_near_docs(new)), idx).to_pandas()
+        pd.testing.assert_frame_equal(
+            before.sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+            after.sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+    def test_sql_twin_on_sf(self, ray_session, sf_dir, tmp_path):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup_index import (
+            build_band_index, minhash_incremental_sql,
+            near_dup_candidates_vs_index)
+
+        def split(keep_old):
+            def f(t):
+                ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+                mask = (ids % 3 == 0) if keep_old else (ids % 3 != 0)
+                return t.filter(pa.array(mask))
+            return rd.read_parquet(
+                sf_dir + "/documents.parquet",
+                columns=["doc_id", "text"]).repartition(8).map_batches(
+                f, batch_format="pyarrow", batch_size=None)
+
+        idx = str(tmp_path / "sf_bands")
+        build_band_index(split(True), idx)
+        got = (near_dup_candidates_vs_index(split(False), idx)
+               .to_pandas().sort_values(["doc_a", "doc_b"])
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        want = (con.execute(minhash_incremental_sql()).df()
+                .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got, want[got.columns], check_dtype=False)
+
+
 class TestSynthTwin:
     def test_duckdb_twin_on_sf(self, ray_session, sf_dir, tmp_path):
         import duckdb

@@ -238,6 +238,199 @@ def synth_dup_corpus(ds, id_column: str = "doc_id"):
     return ds.map_batches(synth, batch_format="pyarrow", batch_size=None)
 
 
+# ---------------------------------------------------------------------------
+# incremental NEAR-dup: persisted MinHash band-bucket index
+# ---------------------------------------------------------------------------
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _band_bpart(t: pa.Table, n_buckets: int) -> pa.Table:
+    """Index/probe partition of an LSH band row: hash-fold of
+    (band, band_hash) — the minhash_lsh_candidates shuffle_bucket rule,
+    so build and probe colocate identical keys by construction."""
+    h = t.column("band_hash").to_numpy()
+    b = t.column("band").to_numpy().astype(np.uint64)
+    bp = ((h ^ (b * _GOLDEN)) % np.uint64(n_buckets)).astype(np.int32)
+    return t.append_column("bpart", pa.array(bp))
+
+
+def _band_rows(ds, n_perm: int, n_bands: int, k: int, seed: int,
+               n_buckets: int):
+    from .dedup import _bands_batch, minhash_signatures
+
+    sigs = minhash_signatures(ds, n_perm=n_perm, k=k, seed=seed)
+    bands = sigs.map_batches(
+        _bands_batch, batch_format="pyarrow",
+        fn_kwargs={"n_bands": n_bands,
+                   "rows_per_band": n_perm // n_bands})
+    return bands.map_batches(_band_bpart, batch_format="pyarrow",
+                             fn_kwargs={"n_buckets": n_buckets})
+
+
+def build_band_index(ds, out_dir: str, n_perm: int = 128,
+                     n_bands: int = 16, k: int = 5, seed: int = 42,
+                     n_buckets: int = 64) -> str:
+    """Persist the corpus' MinHash LSH band rows (band, band_hash,
+    doc_id, bhs) partitioned by the band-bucket hash — the near-dup
+    analogue of build_md5_index. ``bhs`` (every band hash of the doc)
+    rides along so probes can apply the first-equal-band pair-dedup rule
+    locally (the _bands_batch trade). Atomic publish, meta-last."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    rows = _band_rows(ds, n_perm, n_bands, k, seed, n_buckets)
+    out_dir = os.path.normpath(out_dir)
+    tmp_dir = f"{out_dir}.building.{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    try:
+        rows.write_parquet(f"{tmp_dir}/bands", partition_cols=["bpart"])
+        pq.write_table(pa.table({
+            "n_buckets": pa.array([n_buckets], pa.int64()),
+            "n_perm": pa.array([n_perm], pa.int64()),
+            "n_bands": pa.array([n_bands], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "seed": pa.array([seed], pa.int64()),
+            "version": pa.array([_INDEX_VERSION], pa.int64()),
+        }), f"{tmp_dir}/meta.parquet")
+        try:
+            os.rename(tmp_dir, out_dir)
+        except OSError:
+            if not os.path.isfile(f"{out_dir}/meta.parquet"):
+                raise
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_dir
+
+
+def _band_meta(index_dir: str) -> dict:
+    import pyarrow.parquet as pq
+
+    m = pq.read_table(f"{index_dir}/meta.parquet")
+    return {c: int(m.column(c)[0].as_py()) for c in m.column_names}
+
+
+def near_dup_candidates_vs_index(ds, index_dir: str,
+                                 max_bucket: int = 1024):
+    """New-shard near-dup candidates against a persisted band index →
+    Dataset (doc_a, doc_b, n_bands_hit): every LSH candidate pair with
+    AT LEAST ONE new-shard member (old-old pairs were known when the
+    index was built). Pairs are emitted once, at their first equal band
+    (the minhash_lsh_candidates rule — both members' full band vectors
+    are local). Each bucket's task reads ONLY its own ``bpart=``
+    partition files, pre-filtered to the (band, band_hash) keys the new
+    shard actually probes."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    meta = _band_meta(index_dir)
+
+    probes = _band_rows(ds, meta["n_perm"], meta["n_bands"], meta["k"],
+                        meta["seed"], meta["n_buckets"])
+
+    def probe_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        tune_allocator()
+        bp = int(df["bpart"].iloc[0])
+        keys = df[["band", "band_hash"]].drop_duplicates()
+        olds = []
+        for f in glob.glob(f"{index_dir}/bands/bpart={bp}/*.parquet"):
+            o = pq.read_table(
+                f, columns=["band", "band_hash", "doc_id", "bhs"]
+            ).to_pandas()
+            # keep only keys the new shard probes
+            olds.append(o.merge(keys, on=["band", "band_hash"]))
+        new = df[["band", "band_hash", "doc_id", "bhs"]].copy()
+        new["is_new"] = True
+        if olds:
+            old = pd.concat(olds, ignore_index=True)
+            old["is_new"] = False
+            allr = pd.concat([old, new], ignore_index=True)
+        else:
+            allr = new
+        out_a, out_b, out_n = [], [], []
+        for (band, _), g in allr.groupby(["band", "band_hash"],
+                                         sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id", kind="stable")
+            ids = g["doc_id"].to_numpy()
+            isnew = g["is_new"].to_numpy(bool)
+            bhs = np.stack(g["bhs"].to_numpy())
+            if ids.shape[0] > max_bucket:
+                ia = np.zeros(ids.shape[0] - 1, np.int64)
+                ib = np.arange(1, ids.shape[0])
+            else:
+                ia, ib = np.triu_indices(ids.shape[0], k=1)
+            eq = bhs[ia] == bhs[ib]
+            sel = (eq.argmax(axis=1) == band) & (isnew[ia] | isnew[ib])
+            out_a.append(ids[ia][sel])
+            out_b.append(ids[ib][sel])
+            out_n.append(eq[sel].sum(axis=1).astype(np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "n_bands_hit": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a).astype(np.int64),
+             "doc_b": np.concatenate(out_b).astype(np.int64),
+             "n_bands_hit": np.concatenate(out_n)})
+
+    pairs = probes.groupby("bpart").map_groups(probe_bucket,
+                                               batch_format="pandas")
+    return pairs.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+def extend_band_index(index_dir: str, ds) -> int:
+    """Append a shard's band rows to a published band index (ALL its
+    docs, not just novel ones — future probes must see every fingerprint
+    of the corpus-so-far). Same staged-write + per-file-rename mechanics
+    and crash-retry idempotence as extend_md5_index. Returns rows
+    appended."""
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    meta = _band_meta(index_dir)
+    rows = _band_rows(ds, meta["n_perm"], meta["n_bands"], meta["k"],
+                      meta["seed"], meta["n_buckets"])
+    staging = f"{index_dir}.extending.{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    n = 0
+    try:
+        rows.write_parquet(f"{staging}/bands", partition_cols=["bpart"])
+        for src in glob.glob(f"{staging}/bands/bpart=*/*.parquet"):
+            bdir = os.path.basename(os.path.dirname(src))
+            dst_dir = f"{index_dir}/bands/{bdir}"
+            os.makedirs(dst_dir, exist_ok=True)
+            n += pq.read_metadata(src).num_rows
+            os.rename(src, f"{dst_dir}/{os.path.basename(src)}")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return n
+
+
+def minhash_incremental_sql(n_perm: int = 128, n_bands: int = 16,
+                            k: int = 5, seed: int = 42) -> str:
+    """DuckDB twin of build_band_index(old) |>
+    near_dup_candidates_vs_index(new) with old = doc_id % 3 == 0:
+    the full-corpus candidate CTEs (dedup_sql._minhash_ctes — identical
+    signatures/band hashes) filtered to pairs with >= 1 new member."""
+    from .dedup_sql import _minhash_ctes
+
+    ctes = _minhash_ctes(n_perm, n_bands, k, seed)
+    return (f"WITH {ctes}"
+            f"final AS (SELECT doc_a, doc_b, COUNT(*) AS n_bands_hit"
+            f" FROM cands WHERE NOT (doc_a % 3 = 0 AND doc_b % 3 = 0)"
+            f" GROUP BY 1, 2) SELECT * FROM final")
+
+
 def dedup_incremental_sql(table: str = "documents",
                           id_column: str = "doc_id") -> str:
     """DuckDB twin of synth_dup_corpus |> split |> build_md5_index(old)
