@@ -545,6 +545,16 @@ def _q_clean_lines_c4(sf_dir: str):
     return clean_lines(synth_multiline(_docs(sf_dir)))
 
 
+def _q_dedup_lines_c4(sf_dir: str):
+    """C4's global span dedup at line granularity over the synthesized
+    multiline corpus: every line keeps only its globally-first
+    (doc_id, idx) occurrence; docs reassemble in order. Two bounded
+    shuffles (line-bucket winner pick, doc-bucket re-join)."""
+    from vtzero_ray.functions.webclean import dedup_lines, synth_multiline
+
+    return dedup_lines(synth_multiline(_docs(sf_dir)))
+
+
 def _q_url_dedup(sf_dir: str):
     """URL canonicalization dedup (the RefinedWeb/CCNet URL pass):
     lowercase scheme+host, strip query/fragment/trailing slash, keep the
@@ -1148,7 +1158,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # web cleaning (C4 line filter + URL canonicalization
                   # dedup) rides in extras — the corpus_clean/dedup
                   # families hold the driver slots
-                  "clean_lines_c4", "url_dedup",
+                  "clean_lines_c4", "url_dedup", "dedup_lines_c4",
                   # incremental exact/near dedup vs persisted indexes
                   # (dedup_exact / minhash_lsh_candidates hold the
                   # driver slots for the family)
@@ -1216,6 +1226,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "clean_lines_c4": _q_clean_lines_c4,
         "url_dedup": _q_url_dedup,
+        "dedup_lines_c4": _q_dedup_lines_c4,
         "dedup_incremental": _q_dedup_incremental,
         "minhash_incremental": _q_minhash_incremental,
         # dedup family
@@ -1410,6 +1421,8 @@ def _all_oracle_sql() -> dict[str, str]:
         canonical_url_dedup_sql as url_dedup_oracle_sql
     from vtzero_ray.functions.webclean import \
         clean_lines_sql as clean_lines_oracle_sql
+    from vtzero_ray.functions.webclean import \
+        dedup_lines_sql as dedup_lines_oracle_sql
     from vtzero_ray.functions.textstats import repetition_sql
     from vtzero_ray.functions.lm import (doc_perplexity_sql,
                                          filter_by_perplexity_sql,
@@ -1739,6 +1752,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "redact_pii": redact_oracle_sql(),
         "clean_lines_c4": clean_lines_oracle_sql(),
         "url_dedup": url_dedup_oracle_sql(),
+        "dedup_lines_c4": dedup_lines_oracle_sql(),
         "dedup_incremental": dedup_incremental_sql(),
         "minhash_incremental": minhash_incremental_sql(),
         # shuffle_epoch: row_number over the same md5_number_lower key

@@ -284,7 +284,8 @@ def run_bench() -> dict:
                      "repetition_stats", "doc_perplexity",
                      "mix_weighted", "decontaminate", "cluster_docs",
                      # web cleaning + incremental dedup (late round 4)
-                     "clean_lines_c4", "url_dedup", "dedup_incremental"):
+                     "clean_lines_c4", "url_dedup", "dedup_lines_c4",
+                     "dedup_incremental", "minhash_incremental"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

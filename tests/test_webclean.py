@@ -116,6 +116,102 @@ class TestCleanLines:
         pd.testing.assert_frame_equal(a, b)
 
 
+DUP_LINE_DOCS = [
+    "shared header line\nunique body of doc zero\nshared footer line",
+    "shared header line\nunique body of doc one",
+    "unique body of doc two\nshared footer line\nshared header line",
+    "shared header line",          # every line a later copy -> doc drops
+    "",                            # empty line: first occurrence is here
+    "x\n",                         # trailing newline -> ('x', '')
+]
+
+
+def naive_dedup_lines(texts):
+    seen = set()
+    rows = []
+    for i, t in enumerate(texts):
+        kept = []
+        for ln in t.split("\n"):
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        if kept:
+            rows.append((i, len(kept), "\n".join(kept)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_kept", "clean_text"])
+
+
+class TestDedupLines:
+    def test_hand_checked(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import dedup_lines
+
+        t = _tab({"doc_id": pa.array(range(len(DUP_LINE_DOCS)), pa.int64()),
+                  "text": pa.array(DUP_LINE_DOCS)})
+        got = (dedup_lines(rd.from_arrow(t).repartition(3)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        want = naive_dedup_lines(DUP_LINE_DOCS)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        # doc 3's only line is a dup of doc 0's first line -> dropped,
+        # but doc 4 survives: its sole (empty) line first occurs there
+        assert 3 not in set(got["doc_id"])
+        assert 4 in set(got["doc_id"])
+
+    def test_duckdb_twin_hand_corpus(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import (dedup_lines,
+                                                   dedup_lines_sql)
+
+        t = _tab({"doc_id": pa.array(range(len(DUP_LINE_DOCS)), pa.int64()),
+                  "text": pa.array(DUP_LINE_DOCS)})
+        got = (dedup_lines(rd.from_arrow(t)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = (con.execute(dedup_lines_sql(synth=False)).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got[want.columns], want,
+                                      check_dtype=True)
+
+    def test_synth_twin_on_sf(self, ray_session, sf_dir):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import (dedup_lines,
+                                                   dedup_lines_sql,
+                                                   synth_multiline)
+
+        ds = rd.read_parquet(sf_dir + "/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+        got = (dedup_lines(synth_multiline(ds)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        want = (con.execute(dedup_lines_sql()).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert len(got) > 0
+        # the synthesized boilerplate line must have deduplicated
+        assert (want["n_kept"] < 3).any()
+        pd.testing.assert_frame_equal(got[want.columns], want,
+                                      check_dtype=True)
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import dedup_lines
+
+        t = _tab({"doc_id": pa.array(range(len(DUP_LINE_DOCS)), pa.int64()),
+                  "text": pa.array(DUP_LINE_DOCS)})
+        a = (dedup_lines(rd.from_arrow(t).repartition(1)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (dedup_lines(rd.from_arrow(t).repartition(5)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+
+
 HAND_URLS = [
     (0, "https://Site7.Example/p/1?utm_source=x"),
     (1, "https://site7.example/p/1#frag"),

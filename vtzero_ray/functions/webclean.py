@@ -209,6 +209,96 @@ def clean_lines_sql(min_words: int = 5, min_kept: int = 2,
 
 
 # ---------------------------------------------------------------------------
+# corpus-wide duplicate-line removal (C4's span dedup, line granularity)
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines(ds, column: str = "text", id_column: str = "doc_id",
+                n_buckets: int = 64):
+    """C4's other cleaning half (§2.2: "discard all but one of any
+    occurrence of a span repeated in the dataset"), at line granularity:
+    every line keeps only its GLOBALLY FIRST occurrence (min
+    (doc_id, idx)); later copies are removed from their documents →
+    Dataset (doc_id, n_kept, clean_text) for docs with >= 1 surviving
+    line.
+
+    Two bounded shuffles, text lines shuffle once each way:
+    1. explode (doc_id, idx, line) → crc32(line)-bucket shuffle → each
+       bucket locally picks the first occurrence per line (every copy of
+       a line lands in the same bucket, so the winner is decided in one
+       task — no global sort);
+    2. winner rows → doc-bucket shuffle → per-doc idx-ordered re-join.
+    """
+    import zlib
+
+    import pandas as pd
+
+    def explode(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        ids = t.column(id_column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        txt = _arr(t.column(column))
+        lines = pc.split_pattern(txt, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = lines.values
+        offs = np.asarray(lines.offsets, dtype=np.int64)
+        nl = offs[1:] - offs[:-1]
+        doc = np.repeat(ids, nl)
+        idx = np.concatenate([np.arange(1, n + 1) for n in nl]) \
+            if len(nl) else np.empty(0, np.int64)
+        b = np.fromiter((zlib.crc32(v.encode()) % n_buckets
+                         for v in flat.to_pylist()),
+                        np.int32, count=len(flat))
+        return pa.table({id_column: pa.array(doc),
+                         "idx": pa.array(idx.astype(np.int64)),
+                         "line": flat,
+                         "bucket": pa.array(b)})
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.sort_values(["line", id_column, "idx"], kind="stable") \
+            .drop_duplicates("line", keep="first")
+        w = w[[id_column, "idx", "line"]].copy()
+        w["dbucket"] = (w[id_column] % n_buckets).astype(np.int32)
+        return w
+
+    def rejoin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_column, "idx"], kind="stable")
+        out = df.groupby(id_column, sort=False).agg(
+            n_kept=("line", "size"),
+            clean_text=("line", lambda s: "\n".join(s)))
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return out.reset_index()[[id_column, "n_kept", "clean_text"]]
+
+    lines = ds.map_batches(explode, batch_format="pyarrow",
+                           batch_size=None)
+    winners = lines.groupby("bucket").map_groups(keep_first,
+                                                 batch_format="pandas")
+    return winners.groupby("dbucket").map_groups(rejoin,
+                                                 batch_format="pandas")
+
+
+def dedup_lines_sql(table: str = "documents", column: str = "text",
+                    id_column: str = "doc_id", synth: bool = True) -> str:
+    """DuckDB twin: zipped unnest for (idx, line), row_number over the
+    line ordered by (doc_id, idx) — rank 1 is exactly the Ray side's
+    bucket-local first occurrence (every copy shares a bucket)."""
+    src = synth_multiline_sql_expr(column, id_column) if synth else column
+    return (
+        f"WITH src AS (SELECT {id_column} AS doc_id, {src} AS text "
+        f"FROM {table}), "
+        "l AS (SELECT doc_id, "
+        "unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx, "
+        "unnest(string_split(text, chr(10))) AS line FROM src), "
+        "w AS (SELECT doc_id, idx, line, row_number() OVER "
+        "(PARTITION BY line ORDER BY doc_id, idx) AS rn FROM l) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+        "string_agg(line, chr(10) ORDER BY idx) AS clean_text "
+        "FROM w WHERE rn = 1 GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization dedup
 # ---------------------------------------------------------------------------
 
