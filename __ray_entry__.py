@@ -555,6 +555,16 @@ def _q_dedup_lines_c4(sf_dir: str):
     return dedup_lines(synth_multiline(_docs(sf_dir)))
 
 
+def _q_c4_pipeline(sf_dir: str):
+    """The composed C4 cleaning pipeline (line heuristics THEN global
+    duplicate-line removal) over the synthesized multiline corpus — one
+    streaming pass into two bounded shuffles; exact twin = the two
+    stage twins composed as CTEs."""
+    from vtzero_ray.functions.webclean import c4_pipeline, synth_multiline
+
+    return c4_pipeline(synth_multiline(_docs(sf_dir)))
+
+
 def _q_url_dedup(sf_dir: str):
     """URL canonicalization dedup (the RefinedWeb/CCNet URL pass):
     lowercase scheme+host, strip query/fragment/trailing slash, keep the
@@ -1159,10 +1169,18 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # dedup) rides in extras — the corpus_clean/dedup
                   # families hold the driver slots
                   "clean_lines_c4", "url_dedup", "dedup_lines_c4",
-                  # incremental exact/near dedup vs persisted indexes
-                  # (dedup_exact / minhash_lsh_candidates hold the
-                  # driver slots for the family)
-                  "dedup_incremental", "minhash_incremental")
+                  # incremental near-dup vs the persisted band index
+                  # (minhash_lsh_candidates holds the driver slot;
+                  # dedup_incremental is PROMOTED to the main 50)
+                  "minhash_incremental",
+                  # plain per-lang count — langid (driver) exercises
+                  # the language column, cell_page_counts (extra) the
+                  # count shape; slot freed for dedup_incremental
+                  "lang_page_counts",
+                  # shuffle hash join — orders_by_segment (broadcast)
+                  # + top_unshipped_orders (shuffle join + semi-join +
+                  # top-k) keep the family; slot freed for c4_pipeline
+                  "revenue_by_priority")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1225,6 +1243,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "redact_pii": _q_redact_pii,
         "clean_lines_c4": _q_clean_lines_c4,
+        "c4_pipeline": _q_c4_pipeline,
         "url_dedup": _q_url_dedup,
         "dedup_lines_c4": _q_dedup_lines_c4,
         "dedup_incremental": _q_dedup_incremental,
@@ -1421,6 +1440,8 @@ def _all_oracle_sql() -> dict[str, str]:
         canonical_url_dedup_sql as url_dedup_oracle_sql
     from vtzero_ray.functions.webclean import \
         clean_lines_sql as clean_lines_oracle_sql
+    from vtzero_ray.functions.webclean import \
+        c4_pipeline_sql as c4_pipeline_oracle_sql
     from vtzero_ray.functions.webclean import \
         dedup_lines_sql as dedup_lines_oracle_sql
     from vtzero_ray.functions.textstats import repetition_sql
@@ -1751,6 +1772,7 @@ def _all_oracle_sql() -> dict[str, str]:
         # redact_pii: same RE2 patterns + replacement order in DuckDB
         "redact_pii": redact_oracle_sql(),
         "clean_lines_c4": clean_lines_oracle_sql(),
+        "c4_pipeline": c4_pipeline_oracle_sql(),
         "url_dedup": url_dedup_oracle_sql(),
         "dedup_lines_c4": dedup_lines_oracle_sql(),
         "dedup_incremental": dedup_incremental_sql(),

@@ -212,6 +212,54 @@ class TestDedupLines:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestC4Pipeline:
+    def test_composition_matches_stagewise(self, ray_session):
+        """c4_pipeline == clean_lines materialized then dedup_lines."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import (c4_pipeline,
+                                                   clean_lines,
+                                                   dedup_lines)
+
+        texts = [
+            "good line with plenty of words here.\nshared dup line with words too!",
+            "good line with plenty of words here.\nshared dup line with words too!",
+            "another fine line with enough words.\nshared dup line with words too!\nno punct tail",
+        ]
+        t = _tab({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+        got = (c4_pipeline(rd.from_arrow(t)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        cleaned = clean_lines(rd.from_arrow(t)).materialize()
+        want = (dedup_lines(cleaned.select_columns(["doc_id", "clean_text"]),
+                            column="clean_text").to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+        # doc 1 is an exact dup of doc 0 -> loses both lines -> dropped
+        assert set(got["doc_id"]) == {0, 2}
+
+    def test_duckdb_twin_on_sf(self, ray_session, sf_dir):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import (c4_pipeline,
+                                                   c4_pipeline_sql,
+                                                   synth_multiline)
+
+        ds = rd.read_parquet(sf_dir + "/documents.parquet",
+                             columns=["doc_id", "text"]).repartition(8)
+        got = (c4_pipeline(synth_multiline(ds)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        want = (con.execute(c4_pipeline_sql()).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert 0 < len(got) <= 500
+        pd.testing.assert_frame_equal(got[want.columns], want,
+                                      check_dtype=True)
+
+
 HAND_URLS = [
     (0, "https://Site7.Example/p/1?utm_source=x"),
     (1, "https://site7.example/p/1#frag"),

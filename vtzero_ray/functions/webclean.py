@@ -299,6 +299,42 @@ def dedup_lines_sql(table: str = "documents", column: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# composed C4 pipeline: line rules, then global span dedup
+# ---------------------------------------------------------------------------
+
+
+def c4_pipeline(ds, min_words: int = 5, min_kept: int = 2,
+                blocklist: tuple = BLOCKLIST, column: str = "text",
+                id_column: str = "doc_id"):
+    """C4's cleaning order end-to-end: line heuristics (clean_lines)
+    THEN corpus-global duplicate-line removal over the surviving text →
+    Dataset (doc_id, n_kept, clean_text). One streaming composition —
+    the cleaned corpus flows straight into the dedup shuffles, nothing
+    materializes in between."""
+    cleaned = clean_lines(ds, min_words=min_words, min_kept=min_kept,
+                          blocklist=blocklist, column=column,
+                          id_column=id_column)
+    return dedup_lines(cleaned.select_columns([id_column, "clean_text"]),
+                       column="clean_text", id_column=id_column)
+
+
+def c4_pipeline_sql(min_words: int = 5, min_kept: int = 2,
+                    blocklist: tuple = BLOCKLIST, table: str = "documents",
+                    column: str = "text", id_column: str = "doc_id",
+                    synth: bool = True) -> str:
+    """DuckDB twin: the clean_lines twin as a CTE feeding the
+    dedup_lines twin (exact composition of two exact twins)."""
+    inner = clean_lines_sql(min_words=min_words, min_kept=min_kept,
+                            blocklist=blocklist, table=table,
+                            column=column, id_column=id_column,
+                            synth=synth)
+    outer = dedup_lines_sql(table="cleaned", column="clean_text",
+                            id_column="doc_id", synth=False)
+    assert outer.startswith("WITH ")
+    return f"WITH cleaned AS ({inner}), {outer[len('WITH '):]}"
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization dedup
 # ---------------------------------------------------------------------------
 
