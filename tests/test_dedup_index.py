@@ -189,6 +189,66 @@ class TestExtendIndex:
         assert len(got) == 0
 
 
+class TestBloomIndex:
+    def test_matches_exact_index(self, ray_session, tmp_path):
+        """With 2^20 bits and a tiny corpus the false-positive term is
+        ~0, so the Bloom result must EQUAL the exact-index result; in
+        general it may only be a subset (FPs drop novel docs)."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup_index import (build_bloom_index,
+                                                      build_md5_index,
+                                                      dedup_against_bloom,
+                                                      dedup_against_index)
+
+        bidx = str(tmp_path / "bloom")
+        midx = str(tmp_path / "md5")
+        build_bloom_index(rd.from_arrow(OLD).repartition(2), bidx,
+                          n_buckets=8)
+        build_md5_index(rd.from_arrow(OLD).repartition(2), midx,
+                        n_buckets=8)
+        got = (dedup_against_bloom(rd.from_arrow(NEW).repartition(3), bidx)
+               .to_pandas().sort_values("md5").reset_index(drop=True))
+        want = (dedup_against_index(rd.from_arrow(NEW).repartition(3), midx)
+                .to_pandas().sort_values("md5").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert os.path.isfile(f"{bidx}/meta.parquet")
+        assert not glob.glob(f"{bidx}.building.*")
+
+    def test_no_false_negatives(self, ray_session, tmp_path):
+        """Exact copies of indexed docs are ALWAYS dropped — the Bloom
+        guarantee that matters for dedup."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup_index import (build_bloom_index,
+                                                      dedup_against_bloom)
+
+        idx = str(tmp_path / "nofn")
+        build_bloom_index(rd.from_arrow(OLD), idx, n_buckets=8)
+        copies = _tab([100, 101, 102], ["alpha", "beta", "gamma"])
+        got = dedup_against_bloom(rd.from_arrow(copies), idx).to_pandas()
+        assert len(got) == 0
+
+    def test_chained_extend(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup_index import (build_bloom_index,
+                                                      dedup_against_bloom,
+                                                      extend_bloom_index)
+
+        idx = str(tmp_path / "bloomchain")
+        build_bloom_index(rd.from_arrow(_tab([0, 1], ["alpha", "beta"])),
+                          idx, n_buckets=8)
+        B = _tab([10, 11], ["beta", "delta"])
+        kept = dedup_against_bloom(rd.from_arrow(B), idx).materialize()
+        assert kept.count() == 1  # only 'delta'
+        extend_bloom_index(idx, kept, md5_column="md5")
+        extend_bloom_index(idx, kept, md5_column="md5")  # idempotent retry
+        C = _tab([20, 21, 22], ["delta", "alpha", "omega"])
+        got = dedup_against_bloom(rd.from_arrow(C), idx).to_pandas()
+        assert got["keep_id"].to_list() == [22]  # only 'omega' is novel
+
+
 BASE = "the quick brown fox jumps over the lazy dog " * 10
 
 

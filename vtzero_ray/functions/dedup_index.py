@@ -239,6 +239,219 @@ def synth_dup_corpus(ds, id_column: str = "doc_id"):
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter membership index — the memory-bounded md5-index variant
+# ---------------------------------------------------------------------------
+#
+# The exact md5 index stores 32 bytes per distinct document (multi-TB at
+# 10^11 docs); the Bloom index stores a fixed bit array per bucket
+# (~1.3 bits/doc/hash). Trade: a false-positive DROPS a genuinely novel
+# document (rate (k·n/m)^k, sized by log2_bits); there are NO false
+# negatives — an indexed document is always dropped, so the output never
+# contains a known duplicate. Pytest-anchored (approximate membership is
+# not SQL-twinnable at the driver's exactness bar; the checkpoint /
+# train_centroids precedent), with the exact-index comparison as the
+# correctness net.
+
+_BLOOM_K = 4  # bit positions per key: md5 hex slices [8:16][16:24][24:32][0:8]
+_BLOOM_SLICES = ((8, 16), (16, 24), (24, 32), (0, 8))
+
+
+def _bloom_positions(md5_hex_list: list, log2_bits: int) -> np.ndarray:
+    """(n, k) bit positions from disjoint md5 hex slices — deterministic
+    and independent of the [:8]-derived bucket only in the low bits, so
+    mask with the bit-array size (a power of two)."""
+    mask = (1 << log2_bits) - 1
+    out = np.empty((len(md5_hex_list), _BLOOM_K), np.int64)
+    for i, m in enumerate(md5_hex_list):
+        for j, (a, b) in enumerate(_BLOOM_SLICES):
+            out[i, j] = int(m[a:b], 16) & mask
+    return out
+
+
+def build_bloom_index(ds, out_dir: str, n_buckets: int = 64,
+                      log2_bits: int = 20, column: str = "text") -> str:
+    """Persist a sharded Bloom filter of the corpus' md5 fingerprints:
+    per-batch (bucket, bitpos) rows (k small ints per doc — the only
+    thing that shuffles) → ONE groupby(bucket) where each task ORs its
+    bucket's bit array and writes it as a single binary blob. Atomic
+    publish + meta-last, the build_md5_index contract."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .dedup import add_md5
+
+    def positions(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        md5 = add_md5(t, column=column).column("md5")
+        if isinstance(md5, pa.ChunkedArray):
+            md5 = md5.combine_chunks()
+        uniq = pc.unique(md5).to_pylist()
+        pos = _bloom_positions(uniq, log2_bits)
+        b = np.repeat(_md5_bucket_array(pa.array(uniq), n_buckets),
+                      _BLOOM_K) if uniq else np.empty(0, np.int32)
+        return pa.table({"bucket": pa.array(b),
+                         "pos": pa.array(pos.reshape(-1))})
+
+    out_dir = os.path.normpath(out_dir)
+    tmp_dir = f"{out_dir}.building.{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(f"{tmp_dir}/blooms", exist_ok=True)
+
+    def write_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["bucket"].iloc[0])
+        bits = np.zeros(1 << (log2_bits - 3), np.uint8)
+        p = df["pos"].to_numpy(np.int64)
+        np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        pq.write_table(pa.table({"bits": pa.array([bits.tobytes()],
+                                                  pa.binary())}),
+                       f"{tmp_dir}/blooms/bloom_{b}.parquet")
+        return pd.DataFrame({"bucket": [b]})
+
+    try:
+        (ds.map_batches(positions, batch_format="pyarrow", batch_size=None)
+         .groupby("bucket").map_groups(write_bucket, batch_format="pandas")
+         .materialize())
+        pq.write_table(pa.table({
+            "n_buckets": pa.array([n_buckets], pa.int64()),
+            "log2_bits": pa.array([log2_bits], pa.int64()),
+            "version": pa.array([_INDEX_VERSION], pa.int64()),
+        }), f"{tmp_dir}/meta.parquet")
+        try:
+            os.rename(tmp_dir, out_dir)
+        except OSError:
+            if not os.path.isfile(f"{out_dir}/meta.parquet"):
+                raise
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_dir
+
+
+def _bloom_meta(index_dir: str):
+    import pyarrow.parquet as pq
+
+    m = pq.read_table(f"{index_dir}/meta.parquet")
+    return (int(m.column("n_buckets")[0].as_py()),
+            int(m.column("log2_bits")[0].as_py()))
+
+
+def dedup_against_bloom(ds, index_dir: str, column: str = "text",
+                        id_column: str = "doc_id"):
+    """dedup_against_index's memory-bounded twin: a new-shard doc is
+    kept iff ANY of its k Bloom bits is unset (definitely novel) — an
+    indexed doc is always dropped (no false negatives); a false positive
+    drops a novel doc at the sized rate. Same output schema
+    (md5, keep_id, n_dups); each bucket task reads ONLY its own 128 KiB
+    blob (for log2_bits=20)."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .dedup import add_md5
+
+    nb, log2_bits = _bloom_meta(index_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        t2 = add_md5(t, column=column)
+        md5 = t2.column("md5")
+        if isinstance(md5, pa.ChunkedArray):
+            md5 = md5.combine_chunks()
+        ids = t2.column(id_column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = pc.dictionary_encode(md5)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = len(d.dictionary)
+        min_id = np.full(nv, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(min_id, codes, ids)
+        cnt = np.bincount(codes, minlength=nv).astype(np.int64)
+        pos = _bloom_positions(d.dictionary.to_pylist(), log2_bits)
+        cols = {"md5": d.dictionary,
+                "keep_id": pa.array(min_id),
+                "n_dups": pa.array(cnt),
+                "bucket": pa.array(_md5_bucket_array(d.dictionary, nb))}
+        for j in range(_BLOOM_K):
+            cols[f"p{j}"] = pa.array(pos[:, j])
+        return pa.table(cols)
+
+    def check_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["bucket"].iloc[0])
+        agg = {"keep_id": ("keep_id", "min"), "n_dups": ("n_dups", "sum")}
+        agg.update({f"p{j}": (f"p{j}", "first") for j in range(_BLOOM_K)})
+        g = df.groupby("md5", sort=False).agg(**agg).reset_index()
+        path = f"{index_dir}/blooms/bloom_{b}.parquet"
+        if os.path.isfile(path):
+            bits = np.frombuffer(
+                pq.read_table(path).column("bits")[0].as_py(), np.uint8)
+            hit = np.ones(len(g), bool)
+            for j in range(_BLOOM_K):
+                p = g[f"p{j}"].to_numpy(np.int64)
+                hit &= (bits[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+            g = g[~hit]
+        return g[["md5", "keep_id", "n_dups"]]
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    return parts.groupby("bucket").map_groups(check_bucket,
+                                              batch_format="pandas")
+
+
+def extend_bloom_index(index_dir: str, ds, column: str = "text",
+                       md5_column: str | None = None) -> None:
+    """OR a shard's fingerprint bits into the live bucket blobs (write
+    to a temp file, os.rename over — readers see the old or new blob,
+    never a torn one). A crash mid-way under-extends a membership set:
+    retry is idempotent, exactly the extend_md5_index contract."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .dedup import add_md5
+
+    nb, log2_bits = _bloom_meta(index_dir)
+
+    def positions(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        if md5_column is None:
+            md5 = add_md5(t, column=column).column("md5")
+        else:
+            md5 = t.column(md5_column)
+        if isinstance(md5, pa.ChunkedArray):
+            md5 = md5.combine_chunks()
+        uniq = pc.unique(md5).to_pylist()
+        pos = _bloom_positions(uniq, log2_bits)
+        b = np.repeat(_md5_bucket_array(pa.array(uniq), nb), _BLOOM_K) \
+            if uniq else np.empty(0, np.int32)
+        return pa.table({"bucket": pa.array(b),
+                         "pos": pa.array(pos.reshape(-1))})
+
+    def or_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = int(df["bucket"].iloc[0])
+        path = f"{index_dir}/blooms/bloom_{b}.parquet"
+        bits = np.frombuffer(
+            pq.read_table(path).column("bits")[0].as_py(), np.uint8
+        ).copy() if os.path.isfile(path) else \
+            np.zeros(1 << (log2_bits - 3), np.uint8)
+        p = df["pos"].to_numpy(np.int64)
+        np.bitwise_or.at(bits, p >> 3, (1 << (p & 7)).astype(np.uint8))
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(pa.table({"bits": pa.array([bits.tobytes()],
+                                                  pa.binary())}), tmp)
+        os.rename(tmp, path)
+        return pd.DataFrame({"bucket": [b]})
+
+    (ds.map_batches(positions, batch_format="pyarrow", batch_size=None)
+     .groupby("bucket").map_groups(or_bucket, batch_format="pandas")
+     .materialize())
+
+
+# ---------------------------------------------------------------------------
 # incremental NEAR-dup: persisted MinHash band-bucket index
 # ---------------------------------------------------------------------------
 
