@@ -648,6 +648,30 @@ def _q_minhash_incremental(sf_dir: str):
     return near_dup_candidates_vs_index(_split(False), index_dir)
 
 
+def _q_nb_classify(sf_dir: str):
+    """fastText-style corpus classifier (CCNet / GPT-3 quality-model
+    step) as multinomial Naive Bayes: train on the doc_id%3==0 seed
+    split (ONE pass, ONE bucketed count shuffle, vocab-bounded model
+    broadcast), predict every doc with integer-quantized per-term
+    log-likelihoods (the doc_perplexity float-parity contract) so the
+    argmax and score are bit-deterministic."""
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+    from vtzero_ray.functions.classify import nb_classify
+
+    def seed_only(t):
+        ids = t.column("doc_id")
+        return t.filter(pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 3), 3)), 0))
+
+    seed = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"]).repartition(8) \
+        .map_batches(seed_only, batch_format="pyarrow", batch_size=None)
+    return nb_classify(_docs(sf_dir), seed)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Training-data sequence packing — the distributed prefix-sum
     pattern: per-range integer partials (order-independent int64 adds) →
@@ -1173,6 +1197,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # (minhash_lsh_candidates holds the driver slot;
                   # dedup_incremental is PROMOTED to the main 50)
                   "minhash_incremental",
+                  # Naive-Bayes corpus classifier (CCNet/GPT-3 quality-
+                  # model shape); langid holds the driver language slot
+                  "nb_lang_classify",
                   # plain per-lang count — langid (driver) exercises
                   # the language column, cell_page_counts (extra) the
                   # count shape; slot freed for dedup_incremental
@@ -1248,6 +1275,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_lines_c4": _q_dedup_lines_c4,
         "dedup_incremental": _q_dedup_incremental,
         "minhash_incremental": _q_minhash_incremental,
+        "nb_lang_classify": _q_nb_classify,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1436,6 +1464,8 @@ def _all_oracle_sql() -> dict[str, str]:
         redact_pii_sql as redact_oracle_sql
     from vtzero_ray.functions.dedup_index import (dedup_incremental_sql,
                                                   minhash_incremental_sql)
+    from vtzero_ray.functions.classify import \
+        nb_classify_sql as nb_classify_oracle_sql
     from vtzero_ray.functions.webclean import \
         canonical_url_dedup_sql as url_dedup_oracle_sql
     from vtzero_ray.functions.webclean import \
@@ -1777,6 +1807,9 @@ def _all_oracle_sql() -> dict[str, str]:
         "dedup_lines_c4": dedup_lines_oracle_sql(),
         "dedup_incremental": dedup_incremental_sql(),
         "minhash_incremental": minhash_incremental_sql(),
+        # nb_lang_classify: same tokenizer/smoothing/quantization, same
+        # (score DESC, class ASC) argmax — bit-equal scores
+        "nb_lang_classify": nb_classify_oracle_sql(train_mod=3),
         # shuffle_epoch: row_number over the same md5_number_lower key
         "shuffle_epoch": shuffle_oracle_sql(seed=42),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",
