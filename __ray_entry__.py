@@ -648,6 +648,17 @@ def _q_minhash_incremental(sf_dir: str):
     return near_dup_candidates_vs_index(_split(False), index_dir)
 
 
+def _q_dup_ngram_spans(sf_dir: str):
+    """Corpus-global duplicated n-gram spans (the hash analogue of
+    Lee et al.'s exact substring dedup): one explode scan, one
+    gram-bucket shuffle deciding global counts locally, one doc-bucket
+    merged-interval coverage pass. Synth multiline corpus (the shared
+    boilerplate line makes real cross-doc dup spans)."""
+    from vtzero_ray.functions.webclean import dup_span_stats, synth_multiline
+
+    return dup_span_stats(synth_multiline(_docs(sf_dir)), w=5)
+
+
 def _q_nb_classify(sf_dir: str):
     """fastText-style corpus classifier (CCNet / GPT-3 quality-model
     step) as multinomial Naive Bayes: train on the doc_id%3==0 seed
@@ -1200,6 +1211,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # Naive-Bayes corpus classifier (CCNet/GPT-3 quality-
                   # model shape); langid holds the driver language slot
                   "nb_lang_classify",
+                  # corpus-global dup n-gram spans (substring-dedup
+                  # signals); dedup_lines_c4 holds the span-dedup family
+                  "dup_ngram_spans",
                   # plain per-lang count — langid (driver) exercises
                   # the language column, cell_page_counts (extra) the
                   # count shape; slot freed for dedup_incremental
@@ -1276,6 +1290,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": _q_dedup_incremental,
         "minhash_incremental": _q_minhash_incremental,
         "nb_lang_classify": _q_nb_classify,
+        "dup_ngram_spans": _q_dup_ngram_spans,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1466,6 +1481,8 @@ def _all_oracle_sql() -> dict[str, str]:
                                                   minhash_incremental_sql)
     from vtzero_ray.functions.classify import \
         nb_classify_sql as nb_classify_oracle_sql
+    from vtzero_ray.functions.webclean import \
+        dup_span_stats_sql as dup_span_oracle_sql
     from vtzero_ray.functions.webclean import \
         canonical_url_dedup_sql as url_dedup_oracle_sql
     from vtzero_ray.functions.webclean import \
@@ -1810,6 +1827,9 @@ def _all_oracle_sql() -> dict[str, str]:
         # nb_lang_classify: same tokenizer/smoothing/quantization, same
         # (score DESC, class ASC) argmax — bit-equal scores
         "nb_lang_classify": nb_classify_oracle_sql(train_mod=3),
+        # dup_ngram_spans: lead()-built grams, global count >= 2,
+        # COUNT(DISTINCT pos) == merged-interval coverage
+        "dup_ngram_spans": dup_span_oracle_sql(w=5),
         # shuffle_epoch: row_number over the same md5_number_lower key
         "shuffle_epoch": shuffle_oracle_sql(seed=42),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",

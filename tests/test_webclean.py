@@ -358,3 +358,70 @@ class TestCanonicalUrlDedup:
         b = (canonical_url_dedup(rd.from_arrow(t).repartition(4)).to_pandas()
              .sort_values("canon_url").reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
+
+
+SPAN_DOCS = [
+    # doc 0 and doc 1 share the 5-token run "one two three four five"
+    "one two three four five alpha beta",
+    "zz one two three four five yy",
+    # doc 2 repeats its own 5-gram (within-doc dup counts too): windows
+    # at 1 and 6 are both "a b c d e"
+    "a b c d e a b c d e",
+    "totally unique words in this doc here",
+    "short doc",                       # < w tokens -> 0 windows
+    "",                                # empty -> 0 tokens
+]
+
+
+class TestDupSpanStats:
+    def _run(self, ray_session, texts, w=5, parts=3):
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import dup_span_stats
+
+        t = _tab({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+        return (dup_span_stats(rd.from_arrow(t).repartition(parts), w=w)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    def test_hand_semantics(self, ray_session):
+        out = self._run(ray_session, SPAN_DOCS).set_index("doc_id")
+        # doc 0: 7 tokens -> 3 windows; one dup window (start 1), mass 5
+        assert out.loc[0].tolist() == [3, 1, 5]
+        # doc 1: dup window starts at 2, mass 5
+        assert out.loc[1].tolist() == [3, 1, 5]
+        # doc 2: 10 tokens -> 6 windows; windows 1 and 6 dup ->
+        # coverage [1,5] + [6,10] = 10
+        assert out.loc[2].tolist() == [6, 2, 10]
+        assert out.loc[3].tolist() == [3, 0, 0]
+        assert out.loc[4].tolist() == [0, 0, 0]
+        assert out.loc[5].tolist() == [0, 0, 0]
+
+    def test_overlapping_coverage_union(self, ray_session):
+        # "x x x x x x" (6 tokens): both windows (1, 2) are "x x x x x"
+        # -> duplicated; union coverage = 6, not 10
+        out = self._run(ray_session, ["x x x x x x", "pad words only"]) \
+            .set_index("doc_id")
+        assert out.loc[0].tolist() == [2, 2, 6]
+
+    def test_matches_duckdb_twin(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import (dup_span_stats,
+                                                   dup_span_stats_sql)
+
+        t = _tab({"doc_id": pa.array(range(len(SPAN_DOCS)), pa.int64()),
+                  "text": pa.array(SPAN_DOCS)})
+        got = (dup_span_stats(rd.from_arrow(t).repartition(3), w=5)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = (con.execute(dup_span_stats_sql(w=5, synth=False)).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+    def test_partition_invariance(self, ray_session):
+        a = self._run(ray_session, SPAN_DOCS, parts=1)
+        b = self._run(ray_session, SPAN_DOCS, parts=5)
+        pd.testing.assert_frame_equal(a, b)

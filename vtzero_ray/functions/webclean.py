@@ -299,6 +299,177 @@ def dedup_lines_sql(table: str = "documents", column: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# corpus-global duplicated n-gram spans (exact-substring-dedup signals)
+# ---------------------------------------------------------------------------
+
+# per-doc total-rows sentinel riding the gram shuffle (the bpe.py /
+# classify.py "\x01 never survives whitespace tokenization" precedent)
+_TOTAL_SENTINEL = "\x01"
+
+
+def dup_span_stats(ds, w: int = 5, column: str = "text",
+                   id_column: str = "doc_id", n_buckets: int = 64):
+    """Corpus-global duplicated-span signals — the hash analogue of
+    suffix-array exact substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), at fixed word-window
+    granularity: a doc's window of ``w`` consecutive tokens is a DUP
+    span iff that exact token sequence occurs >= 2 times anywhere in
+    the corpus (including elsewhere in the same doc). Output per doc
+    (every doc present): (doc_id, n_windows, n_dup_windows,
+    dup_pos_mass) where dup_pos_mass is the interval-UNION token
+    coverage of all dup windows — the mass substring dedup would cut.
+
+    ONE corpus scan + TWO bounded shuffles (the dedup_lines shape):
+    1. explode windows vectorized (w zero-copy Arrow slices of the flat
+       token array joined element-wise; windows never cross docs) →
+       crc32(gram)-bucket shuffle — every copy of a gram lands in one
+       bucket, so its GLOBAL count is a single local decision. Per-doc
+       (n_tokens) sentinel rows ride the same output.
+    2. dup-window starts → doc-bucket shuffle → per-doc merged-interval
+       coverage (vectorized cummax sweep, no Python loop over rows).
+
+    At 100 TB shuffle 64-bit gram HASHES instead of gram strings
+    (collision-negligible, ~10x less traffic); strings keep the oracle
+    exact here.
+    """
+    import zlib
+
+    import pandas as pd
+
+    def explode(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        from .lm import _split_codes
+
+        codes, tok_doc, vocab, n_docs = _split_codes(t, column)
+        ids = t.column(id_column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = vocab.take(pa.array(codes)) if codes.size else \
+            pa.array([], pa.string())
+        L = len(flat)
+        n_tok = np.bincount(tok_doc, minlength=n_docs).astype(np.int64) \
+            if codes.size else np.zeros(n_docs, np.int64)
+        out_doc = [pa.array(ids)]
+        out_start = [pa.array(n_tok)]
+        out_gram = [pa.array([_TOTAL_SENTINEL] * n_docs, pa.string())]
+        if L >= w:
+            nwin = L - w + 1
+            gram = pc.binary_join_element_wise(
+                *(flat.slice(j, nwin) for j in range(w)), " ")
+            valid = tok_doc[:nwin] == tok_doc[w - 1:]
+            first = np.searchsorted(tok_doc, np.arange(n_docs))
+            gi = np.flatnonzero(valid)
+            doc = tok_doc[gi]
+            start = gi - first[doc] + 1
+            out_doc.append(pa.array(ids[doc]))
+            out_start.append(pa.array(start.astype(np.int64)))
+            out_gram.append(gram.filter(pa.array(valid)))
+        gram_all = pa.concat_arrays(
+            [g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+             for g in out_gram])
+        b = np.fromiter((zlib.crc32(v.encode()) % n_buckets
+                         for v in gram_all.to_pylist()),
+                        np.int32, count=len(gram_all))
+        return pa.table({id_column: pa.concat_arrays(out_doc),
+                         "start": pa.concat_arrays(out_start),
+                         "gram": gram_all,
+                         "bucket": pa.array(b)})
+
+    def pick_dups(df: pd.DataFrame) -> pd.DataFrame:
+        sent = df["gram"] == _TOTAL_SENTINEL
+        tot = df[sent]
+        rest = df[~sent]
+        n = rest.groupby("gram", sort=False)["gram"].transform("size")
+        dup = rest[n >= 2]
+        out = pd.concat([
+            pd.DataFrame({id_column: dup[id_column], "pos": dup["start"],
+                          "kind": np.int8(0)}),
+            pd.DataFrame({id_column: tot[id_column], "pos": tot["start"],
+                          "kind": np.int8(1)})])
+        out["dbucket"] = (out[id_column] % n_buckets).astype(np.int32)
+        return out
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df[df["kind"] == 1].set_index(id_column)["pos"].sort_index()
+        d0 = df[df["kind"] == 0].sort_values([id_column, "pos"],
+                                             kind="stable")
+        docs = tot.index.to_numpy(np.int64)
+        nt = tot.to_numpy(np.int64)
+        ndw = np.zeros(len(docs), np.int64)
+        mass = np.zeros(len(docs), np.int64)
+        if len(d0):
+            s = d0["pos"].to_numpy(np.int64)
+            e = s + w - 1
+            # merged-interval coverage: running cummax of end within doc
+            prev = d0.groupby(id_column, sort=False)["pos"].transform(
+                lambda x: pd.Series(np.maximum.accumulate(
+                    x.to_numpy(np.int64) + w - 1), index=x.index)
+                .shift(1, fill_value=0)).to_numpy(np.int64)
+            contrib = np.maximum(e - np.maximum(s - 1, prev), 0)
+            agg = pd.DataFrame({id_column: d0[id_column].to_numpy(np.int64),
+                                "c": contrib}) \
+                .groupby(id_column, sort=False)["c"].agg(["sum", "size"])
+            pos_in = np.searchsorted(docs, agg.index.to_numpy(np.int64))
+            mass[pos_in] = agg["sum"].to_numpy(np.int64)
+            ndw[pos_in] = agg["size"].to_numpy(np.int64)
+        return pd.DataFrame({id_column: docs,
+                             "n_windows": np.maximum(nt - w + 1, 0),
+                             "n_dup_windows": ndw,
+                             "dup_pos_mass": mass})
+
+    rows = ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+    flagged = rows.groupby("bucket").map_groups(pick_dups,
+                                                batch_format="pandas")
+    return flagged.groupby("dbucket").map_groups(per_doc,
+                                                 batch_format="pandas")
+
+
+def dup_span_stats_sql(w: int = 5, table: str = "documents",
+                       column: str = "text", id_column: str = "doc_id",
+                       synth: bool = True) -> str:
+    """DuckDB twin: same tokenizer, lead()-built grams, global count >=
+    2, COUNT(DISTINCT pos) over unnested ranges == the merged-interval
+    coverage."""
+    src = synth_multiline_sql_expr(column, id_column) if synth else column
+    leads = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {j}) OVER wd" for j in range(1, w)])
+    return (
+        f"WITH src AS (SELECT {id_column} AS doc_id, {src} AS text "
+        f"FROM {table}), "
+        # row_number over kept (non-empty) tokens — DuckDB trim()
+        # strips spaces only, so a trailing newline leaves an empty
+        # token; Ray's position is among KEPT tokens in original order
+        "t AS (SELECT doc_id, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY idx) AS idx, tok FROM "
+        "(SELECT doc_id, unnest(range(1, len(arr) + 1)) AS idx, "
+        "unnest(arr) AS tok FROM (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS arr FROM src)) "
+        "WHERE tok <> ''), "
+        f"g0 AS (SELECT doc_id, idx AS start, {leads} AS gram, "
+        f"lead(tok, {w - 1}) OVER wd IS NOT NULL AS ok FROM t "
+        "WINDOW wd AS (PARTITION BY doc_id ORDER BY idx)), "
+        "g AS (SELECT doc_id, start, gram FROM g0 WHERE ok), "
+        "cnts AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY 1), "
+        "dw AS (SELECT doc_id, start FROM g JOIN cnts USING (gram) "
+        "WHERE n >= 2), "
+        "cov AS (SELECT doc_id, CAST(COUNT(DISTINCT pos) AS BIGINT) AS m "
+        f"FROM (SELECT doc_id, unnest(range(start, start + {w})) AS pos "
+        "FROM dw) GROUP BY 1), "
+        "ndwt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ndw "
+        "FROM dw GROUP BY 1), "
+        "tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM t "
+        "GROUP BY 1) "
+        f"SELECT s.doc_id, "
+        f"CAST(greatest(COALESCE(tot.nt, 0) - {w} + 1, 0) AS BIGINT) "
+        "AS n_windows, "
+        "CAST(COALESCE(ndwt.ndw, 0) AS BIGINT) AS n_dup_windows, "
+        "CAST(COALESCE(cov.m, 0) AS BIGINT) AS dup_pos_mass "
+        "FROM src s LEFT JOIN tot ON tot.doc_id = s.doc_id "
+        "LEFT JOIN ndwt ON ndwt.doc_id = s.doc_id "
+        "LEFT JOIN cov ON cov.doc_id = s.doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # composed C4 pipeline: line rules, then global span dedup
 # ---------------------------------------------------------------------------
 
