@@ -648,6 +648,20 @@ def _q_minhash_incremental(sf_dir: str):
     return near_dup_candidates_vs_index(_split(False), index_dir)
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup: nearest-centroid clustering (the IVF assignment) then
+    per-cluster greedy semantic dedup — one assignment scan, one
+    cluster shuffle, pair cost bounded by cluster size ~ N/C. Driver
+    threshold 0.35 (the embedding_near_dups precedent: synth embeddings
+    are near-orthogonal at production thresholds)."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.ann import semdedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet").repartition(8)
+    return semdedup(ds, sf_dir, n_centroids=16, threshold=0.35)
+
+
 def _q_dup_ngram_spans(sf_dir: str):
     """Corpus-global duplicated n-gram spans (the hash analogue of
     Lee et al.'s exact substring dedup): one explode scan, one
@@ -1214,6 +1228,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # corpus-global dup n-gram spans (substring-dedup
                   # signals); dedup_lines_c4 holds the span-dedup family
                   "dup_ngram_spans",
+                  # cluster-then-dedup (SemDeDup); the embedding near-
+                  # dup family holds the driver slots
+                  "semdedup",
                   # plain per-lang count — langid (driver) exercises
                   # the language column, cell_page_counts (extra) the
                   # count shape; slot freed for dedup_incremental
@@ -1291,6 +1308,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "minhash_incremental": _q_minhash_incremental,
         "nb_lang_classify": _q_nb_classify,
         "dup_ngram_spans": _q_dup_ngram_spans,
+        "semdedup": _q_semdedup,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1483,6 +1501,8 @@ def _all_oracle_sql() -> dict[str, str]:
         nb_classify_sql as nb_classify_oracle_sql
     from vtzero_ray.functions.webclean import \
         dup_span_stats_sql as dup_span_oracle_sql
+    from vtzero_ray.functions.ann import \
+        semdedup_sql as semdedup_oracle_sql
     from vtzero_ray.functions.webclean import \
         canonical_url_dedup_sql as url_dedup_oracle_sql
     from vtzero_ray.functions.webclean import \
@@ -1830,6 +1850,8 @@ def _all_oracle_sql() -> dict[str, str]:
         # dup_ngram_spans: lead()-built grams, global count >= 2,
         # COUNT(DISTINCT pos) == merged-interval coverage
         "dup_ngram_spans": dup_span_oracle_sql(w=5),
+        # semdedup: shared assignment CTE + round-6 cosine pairs
+        "semdedup": semdedup_oracle_sql(n_centroids=16, threshold=0.35),
         # shuffle_epoch: row_number over the same md5_number_lower key
         "shuffle_epoch": shuffle_oracle_sql(seed=42),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",

@@ -1182,3 +1182,71 @@ class TestClusterSizes:
             assert got[cid] == (best == cid).sum()
         # every centroid that captured nothing is absent from the output
         assert set(out.centroid_id) == set(np.unique(best))
+
+
+class TestSemDeDup:
+    def test_matches_duckdb_twin_and_semantics(self, ray_session):
+        """Exact twin equality at sf0.001 plus semantic invariants:
+        every cluster's min vec_id is kept; dup_of is always a smaller
+        id in the same cluster; kept == (dup_of == -1)."""
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.ann import semdedup, semdedup_sql
+
+        sf = "/root/testdata/sf0.001"
+        ds = rd.read_parquet(f"{sf}/embeddings.parquet").repartition(5)
+        got = (semdedup(ds, sf, n_centroids=8, threshold=0.35).to_pandas()
+               .sort_values("vec_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{sf}/embeddings.parquet')")
+        want = (con.execute(semdedup_sql(n_centroids=8, threshold=0.35))
+                .df().sort_values("vec_id").reset_index(drop=True))
+        assert got.equals(want)
+        assert (got.kept == (got.dup_of < 0).astype("int64")).all()
+        assert ((got.dup_of < got.vec_id) | (got.dup_of == -1)).all()
+        by_c = got.groupby("centroid_id")
+        assert (by_c.apply(
+            lambda g: g.loc[g.vec_id.idxmin(), "kept"] == 1,
+            include_groups=False)).all()
+        # a non-trivial fraction is actually deduplicated at 0.35
+        assert (got.kept == 0).any()
+
+    def test_hand_duplicates(self, ray_session):
+        """Identical vectors dedup to the smallest id; orthogonal ones
+        all survive."""
+        import numpy as np
+        import ray.data as rd
+
+        from vtzero_ray.functions.ann import semdedup
+
+        sf = "/root/testdata/sf0.001"
+        dim = 64
+        rows = []
+        v1 = np.zeros(dim); v1[0] = 1.0
+        v2 = np.zeros(dim); v2[1] = 1.0
+        for vid, v in ((1, v1), (2, v1), (3, v2), (4, v1)):
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+        import pandas as pd
+        ds = rd.from_pandas(pd.DataFrame(rows)).repartition(2)
+        out = (semdedup(ds, sf, n_centroids=4, threshold=0.9).to_pandas()
+               .sort_values("vec_id").set_index("vec_id"))
+        assert out.loc[1, "kept"] == 1
+        assert out.loc[2, "dup_of"] == 1
+        assert out.loc[4, "dup_of"] == 1
+        assert out.loc[3, "kept"] == 1
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.ann import semdedup
+
+        sf = "/root/testdata/sf0.001"
+        outs = []
+        for parts in (1, 7):
+            ds = rd.read_parquet(f"{sf}/embeddings.parquet") \
+                .repartition(parts)
+            outs.append(semdedup(ds, sf, threshold=0.35).to_pandas()
+                        .sort_values("vec_id").reset_index(drop=True))
+        assert outs[0].equals(outs[1])

@@ -725,3 +725,84 @@ def cluster_sizes_sql(n_centroids: int = 16) -> str:
         "SELECT centroid_id, n_vecs, sum_vec_id FROM sizes "
         "ORDER BY centroid_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication via cluster-then-dedup
+# ---------------------------------------------------------------------------
+
+
+def semdedup(ds, sf_dir: str, n_centroids: int = 16,
+             threshold: float = 0.35):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the corpus by
+    nearest coarse centroid, then WITHIN each cluster drop vectors that
+    are semantic duplicates of an earlier one → Dataset (vec_id,
+    centroid_id, dup_of, kept) covering every vector. The greedy rule is
+    deterministic: v is a duplicate iff some u < v in its cluster has
+    round(cosine(u, v), 6) >= threshold; ``dup_of`` is the smallest such
+    u (else -1), ``kept`` = 1 iff none exists.
+
+    Shape — the reason SemDeDup scales where all-pairs cannot: ONE
+    assignment scan (broadcast centroids, the exact-int IVF cosine) →
+    ONE cluster-key shuffle → per-cluster all-pairs matmul bounded by
+    cluster size ~ N/C (raise n_centroids to cap it; the paper uses 50k
+    clusters at web scale). Embeddings shuffle once, unit-normed, and
+    never leave their cluster task. Cosine parity with DuckDB rides the
+    round-6 contract of embedding_near_dups.
+    """
+    import ray
+
+    from .dedup import _normalize_block
+
+    cids, cmat = load_centroids(sf_dir, n_centroids)
+    assigned = assign_centroids(
+        ds.select_columns(["vec_id", "embedding"]),
+        ray.put((cids, cmat)))
+    normed = assigned.map_batches(
+        lambda t: _normalize_block(t.select(["vec_id", "embedding"]))
+        .append_column("centroid_id", t.column("centroid_id")),
+        batch_format="pyarrow", batch_size=None)
+
+    def cluster_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vec_id", kind="stable")
+        ids = df["vec_id"].to_numpy(np.int64)
+        em = np.stack(df["embedding"].to_numpy())
+        m = len(ids)
+        dup_of = np.full(m, -1, np.int64)
+        if m > 1:
+            sims = np.round(em @ em.T, 6)
+            hit = sims >= threshold
+            # strictly-lower-triangle: candidates u < v (ids ascending)
+            hit[np.triu_indices(m)] = False
+            any_hit = hit.any(axis=1)
+            dup_of[any_hit] = ids[hit.argmax(axis=1)[any_hit]]
+        return pd.DataFrame({
+            "vec_id": ids,
+            "centroid_id": df["centroid_id"].to_numpy(np.int64),
+            "dup_of": dup_of,
+            "kept": (dup_of < 0).astype(np.int64)})
+
+    return normed.groupby("centroid_id").map_groups(
+        cluster_dedup, batch_format="pandas")
+
+
+def semdedup_sql(n_centroids: int = 16, threshold: float = 0.35) -> str:
+    """DuckDB twin of semdedup — the SAME assignment prefix as
+    topk_ivf_sql/cluster_sizes_sql, all within-cluster pairs u < v,
+    round-6 cosine threshold, MIN(u) as dup_of."""
+    return (
+        _assign_sql_prefix(n_centroids) +
+        "pairs AS (SELECT a.vec_id AS u, b.vec_id AS v, a.cid "
+        "FROM assign a JOIN assign b "
+        "ON a.cid = b.cid AND a.vec_id < b.vec_id), "
+        "sims AS (SELECT p.u, p.v FROM pairs p "
+        "JOIN e ea ON ea.vec_id = p.u JOIN e eb ON eb.vec_id = p.v "
+        "WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], "
+        f"eb.embedding::DOUBLE[]), 6) >= {threshold}), "
+        "dup AS (SELECT v AS vec_id, MIN(u) AS d FROM sims GROUP BY 1) "
+        "SELECT a.vec_id, a.cid AS centroid_id, "
+        "CAST(COALESCE(dup.d, -1) AS BIGINT) AS dup_of, "
+        "CAST(CASE WHEN dup.d IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept "
+        "FROM assign a LEFT JOIN dup ON dup.vec_id = a.vec_id"
+    )
