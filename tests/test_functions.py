@@ -1250,3 +1250,48 @@ class TestSemDeDup:
             outs.append(semdedup(ds, sf, threshold=0.35).to_pandas()
                         .sort_values("vec_id").reset_index(drop=True))
         assert outs[0].equals(outs[1])
+
+
+class TestCompressionStats:
+    def test_reference_and_signal(self, ray_session):
+        """Matches a direct zlib reference row-for-row; repetitive text
+        compresses far better than high-entropy text; empty doc is
+        ratio 0 with raw_len 0."""
+        import zlib
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.textstats import compression_stats
+
+        texts = ["spam spam spam spam spam spam spam spam",
+                 "q7#xZ!kP9@mW2$vL5&nB8*rT1%yU4^eJ6(oH3)",
+                 "the quick brown fox jumps over the lazy dog",
+                 "", "héllo wörld ünïcode"]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        out = (compression_stats(rd.from_arrow(t).repartition(3))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        for i, s in enumerate(texts):
+            b = s.encode("utf-8")
+            assert out.loc[i, "raw_len"] == len(b)
+            assert out.loc[i, "deflate_len"] == len(zlib.compress(b, 6))
+        r = out.set_index("doc_id").ratio_q9
+        assert r[0] < r[1]                 # repetition compresses better
+        assert r[3] == 0 and out.loc[3, "raw_len"] == 0
+        assert out.loc[4, "raw_len"] > len(texts[4])  # bytes, not chars
+
+    def test_partition_invariance(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.textstats import compression_stats
+
+        texts = [f"doc {i} " + "word " * (i % 7) for i in range(40)]
+        t = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                      "text": pa.array(texts)})
+        a = (compression_stats(rd.from_arrow(t).repartition(1)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (compression_stats(rd.from_arrow(t).repartition(6)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        assert a.equals(b)

@@ -634,3 +634,47 @@ def redact_pii_sql(table: str = "documents", column: str = "text",
         f"CAST(length(regexp_extract_all(t2, '{PHONE_PATTERN}')) AS BIGINT)"
         f" AS n_phones FROM e"
     )
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal (RefinedWeb/Gopher-family heuristic)
+# ---------------------------------------------------------------------------
+
+
+def compression_stats(ds, level: int = 6, column: str = "text",
+                      id_column: str = "doc_id"):
+    """Per-doc DEFLATE compressibility → Dataset (doc_id, raw_len,
+    deflate_len, ratio_q9). Highly compressible text (ratio << typical
+    prose ~0.4-0.6) is boilerplate/repetition; near-incompressible text
+    (ratio ~1) is binary junk — the RefinedWeb-family cheap quality
+    signal that needs no model.
+
+    One stateless map_batches scan, no shuffle. The per-row
+    zlib.compress loop is C-bound (the fingerprint-md5 precedent);
+    raw_len counts UTF-8 BYTES. ratio_q9 = floor(deflate_len /
+    max(raw_len, 1) * 1e9 + 0.5) keeps the output pure-int (the repo's
+    oracle-exactness invariant); zlib has no SQL twin, so this op is
+    pytest-gated against a direct reference (the BPE/bloom precedent).
+    """
+    import zlib
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t.column(column)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        raw = [v.encode("utf-8") for v in txt.to_pylist()]
+        raw_len = np.fromiter((len(b) for b in raw), np.int64,
+                              count=len(raw))
+        dlen = np.fromiter((len(zlib.compress(b, level)) for b in raw),
+                           np.int64, count=len(raw))
+        # empty docs: ratio 0 (zlib emits an 8-byte header even for b"")
+        ratio = np.where(
+            raw_len > 0,
+            np.floor(dlen / np.maximum(raw_len, 1) * 1e9 + 0.5), 0) \
+            .astype(np.int64)
+        return pa.table({id_column: t.column(id_column),
+                         "raw_len": pa.array(raw_len),
+                         "deflate_len": pa.array(dlen),
+                         "ratio_q9": pa.array(ratio)})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
