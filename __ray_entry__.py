@@ -280,6 +280,22 @@ def _q_media_features_jpeg(sf_dir: str):
                           batch_size=64)
 
 
+def _q_media_features_gif(sf_dir: str):
+    """REAL GIF decode — the LZW dictionary-coding family: palette size
+    cycles 32..256 (varying LZW min code size + color-table field), odd
+    ids are interlaced, so variable-width code reading, width bumps,
+    palette lookup and the 4-pass deinterlace are all driver-checked.
+    The oracle recomputes index formula + palette formula with
+    generate_series."""
+    import ray.data as rd
+
+    from vtzero_ray.stages.multimodal import ImageStats, synth_media_gif
+
+    ds = rd.from_arrow(synth_media_gif(128)).repartition(8)
+    return ds.map_batches(ImageStats(), batch_format="pyarrow",
+                          batch_size=64)
+
+
 def _q_audio_features(sf_dir: str):
     """REAL audio decode: deterministic WAV/PCM16 corpus → per-clip
     integer channel sums through the pure-NumPy RIFF codec
@@ -1188,6 +1204,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "doc_sample_10pct", "distinct_langs",
                   "events_hopping_window", "ann_topk_ivf",
                   "audio_features", "top_orders", "media_features",
+                  # GIF/LZW real-codec probe (PNG + JPEG hold the
+                  # driver media slots)
+                  "media_features_gif",
                   "clipped_segments_z2", "embedding_near_dups",
                   "bm25_topk", "knn_top3", "redact_pii", "shuffle_epoch",
                   # identity read probe — geoparse exercises the same
@@ -1276,6 +1295,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_features_png": _q_media_features_png,
         "media_features_jpeg": _q_media_features_jpeg,
+        "media_features_gif": _q_media_features_gif,
         "audio_features": _q_audio_features,
         # spatial joins (SURVEY §2.4)
         "pip_join": _q_pip_join,
@@ -1731,6 +1751,25 @@ def _all_oracle_sql() -> dict[str, str]:
             "CAST(SUM((id * 7 + (x // 8) * 13 + (y // 8) * 31) % 256) AS BIGINT) AS sum_r, "
             "CAST(SUM((id * 7 + (x // 8) * 13 + (y // 8) * 31) % 256) AS BIGINT) AS sum_g, "
             "CAST(SUM((id * 7 + (x // 8) * 13 + (y // 8) * 31) % 256) AS BIGINT) AS sum_b "
+            "FROM px GROUP BY 1, 2, 3"
+        ),
+        # media_features_gif: palette size 2^((id%4)+5); pixel index
+        # (id*11 + x*3 + y*5) % ps; palette channel formulas j*7/13/29
+        # % 256 — re-derives every LZW-decoded, deinterlaced pixel
+        "media_features_gif": (
+            "WITH m AS (SELECT range AS id, 8 + (range * 47) % 25 AS w, "
+            "8 + (range * 19) % 25 AS h, "
+            "CAST(power(2, (range % 4) + 5) AS BIGINT) AS ps "
+            "FROM range(128)), "
+            "px AS (SELECT m.id, m.w, m.h, "
+            "(m.id * 11 + x.range * 3 + y.range * 5) % m.ps AS j "
+            "FROM m, range(32) x, range(32) y "
+            "WHERE x.range < m.w AND y.range < m.h) "
+            "SELECT id AS media_id, CAST(w AS INTEGER) AS width, "
+            "CAST(h AS INTEGER) AS height, "
+            "CAST(SUM((j * 7) % 256) AS BIGINT) AS sum_r, "
+            "CAST(SUM((j * 13) % 256) AS BIGINT) AS sum_g, "
+            "CAST(SUM((j * 29) % 256) AS BIGINT) AS sum_b "
             "FROM px GROUP BY 1, 2, 3"
         ),
         # audio_features: the WAV sample formula ((id*7 + i*13 + c*97) %

@@ -220,9 +220,46 @@ def synth_media_jpeg(n: int = 128) -> pa.Table:
     })
 
 
+def _gif_dims(media_id: int) -> tuple[int, int]:
+    return 8 + (media_id * 47) % 25, 8 + (media_id * 19) % 25
+
+
+def synth_media_gif(n: int = 128) -> pa.Table:
+    """Deterministic REAL-GIF image corpus: palette size cycles
+    2^((id % 4) + 5) (32..256 colors, so the LZW min-code-size and
+    color-table-size fields vary), palette entry j = ((j*7)%256,
+    (j*13)%256, (j*29)%256), pixel index = (id*11 + x*3 + y*5) %
+    palette_size, and odd ids are INTERLACED — the full decode matrix
+    (LZW widths, GCT sizes, interlace passes) against one SQL
+    closed form."""
+    from .gif import encode_gif
+
+    ids = np.arange(n, dtype=np.int64)
+    payloads, ws, hs = [], [], []
+    for i in ids:
+        w, h = _gif_dims(int(i))
+        ps = 1 << ((int(i) % 4) + 5)
+        j = np.arange(ps, dtype=np.int64)
+        pal = np.stack([(j * 7) % 256, (j * 13) % 256, (j * 29) % 256],
+                       axis=1).astype(np.uint8)
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        idx = ((int(i) * 11 + x * 3 + y * 5) % ps).astype(np.uint8)
+        payloads.append(encode_gif(idx, pal, interlace=bool(i % 2)))
+        ws.append(w)
+        hs.append(h)
+    return pa.table({
+        "media_id": pa.array(ids),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "width": pa.array(np.array(ws, np.int32)),
+        "height": pa.array(np.array(hs, np.int32)),
+    })
+
+
 class ImageStats:
     """REAL pixel statistics from encoded image payloads (format-sniffed:
-    PNG, BMP or baseline JPEG) — integer channel sums so the DuckDB
+    PNG, BMP, baseline JPEG or GIF) — integer channel sums so the DuckDB
     oracle reproduces them exactly. Dimensions come from the decoded
     pixels, NOT the metadata columns.
 
@@ -320,6 +357,21 @@ class ImageResize:
             # the output re-encodes in the SOURCE format (PNG stays PNG)
             from .png import decode_image, encode_png, sniff_image
 
+            if sniff_image(payload) == "gif":
+                # palette images resize in INDEX space (exact — no
+                # re-quantization) and keep their color table
+                from .gif import decode_gif_indexed, encode_gif
+
+                idx, pal = decode_gif_indexed(payload)
+                sh, sw = idx.shape
+                scale = self.target / max(sh, sw, 1)
+                nh = max(1, int(sh * scale))
+                nw = max(1, int(sw * scale))
+                yi = np.minimum((np.arange(nh) / scale).astype(np.int64),
+                                sh - 1)
+                xi = np.minimum((np.arange(nw) / scale).astype(np.int64),
+                                sw - 1)
+                return encode_gif(np.ascontiguousarray(idx[yi][:, xi]), pal)
             px = decode_image(payload)
             sh, sw = px.shape[:2]
             scale = self.target / max(sh, sw, 1)

@@ -190,20 +190,22 @@ def _defilter(rows: np.ndarray, ftypes: np.ndarray, bpp: int) -> np.ndarray:
 
 
 def sniff_image(payload: bytes) -> str:
-    """'png' | 'bmp' | 'jpeg' | 'unknown' from magic bytes."""
+    """'png' | 'bmp' | 'jpeg' | 'gif' | 'unknown' from magic bytes."""
     if payload[:8] == _SIG:
         return "png"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Format-sniffing decode: PNG, BMP or baseline JPEG → uint8 RGB
-    (h, w, 3). Grayscale expands to 3 channels; RGBA drops alpha
-    (documented)."""
+    """Format-sniffing decode: PNG, BMP, baseline JPEG or GIF → uint8
+    RGB (h, w, 3). Grayscale expands to 3 channels; RGBA drops alpha;
+    GIF palettes expand to RGB (documented)."""
     kind = sniff_image(payload)
     if kind == "png":
         px = decode_png(payload)
@@ -221,4 +223,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         if px.ndim == 2:
             return np.repeat(px[:, :, None], 3, axis=2)
         return px
-    raise ValueError("payload is not PNG, BMP or JPEG")
+    if kind == "gif":
+        from .gif import decode_gif
+
+        return decode_gif(payload)
+    raise ValueError("payload is not PNG, BMP, JPEG or GIF")
