@@ -1295,3 +1295,72 @@ class TestCompressionStats:
         b = (compression_stats(rd.from_arrow(t).repartition(6)).to_pandas()
              .sort_values("doc_id").reset_index(drop=True))
         assert a.equals(b)
+
+
+class TestHeavyHitters:
+    def _corpus(self, n_docs=60):
+        """Zipf-ish corpus: token t_j appears ~ n/j times."""
+        import pyarrow as pa
+
+        texts = []
+        for i in range(n_docs):
+            toks = []
+            for j in range(1, 40):
+                if i % j == 0:
+                    toks.append(f"t{j}")
+            toks.append(f"rare{i}")
+            texts.append(" ".join(toks))
+        return pa.table({"doc_id": pa.array(range(n_docs), pa.int64()),
+                         "text": pa.array(texts)})
+
+    def _exact(self, tab):
+        from collections import Counter
+
+        c = Counter()
+        for s in tab.column("text").to_pylist():
+            c.update(s.split())
+        return c
+
+    def test_guarantees(self, ray_session):
+        """est_lo <= true <= est_hi for every reported token; every
+        token with true count > the global decrement mass is reported;
+        at most k tokens; decrement mass <= n/(k+1)."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.sketch import heavy_hitters
+
+        tab = self._corpus()
+        exact = self._exact(tab)
+        n_total = sum(exact.values())
+        k = 12
+        out = (heavy_hitters(rd.from_arrow(tab).repartition(5), k=k)
+               .to_pandas())
+        assert len(out) <= k
+        total_dec = int(out.est_hi.iloc[0] - out.est_lo.iloc[0])
+        assert total_dec <= n_total // (k + 1)
+        for r in out.itertuples():
+            assert r.est_lo <= exact[r.token] <= r.est_hi
+        reported = set(out.token)
+        for tok, c in exact.items():
+            if c > total_dec:
+                assert tok in reported, (tok, c, total_dec)
+        # ranking is (est_lo desc, token asc), dense 1..len
+        assert list(out.rnk) == list(range(1, len(out) + 1))
+        assert (out.est_lo.to_numpy()[:-1] >= out.est_lo.to_numpy()[1:]).all()
+
+    def test_small_vocab_is_exact(self, ray_session):
+        """With vocabulary <= k no compression happens anywhere: counts
+        are exact and est_hi == est_lo."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.sketch import heavy_hitters
+
+        tab = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                        "text": pa.array(["a a b", "b a", "c", "a c c"])})
+        out = (heavy_hitters(rd.from_arrow(tab).repartition(3), k=10)
+               .to_pandas().set_index("token"))
+        assert (out.est_lo == out.est_hi).all()
+        assert out.loc["a", "est_lo"] == 4
+        assert out.loc["b", "est_lo"] == 2
+        assert out.loc["c", "est_lo"] == 3

@@ -329,3 +329,73 @@ def length_quantiles(ds, ps=(0.1, 0.5, 0.9, 0.99)):
 
     out = totals.groupby("lang").map_groups(per_lang, batch_format="pandas")
     return out.map_batches(lambda t: t, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — mergeable frequent-items summary
+# ---------------------------------------------------------------------------
+
+
+def _mg_compress(toks: np.ndarray, cnts: np.ndarray, k: int):
+    """Compress exact (token, count) pairs to <= k Misra-Gries counters:
+    subtract the (k+1)-th largest count from everything and drop the
+    non-positive remainder (Agarwal et al. 2012, "Mergeable Summaries").
+    Returns (toks, cnts, decrement)."""
+    if len(cnts) <= k:
+        return toks, cnts, 0
+    dec = int(np.partition(cnts, len(cnts) - k - 1)[len(cnts) - k - 1])
+    keep = cnts > dec
+    return toks[keep], cnts[keep] - dec, dec
+
+
+def heavy_hitters(ds, k: int = 50, column: str = "text"):
+    """Distributed Misra-Gries top-token summary → Dataset (token,
+    est_lo, est_hi, rnk) of <= k tokens, plus the guarantee that makes
+    sketches worth shipping at 100 TB: for every token,
+    ``est_lo <= true_count <= est_hi`` and every token whose true count
+    exceeds the global decrement mass (<= n_tokens / (k+1)) IS present.
+
+    Shape: per-batch exact counts → LOCAL compress to k counters (only
+    k rows + 2 scalars leave each task, vs a full vocabulary for the
+    exact ngram_topk path) → ONE output-sized repartition(1) merge task
+    (union-add, final compress, rank). The summary CONTENT below the
+    guarantee line legitimately depends on batching (the MG error
+    model), so tests assert the guarantees, not bit-equality — the
+    bloom-index precedent; ngram_topk ★ is the exact driver twin.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vocab, cnts, total = _split_tokens(batch, column)
+        if total == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "dec": pa.array([], pa.int64())})
+        tt = np.asarray(vocab, dtype=object)
+        tt, cnts, dec = _mg_compress(tt, cnts, k)
+        n = len(tt)
+        return pa.table({"token": pa.array(tt, pa.string()),
+                         "n": pa.array(cnts),
+                         "dec": pa.array([dec] + [0] * (n - 1), pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        total_dec = int(df["dec"].sum())
+        agg = df.groupby("token", sort=False)["n"].sum().reset_index()
+        tt = agg["token"].to_numpy(object)
+        cc = agg["n"].to_numpy(np.int64)
+        tt, cc, dec = _mg_compress(tt, cc, k)
+        total_dec += dec
+        out = pd.DataFrame({"token": tt, "est_lo": cc})
+        out = out.sort_values(["est_lo", "token"],
+                              ascending=[False, True], kind="stable") \
+            .reset_index(drop=True)
+        out["est_hi"] = (out["est_lo"] + total_dec).astype(np.int64)
+        out["rnk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    return parts.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                            batch_size=None)
