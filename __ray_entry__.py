@@ -664,6 +664,17 @@ def _q_minhash_incremental(sf_dir: str):
     return near_dup_candidates_vs_index(_split(False), index_dir)
 
 
+def _q_prep_training_data(sf_dir: str):
+    """The full training-data prep recipe as one streaming composition:
+    C4 line cleaning → exact dedup (keep-first, md5-bucket shuffle) →
+    benchmark decontamination (broadcast gram set) → sequence packing
+    (distributed prefix sum). Twin = each stage's proven oracle spliced
+    as CTEs."""
+    from vtzero_ray.pipelines.corpus import prep_training_data
+
+    return prep_training_data(sf_dir)
+
+
 def _q_semdedup(sf_dir: str):
     """SemDeDup: nearest-centroid clustering (the IVF assignment) then
     per-cluster greedy semantic dedup — one assignment scan, one
@@ -1250,6 +1261,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # cluster-then-dedup (SemDeDup); the embedding near-
                   # dup family holds the driver slots
                   "semdedup",
+                  # composed clean→dedup→decontaminate→pack recipe
+                  # (c4_pipeline + pack_sequences hold the driver slots
+                  # for the ingredient families)
+                  "prep_training_data",
                   # plain per-lang count — langid (driver) exercises
                   # the language column, cell_page_counts (extra) the
                   # count shape; slot freed for dedup_incremental
@@ -1329,6 +1344,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_classify": _q_nb_classify,
         "dup_ngram_spans": _q_dup_ngram_spans,
         "semdedup": _q_semdedup,
+        "prep_training_data": _q_prep_training_data,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1523,6 +1539,8 @@ def _all_oracle_sql() -> dict[str, str]:
         dup_span_stats_sql as dup_span_oracle_sql
     from vtzero_ray.functions.ann import \
         semdedup_sql as semdedup_oracle_sql
+    from vtzero_ray.pipelines.corpus import \
+        prep_training_data_sql as prep_training_oracle_sql
     from vtzero_ray.functions.webclean import \
         canonical_url_dedup_sql as url_dedup_oracle_sql
     from vtzero_ray.functions.webclean import \
@@ -1891,6 +1909,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "dup_ngram_spans": dup_span_oracle_sql(w=5),
         # semdedup: shared assignment CTE + round-6 cosine pairs
         "semdedup": semdedup_oracle_sql(n_centroids=16, threshold=0.35),
+        # prep_training_data: the four stage oracles spliced as CTEs
+        "prep_training_data": prep_training_oracle_sql(),
         # shuffle_epoch: row_number over the same md5_number_lower key
         "shuffle_epoch": shuffle_oracle_sql(seed=42),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",

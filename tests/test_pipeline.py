@@ -84,3 +84,43 @@ class TestWriteResume:
         s2 = mvt_io.write_tiles(tiles_pipeline(sf_dir, zooms=(2, 6), validate=False), out)
         assert s2["tiles"] == 0
         assert sorted(s2["skipped_partitions"]) == [2, 6]
+
+
+class TestPrepTrainingData:
+    def test_matches_spliced_oracle_and_stages_bite(self, ray_session):
+        """Composition == the four spliced stage oracles; every stage
+        removes at least one doc at sf0.001; outputs are the packing
+        invariants (offsets = exclusive prefix sum in doc_id order)."""
+        import duckdb
+        import numpy as np
+
+        from vtzero_ray.pipelines.corpus import (prep_training_data,
+                                                 prep_training_data_sql)
+
+        sf = "/root/testdata/sf0.001"
+        got = (prep_training_data(sf).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        want = (con.execute(prep_training_data_sql()).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert got.equals(want)
+        n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+        assert 0 < len(got) < n_docs
+        off = got.t_offset.to_numpy(np.int64)
+        n = got.n_tokens.to_numpy(np.int64)
+        assert off[0] == 0
+        assert (off[1:] == off[:-1] + n[:-1]).all()
+        assert (got.seq_id.to_numpy() == off // 2048).all()
+        assert (got.seq_pos.to_numpy() == off % 2048).all()
+
+    def test_partition_invariance(self, ray_session):
+        from vtzero_ray.pipelines.corpus import prep_training_data
+
+        sf = "/root/testdata/sf0.001"
+        a = (prep_training_data(sf).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (prep_training_data(sf, range_width=16).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        assert a.drop(columns=[]).equals(b)

@@ -119,3 +119,146 @@ def stratified_sample(sf_dir: str, n_per_group: int = 20,
 
     return parts.groupby(group_col).map_groups(merge_topn,
                                                batch_format="pandas")
+
+
+def prep_training_data(sf_dir: str, n_gram: int = 5, bench_mod: int = 50,
+                       seq_len: int = 2048, range_width: int = 64):
+    """The full LLM training-data prep recipe as ONE streaming
+    composition — every stage is an operator this engine already ships,
+    chained without materialization:
+
+    1. C4 line cleaning (webclean.clean_lines over the synthesized
+       multiline corpus) — boilerplate/short/unterminated lines out;
+    2. exact content dedup, keep-first: surviving rows shuffle ONCE by
+       int(md5[:8],16) % 64 (the dedup_index bucket key), each bucket
+       keeps min doc_id per md5 locally;
+    3. benchmark decontamination (decontam shape: the eval split
+       doc_id % bench_mod == 0 builds its distinct-gram set driver-side
+       and broadcasts; eval docs leave the corpus; one vectorized flag
+       scan drops docs sharing any n-gram with the benchmark);
+    4. sequence packing (pack.pack_sequences): global token offsets +
+       greedy context-window assignment over the survivors.
+
+    → Dataset (doc_id, n_tokens, t_offset, seq_id, seq_pos), pure ints.
+    The SQL twin splices each stage's proven oracle as CTEs (the
+    c4_pipeline precedent).
+    """
+    import ray
+    import ray.data as rd
+
+    from vtzero_ray.functions.decontam import (_doc_grams, benchmark_grams)
+    from vtzero_ray.functions.pack import pack_sequences
+    from vtzero_ray.functions.webclean import clean_lines, synth_multiline
+
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).repartition(16)
+    cleaned = clean_lines(synth_multiline(docs)) \
+        .select_columns(["doc_id", "clean_text"])
+
+    # ---- stage 2: exact dedup, keep-first --------------------------------
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = add_md5(t, column="clean_text")
+        md5s = t.column("md5").to_pylist()
+        b = np.fromiter((int(m[:8], 16) % 64 for m in md5s), np.int32,
+                        count=len(md5s))
+        return t.append_column("bucket", pa.array(b))
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["md5", "doc_id"], kind="stable")
+        return df.drop_duplicates("md5", keep="first") \
+            [["doc_id", "clean_text"]]
+
+    deduped = cleaned.map_batches(bucketize, batch_format="pyarrow",
+                                  batch_size=None) \
+        .groupby("bucket").map_groups(keep_first, batch_format="pandas")
+
+    # ---- stage 3: decontamination ----------------------------------------
+    import pyarrow.parquet as pq
+
+    bt = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"])
+    idc = bt.column("doc_id")
+    mask = pc.equal(pc.subtract(
+        idc, pc.multiply(pc.divide(idc, bench_mod), bench_mod)), 0)
+    bench_ref = ray.put(benchmark_grams(
+        bt.filter(mask).column("text").to_pylist(), n_gram))
+
+    def decontam_filter(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = t.column("doc_id")
+        m = pc.subtract(ids, pc.multiply(pc.divide(ids, bench_mod),
+                                         bench_mod))
+        t = t.filter(pc.not_equal(m, 0))        # eval docs leave the corpus
+        doc_of, grams, n_docs = _doc_grams(t, n_gram, "clean_text")
+        hits = np.zeros(n_docs, np.int64)
+        if len(grams) and len(bench):
+            hit = pc.is_in(grams, value_set=bench).to_numpy(
+                zero_copy_only=False)
+            hit = np.nan_to_num(hit.astype(np.float64)).astype(bool)
+            hits = np.bincount(doc_of[hit], minlength=n_docs) \
+                .astype(np.int64)
+        return t.filter(pa.array(hits == 0))
+
+    survivors = deduped.map_batches(decontam_filter, batch_format="pyarrow",
+                                    batch_size=None)
+
+    # ---- stage 4: sequence packing ---------------------------------------
+    return pack_sequences(survivors, seq_len=seq_len,
+                          range_width=range_width, column="clean_text")
+
+
+def prep_training_data_sql(n_gram: int = 5, bench_mod: int = 50,
+                           seq_len: int = 2048,
+                           table: str = "documents") -> str:
+    """DuckDB twin of prep_training_data: the clean_lines oracle →
+    md5 row_number dedup → lead()-gram decontamination (the
+    dup_span_stats tokenizer/gram contract) → the pack_sequences window
+    cumsum, spliced as CTEs."""
+    from vtzero_ray.functions.pack import pack_sequences_sql
+    from vtzero_ray.functions.webclean import clean_lines_sql
+
+    cleaned = clean_lines_sql(table=table, synth=True)
+    leads = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {j}) OVER wd" for j in range(1, n_gram)])
+    pack = pack_sequences_sql(seq_len=seq_len, column="clean_text",
+                              table="surv")
+    assert pack.startswith("WITH ")
+    return (
+        f"WITH cleaned AS ({cleaned}), "
+        "dd AS (SELECT doc_id, clean_text FROM "
+        "(SELECT doc_id, clean_text, row_number() OVER "
+        "(PARTITION BY md5(clean_text) ORDER BY doc_id) AS rn "
+        "FROM cleaned) WHERE rn = 1), "
+        # tokenizer: kept (non-empty) tokens, positions re-ranked — the
+        # dup_span_stats contract
+        f"bsrc AS (SELECT doc_id, text FROM {table} "
+        f"WHERE doc_id % {bench_mod} = 0), "
+        "bt AS (SELECT doc_id, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY idx) AS idx, tok FROM "
+        "(SELECT doc_id, unnest(range(1, len(arr) + 1)) AS idx, "
+        "unnest(arr) AS tok FROM (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS arr FROM bsrc)) "
+        "WHERE tok <> ''), "
+        f"bg0 AS (SELECT doc_id, {leads} AS gram, "
+        f"lead(tok, {n_gram - 1}) OVER wd IS NOT NULL AS ok FROM bt "
+        "WINDOW wd AS (PARTITION BY doc_id ORDER BY idx)), "
+        "benchg AS (SELECT DISTINCT gram FROM bg0 WHERE ok), "
+        f"csrc AS (SELECT doc_id, clean_text AS text FROM dd "
+        f"WHERE doc_id % {bench_mod} <> 0), "
+        "ct AS (SELECT doc_id, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY idx) AS idx, tok FROM "
+        "(SELECT doc_id, unnest(range(1, len(arr) + 1)) AS idx, "
+        "unnest(arr) AS tok FROM (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS arr FROM csrc)) "
+        "WHERE tok <> ''), "
+        f"cg0 AS (SELECT doc_id, {leads} AS gram, "
+        f"lead(tok, {n_gram - 1}) OVER wd IS NOT NULL AS ok FROM ct "
+        "WINDOW wd AS (PARTITION BY doc_id ORDER BY idx)), "
+        "contaminated AS (SELECT DISTINCT c.doc_id FROM cg0 c "
+        "JOIN benchg b ON b.gram = c.gram WHERE c.ok), "
+        "surv AS (SELECT doc_id, text AS clean_text FROM csrc "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)), "
+        + pack[len("WITH "):]
+    )
