@@ -664,6 +664,22 @@ def _q_minhash_incremental(sf_dir: str):
     return near_dup_candidates_vs_index(_split(False), index_dir)
 
 
+def _q_pagerank(sf_dir: str):
+    """Link-graph PageRank (the Common-Crawl quality signal): 3 exact
+    power iterations over a synthesized skewed link graph — ranks never
+    broadcast; each iteration is one src-bucket join shuffle + one
+    dst-bucket sum shuffle with integer-quantized per-edge terms."""
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+    from vtzero_ray.functions.graph import pagerank_mod
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"]).repartition(8)
+    return pagerank_mod(ds, n)
+
+
 def _q_prep_training_data(sf_dir: str):
     """The full training-data prep recipe as one streaming composition:
     C4 line cleaning → exact dedup (keep-first, md5-bucket shuffle) →
@@ -1265,6 +1281,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # (c4_pipeline + pack_sequences hold the driver slots
                   # for the ingredient families)
                   "prep_training_data",
+                  # link-graph rank (iterative joins; dup_clusters holds
+                  # the graph-op driver slot)
+                  "pagerank",
                   # plain per-lang count — langid (driver) exercises
                   # the language column, cell_page_counts (extra) the
                   # count shape; slot freed for dedup_incremental
@@ -1345,6 +1364,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_spans": _q_dup_ngram_spans,
         "semdedup": _q_semdedup,
         "prep_training_data": _q_prep_training_data,
+        "pagerank": _q_pagerank,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1541,6 +1561,8 @@ def _all_oracle_sql() -> dict[str, str]:
         semdedup_sql as semdedup_oracle_sql
     from vtzero_ray.pipelines.corpus import \
         prep_training_data_sql as prep_training_oracle_sql
+    from vtzero_ray.functions.graph import \
+        pagerank_sql as pagerank_oracle_sql
     from vtzero_ray.functions.webclean import \
         canonical_url_dedup_sql as url_dedup_oracle_sql
     from vtzero_ray.functions.webclean import \
@@ -1911,6 +1933,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "semdedup": semdedup_oracle_sql(n_centroids=16, threshold=0.35),
         # prep_training_data: the four stage oracles spliced as CTEs
         "prep_training_data": prep_training_oracle_sql(),
+        # pagerank: unrolled-iteration CTEs, same quantized terms
+        "pagerank": pagerank_oracle_sql(),
         # shuffle_epoch: row_number over the same md5_number_lower key
         "shuffle_epoch": shuffle_oracle_sql(seed=42),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",

@@ -1,0 +1,96 @@
+"""PageRank (functions/graph.py): hand-checked two-node chain, DuckDB
+twin equality, mass conservation, hub ordering, partition invariance."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+
+class TestPageRank:
+    def test_hand_checked_star(self, ray_session):
+        """4 nodes, everyone links only to node 0: after one iteration
+        node 0 holds base + 3 quantized full contributions and the
+        others hold base only."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import pagerank
+
+        nodes = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64())})
+        edges = pa.table({"src": pa.array([0, 1, 2, 3], pa.int64()),
+                          "dst": pa.array([1, 0, 0, 0], pa.int64()),
+                          "deg": pa.array([1, 1, 1, 1], pa.int64())})
+        out = pagerank(rd.from_arrow(nodes).repartition(2),
+                       rd.from_arrow(edges).repartition(2), n_iters=1) \
+            .to_pandas().set_index("v")
+        r0 = int(math.floor(1e9 / 4 + 0.5))
+        base = int(math.floor(0.15 * 1e9 / 4 + 0.5))
+        t = int(math.floor(0.85 * r0 / 1 + 0.5))
+        assert out.loc[0, "rank_q9"] == base + 3 * t
+        assert out.loc[1, "rank_q9"] == base + t
+        assert out.loc[2, "rank_q9"] == base
+        assert out.loc[3, "rank_q9"] == base
+        assert len(out) == 4
+
+    def test_matches_duckdb_twin(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import pagerank_mod, pagerank_sql
+
+        sf = "/root/testdata/sf0.001"
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+        ds = rd.read_parquet(f"{sf}/documents.parquet",
+                             columns=["doc_id"]).repartition(6)
+        got = (pagerank_mod(ds, n).to_pandas()
+               .sort_values("v").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        want = (con.execute(pagerank_sql()).df()
+                .sort_values("v").reset_index(drop=True))
+        assert got.equals(want)
+        # mass conservation (graph has no dangling nodes: every src has
+        # out-edges), up to rounding: total stays ~1e9
+        assert abs(got.rank_q9.sum() - 1_000_000_000) < n * 2
+        # real skew: hubs above base, sinks at base
+        assert got.rank_q9.max() > 2 * got.rank_q9.min()
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import pagerank_mod
+
+        sf = "/root/testdata/sf0.001"
+        outs = []
+        for parts in (1, 7):
+            ds = rd.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id"]).repartition(parts)
+            outs.append(pagerank_mod(ds, 500).to_pandas()
+                        .sort_values("v").reset_index(drop=True))
+        assert outs[0].equals(outs[1])
+
+    def test_more_iterations_converge(self, ray_session):
+        """Iterating further moves ranks less (power-iteration
+        contraction) — 0 iterations returns the uniform init."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import pagerank_mod
+
+        sf = "/root/testdata/sf0.001"
+
+        def run(k):
+            ds = rd.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id"]).repartition(4)
+            return pagerank_mod(ds, 500, n_iters=k).to_pandas() \
+                .sort_values("v").reset_index(drop=True).rank_q9 \
+                .to_numpy(np.int64)
+
+        r0, r1, r2, r3 = run(0), run(1), run(2), run(3)
+        assert (r0 == r0[0]).all()
+        d01 = np.abs(r1 - r0).sum()
+        d12 = np.abs(r2 - r1).sum()
+        d23 = np.abs(r3 - r2).sum()
+        assert d01 > d12 > d23 > 0

@@ -1,0 +1,199 @@
+"""Link-graph analysis — PageRank, the web-corpus quality signal
+(Common-Crawl-style pipelines rank hosts/pages by link authority before
+sampling). Expressed in the engine's distributed-join vocabulary.
+
+Shape per power iteration (the honest 100-TB layout — ranks are
+corpus-sized, so nothing broadcasts):
+1. ranks ⋈ edges on src — ONE src-bucket shuffle (tagged-union groupby,
+   the repo's bucketed-join pattern); each bucket computes its edges'
+   contribution terms locally;
+2. terms → dst-bucket shuffle → per-node integer sum (+ the base mass;
+   zero-rows for every node ride the same union so rank-sink nodes
+   keep rows).
+Edges, degrees and the node list are materialized ONCE (bounded: E =
+n_out * N) and re-read each iteration; each iteration's rank table is
+materialized before feeding the next (breaking lineage chains — the
+train_centroids precedent).
+
+Float parity (the doc_perplexity contract): every per-edge contribution
+is quantized to int64 BEFORE summation —
+``tq = floor(0.85 * rq_u / deg_u + 0.5)`` with rq_u int64 — so per-node
+reductions are order-free integer adds and DuckDB reproduces every
+iteration bit-for-bit (all doubles derive from exact integers; the
+damping literals are written ``0.85::DOUBLE`` in SQL because bare
+decimal literals are DECIMAL, not DOUBLE, in DuckDB).
+
+The synthesized deterministic link graph (``n_out`` out-links per doc,
+``dst = (src^2 * 7 + j * 13) % N`` — quadratic so in-degree is genuinely
+skewed into hubs and rank-sinks; per-src duplicates collapsed locally)
+follows the synth-corpus precedent: a real link column plugs into
+``pagerank`` unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..runtime import tune_allocator
+
+tune_allocator()
+
+QUANT = 1_000_000_000.0
+
+
+def synth_edges(ds, n_nodes: int, n_out: int = 3):
+    """documents → Dataset (src, dst, deg): n_out candidate out-links
+    per doc, per-src duplicates collapsed INSIDE the batch (dedup and
+    out-degree are per-src facts, so no shuffle)."""
+
+    def gen(t: pa.Table) -> pa.Table:
+        src = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        j = np.arange(1, n_out + 1, dtype=np.int64)
+        # quadratic in src: a linear formula is a permutation mod N
+        # (uniform in-degree -> uniform, useless ranks); squares mod N
+        # are skewed, giving real hubs and rank-sink nodes
+        dst = (src[:, None] * src[:, None] * 7
+               + j[None, :] * 13) % n_nodes
+        # per-row dedup: sort each row, drop equal neighbors
+        dst = np.sort(dst, axis=1)
+        keep = np.ones_like(dst, dtype=bool)
+        keep[:, 1:] = dst[:, 1:] != dst[:, :-1]
+        deg = keep.sum(axis=1).astype(np.int64)
+        src_rep = np.repeat(src, deg)
+        deg_rep = np.repeat(deg, deg)
+        return pa.table({"src": pa.array(src_rep),
+                         "dst": pa.array(dst[keep]),
+                         "deg": pa.array(deg_rep)})
+
+    return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
+
+
+def pagerank(ds_nodes, edges, n_iters: int = 3, damping: float = 0.85,
+             n_buckets: int = 32):
+    """Power-iteration PageRank → Dataset (v, rank_q9). ``ds_nodes`` is
+    a Dataset with a ``doc_id`` column (one row per node); ``edges`` a
+    Dataset (src, dst, deg). Both are materialized here and re-read per
+    iteration. rank_q9 starts at floor(1e9/N + 0.5) and every
+    iteration's update is base + integer sum of quantized edge terms."""
+    nodes = ds_nodes.select_columns(["doc_id"]).materialize()
+    edges = edges.materialize()
+    n = nodes.count()
+    r0 = int(np.floor(QUANT / n + 0.5))
+    base = int(np.floor((1.0 - damping) * QUANT / n + 0.5))
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        v = t.column("doc_id")
+        return pa.table({"v": v, "rq": pa.array(
+            np.full(len(t), r0, np.int64))})
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow",
+                              batch_size=None).materialize()
+
+    def tag_ranks(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bucket": pa.array((v % n_buckets)
+                                            .astype(np.int32)),
+                         "src": t.column("v"),
+                         "dst": pa.array(np.full(len(t), -1, np.int64)),
+                         "val": t.column("rq")})
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bucket": pa.array((s % n_buckets)
+                                            .astype(np.int32)),
+                         "src": t.column("src"),
+                         "dst": t.column("dst"),
+                         "val": t.column("deg")})
+
+    def join_terms(df: pd.DataFrame) -> pd.DataFrame:
+        r = df[df["dst"] < 0]
+        e = df[df["dst"] >= 0]
+        m = e.merge(r[["src", "val"]].rename(columns={"val": "rq"}),
+                    on="src", how="inner")
+        tq = np.floor(damping * m["rq"].to_numpy(np.float64)
+                      / m["val"].to_numpy(np.float64) + 0.5) \
+            .astype(np.int64)
+        out = pd.DataFrame({"v": m["dst"].to_numpy(np.int64), "tq": tq})
+        out["bucket2"] = (out["v"] % n_buckets).astype(np.int32)
+        return out
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        v = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"v": pa.array(v),
+                         "tq": pa.array(np.zeros(len(v), np.int64)),
+                         "bucket2": pa.array((v % n_buckets)
+                                             .astype(np.int32))})
+
+    def sum_node(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("v", sort=False)["tq"].sum().reset_index()
+        agg["rq"] = (agg["tq"] + base).astype(np.int64)
+        return agg[["v", "rq"]]
+
+    for _ in range(max(0, n_iters)):
+        tagged = ranks.map_batches(tag_ranks, batch_format="pyarrow",
+                                   batch_size=None) \
+            .union(edges.map_batches(tag_edges, batch_format="pyarrow",
+                                     batch_size=None))
+        terms = tagged.groupby("bucket").map_groups(
+            join_terms, batch_format="pandas") \
+            .map_batches(lambda t: t, batch_format="pyarrow")  # arrow
+        # blocks so the union below is homogeneous (the near-dups-lsh
+        # precedent)
+        allv = terms.union(nodes.map_batches(zero_rows,
+                                             batch_format="pyarrow",
+                                             batch_size=None))
+        ranks = allv.groupby("bucket2").map_groups(
+            sum_node, batch_format="pandas").materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t.column("v"),
+                         "rank_q9": t.column("rq")})
+
+    return ranks.map_batches(finish, batch_format="pyarrow",
+                             batch_size=None)
+
+
+def pagerank_mod(ds, n_nodes: int, n_iters: int = 3,
+                 damping: float = 0.85, n_out: int = 3):
+    """Driver-query shape: synthesized link graph over the documents
+    table (two independent readers feed nodes and edges — the lineage
+    invariant), 3 exact power iterations."""
+    edges = synth_edges(ds, n_nodes, n_out=n_out)
+    return pagerank(ds, edges, n_iters=n_iters, damping=damping)
+
+
+def pagerank_sql(n_iters: int = 3, damping: float = 0.85, n_out: int = 3,
+                 table: str = "documents") -> str:
+    """DuckDB twin: same synthesized edges, same quantized per-edge
+    terms, same base/init rounding, iterations unrolled as CTEs."""
+    d = repr(damping)
+    parts = [
+        f"WITH n AS (SELECT COUNT(*) AS c FROM {table}), ",
+        f"e AS (SELECT DISTINCT doc_id AS src, "
+        f"(doc_id * doc_id * 7 + j.range * 13) % n.c AS dst "
+        f"FROM {table}, n, range(1, {n_out + 1}) j), ",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM e GROUP BY 1), ",
+        "base AS (SELECT CAST(floor((1.0::DOUBLE - " + d + "::DOUBLE) * "
+        "1000000000.0 / CAST(n.c AS DOUBLE) + 0.5) AS BIGINT) AS b, "
+        "CAST(floor(1000000000.0 / CAST(n.c AS DOUBLE) + 0.5) AS BIGINT) "
+        "AS r0 FROM n), ",
+        f"r0 AS (SELECT doc_id AS v, base.r0 AS rq FROM {table}, base), ",
+    ]
+    for i in range(max(0, n_iters)):
+        parts.append(
+            f"t{i} AS (SELECT e.dst AS v, CAST(floor({d}::DOUBLE * "
+            f"CAST(r{i}.rq AS DOUBLE) / CAST(deg.deg AS DOUBLE) + 0.5) "
+            "AS BIGINT) AS tq FROM e JOIN deg USING (src) "
+            f"JOIN r{i} ON r{i}.v = e.src), "
+            f"r{i + 1} AS (SELECT d0.doc_id AS v, "
+            f"base.b + COALESCE(s.sq, 0) AS rq FROM {table} d0 "
+            "CROSS JOIN base LEFT JOIN (SELECT v, SUM(tq) AS sq "
+            f"FROM t{i} GROUP BY 1) s ON s.v = d0.doc_id), ")
+    body = "".join(parts).rstrip().rstrip(",")
+    return (body + f" SELECT v, CAST(rq AS BIGINT) AS rank_q9 "
+                   f"FROM r{max(0, n_iters)}")
