@@ -285,7 +285,11 @@ def run_bench() -> dict:
                      "mix_weighted", "decontaminate", "cluster_docs",
                      # web cleaning + incremental dedup (late round 4)
                      "clean_lines_c4", "url_dedup", "dedup_lines_c4",
-                     "dedup_incremental", "minhash_incremental"):
+                     "dedup_incremental", "minhash_incremental",
+                     # round-4 continuation: classifier, substring-dedup
+                     # signals, semantic dedup, link rank, composed prep
+                     "nb_lang_classify", "dup_ngram_spans", "semdedup",
+                     "pagerank", "prep_training_data"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)
