@@ -664,6 +664,57 @@ def _q_minhash_incremental(sf_dir: str):
     return near_dup_candidates_vs_index(_split(False), index_dir)
 
 
+def _src_cache_dir(sf_dir: str, kind: str) -> str:
+    """Content-fingerprinted /tmp cache dir for converted source
+    formats (the _ivf_index_dir contract; publish must be atomic)."""
+    import os
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    return (f"/tmp/vtzero_ray_src/{kind}_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}"
+            f"_{st.st_size}_{st.st_mtime_ns}_v1")
+
+
+def _q_jsonl_identity(sf_dir: str):
+    """S1 source breadth: documents → JSONL shards (Ray native writer,
+    one file per block) → schema-enforced distributed read-back; the
+    oracle is the raw table, so the whole round trip must be lossless."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from vtzero_ray.sources.text_io import read_jsonl, write_jsonl
+
+    d = _src_cache_dir(sf_dir, "jsonl")
+    if not os.path.isdir(d):
+        tmp = f"{d}.tmp.{os.getpid()}"
+        write_jsonl(rd.read_parquet(f"{sf_dir}/documents.parquet")
+                    .repartition(8), tmp)
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return read_jsonl(d)
+
+
+def _q_warc_pages(sf_dir: str):
+    """WARC source (the crawl interchange format): documents → sharded
+    WARC response records → one-task-per-file distributed parse →
+    (doc_id, url, text); the oracle re-derives url/text from the raw
+    table, so record framing, Content-Length payload extraction and
+    header parsing are all value-checked."""
+    import os
+
+    from vtzero_ray.sources.warc import read_warc, synth_warc
+
+    d = _src_cache_dir(sf_dir, "warc")
+    if not os.path.isdir(d):
+        synth_warc(sf_dir, d)
+    return read_warc(d)
+
+
 def _q_pagerank(sf_dir: str):
     """Link-graph PageRank (the Common-Crawl quality signal): 3 exact
     power iterations over a synthesized skewed link graph — ranks never
@@ -1284,6 +1335,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # link-graph rank (iterative joins; dup_clusters holds
                   # the graph-op driver slot)
                   "pagerank",
+                  # source-format breadth (S1): JSONL round-trip, WARC
+                  # crawl-archive parse (pages_text_identity covers the
+                  # parquet read path)
+                  "jsonl_identity", "warc_pages",
                   # plain per-lang count — langid (driver) exercises
                   # the language column, cell_page_counts (extra) the
                   # count shape; slot freed for dedup_incremental
@@ -1365,6 +1420,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "prep_training_data": _q_prep_training_data,
         "pagerank": _q_pagerank,
+        "jsonl_identity": _q_jsonl_identity,
+        "warc_pages": _q_warc_pages,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1935,6 +1992,14 @@ def _all_oracle_sql() -> dict[str, str]:
         "prep_training_data": prep_training_oracle_sql(),
         # pagerank: unrolled-iteration CTEs, same quantized terms
         "pagerank": pagerank_oracle_sql(),
+        # jsonl_identity: the round trip must reproduce the raw table
+        "jsonl_identity": ("SELECT doc_id, text, lang, source, n_chars "
+                           "FROM documents"),
+        # warc_pages: record framing + payload extraction value-checked
+        # against the synthesis formulas
+        "warc_pages": ("SELECT doc_id, 'https://site' || (doc_id % 97) "
+                       "|| '.example/p/' || doc_id AS url, text "
+                       "FROM documents"),
         # shuffle_epoch: row_number over the same md5_number_lower key
         "shuffle_epoch": shuffle_oracle_sql(seed=42),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",

@@ -1,0 +1,135 @@
+"""WARC (Web ARChive, ISO 28500) reader — the format web crawls
+actually arrive in (Common Crawl ships WARC/WET). A training-data
+engine that starts from crawl data needs this source the same way the
+reference needs its tile reader (SURVEY §2.1 S1).
+
+Layout facts this reader implements (WARC/1.0-1.1):
+- a WARC file is a concatenation of records;
+- a record = version line, CRLF header lines (``Name: value``), one
+  blank line, exactly ``Content-Length`` payload bytes, then CRLF CRLF;
+- header names are case-insensitive; Content-Length is mandatory.
+Real WARC files are gzip members per record — this container has
+stdlib zlib only, so ``synth_warc``/``read_warc`` speak the PLAIN
+concatenation (equivalent structure; a gzip member loop is one
+``zlib.decompressobj`` wrapper away and gated like the other
+compressed-format decoders).
+
+Distribution shape: ONE FILE = ONE TASK (``read_binary_files`` +
+flat-parse) — exactly how crawls shard WARC in practice (files are
+~1 GB by convention; parallelism is the file count). Malformed records
+raise loud ValueErrors with byte offsets; nothing resyncs silently.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_CRLF = b"\r\n"
+
+
+def build_record(headers: dict, payload: bytes,
+                 version: str = "WARC/1.0") -> bytes:
+    """One WARC record (Content-Length computed here)."""
+    lines = [version.encode()]
+    for k, v in headers.items():
+        lines.append(f"{k}: {v}".encode())
+    lines.append(b"Content-Length: " + str(len(payload)).encode())
+    return (_CRLF.join(lines) + _CRLF + _CRLF + payload + _CRLF + _CRLF)
+
+
+def parse_warc(data: bytes):
+    """WARC bytes → list of (headers dict with lower-cased keys,
+    payload bytes). Loud ValueError (with offset) on malformed input."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        end_hdr = data.find(_CRLF + _CRLF, pos)
+        if end_hdr < 0:
+            raise ValueError(f"WARC: unterminated header block at {pos}")
+        block = data[pos:end_hdr].split(_CRLF)
+        if not block[0].startswith(b"WARC/"):
+            raise ValueError(f"WARC: bad version line at {pos}: "
+                             f"{block[0][:20]!r}")
+        headers = {}
+        for line in block[1:]:
+            k, sep, v = line.partition(b": ")
+            if not sep:
+                raise ValueError(f"WARC: bad header line at {pos}: "
+                                 f"{line[:40]!r}")
+            headers[k.decode().lower()] = v.decode()
+        if "content-length" not in headers:
+            raise ValueError(f"WARC: record at {pos} has no Content-Length")
+        clen = int(headers["content-length"])
+        body_start = end_hdr + 4
+        body_end = body_start + clen
+        if data[body_end:body_end + 4] != _CRLF + _CRLF:
+            raise ValueError(f"WARC: record at {pos} not terminated by "
+                             "CRLF CRLF after its declared length")
+        out.append((headers, data[body_start:body_end]))
+        pos = body_end + 4
+    return out
+
+
+def synth_warc(sf_dir: str, out_dir: str, n_shards: int = 8) -> str:
+    """documents.parquet → deterministic WARC response records, sharded
+    doc_id % n_shards (the crawl convention: many independent files).
+    URI = https://site{doc_id % 97}.example/p/{doc_id}; payload = the
+    raw text UTF-8. Atomic publish (temp dir + os.rename — the
+    build_ivf_index contract)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    tmp = f"{out_dir}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy()
+    texts = t.column("text").to_pylist()
+    order = np.argsort(ids, kind="stable")
+    shards: list[list[bytes]] = [[] for _ in range(n_shards)]
+    for i in order:
+        d = int(ids[i])
+        rec = build_record(
+            {"WARC-Type": "response",
+             "WARC-Record-ID": f"<urn:doc:{d}>",
+             "WARC-Target-URI": f"https://site{d % 97}.example/p/{d}"},
+            texts[i].encode("utf-8"))
+        shards[d % n_shards].append(rec)
+    for s, recs in enumerate(shards):
+        with open(f"{tmp}/shard-{s:04d}.warc", "wb") as f:
+            f.write(b"".join(recs))
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the publish race
+    return out_dir
+
+
+def read_warc(path: str):
+    """WARC dir → Dataset (doc_id, url, text): one task per file
+    (read_binary_files), flat parse, response records only. doc_id
+    comes from the <urn:doc:N> record id (-1 if absent)."""
+    import ray.data as rd
+
+    files = rd.read_binary_files(path)
+
+    def parse(t: pa.Table) -> pa.Table:
+        ids, urls, texts = [], [], []
+        for payload in t.column("bytes"):
+            for headers, body in parse_warc(payload.as_py()):
+                if headers.get("warc-type") != "response":
+                    continue
+                rid = headers.get("warc-record-id", "")
+                did = int(rid[9:-1]) if rid.startswith("<urn:doc:") else -1
+                ids.append(did)
+                urls.append(headers.get("warc-target-uri", ""))
+                texts.append(body.decode("utf-8"))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": pa.array(urls, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    return files.map_batches(parse, batch_format="pyarrow", batch_size=None)
