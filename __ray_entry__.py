@@ -673,7 +673,7 @@ def _src_cache_dir(sf_dir: str, kind: str) -> str:
     st = os.stat(src)
     return (f"/tmp/vtzero_ray_src/{kind}_"
             f"{os.path.basename(os.path.normpath(sf_dir))}"
-            f"_{st.st_size}_{st.st_mtime_ns}_v1")
+            f"_{st.st_size}_{st.st_mtime_ns}_v2")
 
 
 def _q_jsonl_identity(sf_dir: str):

@@ -110,3 +110,36 @@ class TestWARC:
         assert (got.text == want.text).all()
         assert (got.url == "https://site" + (got.doc_id % 97).astype(str)
                 + ".example/p/" + got.doc_id.astype(str)).all()
+
+
+class TestWARCGzip:
+    def test_member_split_roundtrip(self):
+        from vtzero_ray.sources.warc import gzip_member, split_gzip_members
+
+        payloads = [b"", b"abc", b"x" * 10000, "é中".encode()]
+        blob = b"".join(gzip_member(p) for p in payloads)
+        assert split_gzip_members(blob) == payloads
+
+    def test_member_split_adversarial(self):
+        from vtzero_ray.sources.warc import gzip_member, split_gzip_members
+
+        good = gzip_member(b"hello")
+        for bad in (b"nogzip", good[:-3], good + b"trailing-garbage"):
+            with pytest.raises(ValueError):
+                split_gzip_members(bad)
+
+    def test_gzip_and_plain_reads_agree(self, ray_session, tmp_path):
+        from vtzero_ray.sources.warc import read_warc, synth_warc
+
+        sf = "/root/testdata/sf0.001"
+        gz = synth_warc(sf, str(tmp_path / "gz"), n_shards=3, gzip=True)
+        pl = synth_warc(sf, str(tmp_path / "pl"), n_shards=3, gzip=False)
+        import os
+
+        assert all(f.endswith(".warc.gz") for f in os.listdir(gz))
+        a = (read_warc(gz).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (read_warc(pl).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        assert a.equals(b)
+        assert len(a) == 500

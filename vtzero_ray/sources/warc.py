@@ -7,12 +7,12 @@ Layout facts this reader implements (WARC/1.0-1.1):
 - a WARC file is a concatenation of records;
 - a record = version line, CRLF header lines (``Name: value``), one
   blank line, exactly ``Content-Length`` payload bytes, then CRLF CRLF;
-- header names are case-insensitive; Content-Length is mandatory.
-Real WARC files are gzip members per record — this container has
-stdlib zlib only, so ``synth_warc``/``read_warc`` speak the PLAIN
-concatenation (equivalent structure; a gzip member loop is one
-``zlib.decompressobj`` wrapper away and gated like the other
-compressed-format decoders).
+- header names are case-insensitive; Content-Length is mandatory;
+- .warc.gz files are a concatenation of GZIP MEMBERS, one record per
+  member (the Common Crawl layout) — implemented here with stdlib
+  zlib (wbits=31 speaks the gzip framing), sniffed per file by the
+  1f 8b magic, member boundaries recovered from
+  ``decompressobj.unused_data``.
 
 Distribution shape: ONE FILE = ONE TASK (``read_binary_files`` +
 flat-parse) — exactly how crawls shard WARC in practice (files are
@@ -72,12 +72,45 @@ def parse_warc(data: bytes):
     return out
 
 
-def synth_warc(sf_dir: str, out_dir: str, n_shards: int = 8) -> str:
+def gzip_member(data: bytes) -> bytes:
+    """One gzip member (deterministic: fixed level, zeroed mtime — the
+    gzip header zlib emits via wbits=31 carries no timestamp)."""
+    import zlib
+
+    c = zlib.compressobj(6, zlib.DEFLATED, 31)
+    return c.compress(data) + c.flush()
+
+
+def split_gzip_members(data: bytes):
+    """Concatenated gzip members → list of decompressed payloads;
+    loud ValueError on trailing garbage or a truncated member."""
+    import zlib
+
+    out = []
+    rest = data
+    while rest:
+        if rest[:2] != b"\x1f\x8b":
+            raise ValueError(
+                f"WARC: expected gzip member, got {rest[:2]!r}")
+        d = zlib.decompressobj(31)
+        try:
+            out.append(d.decompress(rest))
+        except zlib.error as e:
+            raise ValueError(f"WARC: bad gzip member: {e}") from e
+        if not d.eof:
+            raise ValueError("WARC: truncated gzip member")
+        rest = d.unused_data
+    return out
+
+
+def synth_warc(sf_dir: str, out_dir: str, n_shards: int = 8,
+               gzip: bool = True) -> str:
     """documents.parquet → deterministic WARC response records, sharded
     doc_id % n_shards (the crawl convention: many independent files).
     URI = https://site{doc_id % 97}.example/p/{doc_id}; payload = the
-    raw text UTF-8. Atomic publish (temp dir + os.rename — the
-    build_ivf_index contract)."""
+    raw text UTF-8. ``gzip=True`` (default) writes .warc.gz — one gzip
+    member per record, the Common Crawl convention. Atomic publish
+    (temp dir + os.rename — the build_ivf_index contract)."""
     import os
     import shutil
 
@@ -99,8 +132,11 @@ def synth_warc(sf_dir: str, out_dir: str, n_shards: int = 8) -> str:
              "WARC-Target-URI": f"https://site{d % 97}.example/p/{d}"},
             texts[i].encode("utf-8"))
         shards[d % n_shards].append(rec)
+    ext = "warc.gz" if gzip else "warc"
     for s, recs in enumerate(shards):
-        with open(f"{tmp}/shard-{s:04d}.warc", "wb") as f:
+        if gzip:
+            recs = [gzip_member(r) for r in recs]
+        with open(f"{tmp}/shard-{s:04d}.{ext}", "wb") as f:
             f.write(b"".join(recs))
     try:
         os.rename(tmp, out_dir)
@@ -120,7 +156,13 @@ def read_warc(path: str):
     def parse(t: pa.Table) -> pa.Table:
         ids, urls, texts = [], [], []
         for payload in t.column("bytes"):
-            for headers, body in parse_warc(payload.as_py()):
+            raw = payload.as_py()
+            if raw[:2] == b"\x1f\x8b":      # .warc.gz: one record/member
+                records = [r for m in split_gzip_members(raw)
+                           for r in parse_warc(m)]
+            else:
+                records = parse_warc(raw)
+            for headers, body in records:
                 if headers.get("warc-type") != "response":
                     continue
                 rid = headers.get("warc-record-id", "")
