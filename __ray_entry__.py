@@ -664,6 +664,20 @@ def _q_minhash_incremental(sf_dir: str):
     return near_dup_candidates_vs_index(_split(False), index_dir)
 
 
+def _q_gopher_rules(sf_dir: str):
+    """Gopher's document-quality rule set (Rae et al. 2021 Table A1) —
+    all-integer rule arithmetic so every threshold compare is exact;
+    the synth corpus cycles bullet/ellipsis/symbol branches and the
+    stop list is the engine's en marker set (the synth vocabulary
+    contains those; Gopher's own English list is the library default).
+    repetition_stats carries the repetition half of Gopher."""
+    from vtzero_ray.functions.textstats import (LANG_MARKERS, gopher_rules,
+                                                synth_gopher_docs)
+
+    ds = synth_gopher_docs(_docs(sf_dir))
+    return gopher_rules(ds, stops=LANG_MARKERS["en"])
+
+
 def _src_cache_dir(sf_dir: str, kind: str) -> str:
     """Content-fingerprinted /tmp cache dir for converted source
     formats (the _ivf_index_dir contract; publish must be atomic)."""
@@ -1339,6 +1353,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # crawl-archive parse (pages_text_identity covers the
                   # parquet read path)
                   "jsonl_identity", "warc_pages",
+                  # Gopher quality-rule set (quality_score holds the
+                  # driver slot for the rule-filter family)
+                  "gopher_rules",
                   # plain per-lang count — langid (driver) exercises
                   # the language column, cell_page_counts (extra) the
                   # count shape; slot freed for dedup_incremental
@@ -1422,6 +1439,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "jsonl_identity": _q_jsonl_identity,
         "warc_pages": _q_warc_pages,
+        "gopher_rules": _q_gopher_rules,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1620,6 +1638,10 @@ def _all_oracle_sql() -> dict[str, str]:
         prep_training_data_sql as prep_training_oracle_sql
     from vtzero_ray.functions.graph import \
         pagerank_sql as pagerank_oracle_sql
+    from vtzero_ray.functions.textstats import \
+        gopher_rules_sql as gopher_oracle_sql
+    from vtzero_ray.functions.textstats import LANG_MARKERS as _LM
+    _EN_MARKERS = _LM["en"]
     from vtzero_ray.functions.webclean import \
         canonical_url_dedup_sql as url_dedup_oracle_sql
     from vtzero_ray.functions.webclean import \
@@ -2000,6 +2022,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "warc_pages": ("SELECT doc_id, 'https://site' || (doc_id % 97) "
                        "|| '.example/p/' || doc_id AS url, text "
                        "FROM documents"),
+        # gopher_rules: same RE2 patterns, integer rule arithmetic
+        "gopher_rules": gopher_oracle_sql(stops=_EN_MARKERS),
         # shuffle_epoch: row_number over the same md5_number_lower key
         "shuffle_epoch": shuffle_oracle_sql(seed=42),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",

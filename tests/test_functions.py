@@ -1364,3 +1364,67 @@ class TestHeavyHitters:
         assert out.loc["a", "est_lo"] == 4
         assert out.loc["b", "est_lo"] == 2
         assert out.loc["c", "est_lo"] == 3
+
+
+class TestGopherRules:
+    def _run(self, ray_session, rows, **kw):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.textstats import gopher_rules
+
+        t = pa.table({"doc_id": pa.array(range(len(rows)), pa.int64()),
+                      "text": pa.array(rows)})
+        return (gopher_rules(rd.from_arrow(t).repartition(2), **kw)
+                .to_pandas().sort_values("doc_id").set_index("doc_id"))
+
+    def test_hand_rules(self, ray_session):
+        good = ("the cat and the dog sat close to the mat today " * 4
+                + "\nthe end of that story have with us")
+        out = self._run(ray_session, [
+            good,                                       # passes all
+            "the to " + "word " * 40,                   # fine too
+            "short the to doc",                         # < min_words
+            "the to " + "aa " * 60,                     # mean len < 3
+            "the to " + "extraordinarily " * 40,        # mean len > 10
+            good + " " + "# " * 10,                     # symbol ratio
+            "• the to one\n• bullet two\n• bullet three",  # all bullets
+            good.replace("\n", "...\n") + "...",        # ellipsis lines
+            "the to " + "1234 " * 50,                   # < 80% alpha
+            "word " * 50,                               # no stop words
+        ], min_words=10)
+        assert out.loc[0, "keep"] == 1
+        assert out.loc[1, "keep"] == 1
+        assert out.loc[2, "keep"] == 0          # word count
+        assert out.loc[3, "keep"] == 0          # mean token len low
+        assert out.loc[4, "keep"] == 0          # mean token len high
+        assert out.loc[5, "keep"] == 0          # symbols
+        assert out.loc[6, "keep"] == 0          # bullets
+        assert out.loc[7, "keep"] == 0          # ellipsis
+        assert out.loc[8, "keep"] == 0          # alpha
+        assert out.loc[9, "keep"] == 0          # stops
+        # ingredient counts are what the flags claim
+        assert out.loc[6, "n_bullet"] == out.loc[6, "n_lines"] == 3
+        assert out.loc[9, "n_stops"] == 0
+
+    def test_matches_duckdb_twin(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.textstats import (gopher_rules,
+                                                    gopher_rules_sql)
+
+        rows = ["the cat and to of " + "filler words here " * (3 + i % 9)
+                + ("\n• b item" if i % 3 == 0 else "\nplain line")
+                + ("..." if i % 4 == 0 else "") for i in range(40)]
+        t = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                      "text": pa.array(rows)})
+        got = (gopher_rules(rd.from_arrow(t).repartition(3), min_words=10)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = (con.execute(gopher_rules_sql(min_words=10, synth=False))
+                .df().sort_values("doc_id").reset_index(drop=True))
+        assert got.equals(want)
+        assert 0 < got.keep.sum() < len(got)

@@ -678,3 +678,212 @@ def compression_stats(ds, level: int = 6, column: str = "text",
                          "ratio_q9": pa.array(ratio)})
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality rules (Rae et al. 2021, Table A1)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_BULLET_RE = r"^(•|- |\* )"
+_ELLIPSIS_RE = r"(\.\.\.|…)$"
+
+
+def synth_gopher_docs(ds, column: str = "text", id_column: str = "doc_id"):
+    """Three-line corpus exercising every Gopher rule branch: doc_id%7
+    bullets line 1, doc_id%11 ends line 2 with an ellipsis, doc_id%13
+    injects '#' symbols. Reproduced verbatim by
+    synth_gopher_sql_expr() (the synth_multiline precedent)."""
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column)
+        txt = t.column(column)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+
+        def mod(m):
+            return pc.subtract(ids, pc.multiply(pc.divide(ids, m), m))
+
+        l1 = pc.binary_join_element_wise(
+            pc.if_else(pc.equal(mod(7), 0), "• ", ""),
+            pc.utf8_slice_codeunits(txt, 0, 60), ".", "")
+        l2 = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(txt, 60, 120),
+            pc.if_else(pc.equal(mod(11), 0), "...", "!"), "")
+        l3 = pc.binary_join_element_wise(
+            pc.if_else(pc.equal(mod(13), 0), "# tag # ", ""),
+            pc.utf8_slice_codeunits(txt, 120, 280), "")
+        out = pc.binary_join_element_wise(l1, l2, l3, "\n")
+        return pa.table({id_column: ids, column: out})
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None)
+
+
+def synth_gopher_sql_expr(column: str = "text",
+                          id_column: str = "doc_id") -> str:
+    """SQL expression producing exactly synth_gopher_docs()'s text."""
+    return (
+        f"((CASE WHEN {id_column} % 7 = 0 THEN '• ' ELSE '' END) || "
+        f"substr({column}, 1, 60) || '.' || chr(10) || "
+        f"substr({column}, 61, 60) || "
+        f"(CASE WHEN {id_column} % 11 = 0 THEN '...' ELSE '!' END) || "
+        f"chr(10) || "
+        f"(CASE WHEN {id_column} % 13 = 0 THEN '# tag # ' ELSE '' END) || "
+        f"substr({column}, 121, 160))"
+    )
+
+
+def gopher_rules(ds, min_words: int = 30, max_words: int = 100000,
+                 stops: tuple = GOPHER_STOPS, column: str = "text",
+                 id_column: str = "doc_id"):
+    """Gopher's document-level quality rules → Dataset (doc_id, counts
+    per rule ingredient + keep flag), ALL integers (rule thresholds are
+    rational, so every compare is exact integer arithmetic — no float
+    crosses an engine boundary):
+
+    - word count in [min_words, max_words];
+    - mean word length in [3, 10]  (3*n <= chars <= 10*n);
+    - symbol-to-word ratio ('#' + non-overlapping '...') <= 0.1
+      (10*sym <= n);
+    - < 90% of lines bullet-started, <= 30% ellipsis-ended
+      (10*bullet < 9*lines, 10*ell <= 3*lines);
+    - >= 80% of words contain an alphabetic char (5*alpha >= 4*n);
+    - >= 2 distinct stop words present (``stops`` is a corpus knob —
+      Gopher's fixed English list by default; the driver row uses the
+      engine's en marker set because the synth vocabulary contains
+      those).
+
+    One vectorized map_batches scan (Arrow RE2 on the flat token/line
+    arrays), no shuffle — the quality_score/repetition_stats shape;
+    repetition_stats carries Gopher's other (repetition) half."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        ids = t.column(id_column)
+        txt = t.column(column)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n = len(txt)
+        # tokens
+        toks = pc.utf8_split_whitespace(txt)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.values
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        tok_doc = np.repeat(np.arange(n, dtype=np.int64),
+                            offs[1:] - offs[:-1])
+        tok_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64) if len(flat) else np.empty(0, np.int64)
+        nonempty = tok_len > 0
+        n_words = np.bincount(tok_doc[nonempty], minlength=n) \
+            .astype(np.int64)
+        tok_chars = np.zeros(n, np.int64)
+        np.add.at(tok_chars, tok_doc, tok_len)
+        alpha = pc.match_substring_regex(flat, "[a-zA-Z]") \
+            .to_numpy(zero_copy_only=False) if len(flat) else \
+            np.empty(0, bool)
+        n_alpha = np.bincount(tok_doc[np.asarray(alpha, bool)],
+                              minlength=n).astype(np.int64)
+        n_stop = np.zeros(n, np.int64)
+        for w in stops:
+            hit = pc.equal(flat, w).to_numpy(zero_copy_only=False) \
+                if len(flat) else np.empty(0, bool)
+            has = np.bincount(tok_doc[np.asarray(hit, bool)],
+                              minlength=n) > 0
+            n_stop += has.astype(np.int64)
+        # lines
+        lines = pc.split_pattern(txt, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        lflat = lines.values
+        loffs = np.asarray(lines.offsets, dtype=np.int64)
+        line_doc = np.repeat(np.arange(n, dtype=np.int64),
+                             loffs[1:] - loffs[:-1])
+        n_lines = (loffs[1:] - loffs[:-1]).astype(np.int64)
+        bullet = pc.match_substring_regex(lflat, _BULLET_RE) \
+            .to_numpy(zero_copy_only=False) if len(lflat) else \
+            np.empty(0, bool)
+        ell = pc.match_substring_regex(lflat, _ELLIPSIS_RE) \
+            .to_numpy(zero_copy_only=False) if len(lflat) else \
+            np.empty(0, bool)
+        n_bullet = np.bincount(line_doc[np.asarray(bullet, bool)],
+                               minlength=n).astype(np.int64)
+        n_ell = np.bincount(line_doc[np.asarray(ell, bool)],
+                            minlength=n).astype(np.int64)
+        # symbols: '#' + non-overlapping '...'
+        n_sym = (pc.count_substring(txt, "#").to_numpy(
+                     zero_copy_only=False).astype(np.int64)
+                 + pc.count_substring(txt, "...").to_numpy(
+                     zero_copy_only=False).astype(np.int64))
+        keep = ((n_words >= min_words) & (n_words <= max_words)
+                & (3 * n_words <= tok_chars) & (tok_chars <= 10 * n_words)
+                & (10 * n_sym <= n_words)
+                & (10 * n_bullet < 9 * n_lines)
+                & (10 * n_ell <= 3 * n_lines)
+                & (5 * n_alpha >= 4 * n_words)
+                & (n_stop >= 2))
+        return pa.table({id_column: ids,
+                         "n_words": pa.array(n_words),
+                         "tok_chars": pa.array(tok_chars),
+                         "n_sym": pa.array(n_sym),
+                         "n_lines": pa.array(n_lines),
+                         "n_bullet": pa.array(n_bullet),
+                         "n_ellipsis": pa.array(n_ell),
+                         "n_alpha_words": pa.array(n_alpha),
+                         "n_stops": pa.array(n_stop),
+                         "keep": pa.array(keep.astype(np.int64))})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def gopher_rules_sql(min_words: int = 30, max_words: int = 100000,
+                     stops: tuple = GOPHER_STOPS, table: str = "documents",
+                     column: str = "text", id_column: str = "doc_id",
+                     synth: bool = True) -> str:
+    """DuckDB twin: same tokenizer/line split, same RE2 patterns, same
+    integer rule arithmetic."""
+    src = synth_gopher_sql_expr(column, id_column) if synth else column
+    stops_sql = ", ".join(f"'{w}'" for w in stops)
+    return (
+        f"WITH src AS (SELECT {id_column} AS doc_id, {src} AS text "
+        f"FROM {table}), "
+        "tk AS (SELECT doc_id, tok FROM (SELECT doc_id, "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+        "FROM src) WHERE tok <> ''), "
+        "tw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words, "
+        "CAST(SUM(length(tok)) AS BIGINT) AS tok_chars, "
+        "CAST(SUM(CASE WHEN regexp_matches(tok, '[a-zA-Z]') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words, "
+        f"CAST(COUNT(DISTINCT CASE WHEN tok IN ({stops_sql}) THEN tok END) "
+        "AS BIGINT) AS n_stops FROM tk GROUP BY 1), "
+        "ln AS (SELECT doc_id, l FROM (SELECT doc_id, "
+        "unnest(string_split(text, chr(10))) AS l FROM src)), "
+        "lw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+        "CAST(SUM(CASE WHEN regexp_matches(l, '^(•|- |\\* )') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet, "
+        "CAST(SUM(CASE WHEN regexp_matches(l, '(\\.\\.\\.|…)$') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis FROM ln GROUP BY 1), "
+        "sy AS (SELECT doc_id, CAST("
+        "(length(text) - length(replace(text, '#', ''))) + "
+        "(length(text) - length(replace(text, '...', ''))) // 3 "
+        "AS BIGINT) AS n_sym FROM src) "
+        "SELECT s.doc_id, COALESCE(tw.n_words, 0) AS n_words, "
+        "COALESCE(tw.tok_chars, 0) AS tok_chars, sy.n_sym, "
+        "lw.n_lines, lw.n_bullet, lw.n_ellipsis, "
+        "COALESCE(tw.n_alpha_words, 0) AS n_alpha_words, "
+        "COALESCE(tw.n_stops, 0) AS n_stops, "
+        f"CAST(CASE WHEN COALESCE(tw.n_words, 0) >= {min_words} "
+        f"AND COALESCE(tw.n_words, 0) <= {max_words} "
+        "AND 3 * COALESCE(tw.n_words, 0) <= COALESCE(tw.tok_chars, 0) "
+        "AND COALESCE(tw.tok_chars, 0) <= 10 * COALESCE(tw.n_words, 0) "
+        "AND 10 * sy.n_sym <= COALESCE(tw.n_words, 0) "
+        "AND 10 * lw.n_bullet < 9 * lw.n_lines "
+        "AND 10 * lw.n_ellipsis <= 3 * lw.n_lines "
+        "AND 5 * COALESCE(tw.n_alpha_words, 0) >= "
+        "4 * COALESCE(tw.n_words, 0) "
+        "AND COALESCE(tw.n_stops, 0) >= 2 "
+        "THEN 1 ELSE 0 END AS BIGINT) AS keep "
+        "FROM src s LEFT JOIN tw ON tw.doc_id = s.doc_id "
+        "JOIN lw ON lw.doc_id = s.doc_id "
+        "JOIN sy ON sy.doc_id = s.doc_id"
+    )
