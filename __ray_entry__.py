@@ -664,6 +664,16 @@ def _q_minhash_incremental(sf_dir: str):
     return near_dup_candidates_vs_index(_split(False), index_dir)
 
 
+def _q_strip_html(sf_dir: str):
+    """WARC→WET text extraction: script/style blocks out with content,
+    tags stripped, entities decoded (&amp; last), whitespace collapsed
+    — one RE2 scan, byte-identical in DuckDB's RE2. The synth HTML
+    cycles script blocks (id%4) and entity escapes (id%6)."""
+    from vtzero_ray.functions.webclean import strip_html, synth_html
+
+    return strip_html(synth_html(_docs(sf_dir)))
+
+
 def _q_gopher_rules(sf_dir: str):
     """Gopher's document-quality rule set (Rae et al. 2021 Table A1) —
     all-integer rule arithmetic so every threshold compare is exact;
@@ -1356,6 +1366,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # Gopher quality-rule set (quality_score holds the
                   # driver slot for the rule-filter family)
                   "gopher_rules",
+                  # WARC→WET extraction (clean_lines_c4 holds the text-
+                  # cleaning family's other extras slot)
+                  "strip_html_wet",
                   # plain per-lang count — langid (driver) exercises
                   # the language column, cell_page_counts (extra) the
                   # count shape; slot freed for dedup_incremental
@@ -1440,6 +1453,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_identity": _q_jsonl_identity,
         "warc_pages": _q_warc_pages,
         "gopher_rules": _q_gopher_rules,
+        "strip_html_wet": _q_strip_html,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1640,6 +1654,8 @@ def _all_oracle_sql() -> dict[str, str]:
         pagerank_sql as pagerank_oracle_sql
     from vtzero_ray.functions.textstats import \
         gopher_rules_sql as gopher_oracle_sql
+    from vtzero_ray.functions.webclean import \
+        strip_html_sql as strip_html_oracle_sql
     from vtzero_ray.functions.textstats import LANG_MARKERS as _LM
     _EN_MARKERS = _LM["en"]
     from vtzero_ray.functions.webclean import \
@@ -2024,6 +2040,8 @@ def _all_oracle_sql() -> dict[str, str]:
                        "FROM documents"),
         # gopher_rules: same RE2 patterns, integer rule arithmetic
         "gopher_rules": gopher_oracle_sql(stops=_EN_MARKERS),
+        # strip_html_wet: same RE2 patterns in the same order
+        "strip_html_wet": strip_html_oracle_sql(),
         # shuffle_epoch: row_number over the same md5_number_lower key
         "shuffle_epoch": shuffle_oracle_sql(seed=42),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",

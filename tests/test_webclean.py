@@ -425,3 +425,60 @@ class TestDupSpanStats:
         a = self._run(ray_session, SPAN_DOCS, parts=1)
         b = self._run(ray_session, SPAN_DOCS, parts=5)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestStripHtml:
+    def test_hand_semantics(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import strip_html
+
+        docs = [
+            "<p>hello <b>world</b></p>",
+            "<script>drop me < entirely</script>visible",
+            "<style a=b>.x{}</style>kept",
+            "a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f",
+            "no tags at all",
+            "spaces   <i>between</i>\ttags",
+            # double-escape must NOT re-expand: &amp;lt; -> &lt; literal
+            "x &amp;lt; y",
+        ]
+        t = _tab({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "html": pa.array(docs)})
+        out = (strip_html(rd.from_arrow(t).repartition(2)).to_pandas()
+               .sort_values("doc_id").set_index("doc_id"))
+        assert out.loc[0, "text"] == "hello world"
+        assert out.loc[0, "n_tags"] == 4
+        assert out.loc[1, "text"] == "visible"
+        assert out.loc[2, "text"] == "kept"
+        assert out.loc[3, "text"] == "a & b <c> \"d\" 'e' f"
+        assert out.loc[4, "text"] == "no tags at all"
+        assert out.loc[4, "n_tags"] == 0
+        assert out.loc[5, "text"] == "spaces between tags"
+        assert out.loc[6, "text"] == "x &lt; y"
+
+    def test_matches_duckdb_twin(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import (strip_html,
+                                                   strip_html_sql,
+                                                   synth_html)
+
+        sf = "/root/testdata/sf0.001"
+        ds = synth_html(rd.read_parquet(
+            f"{sf}/documents.parquet",
+            columns=["doc_id", "text"]).repartition(4))
+        got = (strip_html(ds).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        want = (con.execute(strip_html_sql()).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=True)
+        # the script branch fires for id%4 docs and never leaks content;
+        # no angle brackets survive except decoded entities (id%6 docs)
+        assert not got.text.str.contains("var x").any()
+        leaked = got[got.text.str.contains("<")]
+        assert (leaked.doc_id % 6 == 0).all()

@@ -592,3 +592,108 @@ def canonical_url_dedup_sql(table: str = "documents",
         "SELECT canon_url, CAST(min(doc_id) AS BIGINT) AS keep_id, "
         "CAST(count(*) AS BIGINT) AS n_dups FROM c GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (the WARC→WET step of crawl pipelines)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_RE = r"(?s)<(script|style)[^>]*>.*?</(script|style)>"
+_TAG_RE = r"<[^>]*>"
+_WS_RE = r"[ \t]+"
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+             ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+
+
+def synth_html(ds, column: str = "text", id_column: str = "doc_id"):
+    """HTML-wrapped corpus from the documents table: title from the
+    first 40 chars, two paragraphs, a script block on every 4th doc and
+    entity-escaped ampersands on every 6th. Reproduced verbatim by
+    synth_html_sql_expr()."""
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column)
+        txt = _arr(t.column(column))
+
+        def mod(m):
+            return pc.subtract(ids, pc.multiply(pc.divide(ids, m), m))
+
+        body1 = pc.utf8_slice_codeunits(txt, 0, 90)
+        body2 = pc.utf8_slice_codeunits(txt, 90, 220)
+        script = pc.if_else(
+            pc.equal(mod(4), 0),
+            pa.scalar("<script>var x = 1 < 2;</script>"), pa.scalar(""))
+        amp = pc.if_else(pc.equal(mod(6), 0),
+                         pa.scalar("Q &amp; A &lt;beta&gt;"),
+                         pa.scalar("plain tail"))
+        out = pc.binary_join_element_wise(
+            "<html><head><title>", pc.utf8_slice_codeunits(txt, 0, 40),
+            "</title>", script, "</head><body><p class=\"a\">", body1,
+            "</p>\n<p>", body2, "</p><div>", amp, "</div></body></html>",
+            "")
+        return pa.table({id_column: ids, "html": out})
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None)
+
+
+def synth_html_sql_expr(column: str = "text",
+                        id_column: str = "doc_id") -> str:
+    """SQL expression producing exactly synth_html()'s html."""
+    return (
+        f"('<html><head><title>' || substr({column}, 1, 40) || "
+        f"'</title>' || (CASE WHEN {id_column} % 4 = 0 THEN "
+        f"'<script>var x = 1 < 2;</script>' ELSE '' END) || "
+        f"'</head><body><p class=\"a\">' || substr({column}, 1, 90) || "
+        f"'</p>' || chr(10) || '<p>' || substr({column}, 91, 130) || "
+        f"'</p><div>' || (CASE WHEN {id_column} % 6 = 0 THEN "
+        f"'Q &amp; A &lt;beta&gt;' ELSE 'plain tail' END) || "
+        f"'</div></body></html>')"
+    )
+
+
+def strip_html(ds, html_column: str = "html", id_column: str = "doc_id"):
+    """WET-style text extraction → Dataset (doc_id, text, n_tags):
+    script/style blocks removed WITH their content, all other tags
+    removed, the five standard entities decoded (&amp; LAST so
+    double-escapes don't re-expand), horizontal whitespace collapsed
+    and edges trimmed. One vectorized RE2 scan (Arrow and DuckDB embed
+    the same RE2 → byte-identical output), no shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        h = _arr(t.column(html_column))
+        n_tags = pc.count_substring_regex(h, _TAG_RE)
+        s = pc.replace_substring_regex(h, _SCRIPT_RE, "")
+        s = pc.replace_substring_regex(s, _TAG_RE, " ")
+        for ent, rep in _ENTITIES:
+            s = pc.replace_substring(s, ent, rep)
+        s = pc.replace_substring_regex(s, _WS_RE, " ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table({id_column: t.column(id_column),
+                         "text": s,
+                         "n_tags": pc.cast(n_tags, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def strip_html_sql(table: str = "documents", column: str = "text",
+                   id_column: str = "doc_id", synth: bool = True,
+                   html_expr: str | None = None) -> str:
+    """DuckDB twin: same RE2 patterns in the same order."""
+    src = html_expr or (synth_html_sql_expr(column, id_column) if synth
+                        else column)
+    ents = ""
+    for ent, rep in _ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        ents = (f"replace({ents or 's2'}, '{ent}', '{rep_sql}')")
+    return (
+        f"WITH h AS (SELECT {id_column} AS doc_id, {src} AS html "
+        f"FROM {table}), "
+        "t1 AS (SELECT doc_id, "
+        f"CAST(length(regexp_extract_all(html, '{_TAG_RE}')) AS BIGINT) "
+        "AS n_tags, "
+        f"regexp_replace(regexp_replace(html, '{_SCRIPT_RE}', '', 'g'), "
+        f"'{_TAG_RE}', ' ', 'g') AS s2 FROM h) "
+        f"SELECT doc_id, trim(regexp_replace({ents}, '{_WS_RE}', ' ', "
+        "'g')) AS text, n_tags FROM t1"
+    )
