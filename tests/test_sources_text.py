@@ -143,3 +143,59 @@ class TestWARCGzip:
              .sort_values("doc_id").reset_index(drop=True))
         assert a.equals(b)
         assert len(a) == 500
+
+
+class TestWriteWarc:
+    def _corpus(self, n=60):
+        import pyarrow as pa
+
+        return pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "url": pa.array([f"https://h{i % 7}.x/p/{i}" for i in range(n)]),
+            "text": pa.array([f"doc {i} body é" for i in range(n)])})
+
+    def test_roundtrip_and_stats(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from vtzero_ray.sources.warc import read_warc, write_warc
+
+        t = self._corpus()
+        out = str(tmp_path / "sink")
+        stats = write_warc(rd.from_arrow(t).repartition(5), out,
+                           n_shards=4)
+        assert len(stats) == 4
+        assert stats.n_records.sum() == 60
+        assert not stats.skipped.any()
+        back = (read_warc(out).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        want = t.to_pandas()
+        assert back.equals(want)
+
+    def test_crash_and_resume(self, ray_session, tmp_path):
+        """A crash on one shard leaves the finished shards durable; the
+        resumed run rewrites only the missing shard and the union equals
+        a clean one-shot run."""
+        import pytest as _pytest
+        import ray.data as rd
+
+        from vtzero_ray.sources.warc import read_warc, write_warc
+
+        t = self._corpus()
+        out = str(tmp_path / "sink2")
+        with _pytest.raises(Exception):
+            write_warc(rd.from_arrow(t).repartition(5), out, n_shards=4,
+                       _fail_shards=frozenset({2}))
+        import os
+
+        done_before = sorted(os.listdir(out))
+        assert 0 < len(done_before) < 4
+        stats = write_warc(rd.from_arrow(t).repartition(5), out,
+                           n_shards=4)
+        assert stats.skipped.sum() == len(done_before)
+        assert (stats[~stats.skipped].shard.tolist()
+                == sorted(set(range(4))
+                          - {int(f.split("-")[1].split(".")[0])
+                             for f in done_before}))
+        back = (read_warc(out).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert back.equals(t.to_pandas())

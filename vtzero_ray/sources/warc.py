@@ -175,3 +175,78 @@ def read_warc(path: str):
                          "text": pa.array(texts, pa.string())})
 
     return files.map_batches(parse, batch_format="pyarrow", batch_size=None)
+
+
+def write_warc(ds, out_dir: str, n_shards: int = 8, gzip: bool = True,
+               id_column: str = "doc_id", url_column: str = "url",
+               text_column: str = "text",
+               _fail_shards: frozenset = frozenset()):
+    """Distributed WARC sink — the scale shape ``synth_warc`` (a
+    driver-side test helper) is not: ONE keyed shuffle localizes each
+    shard (id % n_shards) to exactly one task; the task builds its
+    records in id order and publishes ``shard-<s>.warc[.gz]``
+    ATOMICALLY (private tmp file → os.rename), so a killed job resumes
+    with every finished shard intact — shard-file presence implies a
+    complete shard (the checkpoint.py sink contract). On resume,
+    completed shards are filtered out BEFORE the shuffle.
+
+    Returns a pandas DataFrame (shard, n_records, n_bytes, skipped) —
+    bounded by n_shards. ``_fail_shards`` is the crash-injection test
+    hook (the _PartWriter precedent)."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = "warc.gz" if gzip else "warc"
+    done = {int(f.split("-")[1].split(".")[0])
+            for f in os.listdir(out_dir)
+            if f.startswith("shard-") and f.endswith(ext)}
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        shard = (ids % n_shards).astype(np.int64)
+        t = t.append_column("shard", pa.array(shard))
+        if done:
+            keep = ~np.isin(shard, np.fromiter(done, np.int64))
+            t = t.filter(pa.array(keep))
+        return t
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        import uuid
+
+        s = int(df["shard"].iloc[0])
+        if s in _fail_shards:
+            raise RuntimeError(f"injected crash on shard {s}")
+        df = df.sort_values(id_column, kind="stable")
+        recs = []
+        for r in df.itertuples():
+            rec = build_record(
+                {"WARC-Type": "response",
+                 "WARC-Record-ID": f"<urn:doc:{getattr(r, id_column)}>",
+                 "WARC-Target-URI": getattr(r, url_column)},
+                getattr(r, text_column).encode("utf-8"))
+            recs.append(gzip_member(rec) if gzip else rec)
+        blob = b"".join(recs)
+        tmp = os.path.join(out_dir, f".tmp-{s}-{uuid.uuid4().hex}")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.rename(tmp, os.path.join(out_dir, f"shard-{s:04d}.{ext}"))
+        return pd.DataFrame({"shard": [s],
+                             "n_records": [len(df)],
+                             "n_bytes": [len(blob)],
+                             "skipped": [False]})
+
+    stats = (ds.map_batches(add_shard, batch_format="pyarrow",
+                            batch_size=None)
+             .groupby("shard").map_groups(write_shard,
+                                          batch_format="pandas")
+             .to_pandas())
+    skipped = pd.DataFrame({"shard": sorted(done),
+                            "n_records": -1, "n_bytes": -1,
+                            "skipped": True}) if done else \
+        pd.DataFrame(columns=stats.columns)
+    out = pd.concat([stats, skipped], ignore_index=True) \
+        .sort_values("shard").reset_index(drop=True)
+    return out
