@@ -791,6 +791,18 @@ def _q_dup_ngram_spans(sf_dir: str):
     return dup_span_stats(synth_multiline(_docs(sf_dir)), w=5)
 
 
+def _q_dedup_spans(sf_dir: str):
+    """The actual Lee-et-al substring-dedup CUT (dup_ngram_spans
+    reports the signals): duplicated w-token windows keep only their
+    globally-first occurrence; later spans are removed and docs
+    reassembled. Two independent corpus readers (windows / tokens —
+    the lineage invariant), three bounded shuffles."""
+    from vtzero_ray.functions.webclean import dedup_spans, synth_multiline
+
+    return dedup_spans(synth_multiline(_docs(sf_dir)),
+                       synth_multiline(_docs(sf_dir)), w=5)
+
+
 def _q_nb_classify(sf_dir: str):
     """fastText-style corpus classifier (CCNet / GPT-3 quality-model
     step) as multinomial Naive Bayes: train on the doc_id%3==0 seed
@@ -1349,6 +1361,8 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # corpus-global dup n-gram spans (substring-dedup
                   # signals); dedup_lines_c4 holds the span-dedup family
                   "dup_ngram_spans",
+                  # the span-removal transform itself (stats row above)
+                  "dedup_spans_c4",
                   # cluster-then-dedup (SemDeDup); the embedding near-
                   # dup family holds the driver slots
                   "semdedup",
@@ -1447,6 +1461,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "minhash_incremental": _q_minhash_incremental,
         "nb_lang_classify": _q_nb_classify,
         "dup_ngram_spans": _q_dup_ngram_spans,
+        "dedup_spans_c4": _q_dedup_spans,
         "semdedup": _q_semdedup,
         "prep_training_data": _q_prep_training_data,
         "pagerank": _q_pagerank,
@@ -1646,6 +1661,8 @@ def _all_oracle_sql() -> dict[str, str]:
         nb_classify_sql as nb_classify_oracle_sql
     from vtzero_ray.functions.webclean import \
         dup_span_stats_sql as dup_span_oracle_sql
+    from vtzero_ray.functions.webclean import \
+        dedup_spans_sql as dedup_spans_oracle_sql
     from vtzero_ray.functions.ann import \
         semdedup_sql as semdedup_oracle_sql
     from vtzero_ray.pipelines.corpus import \
@@ -2024,6 +2041,8 @@ def _all_oracle_sql() -> dict[str, str]:
         # dup_ngram_spans: lead()-built grams, global count >= 2,
         # COUNT(DISTINCT pos) == merged-interval coverage
         "dup_ngram_spans": dup_span_oracle_sql(w=5),
+        # dedup_spans_c4: first-occurrence rule + coverage + rebuild
+        "dedup_spans_c4": dedup_spans_oracle_sql(w=5),
         # semdedup: shared assignment CTE + round-6 cosine pairs
         "semdedup": semdedup_oracle_sql(n_centroids=16, threshold=0.35),
         # prep_training_data: the four stage oracles spliced as CTEs

@@ -482,3 +482,65 @@ class TestStripHtml:
         assert not got.text.str.contains("var x").any()
         leaked = got[got.text.str.contains("<")]
         assert (leaked.doc_id % 6 == 0).all()
+
+
+class TestDedupSpans:
+    def _run(self, ray_session, texts, w=5, parts=3):
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import dedup_spans
+
+        def mk():
+            t = _tab({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+            return rd.from_arrow(t).repartition(parts)
+
+        return (dedup_spans(mk(), mk(), w=w).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    def test_hand_semantics(self, ray_session):
+        out = self._run(ray_session, SPAN_DOCS).set_index("doc_id")
+        # doc 0 holds the first occurrence of "one two three four five"
+        # -> keeps everything; doc 1's copy is cut
+        assert out.loc[0, "clean_text"] == SPAN_DOCS[0]
+        assert out.loc[1, "clean_text"] == "zz yy"
+        assert out.loc[1].tolist()[:2] == [7, 2]
+        # doc 2: second within-doc occurrence of "a b c d e" is cut
+        assert out.loc[2, "clean_text"] == "a b c d e"
+        # untouched docs reconstruct verbatim (single-space corpora)
+        assert out.loc[3, "clean_text"] == SPAN_DOCS[3]
+        assert out.loc[4, "clean_text"] == SPAN_DOCS[4]
+        # empty doc stays present with empty text
+        assert out.loc[5].tolist() == [0, 0, ""]
+
+    def test_overlapping_runs_cut_once(self, ray_session):
+        # doc 1 repeats doc 0's 6-token run: both its windows are later
+        # occurrences -> the union [1..6] is cut, not double-counted
+        out = self._run(ray_session, ["p q r s t u tail here",
+                                      "p q r s t u other words"]) \
+            .set_index("doc_id")
+        assert out.loc[0, "clean_text"] == "p q r s t u tail here"
+        assert out.loc[1, "clean_text"] == "other words"
+
+    def test_matches_duckdb_twin(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import (dedup_spans,
+                                                   dedup_spans_sql)
+
+        t = _tab({"doc_id": pa.array(range(len(SPAN_DOCS)), pa.int64()),
+                  "text": pa.array(SPAN_DOCS)})
+        got = (dedup_spans(rd.from_arrow(t).repartition(3),
+                           rd.from_arrow(t).repartition(2), w=5)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = (con.execute(dedup_spans_sql(w=5, synth=False)).df()
+                .sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+    def test_partition_invariance(self, ray_session):
+        a = self._run(ray_session, SPAN_DOCS, parts=1)
+        b = self._run(ray_session, SPAN_DOCS, parts=5)
+        pd.testing.assert_frame_equal(a, b)

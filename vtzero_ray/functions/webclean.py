@@ -697,3 +697,195 @@ def strip_html_sql(table: str = "documents", column: str = "text",
         f"SELECT doc_id, trim(regexp_replace({ents}, '{_WS_RE}', ' ', "
         "'g')) AS text, n_tags FROM t1"
     )
+
+
+def dedup_spans(ds, token_ds, w: int = 5, column: str = "text",
+                id_column: str = "doc_id", n_buckets: int = 64):
+    """The ACTUAL substring-dedup transform (dup_span_stats reports the
+    signals; this performs the cut): every duplicated w-token window
+    keeps only its GLOBALLY FIRST occurrence (min (doc_id, start));
+    every other occurrence's token span is removed from its document →
+    Dataset (doc_id, n_tokens, n_kept, clean_text) for ALL docs, with
+    clean_text = surviving tokens in order joined by single spaces
+    (token-level reconstruction — original whitespace is not preserved,
+    identically in both engines).
+
+    ``ds`` and ``token_ds`` must be independently constructed readers
+    of the same corpus (the lineage invariant): windows explode from
+    one, token rows from the other. Three bounded shuffles total —
+    gram-bucket (global first-occurrence is a local decision),
+    then marked spans + token rows meet in a doc-bucket union shuffle
+    where merged-interval coverage masks the cut (vectorized composite-
+    key searchsorted, no Python loop over tokens).
+    """
+    import zlib
+
+    import pandas as pd
+
+    from .lm import _split_codes
+
+    BIG = np.int64(1) << 32
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        codes, tok_doc, vocab, n_docs = _split_codes(t, column)
+        ids = t.column(id_column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = vocab.take(pa.array(codes)) if codes.size else \
+            pa.array([], pa.string())
+        L = len(flat)
+        if L < w:
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "start": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int32())})
+        nwin = L - w + 1
+        gram = pc.binary_join_element_wise(
+            *(flat.slice(j, nwin) for j in range(w)), " ")
+        valid = tok_doc[:nwin] == tok_doc[w - 1:]
+        first = np.searchsorted(tok_doc, np.arange(n_docs))
+        gi = np.flatnonzero(valid)
+        doc = tok_doc[gi]
+        start = gi - first[doc] + 1
+        gram_v = gram.filter(pa.array(valid))
+        if isinstance(gram_v, pa.ChunkedArray):
+            gram_v = gram_v.combine_chunks()
+        b = np.fromiter((zlib.crc32(v.encode()) % n_buckets
+                         for v in gram_v.to_pylist()),
+                        np.int32, count=len(gram_v))
+        return pa.table({id_column: pa.array(ids[doc]),
+                         "start": pa.array(start.astype(np.int64)),
+                         "gram": gram_v,
+                         "bucket": pa.array(b)})
+
+    def mark_later(df: pd.DataFrame) -> pd.DataFrame:
+        n = df.groupby("gram", sort=False)["gram"].transform("size")
+        d = df[n >= 2].sort_values(["gram", id_column, "start"],
+                                   kind="stable")
+        marked = d[d.duplicated("gram", keep="first")]
+        out = pd.DataFrame({id_column: marked[id_column],
+                            "a": marked["start"],
+                            "b": "",
+                            "kind": np.int8(0)})
+        out["dbucket"] = (out[id_column] % n_buckets).astype(np.int32)
+        return out
+
+    def explode_tokens(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        codes, tok_doc, vocab, n_docs = _split_codes(t, column)
+        ids = t.column(id_column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        first = np.searchsorted(tok_doc, np.arange(n_docs))
+        idx = np.arange(len(codes), dtype=np.int64) - first[tok_doc] + 1
+        toks = vocab.take(pa.array(codes)) if codes.size else \
+            pa.array([], pa.string())
+        # one sentinel row per doc (kind=1, a=0) keeps empty docs present
+        out_doc = np.concatenate([ids[tok_doc], ids])
+        out_a = np.concatenate([idx, np.zeros(n_docs, np.int64)])
+        out_b = pa.concat_arrays([
+            toks.combine_chunks() if isinstance(toks, pa.ChunkedArray)
+            else toks,
+            pa.array([""] * n_docs, pa.string())])
+        return pa.table({id_column: pa.array(out_doc),
+                         "a": pa.array(out_a),
+                         "b": out_b,
+                         "kind": pa.array(
+                             np.ones(len(out_doc), np.int8)),
+                         "dbucket": pa.array(
+                             (out_doc % n_buckets).astype(np.int32))})
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[(df["kind"] == 1) & (df["a"] > 0)] \
+            .sort_values([id_column, "a"], kind="stable")
+        docs = np.unique(df[df["kind"] == 1][id_column].to_numpy(np.int64))
+        marked = df[df["kind"] == 0].sort_values([id_column, "a"],
+                                                 kind="stable")
+        td = toks[id_column].to_numpy(np.int64)
+        ti = toks["a"].to_numpy(np.int64)
+        covered = np.zeros(len(toks), bool)
+        if len(marked):
+            md = marked[id_column].to_numpy(np.int64)
+            ms = marked["a"].to_numpy(np.int64)
+            me = ms + w - 1
+            # merge intervals per doc (cummax sweep)
+            prev_e = pd.Series(me).groupby(md).transform(
+                lambda x: x.cummax().shift(1, fill_value=-1)) \
+                .to_numpy(np.int64)
+            is_new = ms > prev_e
+            iid = np.cumsum(is_new) - 1
+            istart = ms[is_new]
+            iend = np.maximum.reduceat(me, np.flatnonzero(is_new))
+            idoc = md[is_new]
+            # composite-key coverage probe
+            kstart = idoc * BIG + istart
+            kend = idoc * BIG + iend
+            kt = td * BIG + ti
+            pos = np.searchsorted(kstart, kt, side="right") - 1
+            ok = pos >= 0
+            covered[ok] = kt[ok] <= kend[pos[ok]]
+        kept = toks[~covered]
+        agg = kept.groupby(id_column, sort=True)["b"].agg(
+            n_kept="size", clean_text=lambda s: " ".join(s))
+        nt = toks.groupby(id_column, sort=True)["a"].size()
+        out = pd.DataFrame({id_column: docs}).set_index(id_column)
+        out["n_tokens"] = nt.reindex(out.index).fillna(0).astype(np.int64)
+        out["n_kept"] = agg["n_kept"].reindex(out.index).fillna(0) \
+            .astype(np.int64)
+        out["clean_text"] = agg["clean_text"].reindex(out.index) \
+            .fillna("")
+        return out.reset_index()
+
+    windows = ds.map_batches(explode_windows, batch_format="pyarrow",
+                             batch_size=None)
+    marked = windows.groupby("bucket").map_groups(
+        mark_later, batch_format="pandas") \
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    tokens = token_ds.map_batches(explode_tokens, batch_format="pyarrow",
+                                  batch_size=None)
+    return marked.union(tokens).groupby("dbucket").map_groups(
+        rebuild, batch_format="pandas")
+
+
+def dedup_spans_sql(w: int = 5, table: str = "documents",
+                    column: str = "text", id_column: str = "doc_id",
+                    synth: bool = True) -> str:
+    """DuckDB twin: same tokenizer (row_number over kept tokens), same
+    lead()-grams, row_number-per-gram first-occurrence rule, DISTINCT
+    coverage positions, string_agg rebuild."""
+    src = synth_multiline_sql_expr(column, id_column) if synth else column
+    leads = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {j}) OVER wd" for j in range(1, w)])
+    return (
+        f"WITH src AS (SELECT {id_column} AS doc_id, {src} AS text "
+        f"FROM {table}), "
+        "t AS (SELECT doc_id, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY idx) AS idx, tok FROM "
+        "(SELECT doc_id, unnest(range(1, len(arr) + 1)) AS idx, "
+        "unnest(arr) AS tok FROM (SELECT doc_id, "
+        "regexp_split_to_array(trim(text), '\\s+') AS arr FROM src)) "
+        "WHERE tok <> ''), "
+        f"g0 AS (SELECT doc_id, idx AS start, {leads} AS gram, "
+        f"lead(tok, {w - 1}) OVER wd IS NOT NULL AS ok FROM t "
+        "WINDOW wd AS (PARTITION BY doc_id ORDER BY idx)), "
+        "g AS (SELECT doc_id, start, gram FROM g0 WHERE ok), "
+        "cnts AS (SELECT gram, COUNT(*) AS n FROM g GROUP BY 1), "
+        "occ AS (SELECT doc_id, start, row_number() OVER "
+        "(PARTITION BY gram ORDER BY doc_id, start) AS rn "
+        "FROM g JOIN cnts USING (gram) WHERE n >= 2), "
+        "cov AS (SELECT DISTINCT doc_id, pos FROM (SELECT doc_id, "
+        f"unnest(range(start, start + {w})) AS pos FROM occ "
+        "WHERE rn > 1)), "
+        "kept AS (SELECT t.doc_id, t.idx, t.tok FROM t LEFT JOIN cov "
+        "ON cov.doc_id = t.doc_id AND cov.pos = t.idx "
+        "WHERE cov.pos IS NULL), "
+        "ka AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept, "
+        "string_agg(tok, ' ' ORDER BY idx) AS clean_text "
+        "FROM kept GROUP BY 1), "
+        "ta AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens "
+        "FROM t GROUP BY 1) "
+        "SELECT s.doc_id, COALESCE(ta.n_tokens, 0) AS n_tokens, "
+        "COALESCE(ka.n_kept, 0) AS n_kept, "
+        "COALESCE(ka.clean_text, '') AS clean_text "
+        "FROM src s LEFT JOIN ta ON ta.doc_id = s.doc_id "
+        "LEFT JOIN ka ON ka.doc_id = s.doc_id"
+    )
