@@ -664,6 +664,17 @@ def _q_minhash_incremental(sf_dir: str):
     return near_dup_candidates_vs_index(_split(False), index_dir)
 
 
+def _q_split_sentences(sf_dir: str):
+    """Rule-based sentence segmentation over the multiline corpus —
+    RE2 has no lookbehind in either engine, so the boundary split is a
+    backref replace to a \\x01 sentinel + split, identical in Arrow
+    and DuckDB."""
+    from vtzero_ray.functions.textstats import split_sentences
+    from vtzero_ray.functions.webclean import synth_multiline
+
+    return split_sentences(synth_multiline(_docs(sf_dir)))
+
+
 def _q_strip_html(sf_dir: str):
     """WARC→WET text extraction: script/style blocks out with content,
     tags stripped, entities decoded (&amp; last), whitespace collapsed
@@ -1383,6 +1394,8 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # WARC→WET extraction (clean_lines_c4 holds the text-
                   # cleaning family's other extras slot)
                   "strip_html_wet",
+                  # sentence segmentation (the chunk_docs family)
+                  "split_sentences",
                   # plain per-lang count — langid (driver) exercises
                   # the language column, cell_page_counts (extra) the
                   # count shape; slot freed for dedup_incremental
@@ -1469,6 +1482,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "warc_pages": _q_warc_pages,
         "gopher_rules": _q_gopher_rules,
         "strip_html_wet": _q_strip_html,
+        "split_sentences": _q_split_sentences,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1673,6 +1687,10 @@ def _all_oracle_sql() -> dict[str, str]:
         gopher_rules_sql as gopher_oracle_sql
     from vtzero_ray.functions.webclean import \
         strip_html_sql as strip_html_oracle_sql
+    from vtzero_ray.functions.textstats import \
+        split_sentences_sql as split_sentences_oracle_sql
+    from vtzero_ray.functions.webclean import \
+        synth_multiline_sql_expr as _synth_multiline_expr
     from vtzero_ray.functions.textstats import LANG_MARKERS as _LM
     _EN_MARKERS = _LM["en"]
     from vtzero_ray.functions.webclean import \
@@ -2061,6 +2079,11 @@ def _all_oracle_sql() -> dict[str, str]:
         "gopher_rules": gopher_oracle_sql(stops=_EN_MARKERS),
         # strip_html_wet: same RE2 patterns in the same order
         "strip_html_wet": strip_html_oracle_sql(),
+        # split_sentences: sentinel-replace boundary split (no RE2
+        # lookbehind), row_number over kept sentences
+        "split_sentences": split_sentences_oracle_sql(
+            table=f"(SELECT doc_id, {_synth_multiline_expr()} AS text "
+                  "FROM documents)"),
         # shuffle_epoch: row_number over the same md5_number_lower key
         "shuffle_epoch": shuffle_oracle_sql(seed=42),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",

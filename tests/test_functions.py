@@ -1428,3 +1428,55 @@ class TestGopherRules:
                 .df().sort_values("doc_id").reset_index(drop=True))
         assert got.equals(want)
         assert 0 < got.keep.sum() < len(got)
+
+
+class TestSplitSentences:
+    def test_hand_semantics_and_twin(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.textstats import (split_sentences,
+                                                    split_sentences_sql)
+
+        texts = ["One. Two! Three? Four",
+                 "No terminal punctuation at all",
+                 "  padded.  spaced!  ",
+                 "a.b stays one sentence. next one.",
+                 ""]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        got = (split_sentences(rd.from_arrow(t).repartition(2))
+               .to_pandas().sort_values(["doc_id", "sent_idx"])
+               .reset_index(drop=True))
+        d0 = got[got.doc_id == 0].sentence.tolist()
+        assert d0 == ["One.", "Two!", "Three?", "Four"]
+        assert got[got.doc_id == 1].sentence.tolist() == [texts[1]]
+        assert got[got.doc_id == 2].sentence.tolist() == ["padded.",
+                                                          "spaced!"]
+        # '.' not followed by whitespace is NOT a boundary
+        assert got[got.doc_id == 3].sentence.tolist() == \
+            ["a.b stays one sentence.", "next one."]
+        # empty doc -> one empty segment dropped by min_chars=1
+        assert 4 not in set(got.doc_id)
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = (con.execute(split_sentences_sql()).df()
+                .sort_values(["doc_id", "sent_idx"])
+                .reset_index(drop=True))
+        assert got.equals(want)
+
+    def test_partition_invariance(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.textstats import split_sentences
+
+        texts = [f"Sent {i} one. Sent {i} two! tail" for i in range(25)]
+        t = pa.table({"doc_id": pa.array(range(25), pa.int64()),
+                      "text": pa.array(texts)})
+        a = (split_sentences(rd.from_arrow(t).repartition(1)).to_pandas()
+             .sort_values(["doc_id", "sent_idx"]).reset_index(drop=True))
+        b = (split_sentences(rd.from_arrow(t).repartition(7)).to_pandas()
+             .sort_values(["doc_id", "sent_idx"]).reset_index(drop=True))
+        assert a.equals(b)

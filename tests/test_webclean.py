@@ -544,3 +544,55 @@ class TestDedupSpans:
         a = self._run(ray_session, SPAN_DOCS, parts=1)
         b = self._run(ray_session, SPAN_DOCS, parts=5)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestFixMojibake:
+    def test_repairs_and_preserves(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import fix_mojibake
+
+        clean = ["caf\u00e9 au lait", "plain ascii text",
+                 "na\u00efve r\u00e9sum\u00e9",
+                 "\u4e2d\u6587 \u0442\u0435\u043a\u0441\u0442"]
+        single = [s.encode("utf-8").decode("latin-1") for s in clean]
+        double = [s.encode("utf-8").decode("latin-1")
+                  .encode("utf-8").decode("latin-1") for s in clean]
+        # lookalikes that are NOT valid double-encoded UTF-8 must
+        # survive untouched
+        keepers = ["\u00c3 but no continuation",
+                   "\u00d5htu on ilus"]
+        texts = single + double + keepers + ["ascii only"]
+        t = _tab({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+        out = (fix_mojibake(rd.from_arrow(t).repartition(3)).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        n = len(clean)
+        for i in range(n):
+            assert out.loc[i, "text"] == clean[i]
+        for i in range(n):
+            assert out.loc[n + i, "text"] == clean[i]
+        # single-encoded non-ascii docs took 1 round, double took 2
+        assert out.loc[0, "fixed_rounds"] == 1
+        assert out.loc[n, "fixed_rounds"] == 2
+        assert out.loc[1, "fixed_rounds"] == 0      # ascii: no hint
+        for j, k in enumerate(keepers):
+            assert out.loc[2 * n + j, "text"] == k
+            assert out.loc[2 * n + j, "fixed_rounds"] == 0
+        assert out.loc[2 * n + 2, "text"] == "ascii only"
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import fix_mojibake
+
+        texts = [("caf\u00e9 " * (1 + i % 5)).encode("utf-8")
+                 .decode("latin-1") if i % 3 == 0 else f"plain {i}"
+                 for i in range(30)]
+        t = _tab({"doc_id": pa.array(range(30), pa.int64()),
+                  "text": pa.array(texts)})
+        a = (fix_mojibake(rd.from_arrow(t).repartition(1)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        b = (fix_mojibake(rd.from_arrow(t).repartition(6)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+        assert a.equals(b)

@@ -887,3 +887,80 @@ def gopher_rules_sql(min_words: int = 30, max_words: int = 100000,
         "JOIN lw ON lw.doc_id = s.doc_id "
         "JOIN sy ON sy.doc_id = s.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation
+# ---------------------------------------------------------------------------
+
+# split AFTER terminal punctuation followed by whitespace. RE2 (both
+# engines) has NO lookbehind, so the split is a two-step identical in
+# Arrow and DuckDB: replace '([.!?])\s+' with '\1' + a \x01 sentinel
+# (never in corpus text — the bpe.py precedent), then split on \x01.
+_SENT_BOUNDARY_RE = r"([.!?])\s+"
+_SENT_SENTINEL = "\x01"
+
+
+def split_sentences(ds, column: str = "text", id_column: str = "doc_id",
+                    min_chars: int = 1):
+    """Rule-based sentence segmentation → Dataset (doc_id, sent_idx,
+    sentence, n_chars): split after terminal-punctuation runs followed
+    by whitespace, 1-based index in document order, segments shorter
+    than ``min_chars`` dropped (index still counts kept sentences
+    only). One vectorized RE2 split + numpy offset explode, no
+    shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        ids = t.column(id_column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        txt = _as_array(t.column(column))
+        marked = pc.replace_substring_regex(
+            pc.utf8_trim_whitespace(txt), _SENT_BOUNDARY_RE,
+            replacement="\\1" + _SENT_SENTINEL)
+        parts = _as_array(pc.split_pattern(marked, _SENT_SENTINEL))
+        flat = parts.values
+        offs = np.asarray(parts.offsets, dtype=np.int64)
+        doc = np.repeat(ids, offs[1:] - offs[:-1])
+        nch = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64) if len(flat) else np.empty(0, np.int64)
+        keep = nch >= min_chars
+        doc = doc[keep]
+        flat = flat.filter(pa.array(keep))
+        nch = nch[keep]
+        # 1-based rank among KEPT sentences per doc (docs are contiguous)
+        if len(doc):
+            new_doc = np.concatenate([[True], doc[1:] != doc[:-1]])
+            grp_start = np.maximum.accumulate(
+                np.where(new_doc, np.arange(len(doc)), 0))
+            idx = np.arange(len(doc)) - grp_start + 1
+        else:
+            idx = np.empty(0, np.int64)
+        return pa.table({id_column: pa.array(doc),
+                         "sent_idx": pa.array(idx.astype(np.int64)),
+                         "sentence": flat,
+                         "n_chars": pa.array(nch)})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def split_sentences_sql(table: str = "documents", column: str = "text",
+                        id_column: str = "doc_id",
+                        min_chars: int = 1) -> str:
+    """DuckDB twin: same sentinel-replace + split, row_number over
+    kept sentences in original order."""
+    return (
+        f"WITH s AS (SELECT {id_column} AS doc_id, "
+        f"unnest(range(1, len(arr) + 1)) AS raw_idx, unnest(arr) AS sent "
+        f"FROM (SELECT {id_column}, string_split(regexp_replace("
+        # DuckDB trim() strips SPACES only (the dup_span_stats gotcha);
+        # name the full whitespace set to mirror utf8_trim_whitespace
+        f"trim({column}, ' ' || chr(9) || chr(10) || chr(11) || chr(12)"
+        f" || chr(13)), '([.!?])\\s+', '\\1' || chr(1), 'g'), "
+        f"chr(1)) AS arr FROM {table})), "
+        f"k AS (SELECT doc_id, raw_idx, sent, length(sent) AS n FROM s "
+        f"WHERE length(sent) >= {min_chars}) "
+        "SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY raw_idx) AS BIGINT) AS sent_idx, sent AS sentence, "
+        "CAST(n AS BIGINT) AS n_chars FROM k"
+    )

@@ -889,3 +889,55 @@ def dedup_spans_sql(w: int = 5, table: str = "documents",
         "FROM src s LEFT JOIN ta ON ta.doc_id = s.doc_id "
         "LEFT JOIN ka ON ka.doc_id = s.doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# encoding repair (ftfy-style mojibake fix)
+# ---------------------------------------------------------------------------
+
+# lead bytes of a latin-1-misdecoded UTF-8 stream (U+00C2-U+00F4)
+# followed by a continuation-range char (U+0080-U+00BF)
+_MOJIBAKE_HINT_RE = "[\u00c2-\u00f4][\u0080-\u00bf]"
+
+
+def fix_mojibake(ds, column: str = "text", id_column: str = "doc_id",
+                 max_rounds: int = 2):
+    """Repair UTF-8-decoded-as-Latin-1 mojibake (the classic crawl
+    corruption: 'caf\u00c3\u00a9' for 'caf\u00e9') -> Dataset
+    (doc_id, text, fixed_rounds). A row is re-decoded via
+    ``s.encode('latin-1').decode('utf-8')`` only when (a) a vectorized
+    RE2 pre-filter sees a mojibake byte pattern, (b) latin-1 encoding
+    round-trips, and (c) the UTF-8 decode succeeds -- so clean text
+    that is not valid double-encoded UTF-8 is NEVER altered. Up to
+    ``max_rounds`` unwinds double corruption. The pre-filter keeps the
+    per-row Python to flagged rows only; byte-level recode is not
+    SQL-expressible (pytest-gated, the compression_stats precedent)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        txt = _arr(t.column(column))
+        suspect = pc.match_substring_regex(txt, _MOJIBAKE_HINT_RE) \
+            .to_numpy(zero_copy_only=False)
+        vals = txt.to_pylist()
+        rounds = np.zeros(len(vals), np.int64)
+        for i in np.flatnonzero(np.asarray(suspect, bool)):
+            s = vals[i]
+            for _ in range(max_rounds):
+                try:
+                    b = s.encode("latin-1")
+                except UnicodeEncodeError:
+                    break
+                try:
+                    s2 = b.decode("utf-8")
+                except UnicodeDecodeError:
+                    break
+                if s2 == s:
+                    break
+                s = s2
+                rounds[i] += 1
+            vals[i] = s
+        return pa.table({id_column: t.column(id_column),
+                         "text": pa.array(vals, pa.string()),
+                         "fixed_rounds": pa.array(rounds)})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
