@@ -1480,3 +1480,69 @@ class TestSplitSentences:
         b = (split_sentences(rd.from_arrow(t).repartition(7)).to_pandas()
              .sort_values(["doc_id", "sent_idx"]).reset_index(drop=True))
         assert a.equals(b)
+
+
+class TestKLL:
+    def test_rank_error_bound_and_merge_law(self, ray_session):
+        """Distributed KLL quantiles land within the documented rank
+        tolerance of exact quantiles; concatenating partial sketch
+        tables reproduces a sequential merge."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.sketch import KLL, kll_quantiles
+
+        rng = np.random.default_rng(17)
+        vals = rng.integers(0, 1_000_000, 50_000).astype(np.int64)
+        t = pa.table({"doc_id": pa.array(range(len(vals)), pa.int64()),
+                      "v": pa.array(vals)})
+        out = (kll_quantiles(rd.from_arrow(t).repartition(8), "v", k=256)
+               .to_pandas().set_index("p"))
+        sv = np.sort(vals)
+        n = len(vals)
+        for p in (0.1, 0.5, 0.9, 0.99):
+            q = out.loc[p, "q"]
+            # rank of the sketch answer vs target rank
+            rank = np.searchsorted(sv, q, side="right")
+            import math
+
+            target = max(math.ceil(p * n), 1)
+            assert abs(rank - target) <= 0.05 * n, (p, rank, target)
+        # merge law: two half-sketches merged == items seen once
+        a, b = KLL(128), KLL(128)
+        a.add(vals[: n // 2])
+        b.add(vals[n // 2:])
+        m = a.merge(b)
+        assert m.n() == n
+        q50 = m.quantile(0.5)
+        r = np.searchsorted(sv, q50, side="right")
+        assert abs(r - n // 2) <= 0.05 * n
+
+    def test_small_input_is_exact(self, ray_session):
+        """Inputs below the level-0 capacity never compact: quantiles
+        are exact quantile_disc."""
+        import numpy as np
+
+        from vtzero_ray.functions.sketch import KLL
+
+        vals = np.array([5, 1, 9, 3, 7], np.int64)
+        s = KLL(256)
+        s.add(vals)
+        assert s.n() == 5
+        assert s.quantile(0.5) == 5
+        assert s.quantile(0.1) == 1
+        assert s.quantile(1.0) == 9
+
+    def test_weights_conserved_under_compaction(self):
+        import numpy as np
+
+        from vtzero_ray.functions.sketch import KLL
+
+        s = KLL(32)
+        for i in range(40):
+            s.add(np.arange(i * 100, i * 100 + 100, dtype=np.int64))
+        # every compaction halves items but doubles weight: n is exact
+        assert s.n() == 4000
+        # sketch is genuinely compressed
+        assert sum(len(b) for b in s.levels) < 1000

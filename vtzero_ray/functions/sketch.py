@@ -399,3 +399,119 @@ def heavy_hitters(ds, k: int = 50, column: str = "text"):
                            batch_size=None)
     return parts.repartition(1).map_batches(merge, batch_format="pyarrow",
                                             batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch — mergeable approximate quantiles
+# ---------------------------------------------------------------------------
+
+
+class KLL:
+    """KLL-style quantile sketch (Karnin-Lang-Liberty 2016) with
+    DETERMINISTIC compaction: level-l items carry weight 2^l; when a
+    level buffer exceeds capacity it is sorted and its EVEN-index items
+    promote (the random-offset variant trades this for tighter
+    constants; determinism is this repo's oracle invariant, and the
+    worst-case rank error stays O(n/k) — asserted in tests). Merge =
+    levelwise concatenation + the same compaction, so partial sketches
+    stream through the engine like HLL/CMS."""
+
+    __slots__ = ("k", "levels")
+
+    def __init__(self, k: int = 256) -> None:
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, np.int64)]
+
+    def _cap(self, level: int) -> int:
+        # geometrically decaying capacities, floor 8
+        c = int(self.k * (2.0 / 3.0) ** (len(self.levels) - 1 - level))
+        return max(c, 8)
+
+    def _compact(self) -> None:
+        lv = self.levels
+        i = 0
+        while i < len(lv):
+            if len(lv[i]) <= self._cap(i):
+                i += 1
+                continue
+            buf = np.sort(lv[i], kind="stable")
+            # compact an EVEN count (weight conservation): an odd
+            # buffer leaves its largest item behind at this level
+            even = len(buf) & ~1
+            promote = buf[:even][::2]
+            lv[i] = buf[even:].copy()
+            if i + 1 == len(lv):
+                lv.append(np.empty(0, np.int64))
+            lv[i + 1] = np.concatenate([lv[i + 1], promote])
+            i += 1
+
+    def add(self, values: np.ndarray) -> None:
+        self.levels[0] = np.concatenate(
+            [self.levels[0], np.asarray(values, np.int64)])
+        self._compact()
+
+    def merge(self, other: "KLL") -> "KLL":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, np.int64))
+        for i, buf in enumerate(other.levels):
+            self.levels[i] = np.concatenate([self.levels[i], buf])
+        self._compact()
+        return self
+
+    def n(self) -> int:
+        return int(sum(len(b) << i for i, b in enumerate(self.levels)))
+
+    def quantile(self, p: float) -> int:
+        """quantile_disc semantics on the weighted items: the smallest
+        value whose cumulative weight reaches ceil(p * n)."""
+        import math
+
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate([np.full(len(b), 1 << i, np.int64)
+                              for i, b in enumerate(self.levels)])
+        order = np.argsort(vals, kind="stable")
+        cum = np.cumsum(wts[order])
+        target = max(math.ceil(p * cum[-1]), 1)
+        return int(vals[order][np.searchsorted(cum, target)])
+
+    def to_table(self) -> pa.Table:
+        lvl = np.concatenate([np.full(len(b), i, np.int64)
+                              for i, b in enumerate(self.levels)])
+        return pa.table({"level": pa.array(lvl),
+                         "value": pa.array(np.concatenate(self.levels))})
+
+    @classmethod
+    def from_table(cls, t: pa.Table, k: int = 256) -> "KLL":
+        s = cls(k)
+        lvl = t.column("level").to_numpy(zero_copy_only=False)
+        val = t.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        top = int(lvl.max(initial=0))
+        s.levels = [val[lvl == i].copy() for i in range(top + 1)]
+        return s
+
+
+def kll_quantiles(ds, column: str, ps=(0.1, 0.5, 0.9, 0.99),
+                  k: int = 256):
+    """Distributed KLL quantiles of an int64 column → Dataset (p, q).
+    Per-batch sketches (bounded ~k items regardless of batch size) →
+    ONE output-sized merge task; the exact-histogram twin
+    (length_quantiles) bounds the rank error in tests."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = KLL(k)
+        s.add(t.column(column).to_numpy(zero_copy_only=False)
+              .astype(np.int64))
+        return s.to_table()
+
+    def merge(t: pa.Table) -> pa.Table:
+        s = KLL.from_table(t, k)   # concat of partials == levelwise merge
+        s._compact()
+        return pa.table({"p": pa.array(list(ps), pa.float64()),
+                         "q": pa.array([s.quantile(p) for p in ps],
+                                       pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    return parts.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                            batch_size=None)
