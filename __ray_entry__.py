@@ -996,6 +996,19 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir), _BM25_TERMS, k=20)
 
 
+def _q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval: BM25 lexical top-pool fused with exact-cosine
+    vector top-pool by Reciprocal Rank Fusion — integer-quantized
+    fusion terms, output-sized driver merge; both legs run their
+    normal distributed shapes."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.search import hybrid_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet").repartition(4)
+    return hybrid_topk(_docs(sf_dir), emb, sf_dir, _BM25_TERMS, k=10)
+
+
 def _q_cluster_docs(sf_dir: str):
     """Document clustering: nearest-centroid assignment over the
     embedding column (the IVF assignment, broadcast centroids) → tiny
@@ -1396,6 +1409,8 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "strip_html_wet",
                   # sentence segmentation (the chunk_docs family)
                   "split_sentences",
+                  # RRF fusion of the bm25 + ANN families
+                  "hybrid_search_rrf",
                   # plain per-lang count — langid (driver) exercises
                   # the language column, cell_page_counts (extra) the
                   # count shape; slot freed for dedup_incremental
@@ -1483,6 +1498,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": _q_gopher_rules,
         "strip_html_wet": _q_strip_html,
         "split_sentences": _q_split_sentences,
+        "hybrid_search_rrf": _q_hybrid_search,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1691,6 +1707,8 @@ def _all_oracle_sql() -> dict[str, str]:
         split_sentences_sql as split_sentences_oracle_sql
     from vtzero_ray.functions.webclean import \
         synth_multiline_sql_expr as _synth_multiline_expr
+    from vtzero_ray.functions.search import \
+        hybrid_sql as hybrid_oracle_sql
     from vtzero_ray.functions.textstats import LANG_MARKERS as _LM
     _EN_MARKERS = _LM["en"]
     from vtzero_ray.functions.webclean import \
@@ -2084,6 +2102,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "split_sentences": split_sentences_oracle_sql(
             table=f"(SELECT doc_id, {_synth_multiline_expr()} AS text "
                   "FROM documents)"),
+        # hybrid_search_rrf: both leg oracles + floor(1e9/(kr+rank))
+        "hybrid_search_rrf": hybrid_oracle_sql(_BM25_TERMS, k=10),
         # shuffle_epoch: row_number over the same md5_number_lower key
         "shuffle_epoch": shuffle_oracle_sql(seed=42),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",

@@ -190,3 +190,47 @@ class TestBM25:
         scan = bm25_topk(rd.from_arrow(tab), terms, k=5)
         indexed = bm25_topk_indexed(idx, terms, k=5)
         assert scan.equals(indexed)
+
+
+class TestHybridRRF:
+    def test_fusion_and_twin(self, ray_session):
+        """Docs ranked by both legs outrank single-leg docs with equal
+        ranks; result equals the spliced SQL oracle."""
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.search import hybrid_sql, hybrid_topk
+
+        sf = "/root/testdata/sf0.001"
+        terms = ("hash", "join", "vector")
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"]).repartition(4)
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet").repartition(3)
+        got = hybrid_topk(docs, emb, sf, terms, k=10) \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf}/{t}.parquet')")
+        want = con.execute(hybrid_sql(terms, k=10)).df() \
+            .reset_index(drop=True)
+        assert got.equals(want)
+        assert len(got) == 10
+        assert (got.rnk == range(1, 11)).all()
+        # rrf scores are monotone with rank
+        assert (got.rrf_q9.to_numpy()[:-1] >= got.rrf_q9.to_numpy()[1:]).all()
+
+    def test_both_legs_contribute(self, ray_session):
+        """The #1 vector hit (the query itself, cosine 1) always makes
+        the fused list even when it matches no term."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.search import hybrid_topk
+
+        sf = "/root/testdata/sf0.001"
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id", "text"]).repartition(4)
+        emb = rd.read_parquet(f"{sf}/embeddings.parquet").repartition(3)
+        out = hybrid_topk(docs, emb, sf, ("zzzunmatchable",), k=10)
+        # lexical leg is empty -> ranking is the pure vector leg
+        assert out.iloc[0].doc_id == 0      # query vec_id 0, cosine 1

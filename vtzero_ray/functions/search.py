@@ -419,3 +419,67 @@ def bm25_sql(terms, k: int = 10, k1: float = 1.2, b: float = 0.75,
         f" FROM scores WHERE score > 0.0"
         f" ORDER BY score DESC, doc_id LIMIT {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid search — reciprocal-rank fusion of BM25 and vector top-k
+# ---------------------------------------------------------------------------
+
+
+def hybrid_topk(ds_docs, ds_emb, sf_dir: str, terms, k: int = 10,
+                pool: int = 20, kr: int = 60):
+    """Hybrid lexical+vector retrieval via Reciprocal Rank Fusion
+    (Cormack et al. 2009): fuse the BM25 top-``pool`` (terms query)
+    with the exact-cosine top-``pool`` of the first embedding query →
+    pandas DataFrame (doc_id, rrf_q9, rnk) of the top ``k``.
+
+    rrf_q9(d) = Σ_legs floor(1e9 / (kr + rank_leg(d))) over legs where
+    d is ranked — each term integer-derived, so the fusion is exact in
+    SQL (the quantize-then-rank contract). Both legs run their normal
+    distributed shapes; the fusion joins two <= pool-row lists on the
+    driver (output-sized — the repo's merge rule). Doc ids and vec ids
+    share the id space by construction of the synthetic tables; a real
+    deployment passes the doc-keyed embedding table.
+    """
+    import pandas as pd
+
+    from .ann import topk_bruteforce
+
+    lex = bm25_topk(ds_docs, terms, k=pool)
+    vec = topk_bruteforce(ds_emb, sf_dir, k=pool, n_queries=1)
+    vec = vec.to_pandas() if hasattr(vec, "to_pandas") else vec
+    contrib = []
+    for frame, idc, rc in ((lex, "doc_id", "rnk"), (vec, "vec_id", "rank")):
+        q = np.floor(1e9 / (kr + frame[rc].to_numpy(np.float64))) \
+            .astype(np.int64)
+        contrib.append(pd.DataFrame(
+            {"doc_id": frame[idc].to_numpy(np.int64), "q": q}))
+    f = pd.concat(contrib).groupby("doc_id")["q"].sum().reset_index()
+    f = f.sort_values(["q", "doc_id"], ascending=[False, True],
+                      kind="stable").head(k).reset_index(drop=True)
+    f["rnk"] = np.arange(1, len(f) + 1, dtype=np.int64)
+    return f.rename(columns={"q": "rrf_q9"})[["doc_id", "rrf_q9", "rnk"]]
+
+
+def hybrid_sql(terms, k: int = 10, pool: int = 20, kr: int = 60) -> str:
+    """DuckDB twin: the bm25 oracle and the brute-force cosine oracle
+    as CTEs, the same floor(1e9/(kr+rank)) fusion terms."""
+    bm = bm25_sql(terms, k=pool)
+    return (
+        f"WITH bm AS ({bm}), "
+        "qv AS (SELECT vec_id, embedding FROM embeddings "
+        "ORDER BY vec_id LIMIT 1), "
+        "vv AS (SELECT e.vec_id, row_number() OVER (ORDER BY "
+        "round(list_cosine_similarity(qv.embedding::DOUBLE[], "
+        "e.embedding::DOUBLE[]), 6) DESC, e.vec_id) AS rank "
+        f"FROM qv CROSS JOIN embeddings e QUALIFY rank <= {pool}), "
+        "c AS (SELECT doc_id, CAST(floor(1000000000.0 / "
+        f"({kr} + rnk)) AS BIGINT) AS q FROM bm "
+        "UNION ALL SELECT vec_id AS doc_id, CAST(floor(1000000000.0 / "
+        f"({kr} + rank)) AS BIGINT) AS q FROM vv), "
+        "f AS (SELECT doc_id, CAST(SUM(q) AS BIGINT) AS rrf_q9 "
+        "FROM c GROUP BY 1) "
+        "SELECT doc_id, rrf_q9, CAST(row_number() OVER "
+        "(ORDER BY rrf_q9 DESC, doc_id) AS BIGINT) AS rnk FROM f "
+        f"QUALIFY rnk <= {k}"
+    )
