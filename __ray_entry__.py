@@ -996,6 +996,15 @@ def _q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir), _BM25_TERMS, k=20)
 
 
+def _q_pmi_topk(sf_dir: str):
+    """Collocation extraction: top bigrams by integer-quantized PMI —
+    one bucketed bigram-count shuffle, broadcast vocab-bounded unigram
+    table, per-bucket top-k prune, single output-sized merge."""
+    from vtzero_ray.functions.textstats import pmi_topk
+
+    return pmi_topk(_docs(sf_dir), k=20, min_count=3)
+
+
 def _q_hybrid_search(sf_dir: str):
     """Hybrid retrieval: BM25 lexical top-pool fused with exact-cosine
     vector top-pool by Reciprocal Rank Fusion — integer-quantized
@@ -1411,6 +1420,8 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "split_sentences",
                   # RRF fusion of the bm25 + ANN families
                   "hybrid_search_rrf",
+                  # PMI collocations (the ngram_topk family)
+                  "pmi_collocations",
                   # plain per-lang count — langid (driver) exercises
                   # the language column, cell_page_counts (extra) the
                   # count shape; slot freed for dedup_incremental
@@ -1499,6 +1510,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "strip_html_wet": _q_strip_html,
         "split_sentences": _q_split_sentences,
         "hybrid_search_rrf": _q_hybrid_search,
+        "pmi_collocations": _q_pmi_topk,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1709,6 +1721,8 @@ def _all_oracle_sql() -> dict[str, str]:
         synth_multiline_sql_expr as _synth_multiline_expr
     from vtzero_ray.functions.search import \
         hybrid_sql as hybrid_oracle_sql
+    from vtzero_ray.functions.textstats import \
+        pmi_topk_sql as pmi_oracle_sql
     from vtzero_ray.functions.textstats import LANG_MARKERS as _LM
     _EN_MARKERS = _LM["en"]
     from vtzero_ray.functions.webclean import \
@@ -2104,6 +2118,8 @@ def _all_oracle_sql() -> dict[str, str]:
                   "FROM documents)"),
         # hybrid_search_rrf: both leg oracles + floor(1e9/(kr+rank))
         "hybrid_search_rrf": hybrid_oracle_sql(_BM25_TERMS, k=10),
+        # pmi_collocations: integer-argument ln quantization
+        "pmi_collocations": pmi_oracle_sql(k=20, min_count=3),
         # shuffle_epoch: row_number over the same md5_number_lower key
         "shuffle_epoch": shuffle_oracle_sql(seed=42),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",

@@ -1546,3 +1546,51 @@ class TestKLL:
         assert s.n() == 4000
         # sketch is genuinely compressed
         assert sum(len(b) for b in s.levels) < 1000
+
+
+class TestPMICollocations:
+    def test_hand_checked_and_twin(self, ray_session):
+        """A bigram that always co-occurs gets top PMI; frequent-but-
+        independent pairs rank below; twin is bit-equal."""
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.textstats import pmi_topk, pmi_topk_sql
+
+        texts = (["rare pair here today"] * 4        # "rare pair" glued
+                 + ["the cat", "the dog", "the fish", "the bird"] * 3
+                 + ["cat the", "dog the"] * 2)
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        got = (pmi_topk(rd.from_arrow(t).repartition(3), k=10,
+                        min_count=3).to_pandas().reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = (con.execute(pmi_topk_sql(k=10, min_count=3)).df()
+                .reset_index(drop=True))
+        assert got.equals(want)
+        # the three glued bigrams tie on PMI (same counts) and take the
+        # top ranks in (pmi DESC, bigram ASC) order
+        assert got.head(3).bigram.tolist() == ["here today", "pair here",
+                                               "rare pair"]
+        # "the cat" (frequent words) ranks below the glued pair
+        the_cat = got[got.bigram == "the cat"]
+        assert len(the_cat) == 0 or the_cat.iloc[0].rnk > 1
+
+    def test_min_count_gate_and_partition_invariance(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.textstats import pmi_topk
+
+        texts = [f"alpha beta w{i} gamma delta" for i in range(30)]
+        t = pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                      "text": pa.array(texts)})
+        a = (pmi_topk(rd.from_arrow(t).repartition(1), k=5, min_count=5)
+             .to_pandas().reset_index(drop=True))
+        b = (pmi_topk(rd.from_arrow(t).repartition(6), k=5, min_count=5)
+             .to_pandas().reset_index(drop=True))
+        assert a.equals(b)
+        assert (a.n >= 5).all()
+        assert "alpha beta" in set(a.bigram)

@@ -964,3 +964,139 @@ def split_sentences_sql(table: str = "documents", column: str = "text",
         "ORDER BY raw_idx) AS BIGINT) AS sent_idx, sent AS sentence, "
         "CAST(n AS BIGINT) AS n_chars FROM k"
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — top-k bigrams by pointwise mutual information
+# ---------------------------------------------------------------------------
+
+
+def pmi_topk(ds, k: int = 20, min_count: int = 3, column: str = "text",
+             id_column: str = "doc_id", n_buckets: int = 64):
+    """Collocation extraction: top-k within-doc bigrams by
+    ``pmi_q9 = floor(ln(c_xy * N_uni^2 / (N_big * c_x * c_y)) * 1e9
+    + 0.5)`` over bigrams with ``c_xy >= min_count``; rank = (pmi DESC,
+    bigram ASC). Every ln argument is an exact integer product, so the
+    DuckDB twin is bit-equal (the doc_perplexity contract).
+
+    Shape: ONE bucketed bigram-count shuffle (per-batch combiner — the
+    unigram_counts pattern; bigrams never cross docs) + the corpus
+    unigram table collected (vocab-bounded) and broadcast; scoring is
+    a vectorized scan over the counted bigrams with per-batch top-k
+    prune → one output-sized merge task."""
+    import zlib
+
+    import pandas as pd
+    import ray
+
+    from .lm import _split_codes, unigram_counts
+
+    uni = unigram_counts(ds, column=column).to_pandas() \
+        .sort_values("tok", kind="stable")
+    n_uni = int(uni["n"].sum())
+    uni_ref = ray.put((uni["tok"].to_numpy(), uni["n"].to_numpy(np.int64)))
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        codes, tok_doc, vocab, _ = _split_codes(t, column)
+        if codes.size < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "nbig": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        same = tok_doc[:-1] == tok_doc[1:]
+        a = codes[:-1][same]
+        b = codes[1:][same]
+        key = a * np.int64(len(vocab)) + b
+        uq, cnt = np.unique(key, return_counts=True)
+        w1 = vocab.take(pa.array((uq // len(vocab)).astype(np.int64)))
+        w2 = vocab.take(pa.array((uq % len(vocab)).astype(np.int64)))
+        gram = pc.binary_join_element_wise(w1, w2, " ")
+        if isinstance(gram, pa.ChunkedArray):
+            gram = gram.combine_chunks()
+        bk = np.fromiter((zlib.crc32(v.encode()) % n_buckets
+                          for v in gram.to_pylist()),
+                         np.int32, count=len(gram))
+        nbig = np.zeros(len(uq), np.int64)
+        nbig[0] = int(same.sum())       # batch bigram total rides row 0
+        return pa.table({"w1": w1, "w2": w2,
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "nbig": pa.array(nbig),
+                         "bucket": pa.array(bk)})
+
+    parts = ds.map_batches(bigram_partial, batch_format="pyarrow",
+                           batch_size=None).materialize()
+    n_big = sum(r["nbig"] for r in
+                parts.select_columns(["nbig"]).take_all())
+
+    def bucket_score(df: pd.DataFrame) -> pd.DataFrame:
+        toks_sorted, cnts = ray.get(uni_ref)
+        g = df.groupby(["w1", "w2"], sort=False)["n"].sum().reset_index()
+        g = g[g["n"] >= min_count]
+        if not len(g):
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "pmi_q9": pd.Series([], dtype="int64")})
+        cx = cnts[np.searchsorted(toks_sorted, g["w1"].to_numpy())]
+        cy = cnts[np.searchsorted(toks_sorted, g["w2"].to_numpy())]
+        num = g["n"].to_numpy(np.int64).astype(np.float64) \
+            * np.float64(n_uni) * np.float64(n_uni)
+        den = np.float64(n_big) * cx.astype(np.float64) \
+            * cy.astype(np.float64)
+        q = np.floor(np.log(num / den) * 1e9 + 0.5).astype(np.int64)
+        out = pd.DataFrame({"bigram": g["w1"] + " " + g["w2"],
+                            "n": g["n"].to_numpy(np.int64),
+                            "pmi_q9": q})
+        return out.sort_values(["pmi_q9", "bigram"],
+                               ascending=[False, True],
+                               kind="stable").head(k)
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["pmi_q9", "bigram"],
+                                       ascending=[False, True],
+                                       kind="stable").head(k) \
+            .reset_index(drop=True)
+        df["rnk"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    scored = parts.groupby("bucket").map_groups(bucket_score,
+                                                batch_format="pandas")
+    return scored.map_batches(lambda t: t, batch_format="pyarrow") \
+        .repartition(1).map_batches(merge, batch_format="pyarrow",
+                                    batch_size=None)
+
+
+def pmi_topk_sql(k: int = 20, min_count: int = 3,
+                 table: str = "documents", column: str = "text",
+                 id_column: str = "doc_id") -> str:
+    """DuckDB twin: same tokenizer, lead() bigrams within docs, same
+    integer-argument ln quantization, same (pmi DESC, bigram ASC)
+    rank."""
+    return (
+        f"WITH t AS (SELECT doc_id, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY idx) AS idx, tok FROM "
+        "(SELECT doc_id, unnest(range(1, len(arr) + 1)) AS idx, "
+        f"unnest(arr) AS tok FROM (SELECT {id_column} AS doc_id, "
+        f"regexp_split_to_array(trim({column}), '\\s+') AS arr "
+        f"FROM {table})) WHERE tok <> ''), "
+        "nu AS (SELECT COUNT(*) AS n FROM t), "
+        "ug AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY 1), "
+        "bg0 AS (SELECT doc_id, tok AS w1, lead(tok, 1) OVER "
+        "(PARTITION BY doc_id ORDER BY idx) AS w2 FROM t), "
+        "bg AS (SELECT w1, w2, COUNT(*) AS n FROM bg0 "
+        "WHERE w2 IS NOT NULL GROUP BY 1, 2), "
+        "nb AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM bg), "
+        "scored AS (SELECT bg.w1 || ' ' || bg.w2 AS bigram, bg.n, "
+        "CAST(floor(ln((CAST(bg.n AS DOUBLE) * CAST(nu.n AS DOUBLE) * "
+        "CAST(nu.n AS DOUBLE)) / (CAST(nb.n AS DOUBLE) * "
+        "CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE))) * 1000000000.0 "
+        "+ 0.5) AS BIGINT) AS pmi_q9 "
+        "FROM bg JOIN ug ux ON ux.tok = bg.w1 "
+        "JOIN ug uy ON uy.tok = bg.w2 CROSS JOIN nu CROSS JOIN nb "
+        f"WHERE bg.n >= {min_count}) "
+        "SELECT bigram, CAST(n AS BIGINT) AS n, pmi_q9, "
+        "CAST(row_number() OVER (ORDER BY pmi_q9 DESC, bigram) "
+        "AS BIGINT) AS rnk "
+        f"FROM scored QUALIFY rnk <= {k}"
+    )
