@@ -608,9 +608,17 @@ def _q_dedup_incremental(sf_dir: str):
 
     import pyarrow as pa
 
+    import pyarrow.parquet as pq
+
     from vtzero_ray.functions.dedup_index import (build_md5_index,
                                                   dedup_against_index,
-                                                  synth_dup_corpus)
+                                                  synth_dup_corpus,
+                                                  synth_mod_for)
+
+    src = f"{sf_dir}/documents.parquet"
+    # modulus scales with the corpus (synth_mod_for docstring: a fixed
+    # 313 saturates to ZERO kept rows once templates reach 3 members)
+    mod = synth_mod_for(pq.ParquetFile(src).metadata.num_rows)
 
     def _split(keep_old: bool):
         # fresh lineage per consumer (never fan one Dataset out twice)
@@ -619,14 +627,13 @@ def _q_dedup_incremental(sf_dir: str):
             mask = (ids % 3 == 0) if keep_old else (ids % 3 != 0)
             return t.filter(pa.array(mask))
 
-        return synth_dup_corpus(_docs(sf_dir)).map_batches(
+        return synth_dup_corpus(_docs(sf_dir), mod=mod).map_batches(
             f, batch_format="pyarrow", batch_size=None)
 
-    src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
     index_dir = (f"/tmp/vtzero_ray_md5idx/"
                  f"{os.path.basename(os.path.normpath(sf_dir))}"
-                 f"_{st.st_size}_{st.st_mtime_ns}_b64_v1")
+                 f"_{st.st_size}_{st.st_mtime_ns}_b64_m{mod}_v2")
     if not os.path.isfile(f"{index_dir}/meta.parquet"):
         build_md5_index(_split(True), index_dir)
     return dedup_against_index(_split(False), index_dir)

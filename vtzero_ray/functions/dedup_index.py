@@ -220,17 +220,29 @@ def extend_md5_index(index_dir: str, ds, column: str = "text",
 SYNTH_MOD = 313  # > half the doc count → templates with 1 and 2 members
 
 
-def synth_dup_corpus(ds, id_column: str = "doc_id"):
-    """→ (doc_id, text) with text = 'crawl mirror page <doc_id % 313>'.
-    With ~500 docs this yields template groups of size 1 and 2 whose
-    members straddle the old/new split (313 ≡ 1 mod 3), so the driver
-    row exercises all three outcomes: dropped-as-indexed, kept with a
-    within-shard dup, kept unique."""
+def synth_mod_for(n_docs: int) -> int:
+    """Template modulus scaled to the corpus: max(313, 5*n//8). At
+    ~500 docs this is exactly 313 (the original constant — driver
+    results unchanged); at larger corpora it keeps template groups at
+    1-2 members whose residues straddle the old/new doc_id%3 split.
+    With a FIXED modulus, corpora big enough for >= 3 members per
+    template put an old-shard member in EVERY template (313 ≡ 1 mod 3
+    cycles all residues) and the incremental-dedup output saturates to
+    zero rows — the sf0.1 sweep caught exactly that."""
+    return max(SYNTH_MOD, n_docs * 5 // 8)
+
+
+def synth_dup_corpus(ds, id_column: str = "doc_id", mod: int = SYNTH_MOD):
+    """→ (doc_id, text) with text = 'crawl mirror page <doc_id % mod>'.
+    Template groups of size 1 and 2 whose members straddle the old/new
+    split, so the driver row exercises all three outcomes:
+    dropped-as-indexed, kept with a within-shard dup, kept unique.
+    Pass ``mod=synth_mod_for(n_docs)`` so the property holds at any
+    scale."""
 
     def synth(t: pa.Table) -> pa.Table:
         ids = t.column(id_column)
-        m = pc.subtract(ids, pc.multiply(pc.divide(ids, SYNTH_MOD),
-                                         SYNTH_MOD))
+        m = pc.subtract(ids, pc.multiply(pc.divide(ids, mod), mod))
         txt = pc.binary_join_element_wise(
             "crawl mirror page ", pc.cast(m, pa.string()), "")
         return pa.table({id_column: ids, "text": txt})
@@ -650,9 +662,12 @@ def dedup_incremental_sql(table: str = "documents",
     |> dedup_against_index(new): DuckDB's md5() equals hashlib md5
     hexdigest (the dedup_exact oracle precedent)."""
     return (
-        f"WITH s AS (SELECT {id_column} AS doc_id, "
-        f"'crawl mirror page ' || ({id_column} % {SYNTH_MOD}) AS t "
-        f"FROM {table}), "
+        # modulus mirrors synth_mod_for(): max(313, 5*n//8)
+        f"WITH nn AS (SELECT greatest({SYNTH_MOD}, COUNT(*) * 5 // 8) "
+        f"AS m FROM {table}), "
+        f"s AS (SELECT {id_column} AS doc_id, "
+        f"'crawl mirror page ' || ({id_column} % nn.m) AS t "
+        f"FROM {table}, nn), "
         "old AS (SELECT md5(t) AS m FROM s WHERE doc_id % 3 = 0), "
         "new AS (SELECT doc_id, md5(t) AS md5 FROM s WHERE doc_id % 3 <> 0) "
         "SELECT md5, CAST(min(doc_id) AS BIGINT) AS keep_id, "
