@@ -1012,6 +1012,60 @@ def _q_pmi_topk(sf_dir: str):
     return pmi_topk(_docs(sf_dir), k=20, min_count=3)
 
 
+def _q_hash_embed(sf_dir: str):
+    """Feature-hashing embeddings (Weinberger et al. 2009): sparse COO
+    (doc_id, dim, w) from raw text — ONE scan, no shuffle; md5 cost is
+    batch-vocabulary bounded."""
+    from vtzero_ray.functions.embed import hash_embed
+
+    return hash_embed(_docs(sf_dir), n_dims=64)
+
+
+def _q_latest_snapshot(sf_dir: str):
+    """CDX latest-capture selection: keep the newest snapshot per URL
+    over a deterministic multi-capture corpus (per-batch winner pick →
+    ONE bucketed shuffle of winners; captures never shuffle)."""
+    from vtzero_ray.functions.crawl import latest_snapshot, synth_snapshots_batch
+
+    snaps = _docs(sf_dir).map_batches(
+        synth_snapshots_batch, batch_format="pyarrow", batch_size=None)
+    return latest_snapshot(snaps)
+
+
+def _q_domain_cap(sf_dir: str):
+    """RefinedWeb per-domain document cap: at most 5 docs per host,
+    smallest doc_ids win. Host set is synthesized dense (doc_id % 37)
+    so the cap bites at driver scale (pages' %1000 hosts are unique at
+    sf0.01's 500 docs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from vtzero_ray.functions.crawl import domain_cap
+
+    def synth_urls(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        url = np.char.add(
+            np.char.add(np.char.add("https://host", (d % 37).astype(str)),
+                        ".example/p/"), d.astype(str))
+        return pa.table({"url": pa.array(url, pa.string()),
+                         "doc_id": batch.column("doc_id")})
+
+    pages = _docs(sf_dir).map_batches(
+        synth_urls, batch_format="pyarrow", batch_size=None)
+    return domain_cap(pages, max_per_domain=5)
+
+
+def _q_tile_pyramid(sf_dir: str):
+    """Overview-pyramid rollup: per-tile page counts at zooms 10/8/6/4
+    from ONE corpus pass (per-batch partials for every level) + ONE
+    bucketed shuffle — not one groupby per level."""
+    from vtzero_ray.pipelines.pyramid import tile_pyramid
+    from vtzero_ray.pipelines.tiling import features_dataset
+
+    return tile_pyramid(features_dataset(sf_dir, zooms=(10,)),
+                        base_zoom=10, levels=(10, 8, 6, 4))
+
+
 def _q_hybrid_search(sf_dir: str):
     """Hybrid retrieval: BM25 lexical top-pool fused with exact-cosine
     vector top-pool by Reciprocal Rank Fusion — integer-quantized
@@ -1429,6 +1483,15 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "hybrid_search_rrf",
                   # PMI collocations (the ngram_topk family)
                   "pmi_collocations",
+                  # embedding GENERATION (hashing trick) — the vector
+                  # families consume embeddings; this produces them
+                  "hash_embed",
+                  # crawl management: CDX latest-capture + RefinedWeb
+                  # per-domain caps (url_dedup holds the URL family slot)
+                  "latest_snapshot", "domain_cap",
+                  # overview pyramid (tile_assignment_z12 holds the
+                  # tile-count driver slot)
+                  "tile_pyramid",
                   # plain per-lang count — langid (driver) exercises
                   # the language column, cell_page_counts (extra) the
                   # count shape; slot freed for dedup_incremental
@@ -1518,6 +1581,10 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "split_sentences": _q_split_sentences,
         "hybrid_search_rrf": _q_hybrid_search,
         "pmi_collocations": _q_pmi_topk,
+        "hash_embed": _q_hash_embed,
+        "latest_snapshot": _q_latest_snapshot,
+        "domain_cap": _q_domain_cap,
+        "tile_pyramid": _q_tile_pyramid,
         # dedup family
         "dedup_exact": _q_dedup_exact,
         "jaccard_verified_dups": _q_jaccard_verified_dups,
@@ -1751,6 +1818,10 @@ def _all_oracle_sql() -> dict[str, str]:
                                                 simhash_near_dups_sql,
                                                 simhash_sql)
     from vtzero_ray.functions.sketch_sql import cms_est_sql, hll_facts_sql
+    from vtzero_ray.functions.embed import hash_embed_sql
+    from vtzero_ray.functions.crawl import (domain_cap_sql,
+                                            latest_snapshot_sql,
+                                            snapshots_sql_cte)
     from vtzero_ray.stages.joins import SQL_ADMIN, SQL_POI
 
     t2 = _sql_tile(2)
@@ -2127,6 +2198,27 @@ def _all_oracle_sql() -> dict[str, str]:
         "hybrid_search_rrf": hybrid_oracle_sql(_BM25_TERMS, k=10),
         # pmi_collocations: integer-argument ln quantization
         "pmi_collocations": pmi_oracle_sql(k=20, min_count=3),
+        # hash_embed: same tokenizer + md5_number_lower dim/sign, int sums
+        "hash_embed": hash_embed_sql(n_dims=64),
+        # latest_snapshot: max (warc_ts, text) per url over the synth
+        # multi-capture corpus (derivation mirrored in snapshots_sql_cte)
+        "latest_snapshot": latest_snapshot_sql(
+            snapshots_sql_cte(SQL_URL)),
+        # domain_cap: same RE2 host extraction + row_number cap over the
+        # dense synth host set (doc_id % 37)
+        "domain_cap": domain_cap_sql(
+            "(SELECT 'https://host' || (doc_id % 37) || '.example/p/' "
+            "|| doc_id AS url, doc_id FROM documents)", 5),
+        # tile_pyramid: ancestor tiles are integer shifts of the z10 tile
+        "tile_pyramid": (
+            f"WITH p AS (SELECT {_sql_tile(10)['x']} AS x10, "
+            f"{_sql_tile(10)['y']} AS y10 FROM documents) "
+            + " UNION ALL ".join(
+                f"SELECT CAST({l} AS INTEGER) AS z, "
+                f"CAST(x10 >> {10 - l} AS INTEGER) AS x, "
+                f"CAST(y10 >> {10 - l} AS INTEGER) AS y, "
+                "COUNT(*) AS n_pages FROM p GROUP BY 1, 2, 3"
+                for l in (10, 8, 6, 4))),
         # shuffle_epoch: row_number over the same md5_number_lower key
         "shuffle_epoch": shuffle_oracle_sql(seed=42),
         "distinct_langs": "SELECT DISTINCT lang FROM documents",

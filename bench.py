@@ -289,7 +289,11 @@ def run_bench() -> dict:
                      # round-4 continuation: classifier, substring-dedup
                      # signals, semantic dedup, link rank, composed prep
                      "nb_lang_classify", "dup_ngram_spans", "semdedup",
-                     "pagerank", "prep_training_data"):
+                     "pagerank", "prep_training_data",
+                     # round-4 final session: embedding generation, crawl
+                     # management, overview pyramid
+                     "hash_embed", "latest_snapshot", "domain_cap",
+                     "tile_pyramid"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

@@ -1,0 +1,71 @@
+"""Tile-pyramid rollup: per-tile page counts at a ladder of zoom levels.
+
+Tile servers need aggregates at EVERY zoom (the overview pyramid), not
+just the finest one; the naive plan is one groupby per level — L
+all-to-all shuffles over the full corpus. This op does it with per-batch
+partial counts for ALL levels at once (each batch emits at most
+L x unique-finest-tiles rows — tile-space bounded, corpus rows never
+shuffle) followed by ONE bucketed shuffle that sums the partials.
+Ancestor tiles at zoom l are integer shifts of the finest tile
+(x >> (base-l), y >> (base-l)) — the quadtree parent walk of
+cells.cell_parent applied to slippy (z, x, y) keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from vtzero_ray.runtime import tune_allocator
+
+_EMPTY = pa.table({"z": pa.array([], pa.int32()),
+                   "x": pa.array([], pa.int32()),
+                   "y": pa.array([], pa.int32()),
+                   "n_pages": pa.array([], pa.int64())})
+
+_KNUTH = 2654435761
+
+
+def tile_pyramid(ds, base_zoom: int = 10, levels=(10, 8, 6, 4),
+                 n_buckets: int = 64):
+    """features Dataset (x, y at ``base_zoom``) → Dataset
+    (z, x, y, n_pages) with one row per non-empty tile per level."""
+    levels = tuple(sorted(set(levels), reverse=True))
+    if not levels or levels[0] > base_zoom or levels[-1] < 0:
+        raise ValueError(f"levels {levels} must lie in [0, {base_zoom}]")
+
+    def partial(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        if len(t) == 0:
+            return _EMPTY
+        x = t.column("x").to_numpy().astype(np.int64)
+        y = t.column("y").to_numpy().astype(np.int64)
+        zs, xs, ys, ns = [], [], [], []
+        for lvl in levels:
+            s = base_zoom - lvl
+            key = ((x >> s) << 32) | (y >> s)
+            u, c = np.unique(key, return_counts=True)
+            zs.append(np.full(len(u), lvl, np.int32))
+            xs.append((u >> 32).astype(np.int32))
+            ys.append((u & 0xFFFFFFFF).astype(np.int32))
+            ns.append(c.astype(np.int64))
+        return pa.table({"z": pa.array(np.concatenate(zs)),
+                         "x": pa.array(np.concatenate(xs)),
+                         "y": pa.array(np.concatenate(ys)),
+                         "n_pages": pa.array(np.concatenate(ns))})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        z = t.column("z").to_numpy().astype(np.int64)
+        x = t.column("x").to_numpy().astype(np.int64)
+        y = t.column("y").to_numpy().astype(np.int64)
+        b = ((((z << 44) ^ (x << 22) ^ y) * _KNUTH) % (1 << 32)) % n_buckets
+        return t.append_column("bucket", pa.array(b.astype(np.int32)))
+
+    def merge(df):
+        out = (df.groupby(["z", "x", "y"], sort=False)["n_pages"].sum()
+               .reset_index())
+        return out[["z", "x", "y", "n_pages"]]
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    return (parts.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(merge, batch_format="pandas"))
