@@ -1066,6 +1066,18 @@ def _q_tile_pyramid(sf_dir: str):
                         base_zoom=10, levels=(10, 8, 6, 4))
 
 
+def _q_simplify_paths(sf_dir: str):
+    """Douglas-Peucker simplification of the z2 site polylines (world
+    pixel coords, tol = 256 px): ONE site-bucket shuffle, exact-int DP
+    per path. The oracle re-runs the recursion as a recursive CTE
+    (functions/simplify.dp_oracle_sql) — kept set = span endpoints."""
+    from vtzero_ray.functions.simplify import simplify_paths
+    from vtzero_ray.pipelines.clip_paths import _world_points
+
+    return simplify_paths(_world_points(sf_dir, zoom=2, extent=4096),
+                          tol2=256 * 256)
+
+
 def _q_hybrid_search(sf_dir: str):
     """Hybrid retrieval: BM25 lexical top-pool fused with exact-cosine
     vector top-pool by Reciprocal Rank Fusion — integer-quantized
@@ -1492,6 +1504,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # overview pyramid (tile_assignment_z12 holds the
                   # tile-count driver slot)
                   "tile_pyramid",
+                  # Douglas-Peucker simplification (recursive-CTE oracle;
+                  # clipped_paths_z2 holds the path-family driver slot)
+                  "simplify_paths_z2",
                   # plain per-lang count — langid (driver) exercises
                   # the language column, cell_page_counts (extra) the
                   # count shape; slot freed for dedup_incremental
@@ -1582,6 +1597,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search_rrf": _q_hybrid_search,
         "pmi_collocations": _q_pmi_topk,
         "hash_embed": _q_hash_embed,
+        "simplify_paths_z2": _q_simplify_paths,
         "latest_snapshot": _q_latest_snapshot,
         "domain_cap": _q_domain_cap,
         "tile_pyramid": _q_tile_pyramid,
@@ -1657,20 +1673,15 @@ def _sql_tile(z: int) -> dict[str, str]:
     }
 
 
-def _sql_clip_ctes(z: int, extent: int = 4096, buffer: int = 64) -> str:
-    """Shared CTE chain for the clipped-path oracles: world-coordinate
-    site segments cross-joined with ALL tiles at zoom z, clipped with the
-    EXACT float expressions of stages/clip.liang_barsky (sentinels, op
-    order, floor(v+0.5) rounding) so integer outputs are bit-identical.
-    The all-tiles candidate set is a superset of the Ray side's bbox
-    fan-out — harmless, since Liang-Barsky rejection decides membership
-    in both engines. Ends with CTE ``v`` (surviving clipped segments)."""
+def _sql_site_path_ctes(z: int, extent: int = 4096) -> str:
+    """CTE bodies (no leading WITH) deriving the deduped site paths —
+    ``pts`` (world pixel coords), ``d`` (consecutive-dup flag), ``e``
+    (site, doc_id, wx, wy, pt_idx) — shared by the clip oracles and the
+    Douglas-Peucker recursive oracle; mirrors
+    pipelines/clip_paths._world_points + _site_segments' dedup."""
     t = _sql_tile(z)
-    n = 1 << z
-    lo = f"{-buffer}.0"
-    hi = f"{extent + buffer}.0"
     return (
-        f"WITH pts AS (SELECT (doc_id % 50) AS site, doc_id, "
+        f"pts AS (SELECT (doc_id % 50) AS site, doc_id, "
         f"CAST({t['x']} AS BIGINT) * {extent} + "
         f"CAST(floor(({t['fx']} - floor({t['fx']})) * {extent}) AS BIGINT) AS wx, "
         f"CAST({t['y']} AS BIGINT) * {extent} + "
@@ -1681,7 +1692,23 @@ def _sql_clip_ctes(z: int, extent: int = 4096, buffer: int = 64) -> str:
         f"WINDOW w AS (PARTITION BY site ORDER BY doc_id)), "
         f"e AS (SELECT site, doc_id, wx, wy, "
         f"row_number() OVER (PARTITION BY site ORDER BY doc_id) - 1 AS pt_idx "
-        f"FROM d WHERE keep = 1), "
+        f"FROM d WHERE keep = 1)"
+    )
+
+
+def _sql_clip_ctes(z: int, extent: int = 4096, buffer: int = 64) -> str:
+    """Shared CTE chain for the clipped-path oracles: world-coordinate
+    site segments cross-joined with ALL tiles at zoom z, clipped with the
+    EXACT float expressions of stages/clip.liang_barsky (sentinels, op
+    order, floor(v+0.5) rounding) so integer outputs are bit-identical.
+    The all-tiles candidate set is a superset of the Ray side's bbox
+    fan-out — harmless, since Liang-Barsky rejection decides membership
+    in both engines. Ends with CTE ``v`` (surviving clipped segments)."""
+    n = 1 << z
+    lo = f"{-buffer}.0"
+    hi = f"{extent + buffer}.0"
+    return (
+        f"WITH {_sql_site_path_ctes(z, extent)}, "
         f"segs AS (SELECT site, pt_idx AS seg_idx, wx AS wx0, wy AS wy0, "
         f"lead(wx) OVER w2 AS wx1, lead(wy) OVER w2 AS wy1 "
         f"FROM e WINDOW w2 AS (PARTITION BY site ORDER BY pt_idx) "
@@ -1819,6 +1846,7 @@ def _all_oracle_sql() -> dict[str, str]:
                                                 simhash_sql)
     from vtzero_ray.functions.sketch_sql import cms_est_sql, hll_facts_sql
     from vtzero_ray.functions.embed import hash_embed_sql
+    from vtzero_ray.functions.simplify import dp_oracle_sql
     from vtzero_ray.functions.crawl import (domain_cap_sql,
                                             latest_snapshot_sql,
                                             snapshots_sql_cte)
@@ -2200,6 +2228,9 @@ def _all_oracle_sql() -> dict[str, str]:
         "pmi_collocations": pmi_oracle_sql(k=20, min_count=3),
         # hash_embed: same tokenizer + md5_number_lower dim/sign, int sums
         "hash_embed": hash_embed_sql(n_dims=64),
+        # simplify_paths_z2: DuckDB re-runs the DP recursion itself
+        "simplify_paths_z2": dp_oracle_sql(
+            _sql_site_path_ctes(2, 4096), tol2=256 * 256),
         # latest_snapshot: max (warc_ts, text) per url over the synth
         # multi-capture corpus (derivation mirrored in snapshots_sql_cte)
         "latest_snapshot": latest_snapshot_sql(
