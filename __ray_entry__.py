@@ -1066,6 +1066,37 @@ def _q_tile_pyramid(sf_dir: str):
                         base_zoom=10, levels=(10, 8, 6, 4))
 
 
+def _q_extract_links(sf_dir: str):
+    """Outlink extraction (the crawl-graph builder): anchor-bearing HTML
+    synthesized deterministically → (doc_id, link_idx, dst) edges via
+    vectorized Arrow list kernels (no per-row regex loop)."""
+    from vtzero_ray.functions.crawl import extract_links, synth_linked_html
+
+    return extract_links(synth_linked_html(_docs(sf_dir)))
+
+
+def _q_robots_filter(sf_dir: str):
+    """robots.txt disallow filtering: the deterministic rule set is the
+    broadcast small side; pages keep iff no (host, path-prefix) rule
+    matches — one vectorized pass per rule, no shuffle."""
+    import numpy as np
+    import pyarrow as pa
+
+    from vtzero_ray.functions.crawl import robots_filter, synth_robots_rules
+
+    def synth_urls(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        url = np.char.add(
+            np.char.add(np.char.add("https://host", (d % 37).astype(str)),
+                        ".example/p/"), d.astype(str))
+        return pa.table({"url": pa.array(url, pa.string()),
+                         "doc_id": batch.column("doc_id")})
+
+    pages = _docs(sf_dir).map_batches(
+        synth_urls, batch_format="pyarrow", batch_size=None)
+    return robots_filter(pages, synth_robots_rules())
+
+
 def _q_simplify_paths(sf_dir: str):
     """Douglas-Peucker simplification of the z2 site polylines (world
     pixel coords, tol = 256 px): ONE site-bucket shuffle, exact-int DP
@@ -1507,6 +1538,8 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # Douglas-Peucker simplification (recursive-CTE oracle;
                   # clipped_paths_z2 holds the path-family driver slot)
                   "simplify_paths_z2",
+                  # crawl-graph edges + robots politeness filter
+                  "extract_links", "robots_filter",
                   # plain per-lang count — langid (driver) exercises
                   # the language column, cell_page_counts (extra) the
                   # count shape; slot freed for dedup_incremental
@@ -1598,6 +1631,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _q_pmi_topk,
         "hash_embed": _q_hash_embed,
         "simplify_paths_z2": _q_simplify_paths,
+        "extract_links": _q_extract_links,
+        "robots_filter": _q_robots_filter,
         "latest_snapshot": _q_latest_snapshot,
         "domain_cap": _q_domain_cap,
         "tile_pyramid": _q_tile_pyramid,
@@ -1848,8 +1883,12 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.embed import hash_embed_sql
     from vtzero_ray.functions.simplify import dp_oracle_sql
     from vtzero_ray.functions.crawl import (domain_cap_sql,
+                                            extract_links_sql,
                                             latest_snapshot_sql,
-                                            snapshots_sql_cte)
+                                            linked_html_sql_expr,
+                                            robots_filter_sql,
+                                            snapshots_sql_cte,
+                                            synth_robots_rules)
     from vtzero_ray.stages.joins import SQL_ADMIN, SQL_POI
 
     t2 = _sql_tile(2)
@@ -2231,6 +2270,13 @@ def _all_oracle_sql() -> dict[str, str]:
         # simplify_paths_z2: DuckDB re-runs the DP recursion itself
         "simplify_paths_z2": dp_oracle_sql(
             _sql_site_path_ctes(2, 4096), tol2=256 * 256),
+        # extract_links: regexp_extract_all + unnest over the same synth
+        "extract_links": extract_links_sql(linked_html_sql_expr()),
+        # robots_filter: NOT EXISTS anti-join on the same rule rows
+        "robots_filter": robots_filter_sql(
+            "(SELECT 'https://host' || (doc_id % 37) || '.example/p/' "
+            "|| doc_id AS url, doc_id FROM documents)",
+            synth_robots_rules()),
         # latest_snapshot: max (warc_ts, text) per url over the synth
         # multi-capture corpus (derivation mirrored in snapshots_sql_cte)
         "latest_snapshot": latest_snapshot_sql(

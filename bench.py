@@ -293,7 +293,9 @@ def run_bench() -> dict:
                      # round-4 final session: embedding generation, crawl
                      # management, overview pyramid
                      "hash_embed", "latest_snapshot", "domain_cap",
-                     "tile_pyramid"):
+                     "tile_pyramid",
+                     # DP simplification, crawl-graph edges, robots filter
+                     "simplify_paths_z2", "extract_links", "robots_filter"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

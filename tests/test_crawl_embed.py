@@ -215,3 +215,107 @@ class TestTilePyramid:
             features_dataset(sf_dir, zooms=(10,)).repartition(11),
             base_zoom=10).to_pandas())
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestExtractLinks:
+    def test_hand_extraction(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.crawl import extract_links
+
+        html = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "html": pa.array([
+                '<a href="u1">x</a> mid <a href="u2">y</a>',
+                'no links here',
+                'unterminated href="oops',   # no closing quote -> no match
+                'empty href=""></a> then href="u3"',
+            ]),
+        })
+        got = extract_links(rd.from_arrow(html)).to_pandas()
+        got = got.sort_values(["doc_id", "link_idx"]).reset_index(drop=True)
+        assert list(map(tuple, got.itertuples(index=False))) == [
+            (1, 0, "u1"), (1, 1, "u2"), (4, 0, ""), (4, 1, "u3")]
+
+    def test_twin_and_partition_invariance(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.crawl import (extract_links,
+                                                extract_links_sql,
+                                                linked_html_sql_expr,
+                                                synth_linked_html)
+
+        sf = "/root/testdata/sf0.001"
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+        got = extract_links(synth_linked_html(docs)).to_pandas()
+        got7 = extract_links(
+            synth_linked_html(docs.repartition(7))).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(extract_links_sql(linked_html_sql_expr())).fetchdf()
+        key = ["doc_id", "link_idx"]
+        for frame in (got, got7):
+            pd.testing.assert_frame_equal(
+                frame.sort_values(key).reset_index(drop=True),
+                exp.sort_values(key).reset_index(drop=True))
+
+
+class TestRobotsFilter:
+    def test_hand_rules(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.crawl import robots_filter
+
+        pages = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "url": pa.array([
+                "https://a.example/p/1x",    # banned: prefix /p/1
+                "https://a.example/q/1",     # kept: other path
+                "https://b.example/p/1",     # kept: other host
+                "https://a.example",         # kept: no path
+                "noscheme/p/1",              # kept: no host -> no rule
+            ]),
+        })
+        got = robots_filter(rd.from_arrow(pages),
+                            [("a.example", "/p/1")]).to_pandas()
+        assert sorted(got["doc_id"]) == [2, 3, 4, 5]
+
+    def test_twin(self, ray_session):
+        import duckdb
+        import numpy as np
+        import ray.data as rd
+
+        from vtzero_ray.functions.crawl import (robots_filter,
+                                                robots_filter_sql,
+                                                synth_robots_rules)
+
+        sf = "/root/testdata/sf0.001"
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+
+        def synth_urls(batch: pa.Table) -> pa.Table:
+            d = batch.column("doc_id").to_numpy()
+            url = np.char.add(
+                np.char.add(np.char.add("https://host",
+                                        (d % 37).astype(str)),
+                            ".example/p/"), d.astype(str))
+            return pa.table({"url": pa.array(url, pa.string()),
+                             "doc_id": batch.column("doc_id")})
+
+        pages = docs.map_batches(synth_urls, batch_format="pyarrow",
+                                 batch_size=None)
+        rules = synth_robots_rules()
+        got = robots_filter(pages, rules).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(robots_filter_sql(
+            "(SELECT 'https://host' || (doc_id % 37) || '.example/p/' "
+            "|| doc_id AS url, doc_id FROM documents)", rules)).fetchdf()
+        assert 0 < len(got) < docs.count()  # the rules actually bite
+        pd.testing.assert_frame_equal(
+            got.sort_values("doc_id").reset_index(drop=True)[
+                sorted(got.columns)],
+            exp.sort_values("doc_id").reset_index(drop=True)[
+                sorted(exp.columns)])

@@ -215,3 +215,181 @@ def domain_cap_sql(pages_cte: str, max_per_domain: int,
         "QUALIFY row_number() OVER (PARTITION BY domain "
         f"ORDER BY doc_id) <= {max_per_domain}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Outlink extraction (the crawl-graph builder: WARC/WET HTML -> edges)
+
+_HREF_SPLIT = 'href="'
+_HREF_RE = r'href="([^"]*)"'
+
+
+def synth_linked_html(ds, id_column: str = "doc_id"):
+    """Deterministic anchor-bearing HTML from documents: doc_id % 4
+    outlinks per doc, targets hop hosts ((doc_id * 7 + j) % 1000) so the
+    link graph isn't self-loops. Mirrored by linked_html_sql_expr."""
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column).to_numpy()
+        k = ids % 4
+        out = np.full(len(ids), "<html><body>", dtype=object)
+        for j in range(3):
+            tgt = (ids * 7 + j) % 1000
+            a = np.char.add(
+                np.char.add('<a href="https://site', tgt.astype(str)),
+                np.char.add(np.char.add(".example/p/", ids.astype(str)),
+                            f'-{j}">t</a>'))
+            out = np.where(k > j, np.char.add(out.astype(str), a), out)
+        out = np.char.add(out.astype(str), "</body></html>")
+        return pa.table({id_column: t.column(id_column),
+                         "html": pa.array(out, pa.string())})
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None)
+
+
+def linked_html_sql_expr(id_column: str = "doc_id") -> str:
+    """SQL expression producing exactly synth_linked_html()'s html."""
+    anchors = "".join(
+        f"|| (CASE WHEN {id_column} % 4 > {j} THEN "
+        f"'<a href=\"https://site' || (({id_column} * 7 + {j}) % 1000) || "
+        f"'.example/p/' || {id_column} || '-{j}\">t</a>' ELSE '' END) "
+        for j in range(3))
+    return f"('<html><body>' {anchors}|| '</body></html>')"
+
+
+def extract_links(ds, html_column: str = "html", id_column: str = "doc_id"):
+    """HTML -> (doc_id, link_idx, dst) outlink edges, the input to the
+    crawl graph (functions/graph.pagerank consumes edge tables).
+
+    Vectorized without a per-row regex loop: split on 'href="' (Arrow
+    list kernels), drop each row's preamble element, keep only elements
+    that still contain a closing quote (== the RE2 semantics of
+    href="([^"]*)" — the [^"]* group cannot cross a quote), then cut at
+    the first quote. ONE scan, no shuffle; output is edge-sized."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        h = t.column(html_column)
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        ids = t.column(id_column).to_numpy()
+        parts = pc.split_pattern(h, _HREF_SPLIT)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        counts = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        n = len(flat)
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "link_idx": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.string())})
+        row = np.repeat(np.arange(len(ids)), counts)
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(n) - np.repeat(starts, counts)
+        cand = pos > 0  # element 0 is the pre-href preamble
+        closed = pc.greater(
+            pc.count_substring(flat, '"'), 0).to_numpy(zero_copy_only=False)
+        keep = cand & closed
+        url = pc.list_element(
+            pc.split_pattern(flat.filter(pa.array(keep)), '"',
+                             max_splits=1), 0)
+        kr = row[keep]
+        # kept elements are already in (row, pos) order, so link_idx is
+        # a grouped arange over the kr run starts
+        runs = np.flatnonzero(np.diff(kr, prepend=kr[0] - 1) != 0) \
+            if kr.size else np.empty(0, np.int64)
+        link_idx = (np.arange(kr.size)
+                    - np.repeat(runs, np.diff(runs, append=kr.size)))
+        return pa.table({"doc_id": pa.array(ids[kr], pa.int64()),
+                         "link_idx": pa.array(link_idx, pa.int64()),
+                         "dst": url})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def extract_links_sql(html_expr: str, table: str = "documents",
+                      id_column: str = "doc_id") -> str:
+    """DuckDB twin: regexp_extract_all + unnest with subscripts."""
+    return (
+        f"WITH h AS (SELECT {id_column} AS doc_id, {html_expr} AS html "
+        f"FROM {table}), "
+        f"arr AS (SELECT doc_id, regexp_extract_all(html, '{_HREF_RE}', 1) "
+        "AS a FROM h) "
+        "SELECT doc_id, CAST(generate_subscripts(a, 1) - 1 AS BIGINT) "
+        "AS link_idx, unnest(a) AS dst FROM arr"
+    )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt disallow filtering (crawl politeness pass)
+
+_HOST_RE = r"^[a-z][a-z0-9+.\-]*://([^/]+)"
+_PATH_RE = r"^[a-z][a-z0-9+.\-]*://[^/]+(/.*)"
+
+
+def synth_robots_rules(n_hosts: int = 37) -> list[tuple[str, str]]:
+    """Deterministic disallow rules over the hostN.example synth host
+    set: every 3rd host disallows /p/1*, every 5th also /p/2*."""
+    rules = []
+    for i in range(n_hosts):
+        if i % 3 == 0:
+            rules.append((f"host{i}.example", "/p/1"))
+        if i % 5 == 0:
+            rules.append((f"host{i}.example", "/p/2"))
+    return rules
+
+
+def robots_filter(ds, rules: list[tuple[str, str]],
+                  url_column: str = "url", id_column: str = "doc_id"):
+    """Drop pages whose URL path starts with a disallowed prefix for
+    their host (the crawl politeness pass). Returns kept (doc_id, url).
+
+    The rule list is the small broadcast side (robots tables are
+    host-bounded): shipped once into the task closure, applied as one
+    vectorized (host ==, starts_with) pass per rule — O(R) Arrow kernel
+    sweeps, no shuffle, no per-row Python. Pages without a scheme://host
+    prefix match no rule and are kept (both engines)."""
+    rules = list(rules)
+
+    def fn(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        urls = t.column(url_column)
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        host = pc.struct_field(
+            pc.extract_regex(urls, _HOST_RE.replace("([^/]+)",
+                                                    "(?P<h>[^/]+)")), "h")
+        path = pc.struct_field(
+            pc.extract_regex(urls, _PATH_RE.replace("(/.*)",
+                                                    "(?P<p>/.*)")), "p")
+        host = pc.fill_null(host, "")
+        path = pc.fill_null(path, "")
+        banned = np.zeros(len(t), dtype=bool)
+        for rh, rp in rules:
+            m = pc.and_(pc.equal(host, rh), pc.starts_with(path, pattern=rp))
+            banned |= m.to_numpy(zero_copy_only=False)
+        keep = pa.array(~banned)
+        return pa.table({"doc_id": t.column(id_column).filter(keep),
+                         "url": urls.filter(keep)})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def robots_filter_sql(pages_cte: str, rules: list[tuple[str, str]],
+                      url_column: str = "url",
+                      id_column: str = "doc_id") -> str:
+    """DuckDB twin: same RE2 host/path extraction ('' on no match, like
+    fill_null), NOT EXISTS anti-join against the same rule rows."""
+    vals = ", ".join(f"('{h}', '{p}')" for h, p in rules)
+    return (
+        f"WITH pages AS (SELECT {id_column} AS doc_id, {url_column} AS url "
+        f"FROM {pages_cte}), "
+        f"rules(host, prefix) AS (VALUES {vals}), "
+        "px AS (SELECT doc_id, url, "
+        f"regexp_extract(url, '{_HOST_RE}', 1) AS host, "
+        f"regexp_extract(url, '{_PATH_RE}', 1) AS path FROM pages) "
+        "SELECT doc_id, url FROM px WHERE NOT EXISTS ("
+        "SELECT 1 FROM rules r WHERE r.host = px.host "
+        "AND starts_with(px.path, r.prefix))"
+    )
