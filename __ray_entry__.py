@@ -1066,6 +1066,31 @@ def _q_tile_pyramid(sf_dir: str):
                         base_zoom=10, levels=(10, 8, 6, 4))
 
 
+def _q_pq_codes(sf_dir: str):
+    """Product-quantization encode: every vector → 4 subspace codes via
+    exact-int argmin against unit-grid first-N codebooks — the 100-TB
+    compression step (M bytes/vector instead of 4D)."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.pq import pq_codes
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return pq_codes(ds, sf_dir)
+
+
+def _q_topk_pq(sf_dir: str):
+    """PQ ADC search: per-query int64 LUT over the codebooks, one corpus
+    scan with per-batch top-k pruning, single merge task."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.pq import topk_pq
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return topk_pq(ds, sf_dir, k=5, n_queries=10)
+
+
 def _q_extract_links(sf_dir: str):
     """Outlink extraction (the crawl-graph builder): anchor-bearing HTML
     synthesized deterministically → (doc_id, link_idx, dst) edges via
@@ -1547,7 +1572,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # shuffle hash join — orders_by_segment (broadcast)
                   # + top_unshipped_orders (shuffle join + semi-join +
                   # top-k) keep the family; slot freed for c4_pipeline
-                  "revenue_by_priority")
+                  "revenue_by_priority",
+                  # product quantization (IVF-PQ's compression half) —
+                  # the LSH/IVF rows hold the driver ANN slots
+                  "pq_codes", "topk_pq")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1659,6 +1687,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_ivf_indexed": _q_ann_ivf_indexed,
+        "pq_codes": _q_pq_codes,
+        "topk_pq": _q_topk_pq,
         # relational / streaming-shaped (SURVEY §2.5 analogues)
         "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
@@ -1821,6 +1851,8 @@ def oracle_sql_extra() -> dict[str, str]:
 
 def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.ann import cluster_sizes_sql
+    from vtzero_ray.functions.pq import pq_codes_sql as pq_codes_oracle_sql
+    from vtzero_ray.functions.pq import topk_pq_sql as topk_pq_oracle_sql
     from vtzero_ray.functions.ann import topk_ivf_sql as ann_ivf_sql
     from vtzero_ray.functions.ann import topk_lsh_sql as ann_lsh_sql
     from vtzero_ray.functions.dedup import \
@@ -2373,6 +2405,10 @@ def _all_oracle_sql() -> dict[str, str]:
         # (same centroids/probes/re-rank, just read from the persisted
         # partitioned index) — same oracle
         "ann_topk_ivf_indexed": ann_ivf_sql(),
+        # product quantization: unit-grid subvectors, first-N codebooks,
+        # int64 L2^2 argmin encode + ADC search (functions/pq.py)
+        "pq_codes": pq_codes_oracle_sql(),
+        "topk_pq": topk_pq_oracle_sql(),
         # -- relational / streaming-shaped --------------------------------------
         # exact integer-cent sums: float summation order differs between
         # engines and exceeds any rounding tolerance at sf >= 0.1

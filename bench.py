@@ -295,7 +295,9 @@ def run_bench() -> dict:
                      "hash_embed", "latest_snapshot", "domain_cap",
                      "tile_pyramid",
                      # DP simplification, crawl-graph edges, robots filter
-                     "simplify_paths_z2", "extract_links", "robots_filter"):
+                     "simplify_paths_z2", "extract_links", "robots_filter",
+                     # product quantization (ADC search scan)
+                     "topk_pq"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

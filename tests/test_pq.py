@@ -1,0 +1,90 @@
+"""Product-quantization ANN (functions/pq.py) — encode determinism,
+batching independence, and ADC search vs an in-process NumPy oracle."""
+
+import numpy as np
+import pyarrow.parquet as pq_
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb(sf_dir):
+    df = (pq_.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+          .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    return df["vec_id"].to_numpy(), np.stack(df["embedding"].to_numpy())
+
+
+def _ds(sf_dir):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+class TestPQEncode:
+    def test_codes_match_numpy(self, ray_session, sf_dir, emb):
+        from vtzero_ray.functions.pq import (_encode_mat, load_pq_codebooks,
+                                             pq_codes, quantize_unit)
+
+        ids, mat = emb
+        cb = load_pq_codebooks(sf_dir)
+        want = _encode_mat(quantize_unit(mat), cb)
+
+        out = (pq_codes(_ds(sf_dir), sf_dir).to_pandas()
+               .sort_values(["vec_id", "sub"]).reset_index(drop=True))
+        got = out["code"].to_numpy().reshape(ids.shape[0], cb.shape[1])
+        order = np.argsort(ids)
+        np.testing.assert_array_equal(got, want[order])
+
+    def test_batching_independence(self, ray_session, sf_dir):
+        """Per-row encode: 4096-row and 64-row batches agree exactly."""
+        from vtzero_ray.functions import pq as pqmod
+
+        a = (pqmod.pq_codes(_ds(sf_dir), sf_dir).to_pandas()
+             .sort_values(["vec_id", "sub"]).reset_index(drop=True))
+        b = (pqmod.pq_codes(_ds(sf_dir).repartition(7), sf_dir)
+             .to_pandas()
+             .sort_values(["vec_id", "sub"]).reset_index(drop=True))
+        assert a.equals(b)
+
+
+class TestPQSearch:
+    def test_adc_matches_numpy(self, ray_session, sf_dir, emb):
+        """topk_pq == full-matrix ADC argsort under (dist, vec_id)."""
+        from vtzero_ray.functions.pq import (_encode_mat, load_pq_codebooks,
+                                             load_queries_unit, quantize_unit,
+                                             topk_pq)
+
+        k, nq = 5, 6
+        ids, mat = emb
+        cb = load_pq_codebooks(sf_dir)
+        q_ids, q_mat = load_queries_unit(sf_dir, nq)
+        n_codes, n_sub, dsub = cb.shape
+        codes = _encode_mat(quantize_unit(mat), cb)
+        lut = ((q_mat.reshape(nq, n_sub, dsub)[:, None, :, :]
+                - cb[None, :, :, :]) ** 2).sum(axis=3)
+        dist = np.zeros((nq, ids.shape[0]), np.int64)
+        for m in range(n_sub):
+            dist += lut[:, codes[:, m], m]
+
+        out = topk_pq(_ds(sf_dir), sf_dir, k=k, n_queries=nq).to_pandas()
+        assert len(out) == k * nq
+        for qi, qid in enumerate(q_ids):
+            g = out[out["query_id"] == qid].sort_values("rank")
+            order = np.lexsort((ids, dist[qi]))[:k]
+            np.testing.assert_array_equal(g["vec_id"].to_numpy(), ids[order])
+            np.testing.assert_array_equal(g["pq_dist"].to_numpy(),
+                                          dist[qi, order])
+            np.testing.assert_array_equal(g["rank"].to_numpy(),
+                                          np.arange(1, k + 1))
+
+    def test_compression_bound(self, sf_dir, emb):
+        """PQ's reason to exist: M int8-range codes per vector."""
+        from vtzero_ray.functions.pq import _encode_mat, load_pq_codebooks, \
+            quantize_unit
+
+        _, mat = emb
+        cb = load_pq_codebooks(sf_dir)
+        codes = _encode_mat(quantize_unit(mat), cb)
+        assert codes.shape[1] == 4
+        assert codes.min() >= 0 and codes.max() < cb.shape[0] <= 256
