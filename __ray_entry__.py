@@ -893,6 +893,28 @@ def _q_dup_clusters(sf_dir: str):
     return dup_clusters(minhash_lsh_candidates(_docs(sf_dir)))
 
 
+def _q_near_dedup(sf_dir: str):
+    """Composed fuzzy-dedup REMOVAL (the GPT-3/RefinedWeb recipe):
+    MinHash+LSH candidates → distributed exact-Jaccard verify (J >= 1/2)
+    → connected components → each cluster keeps only its min doc_id;
+    removal is ONE bucketed tagged-union anti-join (the drop-set is
+    pair-bounded, never broadcast or driver-materialized)."""
+    from vtzero_ray.functions.dedup import near_dedup_corpus
+
+    return near_dedup_corpus(lambda: _docs(sf_dir), threshold=0.5)
+
+
+def _q_dsir_weights(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023): hashed-bigram importance
+    log-weights vs the doc_id % 20 == 0 target split. Fit = one scan of
+    n_dims-bounded integer partials + one output-sized merge; score =
+    one scan against the broadcast quantized log-ratio table. Pure-int
+    outputs on the 1e-9 grid (the doc_perplexity contract)."""
+    from vtzero_ray.functions.dsir import dsir_weights
+
+    return dsir_weights(lambda: _docs(sf_dir), n_dims=256, target_mod=20)
+
+
 def _q_simhash(sf_dir: str):
     from vtzero_ray.functions.dedup import simhash_signatures
 
@@ -1575,7 +1597,15 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "revenue_by_priority",
                   # product quantization (IVF-PQ's compression half) —
                   # the LSH/IVF rows hold the driver ANN slots
-                  "pq_codes", "topk_pq")
+                  "pq_codes", "topk_pq",
+                  # composed fuzzy-dedup REMOVAL (candidates → verify →
+                  # clusters → anti-join); the ingredient stages hold
+                  # the driver dedup slots
+                  "near_dedup",
+                  # DSIR importance weights (hashed-bigram log-ratio
+                  # data selection); doc_perplexity holds the driver
+                  # quality-scoring slot
+                  "dsir_weights")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1674,6 +1704,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_est": _q_cms_token_est,
         "distinct_langs": _q_distinct_langs,
         "dup_clusters": _q_dup_clusters,
+        "near_dedup": _q_near_dedup,
+        "dsir_weights": _q_dsir_weights,
         "doc_sample_10pct": _q_doc_sample,
         "corpus_clean": _q_corpus_clean,
         "sample_stratified": _q_sample_stratified,
@@ -1909,10 +1941,12 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.dedup_sql import (dup_clusters_sql,
                                                 jaccard_verified_sql,
                                                 minhash_candidates_sql,
+                                                near_dedup_sql,
                                                 simhash_near_dups_sql,
                                                 simhash_sql)
     from vtzero_ray.functions.sketch_sql import cms_est_sql, hll_facts_sql
     from vtzero_ray.functions.embed import hash_embed_sql
+    from vtzero_ray.functions.dsir import dsir_weights_sql
     from vtzero_ray.functions.simplify import dp_oracle_sql
     from vtzero_ray.functions.crawl import (domain_cap_sql,
                                             extract_links_sql,
@@ -2334,6 +2368,12 @@ def _all_oracle_sql() -> dict[str, str]:
         # dup_clusters: recursive-CTE connected components over the SAME
         # minhash candidate pairs; cluster = min doc_id in component
         "dup_clusters": dup_clusters_sql(),
+        # near_dedup: verified pairs (J >= 1/2) → recursive closure →
+        # survivors (unpaired docs + each cluster's min doc_id)
+        "near_dedup": near_dedup_sql(),
+        # dsir_weights: hashed-bigram importance log-weights, quantized
+        # per-feature log-ratio (integer-derived ln args) × integer tf
+        "dsir_weights": dsir_weights_sql(n_dims=256, target_mod=20),
         "doc_sample_10pct": "SELECT doc_id FROM documents WHERE doc_id % 10 = 0",
         # -- dedup -------------------------------------------------------------
         "dedup_exact": (

@@ -319,6 +319,26 @@ def minhash_lsh_candidates(ds, n_perm: int = 128, n_bands: int = 16, k: int = 5,
     return pairs.map_batches(lambda t: t, batch_format="pyarrow")
 
 
+def _drop_empty_blocks(ds):
+    """Normalize a Dataset to non-empty arrow blocks only.
+
+    Ray's sort/groupby all-to-all operators emit schema-less empty
+    blocks, and the map layer SKIPS the UDF on empty blocks — so a
+    `map_batches(lambda t: t, batch_format="pyarrow")` cannot launder
+    them, and a 0-column shard later fails `pa.Table.join` with "No
+    match ... FieldRef" inside the join aggregator. This materializes
+    (only refs + metadata touch the driver; blocks stay in the object
+    store) and keeps blocks with rows — all of which the arrow-format
+    map below HAS converted, because non-empty blocks do run the UDF.
+    """
+    import ray.data as rd
+
+    mat = ds.map_batches(lambda t: t, batch_format="pyarrow").materialize()
+    refs = [r for bundle in mat.iter_internal_ref_bundles()
+            for r, md in bundle.blocks if md.num_rows]
+    return rd.from_arrow_refs(refs)
+
+
 def jaccard_pairs(texts_by_id: dict, pairs, k: int = 5) -> pd.DataFrame:
     """Exact n-gram Jaccard for candidate pairs (verification stage)."""
     rows = []
@@ -353,8 +373,27 @@ def jaccard_verify(docs_ds, pairs_ds, k: int = 5, threshold: float = 0.5,
             "member": pa.array(np.concatenate([a, b]), pa.int64()),
         })
 
-    members = pairs_ds.select_columns(["doc_a", "doc_b"]).map_batches(
-        explode, batch_format="pyarrow")
+    import ray.data as rd
+
+    # Two block-level hazards poison pa.Table.join inside Ray's hash
+    # shuffle: (a) a pairs_ds with ZERO candidate pairs has no schema at
+    # all, and (b) sort/groupby all-to-all ops emit SCHEMA-LESS empty
+    # blocks that map UDFs are skipped on (ray plan_udf_map_op.py
+    # fast-path), so they reach the join as 0-column shards no matter
+    # how many normalizing map_batches sit in between. Fix both at the
+    # block level: union a sentinel pair (an id no corpus can hold —
+    # the INNER join drops it because no document has that doc_id) so
+    # the left side is never empty, then drop empty blocks by METADATA
+    # (zero-copy — only refs reach the driver; candidates are
+    # pair-bounded, so this materialization is not a corpus-sized one).
+    sent = -(1 << 62)
+    sentinel = rd.from_arrow(pa.table({
+        "doc_a": pa.array([sent], pa.int64()),
+        "doc_b": pa.array([sent], pa.int64()),
+    }))
+    pairs_keyed = _drop_empty_blocks(
+        pairs_ds.select_columns(["doc_a", "doc_b"]).union(sentinel))
+    members = pairs_keyed.map_batches(explode, batch_format="pyarrow")
     docs = docs_ds.select_columns(["doc_id", "text"])
     joined = members.join(docs, join_type="inner",
                           num_partitions=num_partitions,
@@ -638,6 +677,9 @@ def _forest_batch(batch: pa.Table) -> pa.Table:
     """One block of edges → its spanning forest as (root, node) edges.
     Components of the union of per-block forests equal components of the
     union of the original edge sets, so blocks compress independently."""
+    if batch.num_columns == 0 or len(batch) == 0:  # schema-less empty block
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
     a = batch.column("doc_a").to_numpy()
     b = batch.column("doc_b").to_numpy()
     parent, find = _uf_forest(a, b)
@@ -666,6 +708,9 @@ def dup_clusters(pairs, fan_in=(16, 4, 1)):
             _forest_batch, batch_format="pyarrow", batch_size=None)
 
     def components(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or len(batch) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64())})
         a = batch.column("doc_a").to_numpy()
         b = batch.column("doc_b").to_numpy()
         parent, find = _uf_forest(a, b)
@@ -911,3 +956,82 @@ def embedding_near_dups(ds, threshold: float = 0.95, target_blocks: int = 32):
             "cosine": pa.array([], pa.float64()),
         }))
     return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------------
+# composed fuzzy-dedup removal (the GPT-3 / RefinedWeb recipe)
+# ---------------------------------------------------------------------------
+
+
+def near_dedup_corpus(docs_factory, n_perm: int = 128, n_bands: int = 16,
+                      k: int = 5, seed: int = 42, threshold: float = 0.5,
+                      n_buckets: int = 64):
+    """Fuzzy-dedup REMOVAL, composed from the engine's proven stages
+    (the GPT-3 appendix-A / RefinedWeb recipe): MinHash+LSH candidate
+    pairs → DISTRIBUTED exact n-gram Jaccard verification (keep pairs
+    with J >= threshold) → connected components (tree-reduced
+    union-find) → each cluster keeps ONLY its min doc_id; every other
+    member leaves the corpus.
+
+    ``docs_factory`` is a zero-arg callable returning a FRESH
+    (doc_id, text) Dataset per call — the signature/verify/anti-join
+    stages are independent consumers, and re-reading parquet is cheaper
+    than re-executing shared lineage (CLAUDE.md lineage invariant).
+
+    Scale shape: the drop-set (non-canonical cluster members) is
+    pair-bounded, NOT corpus-bounded, but at 100 TB with 30-50% dup
+    rates it is far too large to broadcast — so removal is ONE bucketed
+    tagged-union anti-join: corpus rows and drop rows shuffle together
+    on hash(doc_id) % n_buckets and each bucket filters locally. No
+    driver materialization anywhere.
+    """
+    import pyarrow.compute as pc
+
+    cands = minhash_lsh_candidates(docs_factory(), n_perm=n_perm,
+                                   n_bands=n_bands, k=k, seed=seed)
+    verified = jaccard_verify(docs_factory(), cands, k=k,
+                              threshold=threshold, n_buckets=n_buckets)
+    clusters = dup_clusters(verified)
+
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def _bucket_of(ids: np.ndarray) -> np.ndarray:
+        return ((ids.astype(np.uint64) * mult) >> np.uint64(40)) \
+            .astype(np.int64) % n_buckets
+
+    def tag_corpus(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return pa.table({
+            "bucket": pa.array(_bucket_of(ids), pa.int32()),
+            "doc_id": t.column("doc_id"),
+            "text": t.column("text"),
+            "is_drop": pa.array(np.zeros(len(t), np.int8)),
+        })
+
+    def to_drops(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            t = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "cluster_id": pa.array([], pa.int64())})
+        t = t.filter(pc.not_equal(t.column("doc_id"),
+                                  t.column("cluster_id")))
+        ids = t.column("doc_id").to_numpy()
+        return pa.table({
+            "bucket": pa.array(_bucket_of(ids), pa.int32()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([""] * len(ids), pa.string()),
+            "is_drop": pa.array(np.ones(len(ids), np.int8)),
+        })
+
+    corpus = docs_factory().map_batches(tag_corpus, batch_format="pyarrow",
+                                        batch_size=None)
+    drops = clusters.map_batches(to_drops, batch_format="pyarrow",
+                                 batch_size=None)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        drop_ids = df.loc[df["is_drop"] == 1, "doc_id"]
+        out = df[(df["is_drop"] == 0) & ~df["doc_id"].isin(drop_ids)]
+        return out[["doc_id", "text"]]
+
+    kept = corpus.union(drops).groupby("bucket").map_groups(
+        keep, batch_format="pandas")
+    return kept.map_batches(lambda t: t, batch_format="pyarrow")

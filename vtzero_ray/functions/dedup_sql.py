@@ -199,3 +199,38 @@ def dup_clusters_sql(n_perm: int = 128, n_bands: int = 16, k: int = 5,
             f" JOIN edges e ON e.a = r.node) "
             f"SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id"
             f" FROM reach GROUP BY 1")
+
+
+def near_dedup_sql(n_perm: int = 128, n_bands: int = 16, k: int = 5,
+                   seed: int = 42, thr_num: int = 1,
+                   thr_den: int = 2) -> str:
+    """DuckDB twin of dedup.near_dedup_corpus: LSH candidates → exact
+    integer-Jaccard verified pairs → recursive-closure components →
+    keep docs that are unpaired or their cluster's min doc_id."""
+    ctes = _minhash_ctes(n_perm, n_bands, k, seed)
+    return (
+        f"WITH RECURSIVE {ctes}"
+        f"upairs AS (SELECT DISTINCT doc_a, doc_b FROM cands), "
+        f"gcount AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1), "
+        f"inter AS (SELECT u.doc_a, u.doc_b, COUNT(*) AS n_inter FROM upairs u"
+        f" JOIN grams ga ON ga.doc_id = u.doc_a"
+        f" JOIN grams gb ON gb.doc_id = u.doc_b AND gb.g = ga.g"
+        f" GROUP BY 1, 2), "
+        f"vpairs AS (SELECT u.doc_a, u.doc_b FROM upairs u"
+        f" JOIN gcount ca ON ca.doc_id = u.doc_a"
+        f" JOIN gcount cb ON cb.doc_id = u.doc_b"
+        f" LEFT JOIN inter i ON i.doc_a = u.doc_a AND i.doc_b = u.doc_b"
+        f" WHERE COALESCE(i.n_inter, 0) * {thr_den} >="
+        f" {thr_num} * (ca.n + cb.n - COALESCE(i.n_inter, 0))), "
+        f"edges AS (SELECT doc_a AS a, doc_b AS b FROM vpairs"
+        f" UNION ALL SELECT doc_b, doc_a FROM vpairs), "
+        f"nodes AS (SELECT DISTINCT a AS n FROM edges), "
+        f"reach AS (SELECT n AS node, n AS label FROM nodes"
+        f" UNION SELECT e.b, r.label FROM reach r"
+        f" JOIN edges e ON e.a = r.node), "
+        f"clus AS (SELECT node AS doc_id, MIN(label) AS cluster_id"
+        f" FROM reach GROUP BY 1) "
+        f"SELECT d.doc_id, d.text FROM documents d"
+        f" LEFT JOIN clus c ON c.doc_id = d.doc_id"
+        f" WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id"
+    )
