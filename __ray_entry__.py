@@ -915,6 +915,36 @@ def _q_dsir_weights(sf_dir: str):
     return dsir_weights(lambda: _docs(sf_dir), n_dims=256, target_mod=20)
 
 
+def _q_dsir_select(sf_dir: str):
+    """DSIR selection: keep the top-25% of the corpus by bucketized
+    importance weight (quantile_disc cutoff over milli-log-weight
+    buckets — the filter_by_perplexity composition, inequality
+    flipped). Truncating // mirrored across engines."""
+    from vtzero_ray.functions.dsir import dsir_select
+
+    return dsir_select(lambda: _docs(sf_dir), p=0.25, n_dims=256,
+                       target_mod=20)
+
+
+def _q_path_lengths(sf_dir: str):
+    """Per-site polyline length in micro-pixels at z6: one bounded
+    site-bucket shuffle (segments), per-batch int64 length partials,
+    ONE output-sized merge. floor(sqrt*1e6+0.5) over exact-int args is
+    the same IEEE value in NumPy and DuckDB."""
+    from vtzero_ray.functions.geo import path_lengths
+
+    return path_lengths(sf_dir, zoom=6)
+
+
+def _q_geohash(sf_dir: str):
+    """8-char geohash per page through the REAL parse chain (read_pages
+    → geoparse → exact microdegree recovery → pure-integer interleave).
+    One scan, nothing shuffles."""
+    from vtzero_ray.functions.geo import geohash_cells
+
+    return geohash_cells(sf_dir)
+
+
 def _q_simhash(sf_dir: str):
     from vtzero_ray.functions.dedup import simhash_signatures
 
@@ -1605,7 +1635,13 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # DSIR importance weights (hashed-bigram log-ratio
                   # data selection); doc_perplexity holds the driver
                   # quality-scoring slot
-                  "dsir_weights")
+                  "dsir_weights",
+                  # DSIR top-fraction selection (weights + quantile cut)
+                  "dsir_select",
+                  # geo measurement/indexing: mercator path lengths,
+                  # geohash cells (clipped_paths/tile_assignment hold
+                  # the driver geo slots)
+                  "path_lengths_z6", "geohash_cells")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1706,6 +1742,9 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "near_dedup": _q_near_dedup,
         "dsir_weights": _q_dsir_weights,
+        "dsir_select": _q_dsir_select,
+        "path_lengths_z6": _q_path_lengths,
+        "geohash_cells": _q_geohash,
         "doc_sample_10pct": _q_doc_sample,
         "corpus_clean": _q_corpus_clean,
         "sample_stratified": _q_sample_stratified,
@@ -1946,7 +1985,8 @@ def _all_oracle_sql() -> dict[str, str]:
                                                 simhash_sql)
     from vtzero_ray.functions.sketch_sql import cms_est_sql, hll_facts_sql
     from vtzero_ray.functions.embed import hash_embed_sql
-    from vtzero_ray.functions.dsir import dsir_weights_sql
+    from vtzero_ray.functions.dsir import dsir_select_sql, dsir_weights_sql
+    from vtzero_ray.functions.geo import geohash_sql, path_lengths_sql
     from vtzero_ray.functions.simplify import dp_oracle_sql
     from vtzero_ray.functions.crawl import (domain_cap_sql,
                                             extract_links_sql,
@@ -2374,6 +2414,14 @@ def _all_oracle_sql() -> dict[str, str]:
         # dsir_weights: hashed-bigram importance log-weights, quantized
         # per-feature log-ratio (integer-derived ln args) × integer tf
         "dsir_weights": dsir_weights_sql(n_dims=256, target_mod=20),
+        # dsir_select: weights CTE + truncating-// bucket + quantile cut
+        "dsir_select": dsir_select_sql(p=0.25, n_dims=256, target_mod=20),
+        # path_lengths_z6: shared site-path CTEs + the SAME
+        # floor(sqrt*1e6+0.5) expression + integer sums
+        "path_lengths_z6": path_lengths_sql(_sql_site_path_ctes(6, 4096)),
+        # geohash_cells: pure-integer microdegree cells + unrolled
+        # 40-bit interleave + base-32 substr digits
+        "geohash_cells": geohash_sql(SQL_LAT_US, SQL_LON_US),
         "doc_sample_10pct": "SELECT doc_id FROM documents WHERE doc_id % 10 = 0",
         # -- dedup -------------------------------------------------------------
         "dedup_exact": (

@@ -297,7 +297,9 @@ def run_bench() -> dict:
                      # DP simplification, crawl-graph edges, robots filter
                      "simplify_paths_z2", "extract_links", "robots_filter",
                      # product quantization (ADC search scan)
-                     "topk_pq"):
+                     "topk_pq",
+                     # composed fuzzy-dedup removal + DSIR selection
+                     "near_dedup", "dsir_weights"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

@@ -84,6 +84,30 @@ class TestDSIR:
             .sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
 
+    def test_select_keeps_top_fraction(self, ray_session):
+        """dsir_select = the docs whose truncated milli-weight bucket
+        clears the (1-p) quantile_disc cutoff, recomputed independently."""
+        import math
+
+        import ray.data as rd
+
+        from vtzero_ray.functions.dsir import dsir_select
+
+        df = _corpus()
+        exp_w = _expected(df)
+        w = exp_w.dsir_q9.to_numpy(np.int64)
+        div = 1_000_000
+        b = w // div + ((w % div != 0) & (w < 0))  # truncating division
+        bs = np.sort(b)
+        cutoff = int(bs[max(math.ceil(0.75 * len(bs)), 1) - 1])
+        exp = set(exp_w.doc_id.to_numpy()[b >= cutoff])
+
+        got = dsir_select(lambda: rd.from_pandas(df), p=0.25,
+                          n_dims=N_DIMS, target_mod=TARGET_MOD).to_pandas()
+        assert set(got.doc_id) == exp
+        # selection keeps roughly the top quarter, never everything
+        assert 0 < len(got) < len(df)
+
     def test_target_docs_score_higher(self, ray_session):
         """Target-split docs draw from the target vocabulary, so their
         importance log-weights must exceed the raw docs' (per bigram)."""

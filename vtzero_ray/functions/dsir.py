@@ -143,6 +143,80 @@ def dsir_weights(docs_factory, n_dims: int = 256, target_mod: int = 20,
                                       batch_size=None)
 
 
+def dsir_select(docs_factory, p: float = 0.25, bucket_div: int = 1_000_000,
+                n_dims: int = 256, target_mod: int = 20,
+                column: str = "text"):
+    """DSIR's SELECTION step: keep the top-``p`` fraction of the corpus
+    by bucketized importance weight → Dataset (doc_id, wbucket).
+
+    Deterministic stand-in for the paper's Gumbel resampling (the
+    engine's exactness bar forbids per-row randomness): rank by the
+    milli-log-weight bucket and keep buckets >= the (1-p) corpus
+    quantile — the filter_by_perplexity histogram composition, with the
+    inequality flipped (HIGH weight = target-like = keep).
+
+    GOTCHA mirrored in SQL: dsir_q9 is signed and DuckDB's integer ``//``
+    TRUNCATES toward zero while NumPy floor-divides — the bucket uses
+    explicit truncating division in both engines. The histogram is
+    bucket-grid-bounded, never corpus-sized; the scored frame is
+    materialized once and consumed by histogram + filter (at 100 TB
+    persist it to parquet instead — the text-index pattern)."""
+    import math
+
+    scored = dsir_weights(docs_factory, n_dims=n_dims,
+                          target_mod=target_mod, column=column).materialize()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        w = t.column("dsir_q9").to_numpy()
+        q = w // bucket_div  # numpy floor division…
+        b = q + ((w % bucket_div != 0) & (w < 0))  # …corrected to trunc
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "wbucket": pa.array(b.astype(np.int64))})
+
+    buck = scored.map_batches(bucketize, batch_format="pyarrow",
+                              batch_size=None)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        ub, cnt = np.unique(t.column("wbucket").to_numpy(),
+                            return_counts=True)
+        return pa.table({"b": pa.array(ub.astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = buck.map_batches(hist_partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    hist = parts.groupby("b", sort=True)["cnt"].sum()
+    cum = hist.to_numpy(np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return buck
+    # quantile_disc rule: sorted v[ceil(q*n)-1] off the cumulative
+    # histogram (the length_quantiles-verified equivalence)
+    idx = int(np.searchsorted(cum, max(math.ceil((1.0 - p) * n), 1)))
+    cutoff = int(hist.index.to_numpy(np.int64)[idx])
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = t.column("wbucket").to_numpy()
+        return t.filter(pa.array(b >= cutoff))
+
+    return buck.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def dsir_select_sql(p: float = 0.25, bucket_div: int = 1_000_000,
+                    n_dims: int = 256, target_mod: int = 20,
+                    table: str = "documents", column: str = "text") -> str:
+    """DuckDB twin: scored CTE = dsir_weights_sql, DuckDB's native
+    truncating ``//`` bucket, quantile_disc cutoff, same >= filter."""
+    scored = dsir_weights_sql(n_dims=n_dims, target_mod=target_mod,
+                              table=table, column=column)
+    return (
+        f"WITH scored AS ({scored}), "
+        f"b AS (SELECT doc_id, CAST(dsir_q9 // {bucket_div} AS BIGINT) "
+        "AS wbucket FROM scored), "
+        f"cut AS (SELECT quantile_disc(wbucket, {1.0 - p}) AS c FROM b) "
+        "SELECT doc_id, wbucket FROM b, cut WHERE wbucket >= cut.c"
+    )
+
+
 def dsir_weights_sql(n_dims: int = 256, target_mod: int = 20,
                      table: str = "documents", column: str = "text") -> str:
     """DuckDB twin: same tokenizer (kept tokens, re-ranked positions —

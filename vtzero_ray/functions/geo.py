@@ -1,0 +1,189 @@
+"""Geo measurement + indexing ops over the pages corpus: web-mercator
+path lengths and geohash cell encoding.
+
+Both are derived from the same deterministic geo markers the tiling
+pipeline parses (sources/pages.py), so their DuckDB twins reuse the
+repo's integer lat/lon fragments and the shared site-path CTEs.
+
+Exactness contracts:
+- ``path_lengths``: the per-segment length floor(sqrt(dx^2+dy^2)*1e6
+  + 0.5) is ONE IEEE expression over exact integers — sqrt is
+  correctly-rounded in IEEE-754, and dx^2+dy^2 <= 2*(2^21)^2 < 2^53 is
+  exactly representable as a double — so NumPy and DuckDB land on the
+  same int64 micro-pixel value, and per-site sums are order-free
+  integer adds (the doc_perplexity contract). int64 headroom: a
+  max-length zoom-6 segment is ~3.7e11 micro-pixels, so a site path
+  holds ~2.5e7 worst-case segments before overflow — raise the quantum
+  to 1e3 (or sum per sub-path) past that.
+- ``geohash_cells``: cell indices are PURE integer arithmetic on
+  microdegrees ((lat_us + 9e7) * 2^20 // 1.8e8 — never a float), the
+  40-bit interleave and base-32 digits are bit ops, so both engines are
+  trivially identical. Ray recovers exact microdegrees from the parsed
+  float with floor(x*1e6 + 0.5): the decimal text has exactly six
+  fractional digits, so the parsed double is within 2^-33 of the true
+  value and round-half-up is exact.
+
+The reference has no measurement ops (vtzero encodes what it is given);
+these are brief-driven geospatial analytics over the same
+world-coordinate derivation as pipelines/clip_paths.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_BITS = 20  # per-axis cell index bits (40-bit hash, 8 base-32 chars)
+
+
+# ---------------------------------------------------------------------------
+# path lengths
+# ---------------------------------------------------------------------------
+
+
+def path_lengths(sf_dir: str, zoom: int = 6, extent: int = 4096):
+    """→ Dataset (site, n_segments, length_q6): total polyline length of
+    each site path in micro-pixels at ``zoom`` (q6 grid), over the
+    consecutive-dup-dropped world-coordinate segments the clip pipeline
+    builds (pipelines/clip_paths.world_segments).
+
+    Scale shape: segments already form via ONE bounded site-bucket
+    shuffle; length partials are per-batch int64 (site-bounded rows),
+    merged in ONE output-sized repartition(1) task — no groupby barrier
+    (CLAUDE.md output-sized-merge rule)."""
+    from vtzero_ray.pipelines.clip_paths import world_segments
+
+    segs = world_segments(sf_dir, zoom=zoom, extent=extent)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"site": pa.array([], pa.int64()),
+                             "n_segments": pa.array([], pa.int64()),
+                             "length_q6": pa.array([], pa.int64())})
+        site = t.column("site").to_numpy().astype(np.int64)
+        dx = (t.column("wx1").to_numpy() - t.column("wx0").to_numpy()) \
+            .astype(np.int64)
+        dy = (t.column("wy1").to_numpy() - t.column("wy0").to_numpy()) \
+            .astype(np.int64)
+        # ONE IEEE expression, mirrored token-for-token in the SQL twin
+        ln = np.floor(np.sqrt((dx * dx + dy * dy).astype(np.float64))
+                      * 1000000.0 + 0.5).astype(np.int64)
+        us, inv = np.unique(site, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        # bincount's weights path goes through float64 — sum exactly on
+        # int64 with np.add.at instead
+        tot = np.zeros(us.shape[0], np.int64)
+        np.add.at(tot, inv, ln)
+        return pa.table({"site": pa.array(us),
+                         "n_segments": pa.array(n),
+                         "length_q6": pa.array(tot)})
+
+    parts = segs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None)
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"site": pa.array([], pa.int64()),
+                             "n_segments": pa.array([], pa.int64()),
+                             "length_q6": pa.array([], pa.int64())})
+        site = t.column("site").to_numpy()
+        us, inv = np.unique(site, return_inverse=True)
+        n = np.zeros(us.shape[0], np.int64)
+        tot = np.zeros(us.shape[0], np.int64)
+        np.add.at(n, inv, t.column("n_segments").to_numpy())
+        np.add.at(tot, inv, t.column("length_q6").to_numpy())
+        return pa.table({"site": pa.array(us), "n_segments": pa.array(n),
+                         "length_q6": pa.array(tot)})
+
+    return parts.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def path_lengths_sql(e_ctes: str) -> str:
+    """DuckDB twin: the shared site-path CTEs (``e``) → lead() segments →
+    the SAME floor(sqrt*1e6+0.5) expression → integer sums."""
+    return (
+        f"WITH {e_ctes}, "
+        "segs AS (SELECT site, wx AS wx0, wy AS wy0, "
+        "lead(wx) OVER w AS wx1, lead(wy) OVER w AS wy1 FROM e "
+        "WINDOW w AS (PARTITION BY site ORDER BY pt_idx) "
+        "QUALIFY lead(wx) OVER w IS NOT NULL) "
+        "SELECT site, CAST(COUNT(*) AS BIGINT) AS n_segments, "
+        "CAST(SUM(CAST(floor(sqrt(CAST((wx1-wx0)*(wx1-wx0)"
+        "+(wy1-wy0)*(wy1-wy0) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS length_q6 FROM segs GROUP BY site"
+    )
+
+
+# ---------------------------------------------------------------------------
+# geohash
+# ---------------------------------------------------------------------------
+
+
+def _geohash_from_us(lat_us: np.ndarray, lon_us: np.ndarray) -> np.ndarray:
+    """(lat, lon) microdegrees → (n, 8) ascii geohash codes, vectorized."""
+    clat = np.minimum((lat_us + 90_000_000) * (1 << _GH_BITS)
+                      // 180_000_000, (1 << _GH_BITS) - 1)
+    clon = np.minimum((lon_us + 180_000_000) * (1 << _GH_BITS)
+                      // 360_000_000, (1 << _GH_BITS) - 1)
+    h = np.zeros(lat_us.shape[0], np.int64)
+    for i in range(_GH_BITS):  # geohash bit order: lon first, MSB first
+        h |= ((clon >> (_GH_BITS - 1 - i)) & 1) << (39 - 2 * i)
+        h |= ((clat >> (_GH_BITS - 1 - i)) & 1) << (38 - 2 * i)
+    alpha = np.frombuffer(GEOHASH_ALPHABET.encode(), np.uint8)
+    shifts = np.arange(35, -1, -5, dtype=np.int64)
+    return alpha[(h[:, None] >> shifts[None, :]) & 31]  # (n, 8) uint8
+
+
+def geohash_cells(sf_dir: str, n_chars: int = 8):
+    """→ Dataset (doc_id, geohash): 8-char geohash of every page's geo
+    marker, through the REAL parse chain (read_pages → geoparse →
+    exact microdegree recovery → integer bit interleave). One scan,
+    nothing shuffles."""
+    from vtzero_ray.sources.pages import read_pages
+    from vtzero_ray.stages.geoparse import geoparse
+
+    if n_chars != 8:
+        raise ValueError("n_chars=8 is the 40-bit build this op ships")
+    ds = geoparse(read_pages(sf_dir, include_html=False))
+
+    def encode(t: pa.Table) -> pa.Table:
+        lat = t.column("lat").to_numpy()
+        lon = t.column("lon").to_numpy()
+        lat_us = np.floor(lat * 1e6 + 0.5).astype(np.int64)
+        lon_us = np.floor(lon * 1e6 + 0.5).astype(np.int64)
+        codes = _geohash_from_us(lat_us, lon_us)  # (n, 8) ascii bytes
+        n = codes.shape[0]
+        # fixed-width rows → a StringArray straight from buffers, no
+        # per-row Python
+        offs = np.arange(0, 8 * (n + 1), 8, dtype=np.int32)
+        gh = pa.StringArray.from_buffers(
+            n, pa.py_buffer(offs.tobytes()),
+            pa.py_buffer(np.ascontiguousarray(codes).tobytes()))
+        return pa.table({"doc_id": t.column("doc_id"), "geohash": gh})
+
+    return ds.select_columns(["doc_id", "lat", "lon"]).map_batches(
+        encode, batch_format="pyarrow", batch_size=None)
+
+
+def geohash_sql(lat_us_expr: str, lon_us_expr: str,
+                table: str = "documents") -> str:
+    """DuckDB twin: same integer cell indices, same 40-bit interleave
+    (unrolled bit-op sum), same base-32 digit extraction."""
+    mx = (1 << _GH_BITS) - 1
+    clat = f"LEAST(({lat_us_expr} + 90000000) * {1 << _GH_BITS} // 180000000, {mx})"
+    clon = f"LEAST(({lon_us_expr} + 180000000) * {1 << _GH_BITS} // 360000000, {mx})"
+    terms = []
+    for i in range(_GH_BITS):
+        terms.append(f"(((clon >> {_GH_BITS - 1 - i}) & 1) * {1 << (39 - 2 * i)})")
+        terms.append(f"(((clat >> {_GH_BITS - 1 - i}) & 1) * {1 << (38 - 2 * i)})")
+    hv = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{GEOHASH_ALPHABET}', CAST((hv >> {35 - 5 * j}) & 31 AS INTEGER) + 1, 1)"
+        for j in range(8))
+    return (
+        f"WITH c AS (SELECT doc_id, {clat} AS clat, {clon} AS clon FROM {table}), "
+        f"h AS (SELECT doc_id, CAST({hv} AS BIGINT) AS hv FROM c) "
+        f"SELECT doc_id, ({chars}) AS geohash FROM h"
+    )
