@@ -945,6 +945,16 @@ def _q_geohash(sf_dir: str):
     return geohash_cells(sf_dir)
 
 
+def _q_grid_clusters(sf_dir: str):
+    """Grid-DBSCAN spatial clustering: pages bucket into a 500-µdeg
+    grid, 4-adjacent occupied cells cluster via the tree-reduced
+    union-find — point-pair-free (a dense hot spot costs O(cells),
+    never O(points²)). cluster_id = component min cell key."""
+    from vtzero_ray.functions.geo import grid_clusters
+
+    return grid_clusters(sf_dir, cell_us=500)
+
+
 def _q_simhash(sf_dir: str):
     from vtzero_ray.functions.dedup import simhash_signatures
 
@@ -1641,7 +1651,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # geo measurement/indexing: mercator path lengths,
                   # geohash cells (clipped_paths/tile_assignment hold
                   # the driver geo slots)
-                  "path_lengths_z6", "geohash_cells")
+                  "path_lengths_z6", "geohash_cells",
+                  # grid-DBSCAN connected-cell clustering
+                  "grid_clusters")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1745,6 +1757,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": _q_dsir_select,
         "path_lengths_z6": _q_path_lengths,
         "geohash_cells": _q_geohash,
+        "grid_clusters": _q_grid_clusters,
         "doc_sample_10pct": _q_doc_sample,
         "corpus_clean": _q_corpus_clean,
         "sample_stratified": _q_sample_stratified,
@@ -1986,7 +1999,8 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.sketch_sql import cms_est_sql, hll_facts_sql
     from vtzero_ray.functions.embed import hash_embed_sql
     from vtzero_ray.functions.dsir import dsir_select_sql, dsir_weights_sql
-    from vtzero_ray.functions.geo import geohash_sql, path_lengths_sql
+    from vtzero_ray.functions.geo import (geohash_sql, grid_clusters_sql,
+                                          path_lengths_sql)
     from vtzero_ray.functions.simplify import dp_oracle_sql
     from vtzero_ray.functions.crawl import (domain_cap_sql,
                                             extract_links_sql,
@@ -2422,6 +2436,10 @@ def _all_oracle_sql() -> dict[str, str]:
         # geohash_cells: pure-integer microdegree cells + unrolled
         # 40-bit interleave + base-32 substr digits
         "geohash_cells": geohash_sql(SQL_LAT_US, SQL_LON_US),
+        # grid_clusters: integer grid + 4-adjacency self-join +
+        # recursive-closure components + COALESCE singletons
+        "grid_clusters": grid_clusters_sql(SQL_LAT_US, SQL_LON_US,
+                                           cell_us=500),
         "doc_sample_10pct": "SELECT doc_id FROM documents WHERE doc_id % 10 = 0",
         # -- dedup -------------------------------------------------------------
         "dedup_exact": (

@@ -299,7 +299,9 @@ def run_bench() -> dict:
                      # product quantization (ADC search scan)
                      "topk_pq",
                      # composed fuzzy-dedup removal + DSIR selection
-                     "near_dedup", "dsir_weights"):
+                     "near_dedup", "dsir_weights",
+                     # grid-DBSCAN spatial clustering
+                     "grid_clusters"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

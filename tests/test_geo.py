@@ -62,6 +62,62 @@ class TestGeohash:
             assert lo0 - 1e-9 <= lo <= lo1 + 1e-9
 
 
+class TestGridClusters:
+    def test_matches_independent_closure(self, ray_session):
+        """Cluster labels equal a plain-Python BFS over the occupied
+        4-adjacent cells, recomputed from the synth formula."""
+        from vtzero_ray.functions.geo import grid_clusters
+        from vtzero_ray.sources.pages import _geo_microdeg
+
+        got = grid_clusters(SF, cell_us=500).to_pandas()
+
+        import duckdb
+        n_docs = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet')"
+        ).fetchone()[0]
+        lat_us, lon_us = _geo_microdeg(np.arange(n_docs, dtype=np.int64))
+        gy = (lat_us + 90_000_000) // 500
+        gx = (lon_us + 180_000_000) // 500
+        cells = {}
+        for x, y in zip(gx, gy):
+            cells[(int(x), int(y))] = cells.get((int(x), int(y)), 0) + 1
+        # BFS components over 4-adjacency
+        label = {}
+        for c in sorted(cells):
+            if c in label:
+                continue
+            comp, stack = [], [c]
+            seen = {c}
+            while stack:
+                u = stack.pop()
+                comp.append(u)
+                for v in ((u[0] + 1, u[1]), (u[0] - 1, u[1]),
+                          (u[0], u[1] + 1), (u[0], u[1] - 1)):
+                    if v in cells and v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            root = min(x * (1 << 30) + y for x, y in comp)
+            for u in comp:
+                label[u] = root
+
+        assert len(got) == len(cells)
+        for r in got.itertuples():
+            assert cells[(r.gx, r.gy)] == r.n_points
+            assert label[(r.gx, r.gy)] == r.cluster_id
+
+    def test_hot_cluster_forms(self, ray_session):
+        """The synth corpus's hot-NYC 30% lands in one multi-cell
+        cluster holding ~30% of the pages."""
+        from vtzero_ray.functions.geo import grid_clusters
+
+        got = grid_clusters(SF, cell_us=500).to_pandas()
+        agg = got.groupby("cluster_id").agg(cells=("gx", "count"),
+                                            pts=("n_points", "sum"))
+        top = agg.sort_values("cells", ascending=False).iloc[0]
+        assert top.cells > 1
+        assert top.pts >= 0.29 * got.n_points.sum()
+
+
 class TestPathLengths:
     def test_matches_bruteforce(self, ray_session):
         from vtzero_ray.pipelines.clip_paths import _world_points

@@ -31,6 +31,7 @@ world-coordinate derivation as pipelines/clip_paths.py.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
@@ -165,6 +166,128 @@ def geohash_cells(sf_dir: str, n_chars: int = 8):
 
     return ds.select_columns(["doc_id", "lat", "lon"]).map_batches(
         encode, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# grid spatial clustering (grid-DBSCAN / connected occupied cells)
+# ---------------------------------------------------------------------------
+
+_GRID_M = np.int64(1 << 30)  # cell key = gx * 2^30 + gy (gx, gy < 2^30)
+
+
+def grid_clusters(sf_dir: str, cell_us: int = 500, n_buckets: int = 64):
+    """Density-connected spatial clusters of the page corpus → Dataset
+    (gx, gy, n_points, cluster_id): bucket every page into a
+    ``cell_us``-microdegree grid cell, then cluster cells that are
+    4-adjacent (the grid-DBSCAN shape — point-pair-free, so a dense
+    hot spot costs O(occupied cells), never O(points²)).
+
+    cluster_id = the component's min cell key (the dup_clusters
+    contract); isolated occupied cells are their own singleton cluster.
+
+    Scale shape (100-TB): points reduce to per-batch (cell, count)
+    partials — at most `occupied cells` rows leave any task — then ONE
+    bucketed cell shuffle; adjacency (east/south searchsorted probes —
+    each undirected edge generated exactly once), union-find and
+    resolution run in ONE output-sized task over the density-reduced
+    cell table. Grid indices are offset non-negative BEFORE division
+    so floor and truncation agree across engines (the dsir_select
+    ``//`` gotcha)."""
+    from vtzero_ray.functions.dedup import _uf_forest
+    from vtzero_ray.sources.pages import read_pages
+    from vtzero_ray.stages.geoparse import geoparse
+
+    ds = geoparse(read_pages(sf_dir, include_html=False))
+
+    def cells_partial(t: pa.Table) -> pa.Table:
+        lat = t.column("lat").to_numpy()
+        lon = t.column("lon").to_numpy()
+        lat_us = np.floor(lat * 1e6 + 0.5).astype(np.int64)
+        lon_us = np.floor(lon * 1e6 + 0.5).astype(np.int64)
+        gy = (lat_us + 90_000_000) // cell_us
+        gx = (lon_us + 180_000_000) // cell_us
+        key = gx * _GRID_M + gy
+        uk, cnt = np.unique(key, return_counts=True)
+        b = _key_bucket(uk, n_buckets)
+        return pa.table({"bucket": pa.array(b), "key": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.select_columns(["lat", "lon"]).map_batches(
+        cells_partial, batch_format="pyarrow", batch_size=None)
+
+    def merge_cells(df) -> "pd.DataFrame":
+        g = df.groupby("key", sort=False)["n"].sum().reset_index()
+        return g
+
+    cells = parts.groupby("bucket").map_groups(merge_cells,
+                                               batch_format="pandas")
+
+    # adjacency + components + resolve run in ONE task over the global
+    # CELL table (the dup_clusters final-task contract: the cell table —
+    # already density-reduced, never the point table — fits one worker;
+    # past ~10^8 occupied cells, swap this stage for the bucketed-probe
+    # + tree-reduced-forest composition). Collapsing the three
+    # output-sized stages into one task removes three orchestration
+    # barriers (the ngram_topk lesson: ~1 s each even on tiny data).
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"gx": pa.array([], pa.int64()),
+                             "gy": pa.array([], pa.int64()),
+                             "n_points": pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64())})
+        k = t.column("key").to_numpy().astype(np.int64)
+        n = t.column("n").to_numpy().astype(np.int64)
+        ks = np.sort(k)
+        ea, eb = [], []
+        for delta in (int(_GRID_M), 1):  # east, south neighbors
+            pos = np.searchsorted(ks, k + delta)
+            hit = (pos < ks.shape[0]) & (ks[np.minimum(pos, ks.shape[0] - 1)]
+                                         == k + delta)
+            ea.append(k[hit])
+            eb.append(k[hit] + delta)
+        a = np.concatenate(ea)
+        b = np.concatenate(eb)
+        parent, find = _uf_forest(a, b)
+        cl = np.array([find(x) if x in parent else x for x in k], np.int64)
+        return pa.table({"gx": pa.array(k // _GRID_M),
+                         "gy": pa.array(k % _GRID_M),
+                         "n_points": pa.array(n),
+                         "cluster_id": pa.array(cl)})
+
+    return cells.repartition(1).map_batches(finalize, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def _key_bucket(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    return ((keys.astype(np.uint64) * mult) >> np.uint64(40)) \
+        .astype(np.int64) % n_buckets
+
+
+def grid_clusters_sql(lat_us_expr: str, lon_us_expr: str,
+                      cell_us: int = 500,
+                      table: str = "documents") -> str:
+    """DuckDB twin: same non-negative integer grid, 4-adjacency
+    self-join edges, recursive-closure components (the dup_clusters_sql
+    rule: cluster = MIN over reachable labels), COALESCE singletons."""
+    m = int(_GRID_M)
+    return (
+        "WITH RECURSIVE "
+        f"pts AS (SELECT ({lon_us_expr} + 180000000) // {cell_us} AS gx, "
+        f"({lat_us_expr} + 90000000) // {cell_us} AS gy FROM {table}), "
+        f"cells AS (SELECT CAST(gx * {m} + gy AS BIGINT) AS k, gx, gy, "
+        "CAST(COUNT(*) AS BIGINT) AS n_points FROM pts GROUP BY 1, 2, 3), "
+        "dedges AS (SELECT a.k AS a, b.k AS b FROM cells a JOIN cells b "
+        f"ON b.k = a.k + {m} OR b.k = a.k + 1), "
+        "edges AS (SELECT a, b FROM dedges UNION ALL SELECT b, a FROM dedges), "
+        "nodes AS (SELECT DISTINCT a AS n FROM edges), "
+        "reach AS (SELECT n AS node, n AS label FROM nodes "
+        "UNION SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node), "
+        "clus AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY 1) "
+        "SELECT c.gx, c.gy, c.n_points, "
+        "CAST(COALESCE(cl.cluster_id, c.k) AS BIGINT) AS cluster_id "
+        "FROM cells c LEFT JOIN clus cl ON cl.node = c.k"
+    )
 
 
 def geohash_sql(lat_us_expr: str, lon_us_expr: str,
