@@ -945,6 +945,42 @@ def _q_geohash(sf_dir: str):
     return geohash_cells(sf_dir)
 
 
+def _geo_index_dir(sf_dir: str) -> str:
+    """Build-once cached spatial index dir for ``sf_dir`` under /tmp —
+    the _ivf_index_dir contract: content-fingerprinted cache key,
+    completeness gated on meta.parquet (written last inside the temp
+    dir; build_geo_index publishes atomically via os.rename)."""
+    import os
+
+    from vtzero_ray.functions.geo import build_geo_index
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    index_dir = (f"/tmp/vtzero_ray_geoidx/"
+                 f"{os.path.basename(os.path.normpath(sf_dir))}"
+                 f"_{st.st_size}_{st.st_mtime_ns}_b15_v1")
+    if not os.path.isfile(f"{index_dir}/meta.parquet"):
+        build_geo_index(sf_dir, index_dir)
+    return index_dir
+
+
+# closed bbox around the synth hot-NYC cell (±1000 µdeg box at
+# 40.7128°N 74.006°W) plus margin — ~30% of pages — and reaching into
+# adjacent 15° bands so the probe proves multi-partition reads
+_BBOX_US = (39_000_000, 46_000_000, -76_000_000, -73_000_000)
+
+
+def _q_bbox_query(sf_dir: str):
+    """Spatial range query over the PERSISTED band-partitioned index:
+    only partitions intersecting the box are passed to read_parquet
+    (file-level skip — the topk_ivf_indexed contract), then one exact
+    integer filter. Build-once cached per corpus fingerprint."""
+    from vtzero_ray.functions.geo import bbox_query_indexed
+
+    la0, la1, lo0, lo1 = _BBOX_US
+    return bbox_query_indexed(_geo_index_dir(sf_dir), la0, la1, lo0, lo1)
+
+
 def _q_grid_clusters(sf_dir: str):
     """Grid-DBSCAN spatial clustering: pages bucket into a 500-µdeg
     grid, 4-adjacent occupied cells cluster via the tree-reduced
@@ -1653,7 +1689,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # the driver geo slots)
                   "path_lengths_z6", "geohash_cells",
                   # grid-DBSCAN connected-cell clustering
-                  "grid_clusters")
+                  "grid_clusters",
+                  # persisted spatial index range query
+                  "bbox_query_indexed")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1758,6 +1796,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "path_lengths_z6": _q_path_lengths,
         "geohash_cells": _q_geohash,
         "grid_clusters": _q_grid_clusters,
+        "bbox_query_indexed": _q_bbox_query,
         "doc_sample_10pct": _q_doc_sample,
         "corpus_clean": _q_corpus_clean,
         "sample_stratified": _q_sample_stratified,
@@ -1999,7 +2038,8 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.sketch_sql import cms_est_sql, hll_facts_sql
     from vtzero_ray.functions.embed import hash_embed_sql
     from vtzero_ray.functions.dsir import dsir_select_sql, dsir_weights_sql
-    from vtzero_ray.functions.geo import (geohash_sql, grid_clusters_sql,
+    from vtzero_ray.functions.geo import (bbox_query_sql, geohash_sql,
+                                          grid_clusters_sql,
                                           path_lengths_sql)
     from vtzero_ray.functions.simplify import dp_oracle_sql
     from vtzero_ray.functions.crawl import (domain_cap_sql,
@@ -2440,6 +2480,10 @@ def _all_oracle_sql() -> dict[str, str]:
         # recursive-closure components + COALESCE singletons
         "grid_clusters": grid_clusters_sql(SQL_LAT_US, SQL_LON_US,
                                            cell_us=500),
+        # bbox_query_indexed: closed integer bbox (the index under
+        # test; the semantics are a WHERE clause)
+        "bbox_query_indexed": bbox_query_sql(
+            SQL_LAT_US, SQL_LON_US, *_BBOX_US),
         "doc_sample_10pct": "SELECT doc_id FROM documents WHERE doc_id % 10 = 0",
         # -- dedup -------------------------------------------------------------
         "dedup_exact": (

@@ -300,8 +300,8 @@ def run_bench() -> dict:
                      "topk_pq",
                      # composed fuzzy-dedup removal + DSIR selection
                      "near_dedup", "dsir_weights",
-                     # grid-DBSCAN spatial clustering
-                     "grid_clusters"):
+                     # grid-DBSCAN spatial clustering + indexed bbox query
+                     "grid_clusters", "bbox_query_indexed"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

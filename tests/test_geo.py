@@ -118,6 +118,73 @@ class TestGridClusters:
         assert top.pts >= 0.29 * got.n_points.sum()
 
 
+class TestGeoIndex:
+    BBOX = (39_000_000, 46_000_000, -76_000_000, -73_000_000)
+
+    def _build(self, tmp_path):
+        from vtzero_ray.functions.geo import build_geo_index
+
+        idx = str(tmp_path / "geoidx")
+        build_geo_index(SF, idx)
+        return idx
+
+    def test_matches_full_scan(self, ray_session, tmp_path):
+        from vtzero_ray.functions.geo import bbox_query_indexed
+        from vtzero_ray.sources.pages import _geo_microdeg
+
+        idx = self._build(tmp_path)
+        got = bbox_query_indexed(idx, *self.BBOX).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        # brute force from the synth formula
+        import duckdb
+        n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{SF}/documents.parquet')").fetchone()[0]
+        ids = np.arange(n, dtype=np.int64)
+        lat_us, lon_us = _geo_microdeg(ids)
+        la0, la1, lo0, lo1 = self.BBOX
+        m = (lat_us >= la0) & (lat_us <= la1) & (lon_us >= lo0) & (lon_us <= lo1)
+        exp = pd.DataFrame({"doc_id": ids[m], "lat_us": lat_us[m],
+                            "lon_us": lon_us[m]}).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+        assert len(got) > 0
+
+    def test_unqueried_partitions_never_read(self, ray_session, tmp_path):
+        """Deleting every partition OUTSIDE the bbox's bands must not
+        change the result — proof the query lists only probed files."""
+        import glob
+        import os
+        import shutil
+
+        from vtzero_ray.functions.geo import _BAND_US, bbox_query_indexed
+
+        idx = self._build(tmp_path)
+        before = bbox_query_indexed(idx, *self.BBOX).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        la0, la1, lo0, lo1 = self.BBOX
+        keep = {by * 24 + bx
+                for by in range((la0 + 90_000_000) // _BAND_US,
+                                (la1 + 90_000_000) // _BAND_US + 1)
+                for bx in range((lo0 + 180_000_000) // _BAND_US,
+                                (lo1 + 180_000_000) // _BAND_US + 1)}
+        removed = 0
+        for d in glob.glob(f"{idx}/pts/bpart=*"):
+            if int(os.path.basename(d).split("=")[1]) not in keep:
+                shutil.rmtree(d)
+                removed += 1
+        assert removed > 0  # the corpus does occupy other bands
+        after = bbox_query_indexed(idx, *self.BBOX).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(after, before)
+
+    def test_empty_bbox(self, ray_session, tmp_path):
+        from vtzero_ray.functions.geo import bbox_query_indexed
+
+        idx = self._build(tmp_path)
+        # mid-Pacific 1µdeg sliver — a band may be occupied, the box isn't
+        out = bbox_query_indexed(idx, -1_000_001, -1_000_000,
+                                 -171_000_001, -171_000_000).to_pandas()
+        assert len(out) == 0
+
+
 class TestPathLengths:
     def test_matches_bruteforce(self, ray_session):
         from vtzero_ray.pipelines.clip_paths import _world_points

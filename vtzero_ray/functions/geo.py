@@ -264,6 +264,130 @@ def _key_bucket(keys: np.ndarray, n_buckets: int) -> np.ndarray:
         .astype(np.int64) % n_buckets
 
 
+# ---------------------------------------------------------------------------
+# persisted spatial index (bbox range queries with file-level pruning)
+# ---------------------------------------------------------------------------
+
+_BAND_US = 15_000_000  # 15° partition bands → ≤ 12 × 24 = 288 partitions
+
+
+def _band_key(lat_us: np.ndarray, lon_us: np.ndarray) -> np.ndarray:
+    """Partition key: 15°-band row-major cell — PURE integer arithmetic
+    on non-negative offsets (no float ever touches partitioning, so
+    build and query can never disagree about a row's partition)."""
+    by = (lat_us + 90_000_000) // _BAND_US
+    bx = (lon_us + 180_000_000) // _BAND_US
+    return by * 24 + bx
+
+
+def build_geo_index(sf_dir: str, out_dir: str) -> str:
+    """Persist the page corpus partitioned by 15° lat/lon band — the
+    spatial member of the persisted-index family (build_ivf_index /
+    build_text_index / build_md5_index): built ONCE, then every bbox
+    range query reads ONLY the partitions its box intersects
+    (file-level skip; see bbox_query_indexed). ONE corpus pass.
+
+    Layout: ``{out_dir}/pts/bpart={key}/*.parquet`` (band key kept as a
+    data column too) + ``{out_dir}/meta.parquet`` written LAST — its
+    presence implies completeness (the build_ivf_index atomic-publish
+    contract: temp dir + os.rename, concurrent builders race
+    harmlessly)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from vtzero_ray.sources.pages import read_pages
+    from vtzero_ray.stages.geoparse import geoparse
+
+    ds = geoparse(read_pages(sf_dir, include_html=False))
+
+    def tag(t: pa.Table) -> pa.Table:
+        lat = t.column("lat").to_numpy()
+        lon = t.column("lon").to_numpy()
+        lat_us = np.floor(lat * 1e6 + 0.5).astype(np.int64)
+        lon_us = np.floor(lon * 1e6 + 0.5).astype(np.int64)
+        key = _band_key(lat_us, lon_us)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lat_us": pa.array(lat_us),
+                         "lon_us": pa.array(lon_us),
+                         "band": pa.array(key),
+                         "bpart": pa.array(key)})
+
+    pts = ds.select_columns(["doc_id", "lat", "lon"]).map_batches(
+        tag, batch_format="pyarrow", batch_size=None)
+
+    out_dir = os.path.normpath(out_dir)
+    tmp_dir = f"{out_dir}.building.{os.getpid()}"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    try:
+        pts.write_parquet(f"{tmp_dir}/pts", partition_cols=["bpart"])
+        pq.write_table(pa.table({"band_us": pa.array([_BAND_US], pa.int64())}),
+                       f"{tmp_dir}/meta.parquet")
+        try:
+            os.rename(tmp_dir, out_dir)  # atomic publish
+        except OSError:
+            if not os.path.isfile(f"{out_dir}/meta.parquet"):
+                raise
+    finally:
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_dir
+
+
+def bbox_query_indexed(index_dir: str, lat_min_us: int, lat_max_us: int,
+                       lon_min_us: int, lon_max_us: int):
+    """Range query over a PERSISTED spatial index → Dataset (doc_id,
+    lat_us, lon_us) of pages inside the CLOSED bbox. Only partitions
+    whose 15° band intersects the box are passed to read_parquet —
+    unqueried bands never leave storage (the topk_ivf_indexed
+    file-level-skip contract) — then one exact integer filter. The
+    band range is computed with the same pure-integer arithmetic the
+    build used, so pruning can never drop a matching row."""
+    import glob
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    by0 = (lat_min_us + 90_000_000) // _BAND_US
+    by1 = (lat_max_us + 90_000_000) // _BAND_US
+    bx0 = (lon_min_us + 180_000_000) // _BAND_US
+    bx1 = (lon_max_us + 180_000_000) // _BAND_US
+    keys = [by * 24 + bx for by in range(by0, by1 + 1)
+            for bx in range(bx0, bx1 + 1)]
+    paths = sorted(f for k in keys
+                   for f in glob.glob(f"{index_dir}/pts/bpart={k}/*.parquet"))
+    if not paths:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "lat_us": pa.array([], pa.int64()),
+                                       "lon_us": pa.array([], pa.int64())}))
+    pts = rd.read_parquet(paths, columns=["doc_id", "lat_us", "lon_us"])
+
+    def inside(t: pa.Table) -> pa.Table:
+        lat = t.column("lat_us")
+        lon = t.column("lon_us")
+        m = pc.and_(pc.and_(pc.greater_equal(lat, lat_min_us),
+                            pc.less_equal(lat, lat_max_us)),
+                    pc.and_(pc.greater_equal(lon, lon_min_us),
+                            pc.less_equal(lon, lon_max_us)))
+        return t.filter(m)
+
+    return pts.map_batches(inside, batch_format="pyarrow", batch_size=None)
+
+
+def bbox_query_sql(lat_us_expr: str, lon_us_expr: str,
+                   lat_min_us: int, lat_max_us: int,
+                   lon_min_us: int, lon_max_us: int,
+                   table: str = "documents") -> str:
+    """DuckDB twin: the same closed-interval integer bbox over the
+    synth microdegree formulas (a full scan — the index is the thing
+    under test, the semantics are a WHERE clause)."""
+    return (
+        f"SELECT doc_id, {lat_us_expr} AS lat_us, {lon_us_expr} AS lon_us "
+        f"FROM {table} WHERE {lat_us_expr} BETWEEN {lat_min_us} AND "
+        f"{lat_max_us} AND {lon_us_expr} BETWEEN {lon_min_us} AND {lon_max_us}"
+    )
+
+
 def grid_clusters_sql(lat_us_expr: str, lon_us_expr: str,
                       cell_us: int = 500,
                       table: str = "documents") -> str:
