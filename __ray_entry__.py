@@ -1674,10 +1674,12 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # product quantization (IVF-PQ's compression half) —
                   # the LSH/IVF rows hold the driver ANN slots
                   "pq_codes", "topk_pq",
-                  # composed fuzzy-dedup REMOVAL (candidates → verify →
-                  # clusters → anti-join); the ingredient stages hold
-                  # the driver dedup slots
-                  "near_dedup",
+                  # dup_clusters: near_dedup (main 50) composes
+                  # candidates → verify → THIS → anti-join, so the
+                  # connected-components stage stays driver-exercised
+                  # through the composition; the standalone probe
+                  # parks here
+                  "dup_clusters",
                   # DSIR importance weights (hashed-bigram log-ratio
                   # data selection); doc_perplexity holds the driver
                   # quality-scoring slot
