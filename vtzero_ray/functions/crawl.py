@@ -235,10 +235,12 @@ def synth_linked_html(ds, id_column: str = "doc_id"):
         out = np.full(len(ids), "<html><body>", dtype=object)
         for j in range(3):
             tgt = (ids * 7 + j) % 1000
+            txt = (ids * 3 + j) % 5  # varied anchor text a0..a4
             a = np.char.add(
                 np.char.add('<a href="https://site', tgt.astype(str)),
                 np.char.add(np.char.add(".example/p/", ids.astype(str)),
-                            f'-{j}">t</a>'))
+                            np.char.add(f'-{j}">a', np.char.add(
+                                txt.astype(str), "</a>"))))
             out = np.where(k > j, np.char.add(out.astype(str), a), out)
         out = np.char.add(out.astype(str), "</body></html>")
         return pa.table({id_column: t.column(id_column),
@@ -252,7 +254,8 @@ def linked_html_sql_expr(id_column: str = "doc_id") -> str:
     anchors = "".join(
         f"|| (CASE WHEN {id_column} % 4 > {j} THEN "
         f"'<a href=\"https://site' || (({id_column} * 7 + {j}) % 1000) || "
-        f"'.example/p/' || {id_column} || '-{j}\">t</a>' ELSE '' END) "
+        f"'.example/p/' || {id_column} || '-{j}\">a' || "
+        f"(({id_column} * 3 + {j}) % 5) || '</a>' ELSE '' END) "
         for j in range(3))
     return f"('<html><body>' {anchors}|| '</body></html>')"
 
