@@ -1198,6 +1198,18 @@ def _q_extract_links(sf_dir: str):
     return extract_links(synth_linked_html(_docs(sf_dir)))
 
 
+def _q_anchor_topk(sf_dir: str):
+    """Anchor-text aggregation (the ORCAS anchor-corpus shape): HTML →
+    (dst, anchor) edges via the two-group split decomposition, then
+    per-target-host top-3 anchors — partial counts → ONE crc32(host)
+    bucket shuffle → local top-k."""
+    from vtzero_ray.functions.crawl import (anchor_topk, extract_anchors,
+                                            synth_linked_html)
+
+    return anchor_topk(extract_anchors(synth_linked_html(_docs(sf_dir))),
+                       k=3)
+
+
 def _q_robots_filter(sf_dir: str):
     """robots.txt disallow filtering: the deterministic rule set is the
     broadcast small side; pages keep iff no (host, path-prefix) rule
@@ -1661,8 +1673,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # Douglas-Peucker simplification (recursive-CTE oracle;
                   # clipped_paths_z2 holds the path-family driver slot)
                   "simplify_paths_z2",
-                  # crawl-graph edges + robots politeness filter
-                  "extract_links", "robots_filter",
+                  # crawl-graph edges + anchor-text aggregation +
+                  # robots politeness filter
+                  "extract_links", "anchor_topk", "robots_filter",
                   # plain per-lang count — langid (driver) exercises
                   # the language column, cell_page_counts (extra) the
                   # count shape; slot freed for dedup_incremental
@@ -1778,6 +1791,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "hash_embed": _q_hash_embed,
         "simplify_paths_z2": _q_simplify_paths,
         "extract_links": _q_extract_links,
+        "anchor_topk": _q_anchor_topk,
         "robots_filter": _q_robots_filter,
         "latest_snapshot": _q_latest_snapshot,
         "domain_cap": _q_domain_cap,
@@ -2044,7 +2058,8 @@ def _all_oracle_sql() -> dict[str, str]:
                                           grid_clusters_sql,
                                           path_lengths_sql)
     from vtzero_ray.functions.simplify import dp_oracle_sql
-    from vtzero_ray.functions.crawl import (domain_cap_sql,
+    from vtzero_ray.functions.crawl import (anchor_topk_sql,
+                                            domain_cap_sql,
                                             extract_links_sql,
                                             latest_snapshot_sql,
                                             linked_html_sql_expr,
@@ -2434,6 +2449,8 @@ def _all_oracle_sql() -> dict[str, str]:
             _sql_site_path_ctes(2, 4096), tol2=256 * 256),
         # extract_links: regexp_extract_all + unnest over the same synth
         "extract_links": extract_links_sql(linked_html_sql_expr()),
+        # anchor_topk: lockstep two-group unnest, same host RE2 + top-k
+        "anchor_topk": anchor_topk_sql(linked_html_sql_expr(), k=3),
         # robots_filter: NOT EXISTS anti-join on the same rule rows
         "robots_filter": robots_filter_sql(
             "(SELECT 'https://host' || (doc_id % 37) || '.example/p/' "

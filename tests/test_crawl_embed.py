@@ -262,6 +262,58 @@ class TestExtractLinks:
                 exp.sort_values(key).reset_index(drop=True))
 
 
+class TestAnchorText:
+    def test_hand_html(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.crawl import extract_anchors
+
+        html = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "html": pa.array([
+                'x <a href="u1">one</a> y <a href="u2">two</a>',
+                'no links here',
+                'href="u3">unclosed anchor',     # no </a> -> no match
+                'href="u4">has<tag</a> href="u5"></a>',  # '<' breaks #0
+            ]),
+        })
+        got = extract_anchors(rd.from_arrow(html)).to_pandas()
+        got = got.sort_values(["doc_id", "link_idx"]).reset_index(drop=True)
+        assert list(map(tuple, got.itertuples(index=False))) == [
+            (1, 0, "u1", "one"), (1, 1, "u2", "two"), (4, 0, "u5", "")]
+
+    def test_twin_and_partition_invariance(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from vtzero_ray.functions.crawl import (anchor_topk,
+                                                anchor_topk_sql,
+                                                extract_anchors,
+                                                linked_html_sql_expr,
+                                                synth_linked_html)
+
+        sf = "/root/testdata/sf0.001"
+        docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+        got = anchor_topk(
+            extract_anchors(synth_linked_html(docs)), k=3).to_pandas()
+        got7 = anchor_topk(
+            extract_anchors(synth_linked_html(docs.repartition(7))),
+            k=3).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(
+            anchor_topk_sql(linked_html_sql_expr(), k=3)).fetchdf()
+        key = ["host", "anchor"]
+        assert len(exp) > 0
+        for frame in (got, got7):
+            pd.testing.assert_frame_equal(
+                frame.sort_values(key).reset_index(drop=True),
+                exp.sort_values(key).reset_index(drop=True),
+                check_dtype=False)
+            assert frame["n"].dtype == np.int64
+
+
 class TestRobotsFilter:
     def test_hand_rules(self, ray_session):
         import ray.data as rd

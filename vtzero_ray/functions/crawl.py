@@ -325,6 +325,155 @@ def extract_links_sql(html_expr: str, table: str = "documents",
 
 
 # ---------------------------------------------------------------------------
+# Anchor-text extraction + per-target aggregation (anchor text is the
+# classic query-like supervision signal for the TARGET page — the
+# ORCAS / MS-MARCO anchor-corpus shape; at 100 TB the aggregate is the
+# "anchor index" joined onto pages before training)
+
+# Anchor text is restricted to [^"<]* ON PURPOSE: because neither the
+# URL group nor the anchor group may contain '"', no match can span a
+# later 'href="' occurrence, so the vectorized split-at-'href="'
+# decomposition below finds EXACTLY the global RE2 non-overlapping
+# matches (the extract_links argument, extended to two groups).
+_ANCHOR_RE = r'href="([^"]*)">([^"<]*)</a>'
+_ANCHOR_ELEM_RE = r'^(?P<u>[^"]*)">(?P<a>[^"<]*)</a>'
+
+
+def extract_anchors(ds, html_column: str = "html",
+                    id_column: str = "doc_id"):
+    """HTML -> (doc_id, link_idx, dst, anchor) edges with anchor text.
+
+    Same one-scan split decomposition as extract_links; each candidate
+    element is tested with ONE anchored two-group extract_regex kernel
+    (both engines run RE2, so the pattern semantics are identical)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        h = t.column(html_column)
+        if isinstance(h, pa.ChunkedArray):
+            h = h.combine_chunks()
+        ids = t.column(id_column).to_numpy()
+        parts = pc.split_pattern(h, _HREF_SPLIT)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        counts = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "link_idx": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.string()),
+                          "anchor": pa.array([], pa.string())})
+        if len(flat) == 0:
+            return empty
+        row = np.repeat(np.arange(len(ids)), counts)
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(len(flat)) - np.repeat(starts, counts)
+        ex = pc.extract_regex(flat, _ANCHOR_ELEM_RE)
+        ok = pc.is_valid(ex).to_numpy(zero_copy_only=False)
+        keep = (pos > 0) & ok
+        if not keep.any():
+            return empty
+        hit = ex.filter(pa.array(keep))
+        kr = row[keep]
+        runs = np.flatnonzero(np.diff(kr, prepend=kr[0] - 1) != 0)
+        link_idx = (np.arange(kr.size)
+                    - np.repeat(runs, np.diff(runs, append=kr.size)))
+        return pa.table({"doc_id": pa.array(ids[kr], pa.int64()),
+                         "link_idx": pa.array(link_idx, pa.int64()),
+                         "dst": pc.struct_field(hit, "u"),
+                         "anchor": pc.struct_field(hit, "a")})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def anchor_topk(edges, k: int = 3, n_buckets: int = 64,
+                dst_column: str = "dst", anchor_column: str = "anchor"):
+    """Per-target-HOST top-k anchor texts by frequency -> Dataset
+    (host, anchor, n), ties broken anchor-ascending.
+
+    The ngram_topk shape: per-batch (host, anchor) partial counts via
+    fused dictionary codes (anchor vocab is tiny vs edges) -> ONE
+    crc32(host)-bucket shuffle of the partials -> per-bucket final sum
+    + top-k (each host lives in exactly one bucket, so the global
+    top-k is a local decision). Output is host-vocab-bounded."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    empty = pa.table({"host": pa.array([], pa.string()),
+                      "anchor": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        if len(t) == 0:
+            return empty
+        dst = t.column(dst_column)
+        if isinstance(dst, pa.ChunkedArray):
+            dst = dst.combine_chunks()
+        ex = pc.extract_regex(dst, _DOMAIN_RE.replace("([^/]+)",
+                                                      "(?P<d>[^/]+)"))
+        host = pc.struct_field(ex, "d")
+        ok = pc.is_valid(host)
+        if not pc.any(ok).as_py():
+            return empty
+        hcodes, hvocab = _dict_codes(host.drop_null())
+        acodes, avocab = _dict_codes(
+            t.column(anchor_column).filter(ok))
+        fused = hcodes * len(avocab) + acodes
+        uniq, cnt = np.unique(fused, return_counts=True)
+        return pa.table({
+            "host": pa.DictionaryArray.from_arrays(
+                pa.array((uniq // len(avocab)).astype(np.int32)),
+                hvocab).cast(pa.string()),
+            "anchor": pa.DictionaryArray.from_arrays(
+                pa.array((uniq % len(avocab)).astype(np.int32)),
+                avocab).cast(pa.string()),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        hosts = t.column("host")
+        if isinstance(hosts, pa.ChunkedArray):
+            hosts = hosts.combine_chunks()
+        return t.append_column("bucket", _crc_bucket(hosts, n_buckets))
+
+    def final(df):
+        agg = df.groupby(["host", "anchor"], sort=False)["n"] \
+            .sum().reset_index()
+        agg["n"] = agg["n"].astype(np.int64)
+        agg = agg.sort_values(["host", "n", "anchor"],
+                              ascending=[True, False, True],
+                              kind="stable")
+        return agg.groupby("host", sort=False).head(k)[
+            ["host", "anchor", "n"]]
+
+    parts = edges.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    return (parts.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(final, batch_format="pandas"))
+
+
+def anchor_topk_sql(html_expr: str, k: int = 3, table: str = "documents",
+                    id_column: str = "doc_id") -> str:
+    """DuckDB twin: lockstep unnest of both capture groups, same host
+    RE2, COUNT cast to BIGINT, same (n DESC, anchor ASC) top-k."""
+    return (
+        f"WITH h AS (SELECT {id_column} AS doc_id, {html_expr} AS html "
+        f"FROM {table}), "
+        f"e AS (SELECT unnest(regexp_extract_all(html, '{_ANCHOR_RE}', 1)) "
+        "AS dst, "
+        f"unnest(regexp_extract_all(html, '{_ANCHOR_RE}', 2)) AS anchor "
+        "FROM h), "
+        f"he AS (SELECT regexp_extract(dst, '{_DOMAIN_RE}', 1) AS host, "
+        "anchor FROM e), "
+        "c AS (SELECT host, anchor, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM he WHERE host <> '' GROUP BY 1, 2) "
+        "SELECT host, anchor, n FROM c "
+        "QUALIFY row_number() OVER (PARTITION BY host "
+        f"ORDER BY n DESC, anchor) <= {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
 # robots.txt disallow filtering (crawl politeness pass)
 
 _HOST_RE = r"^[a-z][a-z0-9+.\-]*://([^/]+)"
