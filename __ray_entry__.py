@@ -773,6 +773,17 @@ def _q_pagerank(sf_dir: str):
     return pagerank_mod(ds, n)
 
 
+def _q_host_pagerank(sf_dir: str):
+    """Host-level PageRank over edges that travel the REAL extraction
+    path (synth HTML → split-decomposition href scan → host parse →
+    distinct host edges + out-degrees in one bucketed shuffle) — the
+    Common-Crawl host-rank composition; fixed 1000-host universe so
+    linkless hosts stay as rank sinks."""
+    from vtzero_ray.functions.graph import host_pagerank
+
+    return host_pagerank(_docs(sf_dir))
+
+
 def _q_prep_training_data(sf_dir: str):
     """The full training-data prep recipe as one streaming composition:
     C4 line cleaning → exact dedup (keep-first, md5-bucket shuffle) →
@@ -1643,8 +1654,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # for the ingredient families)
                   "prep_training_data",
                   # link-graph rank (iterative joins; dup_clusters holds
-                  # the graph-op driver slot)
-                  "pagerank",
+                  # the graph-op driver slot) + the composed host-rank
+                  # over really-extracted edges
+                  "pagerank", "host_pagerank",
                   # source-format breadth (S1): JSONL round-trip, WARC
                   # crawl-archive parse (pages_text_identity covers the
                   # parquet read path)
@@ -1781,6 +1793,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "prep_training_data": _q_prep_training_data,
         "pagerank": _q_pagerank,
+        "host_pagerank": _q_host_pagerank,
         "jsonl_identity": _q_jsonl_identity,
         "warc_pages": _q_warc_pages,
         "gopher_rules": _q_gopher_rules,
@@ -2018,6 +2031,8 @@ def _all_oracle_sql() -> dict[str, str]:
         prep_training_data_sql as prep_training_oracle_sql
     from vtzero_ray.functions.graph import \
         pagerank_sql as pagerank_oracle_sql
+    from vtzero_ray.functions.graph import \
+        host_pagerank_sql as host_pagerank_oracle_sql
     from vtzero_ray.functions.textstats import \
         gopher_rules_sql as gopher_oracle_sql
     from vtzero_ray.functions.webclean import \
@@ -2421,6 +2436,9 @@ def _all_oracle_sql() -> dict[str, str]:
         "prep_training_data": prep_training_oracle_sql(),
         # pagerank: unrolled-iteration CTEs, same quantized terms
         "pagerank": pagerank_oracle_sql(),
+        # host_pagerank: same unrolled recursion over edges the twin
+        # ALSO extracts from the synth HTML (href regex + host parse)
+        "host_pagerank": host_pagerank_oracle_sql(linked_html_sql_expr()),
         # jsonl_identity: the round trip must reproduce the raw table
         "jsonl_identity": ("SELECT doc_id, text, lang, source, n_chars "
                            "FROM documents"),

@@ -289,13 +289,15 @@ def run_bench() -> dict:
                      # round-4 continuation: classifier, substring-dedup
                      # signals, semantic dedup, link rank, composed prep
                      "nb_lang_classify", "dup_ngram_spans", "semdedup",
-                     "pagerank", "prep_training_data",
+                     "pagerank", "host_pagerank", "prep_training_data",
                      # round-4 final session: embedding generation, crawl
                      # management, overview pyramid
                      "hash_embed", "latest_snapshot", "domain_cap",
                      "tile_pyramid",
-                     # DP simplification, crawl-graph edges, robots filter
-                     "simplify_paths_z2", "extract_links", "robots_filter",
+                     # DP simplification, crawl-graph edges + anchor
+                     # text, robots filter
+                     "simplify_paths_z2", "extract_links", "anchor_topk",
+                     "robots_filter",
                      # product quantization (ADC search scan)
                      "topk_pq",
                      # composed fuzzy-dedup removal + DSIR selection

@@ -94,3 +94,63 @@ class TestPageRank:
         d12 = np.abs(r2 - r1).sum()
         d23 = np.abs(r3 - r2).sum()
         assert d01 > d12 > d23 > 0
+
+
+class TestHostPageRank:
+    def test_matches_duckdb_twin(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from vtzero_ray.functions.crawl import linked_html_sql_expr
+        from vtzero_ray.functions.graph import (host_pagerank,
+                                                host_pagerank_sql)
+
+        sf = "/root/testdata/sf0.001"
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id"])
+        got = host_pagerank(docs).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(host_pagerank_sql(linked_html_sql_expr())) \
+            .df().sort_values("v").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert got["rank_q9"].dtype == np.int64
+        # hubs exist: some host outranks the linkless-sink floor
+        assert got["rank_q9"].max() > 2 * got["rank_q9"].min()
+
+    def test_host_edges_distinct_and_degrees(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import host_edges
+
+        edges = pa.table({
+            "doc_id": pa.array([1, 1, 1, 2001, 5], pa.int64()),
+            "dst": pa.array([
+                "https://site7.example/p/a",
+                "https://site7.example/p/b",   # same (src=1, dst=7) pair
+                "https://site9.example/x",
+                "https://site7.example/y",     # 2001 % 1000 = src 1 too
+                "nohost-here",                 # no match -> dropped
+            ]),
+        })
+        got = host_edges(rd.from_arrow(edges)).to_pandas() \
+            .sort_values(["src", "dst"]).reset_index(drop=True)
+        assert list(map(tuple, got.itertuples(index=False))) == [
+            (1, 7, 2), (1, 9, 2)]
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import host_pagerank
+
+        sf = "/root/testdata/sf0.001"
+        outs = []
+        for parts in (1, 7):
+            ds = rd.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id"]).repartition(parts)
+            outs.append(host_pagerank(ds).to_pandas()
+                        .sort_values("v").reset_index(drop=True))
+        assert outs[0].equals(outs[1])

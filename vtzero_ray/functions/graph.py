@@ -166,6 +166,133 @@ def pagerank_mod(ds, n_nodes: int, n_iters: int = 3,
     return pagerank(ds, edges, n_iters=n_iters, damping=damping)
 
 
+_SITE_RE = r"://site([0-9]+)\."
+
+
+def host_edges(edges, n_hosts: int = 1000, n_buckets: int = 32,
+               id_column: str = "doc_id", dst_column: str = "dst"):
+    """(doc_id, dst-URL) outlink rows -> DISTINCT host-graph edges
+    (src, dst, deg) ready for pagerank: src = the page's own host id
+    (doc_id % n_hosts — the synth site(N) URL convention used by the
+    snapshots/robots corpora), dst = the integer parsed from the target
+    host, deg = src's distinct out-degree.
+
+    Per-batch distinct combiner (duplicate (src, dst) pairs collapse
+    before anything moves) -> ONE src-bucket shuffle where global
+    dedup and out-degree are local decisions."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        d = t.column(dst_column)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        import pyarrow.compute as pc
+        ex = pc.extract_regex(d, _SITE_RE.replace("([0-9]+)",
+                                                  "(?P<n>[0-9]+)"))
+        host = pc.struct_field(ex, "n")
+        ok = pc.is_valid(host).to_numpy(zero_copy_only=False)
+        if not ok.any():
+            return empty
+        src = (t.column(id_column).to_numpy()[ok] % n_hosts) \
+            .astype(np.int64)
+        dst = host.drop_null().cast(pa.int64()).to_numpy()
+        pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+        return pa.table({"src": pa.array(pairs[:, 0]),
+                         "dst": pa.array(pairs[:, 1])})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "bucket", pa.array((s % n_buckets).astype(np.int32)))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["src", "dst"])
+        deg = df.groupby("src", sort=False)["dst"].transform("size")
+        return pd.DataFrame({"src": df["src"].to_numpy(np.int64),
+                             "dst": df["dst"].to_numpy(np.int64),
+                             "deg": deg.to_numpy(np.int64)})
+
+    parts = edges.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    return (parts.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(final, batch_format="pandas"))
+
+
+def host_pagerank(ds_docs, n_hosts: int = 1000, n_iters: int = 3,
+                  damping: float = 0.85):
+    """The CC-style host-rank composition: synth HTML -> extract_links
+    -> host edge table -> pagerank over the FIXED host universe
+    0..n_hosts-1 (linkless hosts are rank sinks and keep rows).
+
+    Unlike pagerank_mod's formula-synthesized graph, the edges here
+    travel the real extraction path (split-decomposition href scan +
+    host parse), so the twin proves the whole chain."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.crawl import extract_links, synth_linked_html
+
+    edges = host_edges(extract_links(synth_linked_html(ds_docs)),
+                       n_hosts=n_hosts)
+    nodes = rd.range(n_hosts).map_batches(
+        lambda t: pa.table({"doc_id": t.column("id").cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    return pagerank(nodes, edges, n_iters=n_iters, damping=damping)
+
+
+def pagerank_sql_over(edges_sql: str, nodes_sql: str, n_iters: int = 3,
+                      damping: float = 0.85) -> str:
+    """Unrolled-iteration twin over ARBITRARY (src, dst)-distinct edges
+    and (v) nodes CTEs — the generalization pagerank_sql specializes."""
+    d = repr(damping)
+    parts = [
+        f"WITH nodes AS ({nodes_sql}), ",
+        "n AS (SELECT COUNT(*) AS c FROM nodes), ",
+        f"e AS ({edges_sql}), ",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM e GROUP BY 1), ",
+        "base AS (SELECT CAST(floor((1.0::DOUBLE - " + d + "::DOUBLE) * "
+        "1000000000.0 / CAST(n.c AS DOUBLE) + 0.5) AS BIGINT) AS b, "
+        "CAST(floor(1000000000.0 / CAST(n.c AS DOUBLE) + 0.5) AS BIGINT) "
+        "AS r0 FROM n), ",
+        "r0 AS (SELECT nodes.v, base.r0 AS rq FROM nodes, base), ",
+    ]
+    for i in range(max(0, n_iters)):
+        parts.append(
+            f"t{i} AS (SELECT e.dst AS v, CAST(floor({d}::DOUBLE * "
+            f"CAST(r{i}.rq AS DOUBLE) / CAST(deg.deg AS DOUBLE) + 0.5) "
+            "AS BIGINT) AS tq FROM e JOIN deg USING (src) "
+            f"JOIN r{i} ON r{i}.v = e.src), "
+            f"r{i + 1} AS (SELECT d0.v, "
+            "base.b + COALESCE(s.sq, 0) AS rq FROM nodes d0 "
+            "CROSS JOIN base LEFT JOIN (SELECT v, SUM(tq) AS sq "
+            f"FROM t{i} GROUP BY 1) s ON s.v = d0.v), ")
+    body = "".join(parts).rstrip().rstrip(",")
+    return (body + f" SELECT v, CAST(rq AS BIGINT) AS rank_q9 "
+                   f"FROM r{max(0, n_iters)}")
+
+
+def host_pagerank_sql(html_expr: str, n_hosts: int = 1000,
+                      n_iters: int = 3, damping: float = 0.85,
+                      table: str = "documents") -> str:
+    """DuckDB twin of host_pagerank: the SAME href regex + host parse
+    over the SAME synth HTML, distinct (src, dst), fixed node range."""
+    edges = (
+        f"SELECT DISTINCT src, CAST(regexp_extract(u, '{_SITE_RE}', 1) "
+        "AS BIGINT) AS dst FROM ("
+        f"SELECT doc_id % {n_hosts} AS src, "
+        "unnest(regexp_extract_all(html, 'href=\"([^\"]*)\"', 1)) AS u "
+        f"FROM (SELECT doc_id, {html_expr} AS html FROM {table})) "
+        f"WHERE regexp_extract(u, '{_SITE_RE}', 1) <> ''"
+    )
+    nodes = f"SELECT range AS v FROM range({n_hosts})"
+    return pagerank_sql_over(edges, nodes, n_iters=n_iters,
+                             damping=damping)
+
+
 def pagerank_sql(n_iters: int = 3, damping: float = 0.85, n_out: int = 3,
                  table: str = "documents") -> str:
     """DuckDB twin: same synthesized edges, same quantized per-edge
