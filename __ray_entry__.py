@@ -784,6 +784,17 @@ def _q_host_pagerank(sf_dir: str):
     return host_pagerank(_docs(sf_dir))
 
 
+def _q_host_walks(sf_dir: str):
+    """Deterministic hash-walk corpus (the DeepWalk/node2vec input):
+    one walk per host over the really-extracted host graph; each step
+    picks the min-(md5, dst) out-neighbor — a keyed pseudo-random
+    choice both engines compute bit-identically; per step ONE
+    src-bucket join shuffle, frontier-bounded."""
+    from vtzero_ray.functions.graph import host_walks
+
+    return host_walks(_docs(sf_dir))
+
+
 def _q_prep_training_data(sf_dir: str):
     """The full training-data prep recipe as one streaming composition:
     C4 line cleaning → exact dedup (keep-first, md5-bucket shuffle) →
@@ -1656,7 +1667,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # link-graph rank (iterative joins; dup_clusters holds
                   # the graph-op driver slot) + the composed host-rank
                   # over really-extracted edges
-                  "pagerank", "host_pagerank",
+                  "pagerank", "host_pagerank", "host_walks",
                   # source-format breadth (S1): JSONL round-trip, WARC
                   # crawl-archive parse (pages_text_identity covers the
                   # parquet read path)
@@ -1794,6 +1805,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "prep_training_data": _q_prep_training_data,
         "pagerank": _q_pagerank,
         "host_pagerank": _q_host_pagerank,
+        "host_walks": _q_host_walks,
         "jsonl_identity": _q_jsonl_identity,
         "warc_pages": _q_warc_pages,
         "gopher_rules": _q_gopher_rules,
@@ -2033,6 +2045,8 @@ def _all_oracle_sql() -> dict[str, str]:
         pagerank_sql as pagerank_oracle_sql
     from vtzero_ray.functions.graph import \
         host_pagerank_sql as host_pagerank_oracle_sql
+    from vtzero_ray.functions.graph import \
+        host_walks_sql as host_walks_oracle_sql
     from vtzero_ray.functions.textstats import \
         gopher_rules_sql as gopher_oracle_sql
     from vtzero_ray.functions.webclean import \
@@ -2439,6 +2453,8 @@ def _all_oracle_sql() -> dict[str, str]:
         # host_pagerank: same unrolled recursion over edges the twin
         # ALSO extracts from the synth HTML (href regex + host parse)
         "host_pagerank": host_pagerank_oracle_sql(linked_html_sql_expr()),
+        # host_walks: unrolled steps, min-(md5_number_lower, dst) hop
+        "host_walks": host_walks_oracle_sql(linked_html_sql_expr()),
         # jsonl_identity: the round trip must reproduce the raw table
         "jsonl_identity": ("SELECT doc_id, text, lang, source, n_chars "
                            "FROM documents"),

@@ -289,7 +289,8 @@ def run_bench() -> dict:
                      # round-4 continuation: classifier, substring-dedup
                      # signals, semantic dedup, link rank, composed prep
                      "nb_lang_classify", "dup_ngram_spans", "semdedup",
-                     "pagerank", "host_pagerank", "prep_training_data",
+                     "pagerank", "host_pagerank", "host_walks",
+                     "prep_training_data",
                      # round-4 final session: embedding generation, crawl
                      # management, overview pyramid
                      "hash_embed", "latest_snapshot", "domain_cap",

@@ -154,3 +154,63 @@ class TestHostPageRank:
             outs.append(host_pagerank(ds).to_pandas()
                         .sort_values("v").reset_index(drop=True))
         assert outs[0].equals(outs[1])
+
+
+class TestHostWalks:
+    def test_hand_walk_semantics(self, ray_session):
+        """Two-node hand graph: every hop is forced, so the walk path
+        is fully determined without hashing assumptions; a sink node
+        truncates its walk."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import random_walks
+
+        nodes = rd.from_arrow(pa.table({"doc_id":
+                                        pa.array([0, 1, 2], pa.int64())}))
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([0, 1], pa.int64()),
+            "dst": pa.array([1, 2], pa.int64()),
+        }))
+        got = random_walks(nodes, edges, n_steps=3).to_pandas() \
+            .sort_values(["walk", "step"]).reset_index(drop=True)
+        assert list(map(tuple, got.itertuples(index=False))) == [
+            (0, 0, 0), (0, 1, 1), (0, 2, 2),      # 0 -> 1 -> 2 (sink)
+            (1, 0, 1), (1, 1, 2),                  # 1 -> 2 (sink)
+            (2, 0, 2)]                             # 2 is a sink
+
+    def test_matches_duckdb_twin(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from vtzero_ray.functions.crawl import linked_html_sql_expr
+        from vtzero_ray.functions.graph import host_walks, host_walks_sql
+
+        sf = "/root/testdata/sf0.001"
+        docs = rd.read_parquet(f"{sf}/documents.parquet",
+                               columns=["doc_id"])
+        got = host_walks(docs).to_pandas() \
+            .sort_values(["walk", "step"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(host_walks_sql(linked_html_sql_expr())).df() \
+            .sort_values(["walk", "step"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # the hash choice is real: walks branch (not all length 1)
+        assert (got.groupby("walk").size() > 1).any()
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import host_walks
+
+        sf = "/root/testdata/sf0.001"
+        outs = []
+        for parts in (1, 7):
+            ds = rd.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id"]).repartition(parts)
+            outs.append(host_walks(ds).to_pandas()
+                        .sort_values(["walk", "step"])
+                        .reset_index(drop=True))
+        assert outs[0].equals(outs[1])

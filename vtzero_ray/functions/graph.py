@@ -275,12 +275,11 @@ def pagerank_sql_over(edges_sql: str, nodes_sql: str, n_iters: int = 3,
                    f"FROM r{max(0, n_iters)}")
 
 
-def host_pagerank_sql(html_expr: str, n_hosts: int = 1000,
-                      n_iters: int = 3, damping: float = 0.85,
-                      table: str = "documents") -> str:
-    """DuckDB twin of host_pagerank: the SAME href regex + host parse
-    over the SAME synth HTML, distinct (src, dst), fixed node range."""
-    edges = (
+def _host_edges_sql(html_expr: str, n_hosts: int = 1000,
+                    table: str = "documents") -> str:
+    """SQL producing exactly host_edges' DISTINCT (src, dst) pairs —
+    the twin re-runs the href regex + host parse on the synth HTML."""
+    return (
         f"SELECT DISTINCT src, CAST(regexp_extract(u, '{_SITE_RE}', 1) "
         "AS BIGINT) AS dst FROM ("
         f"SELECT doc_id % {n_hosts} AS src, "
@@ -288,9 +287,151 @@ def host_pagerank_sql(html_expr: str, n_hosts: int = 1000,
         f"FROM (SELECT doc_id, {html_expr} AS html FROM {table})) "
         f"WHERE regexp_extract(u, '{_SITE_RE}', 1) <> ''"
     )
+
+
+def host_pagerank_sql(html_expr: str, n_hosts: int = 1000,
+                      n_iters: int = 3, damping: float = 0.85,
+                      table: str = "documents") -> str:
+    """DuckDB twin of host_pagerank: the SAME href regex + host parse
+    over the SAME synth HTML, distinct (src, dst), fixed node range."""
     nodes = f"SELECT range AS v FROM range({n_hosts})"
-    return pagerank_sql_over(edges, nodes, n_iters=n_iters,
-                             damping=damping)
+    return pagerank_sql_over(_host_edges_sql(html_expr, n_hosts, table),
+                             nodes, n_iters=n_iters, damping=damping)
+
+
+def random_walks(ds_nodes, edges, n_steps: int = 3, seed: str = "walk",
+                 n_buckets: int = 32):
+    """Deterministic hash-walk corpus — the DeepWalk/node2vec INPUT
+    (Perozzi et al. 2014): one walk starts at every node; at step t
+    from node u the next hop is the out-neighbor w minimizing
+    (md5_number_lower('{seed}:{t}:{u}:{w}'), w) — a per-step keyed
+    pseudo-random choice both engines compute bit-identically (the
+    shuffle_epoch hash contract). Walks reaching a node with no
+    out-edges stop. Returns (walk, step, node), <= N*(n_steps+1) rows.
+
+    Shape: per step ONE src-bucket tagged-union join shuffle (the
+    pagerank vocabulary); the frontier is node-bounded and each step
+    materializes before feeding the next (lineage break). Candidate
+    hashing costs one md5 per (walk-position, out-edge) pair —
+    frontier-bounded, never corpus-bounded."""
+    from vtzero_ray.functions.sketch import CMS
+
+    if n_steps < 0:
+        raise ValueError(f"n_steps must be >= 0, got {n_steps}")
+    nodes = ds_nodes.select_columns(["doc_id"]).materialize()
+    edges = edges.select_columns(["src", "dst"]).materialize()
+
+    def init(t: pa.Table) -> pa.Table:
+        v = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"walk": pa.array(v), "cur": pa.array(v)})
+
+    frontier = nodes.map_batches(init, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+
+    def emit(step: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "walk": t.column("walk"),
+                "step": pa.array(np.full(len(t), step, np.int64)),
+                "node": t.column("cur"),
+            })
+        return fn
+
+    out = frontier.map_batches(emit(0), batch_format="pyarrow",
+                               batch_size=None)
+
+    def tag_frontier(t: pa.Table) -> pa.Table:
+        c = t.column("cur").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bucket": pa.array((c % n_buckets)
+                                            .astype(np.int32)),
+                         "walk": t.column("walk"),
+                         "key": t.column("cur"),
+                         "dst": pa.array(np.full(len(t), -1, np.int64))})
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bucket": pa.array((s % n_buckets)
+                                            .astype(np.int32)),
+                         "walk": pa.array(np.full(len(t), -1, np.int64)),
+                         "key": t.column("src"),
+                         "dst": t.column("dst")})
+
+    for step in range(1, n_steps + 1):
+        prefix = f"{seed}:{step}:"
+
+        def pick(df: pd.DataFrame, _p=prefix) -> pd.DataFrame:
+            f = df[df["dst"] < 0]
+            e = df[df["dst"] >= 0]
+            m = f[["walk", "key"]].merge(e[["key", "dst"]], on="key")
+            if m.empty:
+                return pd.DataFrame({"walk": np.empty(0, np.int64),
+                                     "cur": np.empty(0, np.int64)})
+            u = m["key"].to_numpy(np.int64)
+            w = m["dst"].to_numpy(np.int64)
+            keys = [_p + f"{a}:{b}" for a, b in zip(u, w)]
+            h = CMS.hash64(keys)
+            walk = m["walk"].to_numpy(np.int64)
+            order = np.lexsort((w, h, walk))
+            ws = walk[order]
+            first = order[np.flatnonzero(
+                np.diff(ws, prepend=ws[0] - 1) != 0)]
+            return pd.DataFrame({"walk": walk[first],
+                                 "cur": w[first]})
+
+        tagged = frontier.map_batches(tag_frontier,
+                                      batch_format="pyarrow",
+                                      batch_size=None) \
+            .union(edges.map_batches(tag_edges, batch_format="pyarrow",
+                                     batch_size=None))
+        frontier = tagged.groupby("bucket").map_groups(
+            pick, batch_format="pandas") \
+            .map_batches(lambda t: t, batch_format="pyarrow") \
+            .materialize()
+        out = out.union(frontier.map_batches(emit(step),
+                                             batch_format="pyarrow",
+                                             batch_size=None))
+    return out
+
+
+def host_walks(ds_docs, n_hosts: int = 1000, n_steps: int = 3,
+               seed: str = "walk"):
+    """The composed graph→sequence corpus: synth HTML → extract_links
+    → host edges → deterministic hash walks from every host."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.crawl import extract_links, synth_linked_html
+
+    edges = host_edges(extract_links(synth_linked_html(ds_docs)),
+                       n_hosts=n_hosts)
+    nodes = rd.range(n_hosts).map_batches(
+        lambda t: pa.table({"doc_id": t.column("id").cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    return random_walks(nodes, edges, n_steps=n_steps, seed=seed)
+
+
+def host_walks_sql(html_expr: str, n_hosts: int = 1000,
+                   n_steps: int = 3, seed: str = "walk",
+                   table: str = "documents") -> str:
+    """DuckDB twin of host_walks: same edges, walk steps unrolled —
+    each picks min (md5_number_lower, dst) per walk via QUALIFY."""
+    parts = [
+        f"WITH e AS ({_host_edges_sql(html_expr, n_hosts, table)}), ",
+        f"w0 AS (SELECT range AS walk, range AS cur "
+        f"FROM range({n_hosts})), ",
+    ]
+    sel = ["SELECT walk, CAST(0 AS BIGINT) AS step, cur AS node FROM w0"]
+    for t in range(1, n_steps + 1):
+        parts.append(
+            f"w{t} AS (SELECT walk, e.dst AS cur FROM w{t-1} "
+            f"JOIN e ON e.src = w{t-1}.cur "
+            "QUALIFY row_number() OVER (PARTITION BY walk ORDER BY "
+            f"md5_number_lower('{seed}:{t}:' || w{t-1}.cur || ':' || "
+            "e.dst)::UBIGINT, e.dst) = 1), ")
+        sel.append(f"SELECT walk, CAST({t} AS BIGINT) AS step, "
+                   f"cur AS node FROM w{t}")
+    body = "".join(parts).rstrip().rstrip(",")
+    return body + " " + " UNION ALL ".join(sel)
 
 
 def pagerank_sql(n_iters: int = 3, damping: float = 0.85, n_out: int = 3,
