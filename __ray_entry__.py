@@ -795,6 +795,17 @@ def _q_host_walks(sf_dir: str):
     return host_walks(_docs(sf_dir))
 
 
+def _q_hilbert_tiles(sf_dir: str):
+    """Hilbert-curve tile ordering: per-tile page counts at z=6 with
+    each tile's Hilbert key — the storage-layout locality key (adjacent
+    keys are 4-adjacent tiles, which Morton interleaving does not
+    guarantee); one scan-stage key computation over the tile-bounded
+    aggregate."""
+    from vtzero_ray.functions.geo import hilbert_tiles
+
+    return hilbert_tiles(sf_dir, zoom=6)
+
+
 def _q_prep_training_data(sf_dir: str):
     """The full training-data prep recipe as one streaming composition:
     C4 line cleaning → exact dedup (keep-first, md5-bucket shuffle) →
@@ -1727,7 +1738,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # the driver geo slots)
                   "path_lengths_z6", "geohash_cells",
                   # grid-DBSCAN connected-cell clustering
-                  "grid_clusters",
+                  "grid_clusters", "hilbert_tiles_z6",
                   # persisted spatial index range query
                   "bbox_query_indexed")
 
@@ -1806,6 +1817,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "host_pagerank": _q_host_pagerank,
         "host_walks": _q_host_walks,
+        "hilbert_tiles_z6": _q_hilbert_tiles,
         "jsonl_identity": _q_jsonl_identity,
         "warc_pages": _q_warc_pages,
         "gopher_rules": _q_gopher_rules,
@@ -2047,6 +2059,8 @@ def _all_oracle_sql() -> dict[str, str]:
         host_pagerank_sql as host_pagerank_oracle_sql
     from vtzero_ray.functions.graph import \
         host_walks_sql as host_walks_oracle_sql
+    from vtzero_ray.functions.geo import \
+        hilbert_sql as hilbert_oracle_sql
     from vtzero_ray.functions.textstats import \
         gopher_rules_sql as gopher_oracle_sql
     from vtzero_ray.functions.webclean import \
@@ -2127,6 +2141,10 @@ def _all_oracle_sql() -> dict[str, str]:
             f"SELECT 6 AS z, {t6['x']} AS x, {t6['y']} AS y, COUNT(*) AS n_pages "
             f"FROM documents GROUP BY 1, 2, 3"
         ),
+        # hilbert_tiles_z6: same tile aggregate, rotation walk unrolled
+        "hilbert_tiles_z6": hilbert_oracle_sql(
+            f"SELECT {t6['x']} AS x, {t6['y']} AS y, "
+            "COUNT(*) AS n_pages FROM documents GROUP BY 1, 2", 6),
         "tile_assignment_z12": (
             f"SELECT 12 AS z, {t12['x']} AS x, {t12['y']} AS y, COUNT(*) AS n_pages "
             f"FROM documents GROUP BY 1, 2, 3"

@@ -304,7 +304,8 @@ def run_bench() -> dict:
                      # composed fuzzy-dedup removal + DSIR selection
                      "near_dedup", "dsir_weights",
                      # grid-DBSCAN spatial clustering + indexed bbox query
-                     "grid_clusters", "bbox_query_indexed"):
+                     "grid_clusters", "bbox_query_indexed",
+                     "hilbert_tiles_z6"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

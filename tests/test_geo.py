@@ -217,3 +217,63 @@ class TestPathLengths:
         b = path_lengths(SF, zoom=6).to_pandas() \
             .sort_values("site").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestHilbert:
+    def test_canonical_order1_curve(self):
+        from vtzero_ray.functions.geo import hilbert_d
+
+        d = hilbert_d(np.array([0, 0, 1, 1]), np.array([0, 1, 1, 0]), 1)
+        assert d.tolist() == [0, 1, 2, 3]
+
+    def test_bijection_and_locality(self):
+        """On the full grid the key is a bijection onto [0, 4^z) and
+        consecutive keys are 4-adjacent tiles — the property Morton
+        interleaving lacks and the reason to order a tile sink by it."""
+        from vtzero_ray.functions.geo import hilbert_d
+
+        for z in (2, 3, 5):
+            n = 1 << z
+            xs, ys = np.meshgrid(np.arange(n), np.arange(n),
+                                 indexing="ij")
+            d = hilbert_d(xs.ravel(), ys.ravel(), z)
+            assert sorted(d.tolist()) == list(range(n * n))
+            order = np.argsort(d)
+            dx = np.abs(np.diff(xs.ravel()[order]))
+            dy = np.abs(np.diff(ys.ravel()[order]))
+            assert ((dx + dy) == 1).all()
+
+    def test_out_of_range_raises(self):
+        from vtzero_ray.functions.geo import hilbert_d
+
+        with pytest.raises(ValueError):
+            hilbert_d(np.array([4]), np.array([0]), 2)
+
+    def test_sql_twin_full_grid(self):
+        import duckdb
+
+        from vtzero_ray.functions.geo import hilbert_d, hilbert_sql
+
+        con = duckdb.connect()
+        df = con.execute(hilbert_sql(
+            "SELECT a.range::INTEGER AS x, b.range::INTEGER AS y, "
+            "1::BIGINT AS n_pages FROM range(16) a, range(16) b", 4)) \
+            .df().sort_values(["x", "y"]).reset_index(drop=True)
+        want = hilbert_d(df["x"].to_numpy(), df["y"].to_numpy(), 4)
+        assert (df["hkey"].to_numpy() == want).all()
+
+    def test_pipeline_matches_twin(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e.queries_extra()["hilbert_tiles_z6"](sf).to_pandas() \
+            .sort_values(["x", "y"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(e.oracle_sql_extra()["hilbert_tiles_z6"]).df() \
+            .sort_values(["x", "y"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -434,3 +434,91 @@ def geohash_sql(lat_us_expr: str, lon_us_expr: str,
         f"h AS (SELECT doc_id, CAST({hv} AS BIGINT) AS hv FROM c) "
         f"SELECT doc_id, ({chars}) AS geohash FROM h"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve tile ordering (storage-layout locality key)
+# ---------------------------------------------------------------------------
+
+def hilbert_d(x, y, z: int) -> np.ndarray:
+    """Vectorized xy→d on the order-z Hilbert curve (the classic
+    iterative rotation walk). Adjacent d values are 4-adjacent tiles,
+    which Morton/geohash interleaving does NOT guarantee — ordering a
+    tile sink by d colocates spatial neighbors in storage, the layout
+    key for range-scan-friendly 100-TB tile sets.
+
+    Pure int64 bit ops (flips are XOR with n-1, so bits already
+    consumed stay irrelevant); both engines compute it identically."""
+    if not 1 <= z <= 30:
+        raise ValueError(f"z must be in [1, 30], got {z}")
+    x = np.asarray(x).astype(np.int64).copy()
+    y = np.asarray(y).astype(np.int64).copy()
+    n = 1 << z
+    if len(x) and (x.min() < 0 or x.max() >= n or
+                   y.min() < 0 or y.max() >= n):
+        raise ValueError(f"tile coords out of range for z={z}")
+    mask = np.int64(n - 1)
+    d = np.zeros_like(x)
+    s = n >> 1
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        flip = (ry == 0) & (rx == 1)
+        x2 = np.where(flip, x ^ mask, x)
+        y2 = np.where(flip, y ^ mask, y)
+        swap = ry == 0
+        x, y = np.where(swap, y2, x2), np.where(swap, x2, y2)
+        s >>= 1
+    return d
+
+
+def hilbert_tiles(sf_dir: str, zoom: int = 6):
+    """→ Dataset (x, y, n_pages, hkey): per-tile page counts at ``zoom``
+    with each tile's Hilbert key — the tile_assignment aggregate plus
+    one scan-stage key computation (output is tile-bounded)."""
+    from vtzero_ray.pipelines.tiling import features_dataset
+
+    agg = features_dataset(sf_dir, zooms=(zoom,)) \
+        .groupby(["z", "x", "y"]).count()
+    if "count()" in agg.schema().names:
+        agg = agg.rename_columns({"count()": "n_pages"})
+
+    def add_key(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"x": pa.array(x), "y": pa.array(y),
+                         "n_pages": t.column("n_pages"),
+                         "hkey": pa.array(hilbert_d(x, y, zoom))})
+
+    return agg.map_batches(add_key, batch_format="pyarrow",
+                           batch_size=None)
+
+
+def hilbert_sql(tiles_cte: str, z: int) -> str:
+    """DuckDB twin over a CTE body producing (x, y, n_pages): the
+    rotation walk unrolled as one CTE per level — flips are
+    xor(v, n-1), (3*rx)^ry and the flip+swap are CASE chains."""
+    n = 1 << z
+    parts = [f"WITH tiles AS ({tiles_cte}), ",
+             "h0 AS (SELECT x, y, n_pages, CAST(x AS BIGINT) AS hx, "
+             "CAST(y AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd "
+             "FROM tiles), "]
+    k = 0
+    s = n >> 1
+    while s > 0:
+        k += 1
+        rx = f"(hx & {s}) != 0"
+        ry = f"(hy & {s}) != 0"
+        parts.append(
+            f"h{k} AS (SELECT x, y, n_pages, "
+            f"CASE WHEN {ry} THEN hx "
+            f"WHEN {rx} THEN xor(hy, {n - 1}) ELSE hy END AS hx, "
+            f"CASE WHEN {ry} THEN hy "
+            f"WHEN {rx} THEN xor(hx, {n - 1}) ELSE hx END AS hy, "
+            f"hd + {s * s} * (CASE WHEN {rx} AND {ry} THEN 2 "
+            f"WHEN {rx} THEN 3 WHEN {ry} THEN 1 ELSE 0 END) AS hd "
+            f"FROM h{k - 1}), ")
+        s >>= 1
+    body = "".join(parts).rstrip().rstrip(",")
+    return body + f" SELECT x, y, n_pages, hd AS hkey FROM h{k}"
