@@ -806,6 +806,17 @@ def _q_hilbert_tiles(sf_dir: str):
     return hilbert_tiles(sf_dir, zoom=6)
 
 
+def _q_nearest_segment(sf_dir: str):
+    """Nearest-segment join (map matching): snap every page to the
+    closest OTHER site's world-coordinate path segment — the segment
+    table is the broadcast small side (ray.put once), ONE corpus scan,
+    chunked vectorized point x segment distances with the exact-int /
+    single-float-expression d2 contract."""
+    from vtzero_ray.functions.geo import nearest_segment
+
+    return nearest_segment(sf_dir, zoom=6)
+
+
 def _q_prep_training_data(sf_dir: str):
     """The full training-data prep recipe as one streaming composition:
     C4 line cleaning → exact dedup (keep-first, md5-bucket shuffle) →
@@ -1739,6 +1750,8 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "path_lengths_z6", "geohash_cells",
                   # grid-DBSCAN connected-cell clustering
                   "grid_clusters", "hilbert_tiles_z6",
+                  # nearest-segment map-matching join
+                  "nearest_segment_z6",
                   # persisted spatial index range query
                   "bbox_query_indexed")
 
@@ -1818,6 +1831,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "host_walks": _q_host_walks,
         "hilbert_tiles_z6": _q_hilbert_tiles,
+        "nearest_segment_z6": _q_nearest_segment,
         "jsonl_identity": _q_jsonl_identity,
         "warc_pages": _q_warc_pages,
         "gopher_rules": _q_gopher_rules,
@@ -2061,6 +2075,8 @@ def _all_oracle_sql() -> dict[str, str]:
         host_walks_sql as host_walks_oracle_sql
     from vtzero_ray.functions.geo import \
         hilbert_sql as hilbert_oracle_sql
+    from vtzero_ray.functions.geo import \
+        nearest_segment_sql as nearest_segment_oracle_sql
     from vtzero_ray.functions.textstats import \
         gopher_rules_sql as gopher_oracle_sql
     from vtzero_ray.functions.webclean import \
@@ -2145,6 +2161,9 @@ def _all_oracle_sql() -> dict[str, str]:
         "hilbert_tiles_z6": hilbert_oracle_sql(
             f"SELECT {t6['x']} AS x, {t6['y']} AS y, "
             "COUNT(*) AS n_pages FROM documents GROUP BY 1, 2", 6),
+        # nearest_segment_z6: same site-path CTEs, same d2 CASE, QUALIFY
+        "nearest_segment_z6": nearest_segment_oracle_sql(
+            _sql_site_path_ctes(6)),
         "tile_assignment_z12": (
             f"SELECT 12 AS z, {t12['x']} AS x, {t12['y']} AS y, COUNT(*) AS n_pages "
             f"FROM documents GROUP BY 1, 2, 3"

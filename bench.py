@@ -305,7 +305,7 @@ def run_bench() -> dict:
                      "near_dedup", "dsir_weights",
                      # grid-DBSCAN spatial clustering + indexed bbox query
                      "grid_clusters", "bbox_query_indexed",
-                     "hilbert_tiles_z6"):
+                     "hilbert_tiles_z6", "nearest_segment_z6"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

@@ -277,3 +277,66 @@ class TestHilbert:
         exp = con.execute(e.oracle_sql_extra()["hilbert_tiles_z6"]).df() \
             .sort_values(["x", "y"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestNearestSegment:
+    def test_hand_distances(self, ray_session):
+        """Brute-force recomputation with exact rational arithmetic on a
+        small slice: the chosen segment truly minimizes distance and
+        d_q3 matches an independent scalar derivation."""
+        from fractions import Fraction
+
+        import duckdb
+
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e.queries_extra()["nearest_segment_z6"](sf).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        # independent scalar check on 25 docs: exact-rational min d2
+        from __ray_entry__ import _sql_site_path_ctes
+        pts = con.execute(
+            f"WITH {_sql_site_path_ctes(6)} SELECT site, doc_id, wx, wy "
+            "FROM pts ORDER BY doc_id").df()
+        segs = con.execute(
+            f"WITH {_sql_site_path_ctes(6)} SELECT site, wx, wy, pt_idx "
+            "FROM e ORDER BY site, pt_idx").df()
+        seg_rows = []
+        for site, g in segs.groupby("site"):
+            g = g.sort_values("pt_idx")
+            xs, ys = g.wx.to_numpy(), g.wy.to_numpy()
+            for i in range(len(g) - 1):
+                seg_rows.append((site, i, xs[i], ys[i], xs[i+1], ys[i+1]))
+        for _, p in pts.head(25).iterrows():
+            best = None
+            for (site, i, x0, y0, x1, y1) in seg_rows:
+                if site == p.site:
+                    continue
+                dx, dy = int(x1 - x0), int(y1 - y0)
+                pax, pay = int(p.wx - x0), int(p.wy - y0)
+                len2 = dx * dx + dy * dy
+                dot = pax * dx + pay * dy
+                if len2 == 0 or dot <= 0:
+                    d2 = Fraction(pax * pax + pay * pay)
+                elif dot >= len2:
+                    d2 = Fraction((int(p.wx - x1)) ** 2
+                                  + (int(p.wy - y1)) ** 2)
+                else:
+                    d2 = Fraction(pax * pax + pay * pay) \
+                        - Fraction(dot * dot, len2)
+                key = (d2, site, i)
+                if best is None or key < best:
+                    best = key
+            row = got[got.doc_id == p.doc_id].iloc[0]
+            assert (row.site, row.seg_idx) == (best[1], best[2]), p.doc_id
+
+    def test_own_site_excluded_and_total(self, ray_session):
+        import __ray_entry__ as e
+
+        sf = "/root/testdata/sf0.001"
+        got = e.queries_extra()["nearest_segment_z6"](sf).to_pandas()
+        assert len(got) == 500                      # every page snapped
+        assert (got.site != got.doc_id % 50).all()  # never its own site

@@ -522,3 +522,128 @@ def hilbert_sql(tiles_cte: str, z: int) -> str:
         s >>= 1
     body = "".join(parts).rstrip().rstrip(",")
     return body + f" SELECT x, y, n_pages, hd AS hkey FROM h{k}"
+
+
+# ---------------------------------------------------------------------------
+# nearest-segment join (map matching: snap points to the closest polyline)
+# ---------------------------------------------------------------------------
+
+def nearest_segment(sf_dir: str, zoom: int = 6, extent: int = 4096,
+                    chunk: int = 4096):
+    """→ Dataset (doc_id, site, seg_idx, d_q3): for every page, the
+    nearest world-coordinate path segment of any OTHER site (own-site
+    segments pass through the page's own vertex at distance 0, so
+    excluding them makes this the map-matching shape: snap a point to
+    the closest foreign polyline). Ties break (d2, site, seg_idx) asc.
+
+    Scale shape: the segment table is the broadcast small side (site
+    cardinality is bounded — the PIPJoin assumption; past ~10^6
+    segments, cell-bucket it like KNNGrid). ONE corpus scan; per batch
+    the point×segment distance matrix is evaluated in segment CHUNKS
+    (sorted by (site, seg_idx), strict < keeps the first-tie winner)
+    so memory is chunk-bounded, compute fully vectorized.
+
+    Float parity: d2 is ONE CASE expression per pair over exact-int
+    operands (coords < 2^18 ⇒ every int term < 2^53; dot² would
+    overflow int64, so dot is cast to float64 FIRST and the identical
+    multiply/divide runs in both engines — the BM25 expression-text
+    contract); endpoint branches stay pure int. d_q3 =
+    floor(sqrt(d2)*1e3+0.5) on bit-identical doubles."""
+    import ray
+
+    from vtzero_ray.pipelines.clip_paths import (_world_points,
+                                                 world_segments)
+
+    seg_df = world_segments(sf_dir, zoom=zoom, extent=extent).to_pandas()
+    seg_df = seg_df.sort_values(["site", "seg_idx"], kind="stable")
+    seg = {c: np.ascontiguousarray(seg_df[c].to_numpy(np.int64))
+           for c in ("site", "seg_idx", "wx0", "wy0", "wx1", "wy1")}
+    seg_ref = ray.put(seg)
+
+    def fn(t: pa.Table) -> pa.Table:
+        from vtzero_ray.runtime import tune_allocator
+        tune_allocator()
+        s = ray.get(seg_ref)  # plasma-cached per node; arrays zero-copy
+        doc = t.column("doc_id").to_numpy().astype(np.int64)
+        psite = t.column("site").to_numpy().astype(np.int64)
+        px = t.column("wx").to_numpy().astype(np.int64)
+        py = t.column("wy").to_numpy().astype(np.int64)
+        n = len(doc)
+        best_d2 = np.full(n, np.inf)
+        best_site = np.full(n, -1, np.int64)
+        best_seg = np.full(n, -1, np.int64)
+        for lo in range(0, len(s["site"]), chunk):
+            hi = lo + chunk
+            sx0 = s["wx0"][lo:hi]
+            sy0 = s["wy0"][lo:hi]
+            dx = s["wx1"][lo:hi] - sx0
+            dy = s["wy1"][lo:hi] - sy0
+            len2 = dx * dx + dy * dy
+            pax = px[:, None] - sx0[None, :]
+            pay = py[:, None] - sy0[None, :]
+            dot = pax * dx[None, :] + pay * dy[None, :]
+            p2a = pax * pax + pay * pay
+            pbx = px[:, None] - s["wx1"][lo:hi][None, :]
+            pby = py[:, None] - s["wy1"][lo:hi][None, :]
+            p2b = pbx * pbx + pby * pby
+            interior = (p2a.astype(np.float64)
+                        - (dot.astype(np.float64) * dot.astype(np.float64))
+                        / len2.astype(np.float64)[None, :])
+            d2 = np.where((len2[None, :] == 0) | (dot <= 0),
+                          p2a.astype(np.float64),
+                          np.where(dot >= len2[None, :],
+                                   p2b.astype(np.float64), interior))
+            d2[psite[:, None] == s["site"][lo:hi][None, :]] = np.inf
+            j = np.argmin(d2, axis=1)  # first min = smallest (site, seg)
+            cand = d2[np.arange(n), j]
+            upd = cand < best_d2
+            best_d2[upd] = cand[upd]
+            best_site[upd] = s["site"][lo:hi][j[upd]]
+            best_seg[upd] = s["seg_idx"][lo:hi][j[upd]]
+        keep = np.isfinite(best_d2)
+        dq = np.floor(np.sqrt(best_d2[keep]) * 1000.0 + 0.5) \
+            .astype(np.int64)
+        return pa.table({"doc_id": pa.array(doc[keep]),
+                         "site": pa.array(best_site[keep]),
+                         "seg_idx": pa.array(best_seg[keep]),
+                         "d_q3": pa.array(dq)})
+
+    pts = _world_points(sf_dir, zoom, extent)
+    return pts.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def nearest_segment_sql(e_ctes: str) -> str:
+    """DuckDB twin: same site-path ``e`` CTEs → lead() segments with
+    per-site seg_idx → cross join against every page's world point
+    (own site excluded) → the SAME d2 CASE expression → QUALIFY
+    min-(d2, site, seg_idx)."""
+    d2 = ("CASE WHEN len2 = 0 OR dot <= 0 THEN CAST(p2a AS DOUBLE) "
+          "WHEN dot >= len2 THEN CAST(p2b AS DOUBLE) "
+          "ELSE CAST(p2a AS DOUBLE) - (CAST(dot AS DOUBLE) * "
+          "CAST(dot AS DOUBLE)) / CAST(len2 AS DOUBLE) END")
+    return (
+        f"WITH {e_ctes}, "
+        "segs AS (SELECT site, "
+        "row_number() OVER w - 1 AS seg_idx, "
+        "wx AS wx0, wy AS wy0, lead(wx) OVER w AS wx1, "
+        "lead(wy) OVER w AS wy1 FROM e "
+        "WINDOW w AS (PARTITION BY site ORDER BY pt_idx) "
+        "QUALIFY lead(wx) OVER w IS NOT NULL), "
+        "p AS (SELECT doc_id, site AS psite, wx AS px, wy AS py "
+        "FROM pts), "
+        "terms AS (SELECT p.doc_id, s.site, s.seg_idx, "
+        "(s.wx1 - s.wx0) * (s.wx1 - s.wx0) + "
+        "(s.wy1 - s.wy0) * (s.wy1 - s.wy0) AS len2, "
+        "(p.px - s.wx0) * (s.wx1 - s.wx0) + "
+        "(p.py - s.wy0) * (s.wy1 - s.wy0) AS dot, "
+        "(p.px - s.wx0) * (p.px - s.wx0) + "
+        "(p.py - s.wy0) * (p.py - s.wy0) AS p2a, "
+        "(p.px - s.wx1) * (p.px - s.wx1) + "
+        "(p.py - s.wy1) * (p.py - s.wy1) AS p2b "
+        "FROM p JOIN segs s ON s.site != p.psite), "
+        f"cand AS (SELECT doc_id, site, seg_idx, {d2} AS d2 FROM terms) "
+        "SELECT doc_id, site, seg_idx, "
+        "CAST(floor(sqrt(d2) * 1000.0 + 0.5) AS BIGINT) AS d_q3 "
+        "FROM cand QUALIFY row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY d2, site, seg_idx) = 1"
+    )
