@@ -88,3 +88,68 @@ class TestPQSearch:
         codes = _encode_mat(quantize_unit(mat), cb)
         assert codes.shape[1] == 4
         assert codes.min() >= 0 and codes.max() < cb.shape[0] <= 256
+
+
+class TestBoundaryTies:
+    """Regression for the sf0.1 sweep catch: a per-batch prune that
+    argpartitions on distance ALONE keeps an arbitrary subset when the
+    k-th distance ties across vec_ids, dropping the tied smaller id
+    before the merge. Duplicating every vector under a shifted id makes
+    EVERY distance a cross-partition tie — the winner set must be
+    batching-independent and always the smaller (original) ids."""
+
+    def _dup_corpus(self, sf_dir, parts):
+        import pyarrow as pa
+        import ray.data as rd
+
+        def shift(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "vec_id": pa.compute.add(t.column("vec_id"), 10000),
+                "embedding": t.column("embedding"),
+            })
+
+        base = _ds(sf_dir)
+        dup = _ds(sf_dir).map_batches(shift, batch_format="pyarrow")
+        return base.union(dup).repartition(parts)
+
+    def test_pq_tie_prune(self, ray_session, sf_dir):
+        from vtzero_ray.functions.pq import topk_pq
+
+        outs = []
+        for parts in (1, 13):
+            outs.append(topk_pq(self._dup_corpus(sf_dir, parts), sf_dir,
+                                k=5, n_queries=6).to_pandas()
+                        .sort_values(["query_id", "rank"])
+                        .reset_index(drop=True))
+        assert outs[0].equals(outs[1])
+        self._assert_total_order(outs[1], "pq_dist", asc=True)
+
+    @staticmethod
+    def _assert_total_order(df, score_col, asc):
+        """Within each query, ranks follow (score, vec_id) exactly —
+        in particular tied scores list vec_ids strictly ascending, so
+        the duplicate (id, id+10000) tie pairs sit adjacent in order."""
+        saw_tie = False
+        for _, g in df.groupby("query_id"):
+            g = g.sort_values("rank")
+            s = g[score_col].to_numpy()
+            v = g["vec_id"].to_numpy()
+            step_ok = (s[1:] >= s[:-1]) if asc else (s[1:] <= s[:-1])
+            assert step_ok.all()
+            tie = s[1:] == s[:-1]
+            saw_tie |= bool(tie.any())
+            assert (v[1:][tie] > v[:-1][tie]).all()
+        assert saw_tie  # the dup corpus must actually produce ties
+
+    def test_bruteforce_tie_prune(self, ray_session, sf_dir):
+        from vtzero_ray.functions.ann import topk_bruteforce
+
+        outs = []
+        for parts in (1, 13):
+            outs.append(topk_bruteforce(self._dup_corpus(sf_dir, parts),
+                                        sf_dir, k=5, n_queries=6)
+                        .to_pandas()
+                        .sort_values(["query_id", "rank"])
+                        .reset_index(drop=True))
+        assert outs[0].equals(outs[1])
+        self._assert_total_order(outs[1], "cosine", asc=False)

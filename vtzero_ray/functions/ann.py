@@ -51,11 +51,13 @@ class BatchTopK:
         sims = np.round(self.qmat @ mat.T, 6)  # (Q, B)
         k = min(self.k, ids.shape[0])
         out_q, out_id, out_sim = [], [], []
-        # partial top-k per query within this batch (vectorized argpartition)
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k] if k < ids.shape[0] else \
-            np.tile(np.arange(ids.shape[0]), (sims.shape[0], 1))
+        # partial top-k per query under the FULL (cosine DESC, vec_id
+        # ASC) total order the merge uses — an argpartition on cosine
+        # alone keeps an arbitrary subset when the k-th score ties
+        # across vec_ids and can drop the tied smaller id before the
+        # merge (the topk_pq sf0.1 lesson; round-6 scores tie readily)
         for qi in range(self.qids.shape[0]):
-            cols = part[qi]
+            cols = np.lexsort((ids, -sims[qi]))[:k]
             out_q.append(np.full(cols.shape[0], self.qids[qi], np.int64))
             out_id.append(ids[cols])
             out_sim.append(sims[qi, cols])

@@ -140,14 +140,16 @@ def topk_pq(ds, sf_dir: str, k: int = 5, n_queries: int = 10,
         dist = np.zeros((nq, ids.shape[0]), np.int64)
         for m in range(codes.shape[1]):
             dist += lut_[:, codes[:, m], m]
-        # per-batch per-query top-k prune under (dist ASC, vec_id ASC)
+        # per-batch per-query top-k prune under the FULL (dist ASC,
+        # vec_id ASC) total order — the merge's criterion. An
+        # argpartition on dist alone keeps an ARBITRARY subset when the
+        # k-th distance ties across several vec_ids, which can drop the
+        # tied smaller vec_id before the merge ever sees it (caught by
+        # the sf0.1 sweep: two rank-5 ties flipped vs the oracle).
         kk = min(k, ids.shape[0])
-        part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
         rows = []
         for qi in range(nq):
-            cand = part[qi]
-            order = np.lexsort((ids[cand], dist[qi, cand]))[:kk]
-            sel = cand[order]
+            sel = np.lexsort((ids, dist[qi]))[:kk]
             rows.append((np.full(kk, q_ids_[qi], np.int64),
                          ids[sel], dist[qi, sel]))
         return pa.table({
