@@ -817,6 +817,15 @@ def _q_nearest_segment(sf_dir: str):
     return nearest_segment(sf_dir, zoom=6)
 
 
+def _q_cocitation(sf_dir: str):
+    """Co-citation related-hosts: target pairs co-linked by a common
+    source over the really-extracted host graph — per-src pair explode
+    (out-degree bounded, loud star guard) → pair-bucket count shuffle."""
+    from vtzero_ray.functions.graph import host_cocitation
+
+    return host_cocitation(_docs(sf_dir))
+
+
 def _q_prep_training_data(sf_dir: str):
     """The full training-data prep recipe as one streaming composition:
     C4 line cleaning → exact dedup (keep-first, md5-bucket shuffle) →
@@ -1690,6 +1699,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # the graph-op driver slot) + the composed host-rank
                   # over really-extracted edges
                   "pagerank", "host_pagerank", "host_walks",
+                  "cocitation_hosts",
                   # source-format breadth (S1): JSONL round-trip, WARC
                   # crawl-archive parse (pages_text_identity covers the
                   # parquet read path)
@@ -1830,6 +1840,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "host_pagerank": _q_host_pagerank,
         "host_walks": _q_host_walks,
+        "cocitation_hosts": _q_cocitation,
         "hilbert_tiles_z6": _q_hilbert_tiles,
         "nearest_segment_z6": _q_nearest_segment,
         "jsonl_identity": _q_jsonl_identity,
@@ -2073,6 +2084,8 @@ def _all_oracle_sql() -> dict[str, str]:
         host_pagerank_sql as host_pagerank_oracle_sql
     from vtzero_ray.functions.graph import \
         host_walks_sql as host_walks_oracle_sql
+    from vtzero_ray.functions.graph import \
+        host_cocitation_sql as host_cocitation_oracle_sql
     from vtzero_ray.functions.geo import \
         hilbert_sql as hilbert_oracle_sql
     from vtzero_ray.functions.geo import \
@@ -2492,6 +2505,9 @@ def _all_oracle_sql() -> dict[str, str]:
         "host_pagerank": host_pagerank_oracle_sql(linked_html_sql_expr()),
         # host_walks: unrolled steps, min-(md5_number_lower, dst) hop
         "host_walks": host_walks_oracle_sql(linked_html_sql_expr()),
+        # cocitation_hosts: same edges, self-join on src
+        "cocitation_hosts": host_cocitation_oracle_sql(
+            linked_html_sql_expr()),
         # jsonl_identity: the round trip must reproduce the raw table
         "jsonl_identity": ("SELECT doc_id, text, lang, source, n_chars "
                            "FROM documents"),

@@ -289,7 +289,7 @@ def run_bench() -> dict:
                      # round-4 continuation: classifier, substring-dedup
                      # signals, semantic dedup, link rank, composed prep
                      "nb_lang_classify", "dup_ngram_spans", "semdedup",
-                     "pagerank", "host_pagerank", "host_walks",
+                     "pagerank", "host_pagerank", "host_walks", "cocitation_hosts",
                      "prep_training_data",
                      # round-4 final session: embedding generation, crawl
                      # management, overview pyramid

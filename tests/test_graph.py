@@ -4,6 +4,7 @@ twin equality, mass conservation, hub ordering, partition invariance."""
 import math
 
 import numpy as np
+import pytest
 import pyarrow as pa
 
 
@@ -214,3 +215,58 @@ class TestHostWalks:
                         .sort_values(["walk", "step"])
                         .reset_index(drop=True))
         assert outs[0].equals(outs[1])
+
+
+class TestCocitation:
+    def test_hand_semantics(self, ray_session):
+        """src 1 links {7, 9, 11} -> 3 pairs; src 2 links {7, 9} ->
+        (7,9) counted twice; duplicate edges collapse first; a
+        single-target source contributes nothing."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import cocitation
+
+        edges = pa.table({
+            "src": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+            "dst": pa.array([7, 9, 11, 7, 9, 7, 5], pa.int64()),
+        })
+        got = cocitation(rd.from_arrow(edges)).to_pandas() \
+            .sort_values(["u", "v"]).reset_index(drop=True)
+        assert list(map(tuple, got.itertuples(index=False))) == [
+            (7, 9, 2), (7, 11, 1), (9, 11, 1)]
+
+    def test_star_guard_raises(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import cocitation
+
+        edges = pa.table({
+            "src": pa.array([1, 1, 1], pa.int64()),
+            "dst": pa.array([5, 6, 7], pa.int64()),
+        })
+        with pytest.raises(Exception, match="fan-out"):
+            cocitation(rd.from_arrow(edges),
+                       max_fanout=2).to_pandas()
+
+    def test_twin_and_partition_invariance(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from vtzero_ray.functions.crawl import linked_html_sql_expr
+        from vtzero_ray.functions.graph import (host_cocitation,
+                                                host_cocitation_sql)
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(host_cocitation_sql(linked_html_sql_expr())) \
+            .df().sort_values(["u", "v"]).reset_index(drop=True)
+        assert exp["n_shared"].max() >= 2   # the count genuinely counts
+        for parts in (1, 7):
+            ds = rd.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id"]).repartition(parts)
+            got = host_cocitation(ds).to_pandas() \
+                .sort_values(["u", "v"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)

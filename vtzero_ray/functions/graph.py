@@ -465,3 +465,82 @@ def pagerank_sql(n_iters: int = 3, damping: float = 0.85, n_out: int = 3,
     body = "".join(parts).rstrip().rstrip(",")
     return (body + f" SELECT v, CAST(rq AS BIGINT) AS rank_q9 "
                    f"FROM r{max(0, n_iters)}")
+
+
+def cocitation(edges, min_shared: int = 1, max_fanout: int = 4096,
+               n_buckets: int = 32):
+    """Co-citation similarity (Small 1973, the classic related-items
+    signal): → Dataset (u, v, n_shared) — unordered target pairs u < v
+    co-linked by >= min_shared common sources.
+
+    TWO bounded shuffles: (1) src-bucket colocates each source's
+    out-set; pairs explode per src (cost C(out-degree, 2), so a source
+    with > max_fanout targets raises LOUDLY — the ADVICE star-guard
+    lesson: diverge loudly, never silently vs the oracle); (2)
+    pair-bucket shuffle sums counts (each unordered pair hashes to one
+    bucket, so the count and the min_shared filter are local)."""
+
+    def tag_src(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"bucket": pa.array((s % n_buckets)
+                                            .astype(np.int32)),
+                         "src": pa.array(s),
+                         "dst": t.column("dst").cast(pa.int64())})
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_v = [], []
+        for src, g in df.groupby("src", sort=False):
+            d = np.unique(g["dst"].to_numpy(np.int64))
+            if d.size > max_fanout:
+                raise ValueError(f"src {src} fan-out {d.size} exceeds "
+                                 f"max_fanout={max_fanout}")
+            if d.size < 2:
+                continue
+            iu, iv = np.triu_indices(d.size, k=1)
+            out_u.append(d[iu])
+            out_v.append(d[iv])
+        if not out_u:
+            return pd.DataFrame({"u": np.empty(0, np.int64),
+                                 "v": np.empty(0, np.int64),
+                                 "pb": np.empty(0, np.int32)})
+        u = np.concatenate(out_u)
+        v = np.concatenate(out_v)
+        return pd.DataFrame({"u": u, "v": v,
+                             "pb": ((u * 31 + v) % n_buckets)
+                             .astype(np.int32)})
+
+    def count_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby(["u", "v"], sort=False).size() \
+            .reset_index(name="n_shared")
+        agg = agg[agg["n_shared"] >= min_shared]
+        agg["n_shared"] = agg["n_shared"].astype(np.int64)
+        return agg[["u", "v", "n_shared"]]
+
+    pairs = edges.map_batches(tag_src, batch_format="pyarrow",
+                              batch_size=None) \
+        .groupby("bucket").map_groups(explode, batch_format="pandas")
+    return pairs.groupby("pb").map_groups(count_pairs,
+                                          batch_format="pandas")
+
+
+def host_cocitation(ds_docs, n_hosts: int = 1000, min_shared: int = 1):
+    """Related hosts over the really-extracted link graph."""
+    from vtzero_ray.functions.crawl import extract_links, synth_linked_html
+
+    return cocitation(host_edges(
+        extract_links(synth_linked_html(ds_docs)), n_hosts=n_hosts),
+        min_shared=min_shared)
+
+
+def host_cocitation_sql(html_expr: str, n_hosts: int = 1000,
+                        min_shared: int = 1,
+                        table: str = "documents") -> str:
+    """DuckDB twin: the same extracted edges, self-joined on src."""
+    return (
+        f"WITH e AS ({_host_edges_sql(html_expr, n_hosts, table)}) "
+        "SELECT a.dst AS u, b.dst AS v, CAST(COUNT(*) AS BIGINT) "
+        "AS n_shared FROM e a JOIN e b "
+        "ON a.src = b.src AND a.dst < b.dst "
+        f"GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}"
+    )
