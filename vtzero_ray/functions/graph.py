@@ -80,6 +80,13 @@ def pagerank(ds_nodes, edges, n_iters: int = 3, damping: float = 0.85,
     iteration's update is base + integer sum of quantized edge terms."""
     nodes = ds_nodes.select_columns(["doc_id"]).materialize()
     edges = edges.materialize()
+    # Over-blocked edge tables (e.g. a bucketed-groupby upstream emits
+    # ~64 small blocks for a 1500-row graph) multiply EVERY iteration's
+    # task count: re-blocking once here cut host_pagerank 9.3 s -> 2.9 s
+    # at sf0.1. Only fires when blocks >> buckets, so a genuinely large
+    # edge table keeps its natural block count.
+    if edges.num_blocks() > 4 * n_buckets:
+        edges = edges.repartition(n_buckets).materialize()
     n = nodes.count()
     r0 = int(np.floor(QUANT / n + 0.5))
     base = int(np.floor((1.0 - damping) * QUANT / n + 0.5))
@@ -235,12 +242,17 @@ def host_pagerank(ds_docs, n_hosts: int = 1000, n_iters: int = 3,
 
     from vtzero_ray.functions.crawl import extract_links, synth_linked_html
 
+    # bucket counts sized to the graph: 8 buckets over 10^3 hosts —
+    # each per-iteration groupby barrier costs ~per-group task
+    # orchestration, so 32 near-empty groups tripled the wall at sf0.1
+    # (n_buckets stays the scale knob: raise it with the host count)
     edges = host_edges(extract_links(synth_linked_html(ds_docs)),
-                       n_hosts=n_hosts)
-    nodes = rd.range(n_hosts).map_batches(
+                       n_hosts=n_hosts, n_buckets=8)
+    nodes = rd.range(n_hosts, override_num_blocks=4).map_batches(
         lambda t: pa.table({"doc_id": t.column("id").cast(pa.int64())}),
         batch_format="pyarrow", batch_size=None)
-    return pagerank(nodes, edges, n_iters=n_iters, damping=damping)
+    return pagerank(nodes, edges, n_iters=n_iters, damping=damping,
+                    n_buckets=8)
 
 
 def pagerank_sql_over(edges_sql: str, nodes_sql: str, n_iters: int = 3,
@@ -320,6 +332,9 @@ def random_walks(ds_nodes, edges, n_steps: int = 3, seed: str = "walk",
         raise ValueError(f"n_steps must be >= 0, got {n_steps}")
     nodes = ds_nodes.select_columns(["doc_id"]).materialize()
     edges = edges.select_columns(["src", "dst"]).materialize()
+    # same over-blocking guard as pagerank: every step re-maps edges
+    if edges.num_blocks() > 4 * n_buckets:
+        edges = edges.repartition(n_buckets).materialize()
 
     def init(t: pa.Table) -> pa.Table:
         v = t.column("doc_id").to_numpy(zero_copy_only=False) \
@@ -404,7 +419,10 @@ def host_walks(ds_docs, n_hosts: int = 1000, n_steps: int = 3,
 
     edges = host_edges(extract_links(synth_linked_html(ds_docs)),
                        n_hosts=n_hosts)
-    nodes = rd.range(n_hosts).map_batches(
+    # override_num_blocks: rd.range defaults to ~200 blocks -> 5-row
+    # tasks re-mapped EVERY iteration (22 s of pure orchestration at
+    # sf0.1); the node table is tiny, a handful of blocks suffices
+    nodes = rd.range(n_hosts, override_num_blocks=4).map_batches(
         lambda t: pa.table({"doc_id": t.column("id").cast(pa.int64())}),
         batch_format="pyarrow", batch_size=None)
     return random_walks(nodes, edges, n_steps=n_steps, seed=seed)
