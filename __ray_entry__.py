@@ -826,6 +826,21 @@ def _q_cocitation(sf_dir: str):
     return host_cocitation(_docs(sf_dir))
 
 
+def _q_bigram_perplexity(sf_dir: str):
+    """Bigram-LM perplexity, the model-as-TABLE scoring shape: a bigram
+    model is vocabulary²-bounded (no broadcast at 100 TB) — LM rows and
+    doc-term rows bucket by the same crc32(t1) key, ONE tagged-union
+    join shuffle computes int64-quantized terms, ONE doc-bucket shuffle
+    integer-sums them; sentinel channel keeps zero-bigram docs."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.lm import bigram_perplexity
+
+    return bigram_perplexity(
+        lambda: rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"]))
+
+
 def _q_prep_training_data(sf_dir: str):
     """The full training-data prep recipe as one streaming composition:
     C4 line cleaning → exact dedup (keep-first, md5-bucket shuffle) →
@@ -1700,6 +1715,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # over really-extracted edges
                   "pagerank", "host_pagerank", "host_walks",
                   "cocitation_hosts",
+                  # bigram LM (model-as-table join; doc_perplexity
+                  # holds the driver quality-scoring slot)
+                  "bigram_perplexity",
                   # source-format breadth (S1): JSONL round-trip, WARC
                   # crawl-archive parse (pages_text_identity covers the
                   # parquet read path)
@@ -1841,6 +1859,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "host_walks": _q_host_walks,
         "cocitation_hosts": _q_cocitation,
+        "bigram_perplexity": _q_bigram_perplexity,
         "hilbert_tiles_z6": _q_hilbert_tiles,
         "nearest_segment_z6": _q_nearest_segment,
         "jsonl_identity": _q_jsonl_identity,
@@ -2086,6 +2105,8 @@ def _all_oracle_sql() -> dict[str, str]:
         host_walks_sql as host_walks_oracle_sql
     from vtzero_ray.functions.graph import \
         host_cocitation_sql as host_cocitation_oracle_sql
+    from vtzero_ray.functions.lm import \
+        bigram_perplexity_sql as bigram_oracle_sql
     from vtzero_ray.functions.geo import \
         hilbert_sql as hilbert_oracle_sql
     from vtzero_ray.functions.geo import \
@@ -2508,6 +2529,8 @@ def _all_oracle_sql() -> dict[str, str]:
         # cocitation_hosts: same edges, self-join on src
         "cocitation_hosts": host_cocitation_oracle_sql(
             linked_html_sql_expr()),
+        # bigram_perplexity: same tokenizer/ctx/V, int64-quantized terms
+        "bigram_perplexity": bigram_oracle_sql(),
         # jsonl_identity: the round trip must reproduce the raw table
         "jsonl_identity": ("SELECT doc_id, text, lang, source, n_chars "
                            "FROM documents"),

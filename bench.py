@@ -281,7 +281,7 @@ def run_bench() -> dict:
                      # round-4 training-data ops (all single-scan corpus
                      # stages — cheap, and their sf0.1 walls are the
                      # scale evidence)
-                     "repetition_stats", "doc_perplexity",
+                     "repetition_stats", "doc_perplexity", "bigram_perplexity",
                      "mix_weighted", "decontaminate", "cluster_docs",
                      # web cleaning + incremental dedup (late round 4)
                      "clean_lines_c4", "url_dedup", "dedup_lines_c4",

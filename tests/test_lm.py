@@ -186,3 +186,73 @@ class TestFilterByPerplexity:
         all_b = {r.doc_id: r.ppl_bucket for r in got.itertuples()}
         if 6 in kept and 7 in kept:
             assert all_b[6] > all_b[7]
+
+
+class TestBigramPerplexity:
+    def _expected(self, texts):
+        """Plain-Python bigram add-1 NLL, same quantization."""
+        import math
+
+        toks = [t.split() for t in texts]
+        vocab = {w for ts in toks for w in ts}
+        V = len(vocab)
+        cb, ctx = {}, {}
+        for ts in toks:
+            for a, b in zip(ts, ts[1:]):
+                cb[(a, b)] = cb.get((a, b), 0) + 1
+                ctx[a] = ctx.get(a, 0) + 1
+        out = []
+        for ts in toks:
+            pairs = list(zip(ts, ts[1:]))
+            tf = {}
+            for p in pairs:
+                tf[p] = tf.get(p, 0) + 1
+            nll = -sum(
+                int(math.floor((f * math.log((cb[p] + 1.0)
+                                             / (ctx[p[0]] + V)))
+                               * 1e9 + 0.5))
+                for p, f in tf.items())
+            out.append((len(pairs), nll))
+        return out
+
+    def test_hand_corpus_with_empty_docs(self, ray_session):
+        """Exercises the sentinel channel: empty / whitespace-only /
+        1-token docs keep a (0, 0) row."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.lm import bigram_perplexity
+
+        corpus = CORPUS + ["single"]
+        got = (bigram_perplexity(
+            lambda: rd.from_arrow(_tab(corpus)).repartition(3))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        want = self._expected(corpus)
+        assert len(got) == len(corpus)
+        for i, (nb, nll) in enumerate(want):
+            row = got.iloc[i]
+            assert (row.n_bigrams, row.nll_q9) == (nb, nll), i
+        # docs 3, 4 (empty/ws-only) and 6 ("single") have no bigrams
+        assert got.loc[[3, 4, 6], "n_bigrams"].tolist() == [0, 0, 0]
+        assert got.loc[[3, 4, 6], "nll_q9"].tolist() == [0, 0, 0]
+
+    def test_twin_and_partition_invariance(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from vtzero_ray.functions.lm import (bigram_perplexity,
+                                             bigram_perplexity_sql)
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(bigram_perplexity_sql()).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        for parts in (1, 7):
+            got = bigram_perplexity(
+                lambda: rd.read_parquet(f"{sf}/documents.parquet",
+                                        columns=["doc_id", "text"])
+                .repartition(parts)) \
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)

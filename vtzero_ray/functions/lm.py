@@ -403,3 +403,245 @@ def filter_by_perplexity_sql(p: float = 0.5, bucket_div: int = 1_000_000,
         f"cut AS (SELECT quantile_disc(ppl_bucket, {p}) AS c FROM b) "
         "SELECT doc_id, ppl_bucket FROM b, cut WHERE ppl_bucket <= cut.c"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM perplexity — the model-as-TABLE scoring shape
+# ---------------------------------------------------------------------------
+
+def _batch_bigrams(batch: pa.Table, column: str):
+    """(doc-local bigram arrays) — consecutive kept tokens within a doc
+    (empties dropped first, mirroring the SQL re-ranked positions):
+    returns (c1, c2, bdoc, vocab, n_docs, n_big_per_doc)."""
+    codes, tok_doc, vocab, n_docs = _split_codes(batch, column)
+    if codes.size < 2:
+        z = np.empty(0, np.int64)
+        return z, z, z, vocab, n_docs, np.zeros(n_docs, np.int64)
+    same = tok_doc[1:] == tok_doc[:-1]
+    c1 = codes[:-1][same]
+    c2 = codes[1:][same]
+    bdoc = tok_doc[:-1][same]
+    return c1, c2, bdoc, vocab, n_docs, \
+        np.bincount(bdoc, minlength=n_docs).astype(np.int64)
+
+
+def _pair_strings(vocab, c1, c2):
+    t1 = vocab.take(pa.array(c1, pa.int64()))
+    t2 = vocab.take(pa.array(c2, pa.int64()))
+    return t1, t2
+
+
+def _crc_np(strings: pa.Array, n_buckets: int) -> np.ndarray:
+    import zlib
+
+    return np.fromiter((zlib.crc32(v.encode()) % n_buckets
+                        for v in strings.to_pylist()),
+                       np.int32, count=len(strings))
+
+
+def bigram_perplexity(ds_factory, column: str = "text",
+                      id_column: str = "doc_id", n_buckets: int = 64):
+    """Per-doc add-1-smoothed BIGRAM NLL → Dataset (doc_id, n_bigrams,
+    nll_q9), p(w2|w1) = (c(w1,w2)+1) / (ctx(w1)+V) with ctx(w1) = w1's
+    occurrences as a bigram FIRST element and V = the full unigram
+    vocabulary size.
+
+    THE POINT vs doc_perplexity: a bigram model is vocabulary²-bounded
+    — too big to broadcast at 100 TB — so scoring is a DISTRIBUTED
+    JOIN, not a broadcast: LM rows and doc-term rows bucket by the
+    SAME crc32(t1) key (ctx rides ON the LM rows, computed in the same
+    bucket that owns all of t1's bigrams — the build_text_index
+    replication trick), one tagged-union groupby joins them, then ONE
+    doc-bucket shuffle integer-sums the int64-quantized terms (the
+    doc_perplexity contract: no float addition ever crosses a task
+    boundary). Self-trained on the corpus, so every doc bigram has an
+    LM row (inner join is exact); docs with < 2 tokens keep a zero
+    row via the sentinel channel.
+
+    ``ds_factory()`` must return a FRESH reader per call (the corpus is
+    scanned four times: V, LM train, doc terms, per-doc sentinels —
+    independent readers, the lineage invariant)."""
+    V = unigram_counts(ds_factory(), column=column).count()
+
+    # --- LM table: (t1, t2, cb, ctx), bucketed by crc32(t1) ---
+    def lm_partial(batch: pa.Table) -> pa.Table:
+        tune_allocator()
+        c1, c2, _, vocab, _, _ = _batch_bigrams(batch, column)
+        empty = pa.table({"t1": pa.array([], pa.string()),
+                          "t2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if c1.size == 0:
+            return empty
+        nv = np.int64(len(vocab))
+        key = c1 * nv + c2
+        uniq, cnt = np.unique(key, return_counts=True)
+        t1, t2 = _pair_strings(vocab, uniq // nv, uniq % nv)
+        return pa.table({"t1": t1, "t2": t2,
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    def lm_bucket(t: pa.Table) -> pa.Table:
+        t1 = t.column("t1")
+        if isinstance(t1, pa.ChunkedArray):
+            t1 = t1.combine_chunks()
+        return t.append_column("bucket",
+                               pa.array(_crc_np(t1, n_buckets)))
+
+    def lm_final(df):
+        agg = df.groupby(["t1", "t2"], sort=False)["n"].sum() \
+            .reset_index().rename(columns={"n": "cb"})
+        agg["ctx"] = agg.groupby("t1", sort=False)["cb"].transform("sum")
+        agg["cb"] = agg["cb"].astype(np.int64)
+        agg["ctx"] = agg["ctx"].astype(np.int64)
+        # each map_groups group IS one bucket — keep its key for lm_tag
+        agg["bucket"] = np.int32(df["bucket"].iloc[0]) if len(df) else \
+            np.empty(0, np.int32)
+        return agg[["bucket", "t1", "t2", "cb", "ctx"]]
+
+    lm = ds_factory().map_batches(lm_partial, batch_format="pyarrow",
+                                  batch_size=None) \
+        .map_batches(lm_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(lm_final, batch_format="pandas")
+
+    # --- doc term rows: (doc_id, t1, t2, tf), same bucket key ---
+    def term_partial(batch: pa.Table) -> pa.Table:
+        tune_allocator()
+        c1, c2, bdoc, vocab, n_docs, _ = _batch_bigrams(batch, column)
+        ids = batch.column(id_column).to_numpy()
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "t1": pa.array([], pa.string()),
+                          "t2": pa.array([], pa.string()),
+                          "tf": pa.array([], pa.int64())})
+        if c1.size == 0:
+            return empty
+        nv = np.int64(len(vocab))
+        if np.int64(n_docs) * nv * nv < np.int64(1) << 62:
+            key = (bdoc * nv + c1) * nv + c2
+            uniq, tf = np.unique(key, return_counts=True)
+            ud = uniq // (nv * nv)
+            uc1 = (uniq // nv) % nv
+            uc2 = uniq % nv
+        else:  # fused key would overflow — unique over stacked rows
+            rows = np.stack([bdoc, c1, c2], axis=1)
+            uniq_rows, tf = np.unique(rows, axis=0, return_counts=True)
+            ud, uc1, uc2 = uniq_rows.T
+        t1, t2 = _pair_strings(vocab, uc1, uc2)
+        return pa.table({"doc_id": pa.array(ids[ud], pa.int64()),
+                         "t1": t1, "t2": t2,
+                         "tf": pa.array(tf.astype(np.int64))})
+
+    terms = ds_factory().map_batches(term_partial, batch_format="pyarrow",
+                                     batch_size=None) \
+        .map_batches(lm_bucket, batch_format="pyarrow")
+
+    # --- bucketed join (tagged union: LM rows carry doc_id = -1) ---
+    def lm_tag(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"bucket": t.column("bucket"),
+                         "doc_id": pa.array(np.full(n, -1, np.int64)),
+                         "t1": t.column("t1"), "t2": t.column("t2"),
+                         "tf": pa.array(np.zeros(n, np.int64)),
+                         "cb": t.column("cb"), "ctx": t.column("ctx")})
+
+    def term_tag(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"bucket": t.column("bucket"),
+                         "doc_id": t.column("doc_id"),
+                         "t1": t.column("t1"), "t2": t.column("t2"),
+                         "tf": t.column("tf"),
+                         "cb": pa.array(np.zeros(n, np.int64)),
+                         "ctx": pa.array(np.zeros(n, np.int64))})
+
+    import pandas as pd
+
+    def join_q(df):
+        lmr = df[df["doc_id"] < 0]
+        tr = df[df["doc_id"] >= 0]
+        m = tr.merge(lmr[["t1", "t2", "cb", "ctx"]], on=["t1", "t2"],
+                     how="inner", suffixes=("", "_lm"))
+        if m.empty:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "q": np.empty(0, np.int64),
+                                 "b2": np.empty(0, np.int32)})
+        lnp = np.log((m["cb_lm"].to_numpy(np.float64) + 1.0)
+                     / (m["ctx_lm"].to_numpy(np.float64) + np.float64(V)))
+        q = np.floor((m["tf"].to_numpy(np.float64) * lnp)
+                     * QUANT + 0.5).astype(np.int64)
+        doc = m["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": doc, "q": q,
+                             "b2": (doc % n_buckets).astype(np.int32)})
+
+    qrows = lm.map_batches(lm_tag, batch_format="pyarrow") \
+        .union(terms.map_batches(term_tag, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(join_q, batch_format="pandas") \
+        .map_batches(lambda t: t, batch_format="pyarrow")
+
+    # --- per-doc sentinel rows (n_bigrams; docs w/o bigrams keep 0) ---
+    def sentinel(batch: pa.Table) -> pa.Table:
+        _, _, _, _, n_docs, nb = _batch_bigrams(batch, column)
+        ids = batch.column(id_column).to_numpy().astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "q": pa.array(-(nb + 1)),  # tag: q = -(nb+1)
+                         "b2": pa.array((ids % n_buckets)
+                                        .astype(np.int32))})
+
+    sent = ds_factory().map_batches(sentinel, batch_format="pyarrow",
+                                    batch_size=None)
+
+    # q terms are <= 0 (ln of a probability), so sign can't tag the
+    # sentinel channel — an explicit kind column disambiguates
+    def q_kind(t: pa.Table) -> pa.Table:
+        return t.append_column("is_sent",
+                               pa.array(np.zeros(len(t), np.bool_)))
+
+    def s_kind(t: pa.Table) -> pa.Table:
+        nbv = pc.multiply(pc.add(t.column("q"), 1), -1)  # undo the tag
+        return pa.table({"doc_id": t.column("doc_id"), "q": nbv,
+                         "b2": t.column("b2"),
+                         "is_sent": pa.array(np.ones(len(t), np.bool_))})
+
+    def finish(df):
+        s = df[df["is_sent"]]
+        tq = df[~df["is_sent"]]
+        nll = tq.groupby("doc_id", sort=False)["q"].sum()
+        out = s[["doc_id", "q"]].rename(columns={"q": "n_bigrams"}).copy()
+        out["nll_q9"] = -nll.reindex(out["doc_id"]).fillna(0) \
+            .to_numpy(np.int64)
+        out["n_bigrams"] = out["n_bigrams"].astype(np.int64)
+        return out[["doc_id", "n_bigrams", "nll_q9"]]
+
+    return qrows.map_batches(q_kind, batch_format="pyarrow") \
+        .union(sent.map_batches(s_kind, batch_format="pyarrow")) \
+        .groupby("b2").map_groups(finish, batch_format="pandas")
+
+
+def bigram_perplexity_sql(table: str = "documents", column: str = "text",
+                          id_column: str = "doc_id") -> str:
+    """DuckDB twin: same tokenizer (kept-token re-rank — the
+    dup_span_stats trim gotcha), same ctx/V definitions, same int64
+    term quantization before the per-doc SUM."""
+    return (
+        f"WITH raw AS (SELECT {id_column} AS doc_id, "
+        f"unnest(regexp_split_to_array(trim({column}), '\\s+')) AS tok, "
+        f"generate_subscripts(regexp_split_to_array(trim({column}), "
+        f"'\\s+'), 1) AS i FROM {table}), "
+        "toks AS (SELECT doc_id, tok, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY i) AS p FROM raw WHERE tok <> ''), "
+        "vs AS (SELECT COUNT(DISTINCT tok) AS v FROM toks), "
+        "big AS (SELECT a.doc_id, a.tok AS t1, b.tok AS t2 FROM toks a "
+        "JOIN toks b ON b.doc_id = a.doc_id AND b.p = a.p + 1), "
+        "cb AS (SELECT t1, t2, COUNT(*) AS cb FROM big GROUP BY 1, 2), "
+        "ctx AS (SELECT t1, SUM(cb) AS ctx FROM cb GROUP BY 1), "
+        "dtf AS (SELECT doc_id, t1, t2, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM big GROUP BY 1, 2, 3), "
+        "terms AS (SELECT d.doc_id, d.tf, CAST(floor((CAST(d.tf AS DOUBLE) "
+        "* ln((CAST(cb.cb AS DOUBLE) + 1.0) / "
+        "CAST(ctx.ctx + vs.v AS DOUBLE))) * 1000000000.0 + 0.5) AS BIGINT) "
+        "AS q FROM dtf d JOIN cb USING (t1, t2) JOIN ctx USING (t1) "
+        "CROSS JOIN vs) "
+        f"SELECT doc.{id_column} AS doc_id, "
+        "CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams, "
+        "CAST(COALESCE(-s.snll, 0) AS BIGINT) AS nll_q9 "
+        f"FROM {table} doc LEFT JOIN (SELECT doc_id, SUM(tf) AS nb, "
+        "SUM(q) AS snll FROM terms GROUP BY 1) s "
+        f"ON s.doc_id = doc.{id_column}"
+    )
