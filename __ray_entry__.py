@@ -841,6 +841,22 @@ def _q_bigram_perplexity(sf_dir: str):
                                 columns=["doc_id", "text"]))
 
 
+def _q_pagerank_weighted(sf_dir: str):
+    """Weighted PageRank: rank mass splits w/wsum per edge (synth
+    integer weights 1+(src+dst)%3; a real weight column — e.g. anchor
+    multiplicity — plugs in unchanged); same iteration machinery, the
+    w=1 case is an IEEE no-op so the unweighted oracle stays bit-equal."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vtzero_ray.functions.graph import pagerank_weighted_mod
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"]).repartition(8)
+    return pagerank_weighted_mod(ds, n)
+
+
 def _q_prep_training_data(sf_dir: str):
     """The full training-data prep recipe as one streaming composition:
     C4 line cleaning → exact dedup (keep-first, md5-bucket shuffle) →
@@ -1718,6 +1734,8 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # bigram LM (model-as-table join; doc_perplexity
                   # holds the driver quality-scoring slot)
                   "bigram_perplexity",
+                  # weighted link rank (pagerank holds the slot)
+                  "pagerank_weighted",
                   # source-format breadth (S1): JSONL round-trip, WARC
                   # crawl-archive parse (pages_text_identity covers the
                   # parquet read path)
@@ -1860,6 +1878,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "host_walks": _q_host_walks,
         "cocitation_hosts": _q_cocitation,
         "bigram_perplexity": _q_bigram_perplexity,
+        "pagerank_weighted": _q_pagerank_weighted,
         "hilbert_tiles_z6": _q_hilbert_tiles,
         "nearest_segment_z6": _q_nearest_segment,
         "jsonl_identity": _q_jsonl_identity,
@@ -2107,6 +2126,8 @@ def _all_oracle_sql() -> dict[str, str]:
         host_cocitation_sql as host_cocitation_oracle_sql
     from vtzero_ray.functions.lm import \
         bigram_perplexity_sql as bigram_oracle_sql
+    from vtzero_ray.functions.graph import \
+        pagerank_weighted_sql as pagerank_weighted_oracle_sql
     from vtzero_ray.functions.geo import \
         hilbert_sql as hilbert_oracle_sql
     from vtzero_ray.functions.geo import \
@@ -2531,6 +2552,8 @@ def _all_oracle_sql() -> dict[str, str]:
             linked_html_sql_expr()),
         # bigram_perplexity: same tokenizer/ctx/V, int64-quantized terms
         "bigram_perplexity": bigram_oracle_sql(),
+        # pagerank_weighted: same unrolled CTEs, w/wsum mass split
+        "pagerank_weighted": pagerank_weighted_oracle_sql(),
         # jsonl_identity: the round trip must reproduce the raw table
         "jsonl_identity": ("SELECT doc_id, text, lang, source, n_chars "
                            "FROM documents"),

@@ -71,6 +71,80 @@ def synth_edges(ds, n_nodes: int, n_out: int = 3):
     return ds.map_batches(gen, batch_format="pyarrow", batch_size=None)
 
 
+def synth_weighted_edges(ds, n_nodes: int, n_out: int = 3):
+    """synth_edges + deterministic integer edge weights
+    w = 1 + (src + dst) % 3 and per-src total out-weight wsum —
+    computed in-batch (a src's edges are consecutive rows of its own
+    batch, so reduceat segment sums need no shuffle). A real weight
+    column (e.g. anchor multiplicity) plugs in unchanged — the
+    synth-corpus precedent."""
+    base = synth_edges(ds, n_nodes, n_out=n_out)
+
+    def add_w(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dst = t.column("dst").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = 1 + (src + dst) % 3
+        if src.size:
+            starts = np.flatnonzero(np.diff(src, prepend=src[0] - 1) != 0)
+            wsum = np.repeat(np.add.reduceat(w, starts),
+                             np.diff(starts, append=src.size))
+        else:
+            wsum = np.empty(0, np.int64)
+        return pa.table({"src": t.column("src"), "dst": t.column("dst"),
+                         "w": pa.array(w), "wsum": pa.array(wsum)})
+
+    return base.map_batches(add_w, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def pagerank_weighted_mod(ds, n_nodes: int, n_iters: int = 3,
+                          damping: float = 0.85, n_out: int = 3):
+    """Weighted-PageRank driver shape: rank mass splits w/wsum per
+    edge instead of 1/deg."""
+    edges = synth_weighted_edges(ds, n_nodes, n_out=n_out)
+    return pagerank(ds, edges, n_iters=n_iters, damping=damping)
+
+
+def pagerank_weighted_sql(n_iters: int = 3, damping: float = 0.85,
+                          n_out: int = 3,
+                          table: str = "documents") -> str:
+    """DuckDB twin of pagerank_weighted_mod: same edges + weight
+    formula, tq = floor(d * rq * w / wsum + 0.5) — the multiply
+    order mirrors the NumPy expression exactly."""
+    d = repr(damping)
+    parts = [
+        f"WITH n AS (SELECT COUNT(*) AS c FROM {table}), ",
+        f"e0 AS (SELECT DISTINCT doc_id AS src, "
+        f"(doc_id * doc_id * 7 + j.range * 13) % n.c AS dst "
+        f"FROM {table}, n, range(1, {n_out + 1}) j), ",
+        "e AS (SELECT src, dst, CAST(1 + (src + dst) % 3 AS BIGINT) "
+        "AS w FROM e0), ",
+        "ws AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wsum "
+        "FROM e GROUP BY 1), ",
+        "base AS (SELECT CAST(floor((1.0::DOUBLE - " + d + "::DOUBLE) * "
+        "1000000000.0 / CAST(n.c AS DOUBLE) + 0.5) AS BIGINT) AS b, "
+        "CAST(floor(1000000000.0 / CAST(n.c AS DOUBLE) + 0.5) AS BIGINT) "
+        "AS r0 FROM n), ",
+        f"r0 AS (SELECT doc_id AS v, base.r0 AS rq FROM {table}, base), ",
+    ]
+    for i in range(max(0, n_iters)):
+        parts.append(
+            f"t{i} AS (SELECT e.dst AS v, CAST(floor({d}::DOUBLE * "
+            f"CAST(r{i}.rq AS DOUBLE) * CAST(e.w AS DOUBLE) / "
+            "CAST(ws.wsum AS DOUBLE) + 0.5) "
+            "AS BIGINT) AS tq FROM e JOIN ws USING (src) "
+            f"JOIN r{i} ON r{i}.v = e.src), "
+            f"r{i + 1} AS (SELECT d0.doc_id AS v, "
+            f"base.b + COALESCE(s.sq, 0) AS rq FROM {table} d0 "
+            "CROSS JOIN base LEFT JOIN (SELECT v, SUM(tq) AS sq "
+            f"FROM t{i} GROUP BY 1) s ON s.v = d0.doc_id), ")
+    body = "".join(parts).rstrip().rstrip(",")
+    return (body + f" SELECT v, CAST(rq AS BIGINT) AS rank_q9 "
+                   f"FROM r{max(0, n_iters)}")
+
+
 def pagerank(ds_nodes, edges, n_iters: int = 3, damping: float = 0.85,
              n_buckets: int = 32):
     """Power-iteration PageRank → Dataset (v, rank_q9). ``ds_nodes`` is
@@ -105,15 +179,26 @@ def pagerank(ds_nodes, edges, n_iters: int = 3, damping: float = 0.85,
                                             .astype(np.int32)),
                          "src": t.column("v"),
                          "dst": pa.array(np.full(len(t), -1, np.int64)),
-                         "val": t.column("rq")})
+                         "val": t.column("rq"),
+                         "w": pa.array(np.ones(len(t), np.int64))})
+
+    # optional edge weights: an edges table with (w, wsum) columns
+    # distributes rank mass w/wsum per edge (wsum = src's total
+    # out-weight); without them w = 1, wsum = deg — and multiplying by
+    # an exact 1.0 is an IEEE no-op, so unweighted results (and the
+    # registered oracle) are bit-unchanged by this generalization
+    weighted = "w" in edges.schema().names
 
     def tag_edges(t: pa.Table) -> pa.Table:
         s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = (t.column("w") if weighted
+             else pa.array(np.ones(len(t), np.int64)))
         return pa.table({"bucket": pa.array((s % n_buckets)
                                             .astype(np.int32)),
                          "src": t.column("src"),
                          "dst": t.column("dst"),
-                         "val": t.column("deg")})
+                         "val": t.column("wsum" if weighted else "deg"),
+                         "w": w})
 
     def join_terms(df: pd.DataFrame) -> pd.DataFrame:
         r = df[df["dst"] < 0]
@@ -121,6 +206,7 @@ def pagerank(ds_nodes, edges, n_iters: int = 3, damping: float = 0.85,
         m = e.merge(r[["src", "val"]].rename(columns={"val": "rq"}),
                     on="src", how="inner")
         tq = np.floor(damping * m["rq"].to_numpy(np.float64)
+                      * m["w"].to_numpy(np.float64)
                       / m["val"].to_numpy(np.float64) + 0.5) \
             .astype(np.int64)
         out = pd.DataFrame({"v": m["dst"].to_numpy(np.int64), "tq": tq})
