@@ -857,6 +857,16 @@ def _q_pagerank_weighted(sf_dir: str):
     return pagerank_weighted_mod(ds, n)
 
 
+def _q_hits(sf_dir: str):
+    """HITS hubs & authorities (Kleinberg 1999) over the extracted host
+    graph: per half-step one tagged-union join shuffle + one bucket-sum
+    shuffle + a node-sized T aggregate; normalization is the single
+    IEEE floor(S*1e9/max(T,1)+0.5) expression in both engines."""
+    from vtzero_ray.functions.graph import host_hits
+
+    return host_hits(_docs(sf_dir))
+
+
 def _q_prep_training_data(sf_dir: str):
     """The full training-data prep recipe as one streaming composition:
     C4 line cleaning → exact dedup (keep-first, md5-bucket shuffle) →
@@ -1735,7 +1745,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # holds the driver quality-scoring slot)
                   "bigram_perplexity",
                   # weighted link rank (pagerank holds the slot)
-                  "pagerank_weighted",
+                  "pagerank_weighted", "hits_hosts",
                   # source-format breadth (S1): JSONL round-trip, WARC
                   # crawl-archive parse (pages_text_identity covers the
                   # parquet read path)
@@ -1879,6 +1889,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "cocitation_hosts": _q_cocitation,
         "bigram_perplexity": _q_bigram_perplexity,
         "pagerank_weighted": _q_pagerank_weighted,
+        "hits_hosts": _q_hits,
         "hilbert_tiles_z6": _q_hilbert_tiles,
         "nearest_segment_z6": _q_nearest_segment,
         "jsonl_identity": _q_jsonl_identity,
@@ -2128,6 +2139,8 @@ def _all_oracle_sql() -> dict[str, str]:
         bigram_perplexity_sql as bigram_oracle_sql
     from vtzero_ray.functions.graph import \
         pagerank_weighted_sql as pagerank_weighted_oracle_sql
+    from vtzero_ray.functions.graph import \
+        host_hits_sql as host_hits_oracle_sql
     from vtzero_ray.functions.geo import \
         hilbert_sql as hilbert_oracle_sql
     from vtzero_ray.functions.geo import \
@@ -2554,6 +2567,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "bigram_perplexity": bigram_oracle_sql(),
         # pagerank_weighted: same unrolled CTEs, w/wsum mass split
         "pagerank_weighted": pagerank_weighted_oracle_sql(),
+        # hits_hosts: half-steps unrolled, same normalization expr
+        "hits_hosts": host_hits_oracle_sql(linked_html_sql_expr()),
         # jsonl_identity: the round trip must reproduce the raw table
         "jsonl_identity": ("SELECT doc_id, text, lang, source, n_chars "
                            "FROM documents"),

@@ -333,3 +333,47 @@ class TestWeightedPageRank:
         b = pagerank(docs3, synth_edges(docs3, 500)).to_pandas() \
             .sort_values("v").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestHITS:
+    def test_hand_star(self, ray_session):
+        """Star 1->0, 2->0, 3->0: node 0 is the only authority
+        (auth_q9 = 1e9); 1,2,3 split hub mass equally."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import hits
+
+        nodes = rd.from_arrow(pa.table({"doc_id":
+                                        pa.array(range(4), pa.int64())}))
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([1, 2, 3], pa.int64()),
+            "dst": pa.array([0, 0, 0], pa.int64()),
+        }))
+        got = hits(nodes, edges, n_iters=2).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        assert got.auth_q9.tolist() == [1_000_000_000, 0, 0, 0]
+        assert got.hub_q9.tolist()[0] == 0
+        assert got.hub_q9.tolist()[1:] == [333333333] * 3
+
+    def test_twin_and_partition_invariance(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from vtzero_ray.functions.crawl import linked_html_sql_expr
+        from vtzero_ray.functions.graph import host_hits, host_hits_sql
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(host_hits_sql(linked_html_sql_expr())).df() \
+            .sort_values("v").reset_index(drop=True)
+        for parts in (1, 7):
+            ds = rd.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id"]).repartition(parts)
+            got = host_hits(ds).to_pandas() \
+                .sort_values("v").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # both channels carry real signal
+        assert exp.auth_q9.max() > 0 and exp.hub_q9.max() > 0

@@ -648,3 +648,183 @@ def host_cocitation_sql(html_expr: str, n_hosts: int = 1000,
         "ON a.src = b.src AND a.dst < b.dst "
         f"GROUP BY 1, 2 HAVING COUNT(*) >= {min_shared}"
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999)
+# ---------------------------------------------------------------------------
+
+def hits(ds_nodes, edges, n_iters: int = 2, n_buckets: int = 32):
+    """→ Dataset (v, auth_q9, hub_q9): L1-normalized hub/authority
+    scores after ``n_iters`` rounds (h starts uniform; per round
+    a(v) = Σ h(u) over in-edges then normalize, h(u) = Σ a(v) over
+    out-edges then normalize).
+
+    Exactness: every half-step sum is an INTEGER sum of q9 scores
+    (order-free); normalization is ONE IEEE expression over exact ints
+    — floor(S * 1e9 / max(T, 1) + 0.5) — identical in DuckDB. Each
+    half-step is one tagged-union join shuffle + one key-bucket sum
+    shuffle + a node-sized aggregate for T (the pagerank vocabulary);
+    rank tables materialize per half-step (lineage break)."""
+    nodes = ds_nodes.select_columns(["doc_id"]).materialize()
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    if edges.num_blocks() > 4 * n_buckets:
+        edges = edges.repartition(n_buckets).materialize()
+
+    def init_h(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t.column("doc_id"),
+                         "q": pa.array(np.ones(len(t), np.int64))})
+
+    def tag_ranks(key: str):
+        def fn(t: pa.Table) -> pa.Table:
+            v = t.column("v").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({"bucket": pa.array((v % n_buckets)
+                                                .astype(np.int32)),
+                             "k": t.column("v"),
+                             "o": pa.array(np.full(len(t), -1,
+                                                   np.int64)),
+                             "q": t.column("q")})
+        return fn
+
+    def tag_edges(key: str, other: str):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t.column(key).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({"bucket": pa.array((k % n_buckets)
+                                                .astype(np.int32)),
+                             "k": pa.array(k),
+                             "o": t.column(other),
+                             "q": pa.array(np.zeros(len(t), np.int64))})
+        return fn
+
+    def join_terms(df: pd.DataFrame) -> pd.DataFrame:
+        r = df[df["o"] < 0]
+        e = df[df["o"] >= 0]
+        m = e[["k", "o"]].merge(r[["k", "q"]], on="k", how="inner")
+        out = pd.DataFrame({"v": m["o"].to_numpy(np.int64),
+                            "tq": m["q"].to_numpy(np.int64)})
+        out["b2"] = (out["v"] % n_buckets).astype(np.int32)
+        return out
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        v = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"v": pa.array(v),
+                         "tq": pa.array(np.zeros(len(v), np.int64)),
+                         "b2": pa.array((v % n_buckets)
+                                        .astype(np.int32))})
+
+    def sum_node(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("v", sort=False)["tq"].sum().reset_index()
+        agg["s"] = agg["tq"].astype(np.int64)
+        return agg[["v", "s"]]
+
+    def half_step(ranks, key: str, other: str):
+        """ranks (v, q) keyed on ``key``-side of edges → normalized
+        (v, q) on the ``other`` side."""
+        tagged = ranks.map_batches(tag_ranks(key),
+                                   batch_format="pyarrow",
+                                   batch_size=None) \
+            .union(edges.map_batches(tag_edges(key, other),
+                                     batch_format="pyarrow",
+                                     batch_size=None))
+        sums = tagged.groupby("bucket").map_groups(
+            join_terms, batch_format="pandas") \
+            .map_batches(lambda t: t, batch_format="pyarrow") \
+            .union(nodes.map_batches(zero_rows, batch_format="pyarrow",
+                                     batch_size=None)) \
+            .groupby("b2").map_groups(sum_node, batch_format="pandas") \
+            .map_batches(lambda t: t, batch_format="pyarrow") \
+            .materialize()
+        T = max(int(sums.sum("s") or 0), 1)
+
+        def norm(t: pa.Table) -> pa.Table:
+            sv = t.column("s").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            q = np.floor(sv.astype(np.float64) * QUANT
+                         / np.float64(T) + 0.5).astype(np.int64)
+            return pa.table({"v": t.column("v"), "q": pa.array(q)})
+
+        return sums.map_batches(norm, batch_format="pyarrow",
+                                batch_size=None).materialize()
+
+    h = nodes.map_batches(init_h, batch_format="pyarrow",
+                          batch_size=None).materialize()
+    a = None
+    for _ in range(max(1, n_iters)):
+        a = half_step(h, "src", "dst")   # authorities from hubs
+        h = half_step(a, "dst", "src")   # hubs from authorities
+
+    def tag_a(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": t.column("v"), "aq": t.column("q"),
+                         "hq": pa.array(np.full(len(t), -1, np.int64)),
+                         "b": pa.array((v % n_buckets).astype(np.int32))})
+
+    def tag_h(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": t.column("v"),
+                         "aq": pa.array(np.full(len(t), -1, np.int64)),
+                         "hq": t.column("q"),
+                         "b": pa.array((v % n_buckets).astype(np.int32))})
+
+    def zip_ranks(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("v", sort=False)[["aq", "hq"]].max() \
+            .reset_index()
+        return pd.DataFrame({"v": agg["v"].to_numpy(np.int64),
+                             "auth_q9": agg["aq"].to_numpy(np.int64),
+                             "hub_q9": agg["hq"].to_numpy(np.int64)})
+
+    return a.map_batches(tag_a, batch_format="pyarrow",
+                         batch_size=None) \
+        .union(h.map_batches(tag_h, batch_format="pyarrow",
+                             batch_size=None)) \
+        .groupby("b").map_groups(zip_ranks, batch_format="pandas")
+
+
+def host_hits(ds_docs, n_hosts: int = 1000, n_iters: int = 2):
+    """HITS over the really-extracted host graph."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.crawl import extract_links, synth_linked_html
+
+    edges = host_edges(extract_links(synth_linked_html(ds_docs)),
+                       n_hosts=n_hosts)
+    nodes = rd.range(n_hosts, override_num_blocks=4).map_batches(
+        lambda t: pa.table({"doc_id": t.column("id").cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    return hits(nodes, edges, n_iters=n_iters)
+
+
+def host_hits_sql(html_expr: str, n_hosts: int = 1000, n_iters: int = 2,
+                  table: str = "documents") -> str:
+    """DuckDB twin: same edges, half-steps unrolled; normalization is
+    the identical floor(S * 1e9 / GREATEST(T, 1) + 0.5) expression."""
+    parts = [
+        f"WITH e AS ({_host_edges_sql(html_expr, n_hosts, table)}), ",
+        f"nodes AS (SELECT range AS v FROM range({n_hosts})), ",
+        "h0 AS (SELECT v, CAST(1 AS BIGINT) AS q FROM nodes), ",
+    ]
+
+    def norm(src_cte: str, join_key: str, out_key: str, out: str) -> str:
+        s = (f"(SELECT nodes.v, COALESCE(s.s, 0) AS s FROM nodes "
+             f"LEFT JOIN (SELECT e.{out_key} AS v, SUM(r.q) AS s "
+             f"FROM e JOIN {src_cte} r ON r.v = e.{join_key} "
+             f"GROUP BY 1) s ON s.v = nodes.v)")
+        return (f"{out} AS (SELECT v, CAST(floor(CAST(s AS DOUBLE) * "
+                "1000000000.0 / CAST(GREATEST(t, 1) AS DOUBLE) + 0.5) "
+                f"AS BIGINT) AS q FROM {s} sa CROSS JOIN "
+                f"(SELECT SUM(s) AS t FROM {s}) ta), ")
+
+    hi = "h0"
+    for i in range(max(1, n_iters)):
+        parts.append(norm(hi, "src", "dst", f"a{i + 1}"))
+        parts.append(norm(f"a{i + 1}", "dst", "src", f"h{i + 1}"))
+        hi = f"h{i + 1}"
+    n = max(1, n_iters)
+    body = "".join(parts).rstrip().rstrip(",")
+    return (body + f" SELECT nodes.v, a{n}.q AS auth_q9, "
+            f"h{n}.q AS hub_q9 FROM nodes "
+            f"JOIN a{n} ON a{n}.v = nodes.v "
+            f"JOIN h{n} ON h{n}.v = nodes.v")
