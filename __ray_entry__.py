@@ -867,6 +867,38 @@ def _q_hits(sf_dir: str):
     return host_hits(_docs(sf_dir))
 
 
+def _ivfpq_index_dir(sf_dir: str) -> str:
+    """Build-once cached IVF-PQ index dir — the _ivf_index_dir
+    contract: content-fingerprinted key, completeness gated on
+    centroids.parquet (written last, atomic rename publish)."""
+    import os
+
+    import ray.data as rd
+
+    from vtzero_ray.functions.ivfpq import build_ivfpq_index
+
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    index_dir = (f"/tmp/vtzero_ray_ivfpq/"
+                 f"{os.path.basename(os.path.normpath(sf_dir))}"
+                 f"_{st.st_size}_{st.st_mtime_ns}_c16_m4_k16_v1")
+    if not os.path.isfile(f"{index_dir}/centroids.parquet"):
+        ds = rd.read_parquet(src, columns=["vec_id", "embedding"])
+        build_ivfpq_index(ds, index_dir, sf_dir)
+    return index_dir
+
+
+def _q_topk_ivfpq(sf_dir: str):
+    """IVF-PQ, the composed FAISS architecture: the persisted index
+    stores ONLY (vec_id, centroid_id, M codes) — the embedding column
+    never leaves the build pass; queries read probed partitions only
+    (file-level skip) and score by int64 ADC LUT sums."""
+    from vtzero_ray.functions.ivfpq import topk_ivfpq
+
+    return topk_ivfpq(_ivfpq_index_dir(sf_dir), sf_dir,
+                      k=5, n_queries=10, nprobe=4)
+
+
 def _q_prep_training_data(sf_dir: str):
     """The full training-data prep recipe as one streaming composition:
     C4 line cleaning → exact dedup (keep-first, md5-bucket shuffle) →
@@ -1788,6 +1820,8 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # product quantization (IVF-PQ's compression half) —
                   # the LSH/IVF rows hold the driver ANN slots
                   "pq_codes", "topk_pq",
+                  # composed IVF-PQ (persisted code-only index)
+                  "topk_ivfpq",
                   # dup_clusters: near_dedup (main 50) composes
                   # candidates → verify → THIS → anti-join, so the
                   # connected-components stage stays driver-exercised
@@ -1890,6 +1924,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "bigram_perplexity": _q_bigram_perplexity,
         "pagerank_weighted": _q_pagerank_weighted,
         "hits_hosts": _q_hits,
+        "topk_ivfpq": _q_topk_ivfpq,
         "hilbert_tiles_z6": _q_hilbert_tiles,
         "nearest_segment_z6": _q_nearest_segment,
         "jsonl_identity": _q_jsonl_identity,
@@ -2141,6 +2176,8 @@ def _all_oracle_sql() -> dict[str, str]:
         pagerank_weighted_sql as pagerank_weighted_oracle_sql
     from vtzero_ray.functions.graph import \
         host_hits_sql as host_hits_oracle_sql
+    from vtzero_ray.functions.ivfpq import \
+        topk_ivfpq_sql as ivfpq_oracle_sql
     from vtzero_ray.functions.geo import \
         hilbert_sql as hilbert_oracle_sql
     from vtzero_ray.functions.geo import \
@@ -2569,6 +2606,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "pagerank_weighted": pagerank_weighted_oracle_sql(),
         # hits_hosts: half-steps unrolled, same normalization expr
         "hits_hosts": host_hits_oracle_sql(linked_html_sql_expr()),
+        # topk_ivfpq: assignment CTEs (plain grid) + PQ CTEs (unit grid)
+        "topk_ivfpq": ivfpq_oracle_sql(),
         # jsonl_identity: the round trip must reproduce the raw table
         "jsonl_identity": ("SELECT doc_id, text, lang, source, n_chars "
                            "FROM documents"),

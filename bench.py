@@ -301,7 +301,7 @@ def run_bench() -> dict:
                      "simplify_paths_z2", "extract_links", "anchor_topk",
                      "robots_filter",
                      # product quantization (ADC search scan)
-                     "topk_pq",
+                     "topk_pq", "topk_ivfpq",
                      # composed fuzzy-dedup removal + DSIR selection
                      "near_dedup", "dsir_weights",
                      # grid-DBSCAN spatial clustering + indexed bbox query

@@ -153,3 +153,68 @@ class TestBoundaryTies:
                         .reset_index(drop=True))
         assert outs[0].equals(outs[1])
         self._assert_total_order(outs[1], "cosine", asc=False)
+
+
+class TestIVFPQ:
+    def test_matches_twin_and_prunes_files(self, ray_session, sf_dir,
+                                           tmp_path):
+        """Build once, query twice byte-equal; then DELETE every
+        unprobed partition and re-query — identical result proves
+        unprobed buckets are never read (the topk_ivf_indexed proof)."""
+        import glob
+        import shutil
+
+        import duckdb
+        import numpy as np_
+        import pandas as pd
+        import ray.data as rd
+
+        from vtzero_ray.functions.ann import (_query_probes,
+                                              load_ivf_centroids,
+                                              load_queries_quantized)
+        from vtzero_ray.functions.ivfpq import (build_ivfpq_index,
+                                                topk_ivfpq,
+                                                topk_ivfpq_sql)
+
+        idx = str(tmp_path / "ivfpq")
+        build_ivfpq_index(_ds(sf_dir), idx, sf_dir)
+        a = topk_ivfpq(idx, sf_dir).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = topk_ivfpq(idx, sf_dir).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert a.equals(b)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/embeddings.parquet')")
+        exp = con.execute(topk_ivfpq_sql()).df() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, exp, check_dtype=False)
+        # delete unprobed partitions; result must not change
+        cids, cmat = load_ivf_centroids(idx)
+        qids, qmat = load_queries_quantized(sf_dir, 10)
+        probed = set(np_.unique(
+            _query_probes(qmat, qids, cids, cmat, 4)).tolist())
+        removed = 0
+        for d in glob.glob(f"{idx}/corpus/cpart=*"):
+            if int(d.rsplit("=", 1)[1]) not in probed:
+                shutil.rmtree(d)
+                removed += 1
+        assert removed > 0   # the probe set must actually prune
+        c = topk_ivfpq(idx, sf_dir).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert a.equals(c)
+
+    def test_index_stores_codes_only(self, ray_session, sf_dir,
+                                     tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq2
+
+        from vtzero_ray.functions.ivfpq import build_ivfpq_index
+
+        idx = str(tmp_path / "ivfpq2")
+        build_ivfpq_index(_ds(sf_dir), idx, sf_dir)
+        f0 = glob.glob(f"{idx}/corpus/cpart=*/*.parquet")[0]
+        names = pq2.ParquetFile(f0).schema_arrow.names
+        assert "embedding" not in names
+        assert {"vec_id", "centroid_id", "code_0", "code_3"} <= set(names)
