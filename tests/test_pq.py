@@ -218,3 +218,59 @@ class TestIVFPQ:
         names = pq2.ParquetFile(f0).schema_arrow.names
         assert "embedding" not in names
         assert {"vec_id", "centroid_id", "code_0", "code_3"} <= set(names)
+
+    def test_full_probe_equals_pq_and_recall_monotone(
+            self, ray_session, sf_dir, tmp_path):
+        """Structural quality guarantees (an absolute recall floor is
+        corpus luck at 16 first-N codes): (1) probing ALL partitions
+        removes the IVF loss entirely — IVF-PQ at nprobe=16 must equal
+        plain topk_pq EXACTLY; (2) recall vs the exact bruteforce top-5
+        is monotone in nprobe; (3) rank-1 is always the query itself
+        at dist 0 (the self-hit survives both compressions)."""
+        import pandas as pd
+
+        from vtzero_ray.functions.ann import topk_bruteforce
+        from vtzero_ray.functions.ivfpq import (build_ivfpq_index,
+                                                topk_ivfpq)
+        from vtzero_ray.functions.pq import topk_pq
+
+        idx = str(tmp_path / "ivfpq3")
+        build_ivfpq_index(_ds(sf_dir), idx, sf_dir)
+        full = topk_ivfpq(idx, sf_dir, k=5, n_queries=10,
+                          nprobe=16).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        plain = topk_pq(_ds(sf_dir), sf_dir, k=5,
+                        n_queries=10).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            full[["query_id", "vec_id", "pq_dist", "rank"]],
+            plain[["query_id", "vec_id", "pq_dist", "rank"]],
+            check_dtype=False)
+
+        exact = topk_bruteforce(_ds(sf_dir), sf_dir, k=5,
+                                n_queries=10).to_pandas()
+
+        def recall(df):
+            hits = 0
+            for q in exact.query_id.unique():
+                hits += len(set(df[df.query_id == q].vec_id)
+                            & set(exact[exact.query_id == q].vec_id))
+            return hits / len(exact)
+
+        # recall is NOT guaranteed monotone in nprobe (a far vector
+        # with a small COARSE distance in a newly probed partition can
+        # displace a true neighbor — a real IVFPQ artifact); what IS
+        # guaranteed is distance dominance: the sorted top-k distances
+        # over a probe SUPERSET are element-wise <=
+        lo = topk_ivfpq(idx, sf_dir, k=5, n_queries=10,
+                        nprobe=2).to_pandas()
+        for q in full.query_id.unique():
+            dl = lo[lo.query_id == q].sort_values("pq_dist")
+            df_ = full[full.query_id == q].sort_values("pq_dist")
+            m = min(len(dl), len(df_))
+            assert (df_.pq_dist.to_numpy()[:m]
+                    <= dl.pq_dist.to_numpy()[:m]).all()
+        assert recall(full) > 0.3   # PQ-only loss leaves real signal
+        r1 = full[full["rank"] == 1]
+        assert (r1.vec_id.to_numpy() == r1.query_id.to_numpy()).all()
+        assert (r1.pq_dist.to_numpy() == 0).all()
