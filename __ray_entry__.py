@@ -899,6 +899,22 @@ def _q_topk_ivfpq(sf_dir: str):
                       k=5, n_queries=10, nprobe=4)
 
 
+def _q_triangles(sf_dir: str):
+    """Per-edge triangle support (the k-truss ingredient) over the
+    quadratic synth link graph: canonical-dedup shuffle → node-bucket
+    wedge explode (loud degree star guard) → pair-bucket tagged-union
+    closing join; zero-support edges keep rows; Σ n_tri = 3·triangles."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vtzero_ray.functions.graph import triangles_mod
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"]).repartition(8)
+    return triangles_mod(ds, n)
+
+
 def _q_prep_training_data(sf_dir: str):
     """The full training-data prep recipe as one streaming composition:
     C4 line cleaning → exact dedup (keep-first, md5-bucket shuffle) →
@@ -1777,7 +1793,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # holds the driver quality-scoring slot)
                   "bigram_perplexity",
                   # weighted link rank (pagerank holds the slot)
-                  "pagerank_weighted", "hits_hosts",
+                  "pagerank_weighted", "hits_hosts", "triangle_support",
                   # source-format breadth (S1): JSONL round-trip, WARC
                   # crawl-archive parse (pages_text_identity covers the
                   # parquet read path)
@@ -1925,6 +1941,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted": _q_pagerank_weighted,
         "hits_hosts": _q_hits,
         "topk_ivfpq": _q_topk_ivfpq,
+        "triangle_support": _q_triangles,
         "hilbert_tiles_z6": _q_hilbert_tiles,
         "nearest_segment_z6": _q_nearest_segment,
         "jsonl_identity": _q_jsonl_identity,
@@ -2178,6 +2195,8 @@ def _all_oracle_sql() -> dict[str, str]:
         host_hits_sql as host_hits_oracle_sql
     from vtzero_ray.functions.ivfpq import \
         topk_ivfpq_sql as ivfpq_oracle_sql
+    from vtzero_ray.functions.graph import \
+        triangles_sql as triangles_oracle_sql
     from vtzero_ray.functions.geo import \
         hilbert_sql as hilbert_oracle_sql
     from vtzero_ray.functions.geo import \
@@ -2608,6 +2627,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "hits_hosts": host_hits_oracle_sql(linked_html_sql_expr()),
         # topk_ivfpq: assignment CTEs (plain grid) + PQ CTEs (unit grid)
         "topk_ivfpq": ivfpq_oracle_sql(),
+        # triangle_support: adjacency self-join wedges + closing count
+        "triangle_support": triangles_oracle_sql(),
         # jsonl_identity: the round trip must reproduce the raw table
         "jsonl_identity": ("SELECT doc_id, text, lang, source, n_chars "
                            "FROM documents"),

@@ -290,7 +290,7 @@ def run_bench() -> dict:
                      # signals, semantic dedup, link rank, composed prep
                      "nb_lang_classify", "dup_ngram_spans", "semdedup",
                      "pagerank", "host_pagerank", "host_walks", "cocitation_hosts",
-                     "pagerank_weighted", "hits_hosts",
+                     "pagerank_weighted", "hits_hosts", "triangle_support",
                      "prep_training_data",
                      # round-4 final session: embedding generation, crawl
                      # management, overview pyramid

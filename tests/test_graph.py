@@ -377,3 +377,56 @@ class TestHITS:
             pd.testing.assert_frame_equal(got, exp, check_dtype=False)
         # both channels carry real signal
         assert exp.auth_q9.max() > 0 and exp.hub_q9.max() > 0
+
+
+class TestTriangles:
+    def test_hand_graph(self, ray_session):
+        """K4 minus one edge: edges {01,02,03,12,13} — triangles {012}
+        and {013}; edge (0,1) supports both, (2,3) absent, (1,2)/(1,3)
+        support one each; duplicate/reversed/self-loop inputs collapse."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import triangle_support
+
+        edges = pa.table({
+            "src": pa.array([0, 2, 0, 3, 1, 2, 1, 3, 5, 0], pa.int64()),
+            "dst": pa.array([1, 0, 2, 0, 2, 1, 3, 1, 5, 1], pa.int64()),
+        })
+        got = triangle_support(rd.from_arrow(edges)).to_pandas() \
+            .sort_values(["u", "v"]).reset_index(drop=True)
+        assert list(map(tuple, got.itertuples(index=False))) == [
+            (0, 1, 2), (0, 2, 1), (0, 3, 1), (1, 2, 1), (1, 3, 1)]
+
+    def test_star_guard(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import triangle_support
+
+        edges = pa.table({
+            "src": pa.array([0, 0, 0], pa.int64()),
+            "dst": pa.array([1, 2, 3], pa.int64()),
+        })
+        with pytest.raises(Exception, match="degree"):
+            triangle_support(rd.from_arrow(edges),
+                             max_degree=2).to_pandas()
+
+    def test_twin_and_partition_invariance(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import triangles_mod, triangles_sql
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(triangles_sql()).df() \
+            .sort_values(["u", "v"]).reset_index(drop=True)
+        assert exp.n_tri.sum() % 3 == 0 and exp.n_tri.sum() > 0
+        for parts in (1, 7):
+            ds = rd.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id"]).repartition(parts)
+            got = triangles_mod(ds, 500).to_pandas() \
+                .sort_values(["u", "v"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)

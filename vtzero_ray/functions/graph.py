@@ -828,3 +828,137 @@ def host_hits_sql(html_expr: str, n_hosts: int = 1000, n_iters: int = 2,
             f"h{n}.q AS hub_q9 FROM nodes "
             f"JOIN a{n} ON a{n}.v = nodes.v "
             f"JOIN h{n} ON h{n}.v = nodes.v")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (per-edge support — the k-truss ingredient)
+# ---------------------------------------------------------------------------
+
+def triangle_support(edges, n_buckets: int = 32, max_degree: int = 4096):
+    """→ Dataset (u, v, n_tri): for every canonical undirected edge
+    u < v (self-loops dropped, duplicates collapsed), the number of
+    triangles containing it (= common neighbors of u and v). The total
+    triangle count is Σ n_tri / 3.
+
+    Three bounded shuffles: (1) (u,v)-bucket canonical dedup; (2)
+    node-bucket adjacency — each node's sorted neighbor set explodes to
+    C(deg, 2) wedge rows (a node past ``max_degree`` raises LOUDLY, the
+    star-guard contract); (3) pair-bucket tagged-union join of wedges
+    against the edge set — every wedge and its closing edge share a
+    bucket, so the per-edge count is a local decision; edges with zero
+    wedge hits keep an n_tri = 0 row."""
+
+    def canon_partial(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = s != d
+        u = np.minimum(s[ok], d[ok])
+        v = np.maximum(s[ok], d[ok])
+        if u.size:
+            pairs = np.unique(np.stack([u, v], axis=1), axis=0)
+        else:
+            pairs = np.empty((0, 2), np.int64)
+        return pa.table({"u": pa.array(pairs[:, 0]),
+                         "v": pa.array(pairs[:, 1]),
+                         "b": pa.array(((pairs[:, 0] * 31 + pairs[:, 1])
+                                        % n_buckets).astype(np.int32))})
+
+    def canon_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["u", "v"])[["u", "v"]]
+
+    E = edges.map_batches(canon_partial, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby("b").map_groups(canon_final, batch_format="pandas") \
+        .map_batches(lambda t: t, batch_format="pyarrow").materialize()
+
+    def adj(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.concatenate([u, v])
+        n = np.concatenate([v, u])
+        return pa.table({"x": pa.array(x), "n": pa.array(n),
+                         "b": pa.array((x % n_buckets).astype(np.int32))})
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        out_y, out_z = [], []
+        for x, g in df.groupby("x", sort=False):
+            nb = np.unique(g["n"].to_numpy(np.int64))
+            if nb.size > max_degree:
+                raise ValueError(f"node {x} degree {nb.size} exceeds "
+                                 f"max_degree={max_degree}")
+            if nb.size < 2:
+                continue
+            iy, iz = np.triu_indices(nb.size, k=1)
+            out_y.append(nb[iy])
+            out_z.append(nb[iz])
+        if not out_y:
+            return pd.DataFrame({"y": np.empty(0, np.int64),
+                                 "z": np.empty(0, np.int64),
+                                 "pb": np.empty(0, np.int32)})
+        y = np.concatenate(out_y)
+        z = np.concatenate(out_z)
+        return pd.DataFrame({"y": y, "z": z,
+                             "pb": ((y * 31 + z) % n_buckets)
+                             .astype(np.int32)})
+
+    W = E.map_batches(adj, batch_format="pyarrow", batch_size=None) \
+        .groupby("b").map_groups(wedges, batch_format="pandas") \
+        .map_batches(lambda t: t, batch_format="pyarrow")
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"y": pa.array(u), "z": pa.array(v),
+                         "is_edge": pa.array(np.ones(len(t), np.bool_)),
+                         "pb": pa.array(((u * 31 + v) % n_buckets)
+                                        .astype(np.int32))})
+
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        return pa.table({"y": t.column("y"), "z": t.column("z"),
+                         "is_edge": pa.array(np.zeros(len(t), np.bool_)),
+                         "pb": t.column("pb")})
+
+    def close(df: pd.DataFrame) -> pd.DataFrame:
+        ed = df[df["is_edge"]]
+        wg = df[~df["is_edge"]]
+        cnt = wg.groupby(["y", "z"], sort=False).size()
+        key = list(zip(ed["y"].to_numpy(np.int64),
+                       ed["z"].to_numpy(np.int64)))
+        n = np.array([int(cnt.get(k2, 0)) for k2 in key], np.int64)
+        return pd.DataFrame({"u": ed["y"].to_numpy(np.int64),
+                             "v": ed["z"].to_numpy(np.int64),
+                             "n_tri": n})
+
+    return E.map_batches(tag_edge, batch_format="pyarrow",
+                         batch_size=None) \
+        .union(W.map_batches(tag_wedge, batch_format="pyarrow",
+                             batch_size=None)) \
+        .groupby("pb").map_groups(close, batch_format="pandas")
+
+
+def triangles_mod(ds, n_nodes: int, n_out: int = 3):
+    """Driver shape: per-edge triangle support over the quadratic synth
+    link graph (the pagerank_mod graph — its hub structure actually
+    closes triangles; the extracted host graph's linear 7·id+j targets
+    are triangle-free, verified)."""
+    return triangle_support(synth_edges(ds, n_nodes, n_out=n_out))
+
+
+def triangles_sql(n_out: int = 3, table: str = "documents") -> str:
+    """DuckDB twin: same synth edges, canonical undirected dedup,
+    adjacency self-join wedges, LEFT-join closing count (0 rows kept)."""
+    return (
+        f"WITH n AS (SELECT COUNT(*) AS c FROM {table}), "
+        f"e0 AS (SELECT DISTINCT doc_id AS src, "
+        f"(doc_id * doc_id * 7 + j.range * 13) % n.c AS dst "
+        f"FROM {table}, n, range(1, {n_out + 1}) j), "
+        "ed AS (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v FROM e0 WHERE src != dst), "
+        "adj AS (SELECT u AS x, v AS n FROM ed "
+        "UNION ALL SELECT v AS x, u AS n FROM ed), "
+        "wedge AS (SELECT a.n AS y, b.n AS z FROM adj a "
+        "JOIN adj b ON b.x = a.x AND a.n < b.n) "
+        "SELECT ed.u, ed.v, CAST(COUNT(w.y) AS BIGINT) AS n_tri "
+        "FROM ed LEFT JOIN wedge w ON w.y = ed.u AND w.z = ed.v "
+        "GROUP BY 1, 2"
+    )
