@@ -529,19 +529,24 @@ def hilbert_sql(tiles_cte: str, z: int) -> str:
 # ---------------------------------------------------------------------------
 
 def nearest_segment(sf_dir: str, zoom: int = 6, extent: int = 4096,
-                    chunk: int = 4096):
+                    chunk: int = 4096, max_segments: int = 2_000_000):
     """→ Dataset (doc_id, site, seg_idx, d_q3): for every page, the
     nearest world-coordinate path segment of any OTHER site (own-site
     segments pass through the page's own vertex at distance 0, so
     excluding them makes this the map-matching shape: snap a point to
     the closest foreign polyline). Ties break (d2, site, seg_idx) asc.
 
-    Scale shape: the segment table is the broadcast small side (site
-    cardinality is bounded — the PIPJoin assumption; past ~10^6
-    segments, cell-bucket it like KNNGrid). ONE corpus scan; per batch
-    the point×segment distance matrix is evaluated in segment CHUNKS
-    (sorted by (site, seg_idx), strict < keeps the first-tie winner)
-    so memory is chunk-bounded, compute fully vectorized.
+    Scale shape: map matching snaps a corpus to a REFERENCE network,
+    and reference networks are broadcast-side by nature (the PIPJoin
+    admin-polygon assumption — bounded, index-like, NOT corpus-sized).
+    This synth derivation reuses the site paths as the stand-in
+    network, and site paths DO grow with the corpus — so the broadcast
+    is guarded by ``max_segments`` and raises LOUDLY past it (the
+    star-guard contract); an unbounded network needs the cell-bucketed
+    co-partitioned variant (the KNNGrid design) instead. ONE corpus
+    scan; per batch the point×segment distance matrix is evaluated in
+    segment CHUNKS (sorted by (site, seg_idx), strict < keeps the
+    first-tie winner) so memory is chunk-bounded, compute vectorized.
 
     Float parity: d2 is ONE CASE expression per pair over exact-int
     operands (coords < 2^18 ⇒ every int term < 2^53; dot² would
@@ -555,6 +560,11 @@ def nearest_segment(sf_dir: str, zoom: int = 6, extent: int = 4096,
                                                  world_segments)
 
     seg_df = world_segments(sf_dir, zoom=zoom, extent=extent).to_pandas()
+    if len(seg_df) > max_segments:
+        raise ValueError(
+            f"reference network has {len(seg_df)} segments > "
+            f"max_segments={max_segments}: broadcast no longer holds — "
+            "use a cell-bucketed co-partitioned variant (KNNGrid design)")
     seg_df = seg_df.sort_values(["site", "seg_idx"], kind="stable")
     seg = {c: np.ascontiguousarray(seg_df[c].to_numpy(np.int64))
            for c in ("site", "seg_idx", "wx0", "wy0", "wx1", "wy1")}
