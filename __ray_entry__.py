@@ -826,6 +826,23 @@ def _q_cocitation(sf_dir: str):
     return host_cocitation(_docs(sf_dir))
 
 
+
+def _q_backoff_trigram(sf_dir: str):
+    """Stupid-backoff trigram LM (Brants et al. 2007): held-out split
+    scored against the rest of the corpus via a CASCADE of three
+    tagged-union bucket joins — trigram misses fall to the bigram
+    level, then to add-1 unigrams; no model table ever broadcasts
+    (trigram tables are vocab³-bounded) and per-term scores are
+    int64-quantized at the level that resolves them."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.lm import backoff_trigram_perplexity
+
+    return backoff_trigram_perplexity(
+        lambda: rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"]))
+
+
 def _q_bigram_perplexity(sf_dir: str):
     """Bigram-LM perplexity, the model-as-TABLE scoring shape: a bigram
     model is vocabulary²-bounded (no broadcast at 100 TB) — LM rows and
@@ -1731,6 +1748,7 @@ def _q_range_join(sf_dir: str):
 _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "doc_sample_10pct", "distinct_langs",
                   "events_hopping_window", "ann_topk_ivf",
+                  "trigram_backoff",
                   "audio_features", "top_orders", "media_features",
                   # GIF/LZW real-codec probe (PNG + JPEG hold the
                   # driver media slots)
@@ -1938,6 +1956,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "host_walks": _q_host_walks,
         "cocitation_hosts": _q_cocitation,
         "bigram_perplexity": _q_bigram_perplexity,
+        "trigram_backoff": _q_backoff_trigram,
         "pagerank_weighted": _q_pagerank_weighted,
         "hits_hosts": _q_hits,
         "topk_ivfpq": _q_topk_ivfpq,
@@ -2189,6 +2208,8 @@ def _all_oracle_sql() -> dict[str, str]:
         host_cocitation_sql as host_cocitation_oracle_sql
     from vtzero_ray.functions.lm import \
         bigram_perplexity_sql as bigram_oracle_sql
+    from vtzero_ray.functions.lm import \
+        backoff_trigram_sql as backoff_oracle_sql
     from vtzero_ray.functions.graph import \
         pagerank_weighted_sql as pagerank_weighted_oracle_sql
     from vtzero_ray.functions.graph import \
@@ -2621,6 +2642,9 @@ def _all_oracle_sql() -> dict[str, str]:
             linked_html_sql_expr()),
         # bigram_perplexity: same tokenizer/ctx/V, int64-quantized terms
         "bigram_perplexity": bigram_oracle_sql(),
+        # trigram_backoff: same split/tokenizer, the SAME three-branch
+        # CASE text, LEFT joins reproduce the cascade's fall-throughs
+        "trigram_backoff": backoff_oracle_sql(),
         # pagerank_weighted: same unrolled CTEs, w/wsum mass split
         "pagerank_weighted": pagerank_weighted_oracle_sql(),
         # hits_hosts: half-steps unrolled, same normalization expr

@@ -256,3 +256,122 @@ class TestBigramPerplexity:
                 .repartition(parts)) \
                 .to_pandas().sort_values("doc_id").reset_index(drop=True)
             pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestBackoffTrigram:
+    """Stupid-backoff trigram scoring: every branch of the cascade
+    exercised on a hand corpus, then DuckDB-twin equality + partition
+    invariance on the sf corpus."""
+
+    # doc_id % 3 == 0 -> SCORE split, else TRAIN split
+    HAND = [
+        "a b c x q r",     # 0: tri hit (a,b,c); uni-seen (x); uni-unseen (q,r)
+        "a b c a b c",     # 1 train
+        "a b d x y z",     # 2 train
+        "",                # 3: score, 0 trigrams (sentinel)
+        "c a b",           # 4 train (adds trigram c a b context variety)
+        "q q q q",         # 5 train? 5%3=2 -> train: makes q a SEEN unigram!
+        "z x y",           # 6: score, tri (z,x,y) miss, bigram (x,y) HIT
+        "w w",             # 7 train
+        "k c a b d",       # 8 train
+        "a b",             # 9: score, < 3 tokens -> sentinel 0
+    ]
+
+    def _expected(self, texts, train_mod=3):
+        import math
+
+        toks = [t.split() for t in texts]
+        trn = [ts for i, ts in enumerate(toks) if i % train_mod != 0]
+        c3, x12, c2, x2, c1 = {}, {}, {}, {}, {}
+        for ts in trn:
+            for a, b, c in zip(ts, ts[1:], ts[2:]):
+                c3[(a, b, c)] = c3.get((a, b, c), 0) + 1
+                x12[(a, b)] = x12.get((a, b), 0) + 1
+            for a, b in zip(ts, ts[1:]):
+                c2[(a, b)] = c2.get((a, b), 0) + 1
+                x2[a] = x2.get(a, 0) + 1
+            for a in ts:
+                c1[a] = c1.get(a, 0) + 1
+        N = sum(c1.values())
+        V = len(c1)
+        out = {}
+        for i, ts in enumerate(toks):
+            if i % train_mod != 0:
+                continue
+            tris = list(zip(ts, ts[1:], ts[2:]))
+            tf = {}
+            for t in tris:
+                tf[t] = tf.get(t, 0) + 1
+            nll = 0
+            for (a, b, c), f in tf.items():
+                if (a, b, c) in c3:
+                    s = c3[(a, b, c)] / x12[(a, b)]
+                elif (b, c) in c2:
+                    s = 0.4 * (c2[(b, c)] / x2[b])
+                else:
+                    s = 0.4 * (0.4 * ((c1.get(c, 0) + 1.0) / (N + V)))
+                nll -= int(math.floor((f * math.log(s)) * 1e9 + 0.5))
+            out[i] = (len(tris), nll)
+        return out
+
+    def test_hand_corpus_all_branches(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.lm import backoff_trigram_perplexity
+
+        want = self._expected(self.HAND)
+        got = (backoff_trigram_perplexity(
+            lambda: rd.from_arrow(_tab(self.HAND)).repartition(3))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert sorted(got.doc_id) == sorted(want)   # score split only
+        for row in got.itertuples():
+            assert (row.n_trigrams, row.nll_q9) == want[row.doc_id], \
+                row.doc_id
+        # the branch the corpus is built to exercise really fired:
+        # doc 0 has a trigram hit AND a double-backoff unseen unigram;
+        # doc 6's only trigram resolves at the bigram level
+        assert want[0][1] != 0 and want[6][1] != 0
+        assert got.loc[got.doc_id == 3, "n_trigrams"].item() == 0
+        assert got.loc[got.doc_id == 9, "n_trigrams"].item() == 0
+
+    def test_twin_and_partition_invariance(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from vtzero_ray.functions.lm import (backoff_trigram_perplexity,
+                                             backoff_trigram_sql)
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(backoff_trigram_sql()).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert len(exp) > 0
+        for parts in (1, 7):
+            got = backoff_trigram_perplexity(
+                lambda: rd.read_parquet(f"{sf}/documents.parquet",
+                                        columns=["doc_id", "text"])
+                .repartition(parts)) \
+                .to_pandas().sort_values("doc_id").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_twin_hand_corpus(self, ray_session):
+        """Twin equality on the branch-covering hand corpus too (the sf
+        corpus may not hit every backoff level)."""
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from vtzero_ray.functions.lm import (backoff_trigram_perplexity,
+                                             backoff_trigram_sql)
+
+        con = duckdb.connect()
+        con.register("documents", _tab(self.HAND).to_pandas())
+        exp = con.execute(backoff_trigram_sql()).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        got = (backoff_trigram_perplexity(
+            lambda: rd.from_arrow(_tab(self.HAND)).repartition(4))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -645,3 +645,426 @@ def bigram_perplexity_sql(table: str = "documents", column: str = "text",
         "SUM(q) AS snll FROM terms GROUP BY 1) s "
         f"ON s.doc_id = doc.{id_column}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Trigram stupid-backoff LM — CASCADED backoff joins
+# ---------------------------------------------------------------------------
+
+def _batch_trigrams(batch: pa.Table, column: str):
+    """(doc-local trigram arrays): consecutive kept-token triples within
+    a doc → (a, b, c, tdoc, vocab, n_docs, n_tri_per_doc). tok_doc is
+    nondecreasing, so tok_doc[i] == tok_doc[i+2] ⇒ all three tokens
+    share a doc."""
+    codes, tok_doc, vocab, n_docs = _split_codes(batch, column)
+    if codes.size < 3:
+        z = np.empty(0, np.int64)
+        return z, z, z, z, vocab, n_docs, np.zeros(n_docs, np.int64)
+    same = tok_doc[2:] == tok_doc[:-2]
+    a = codes[:-2][same]
+    b = codes[1:-1][same]
+    c = codes[2:][same]
+    tdoc = tok_doc[:-2][same]
+    return a, b, c, tdoc, vocab, n_docs, \
+        np.bincount(tdoc, minlength=n_docs).astype(np.int64)
+
+
+def _split_rows(batch: pa.Table, id_column: str, train_mod: int,
+                want_train: bool) -> pa.Table:
+    """Deterministic hash-free corpus split: train = doc_id % m != 0,
+    score = doc_id % m == 0 (the nb_classify / dsir seed-split shape)."""
+    ids = batch.column(id_column).to_numpy()
+    m = (ids % train_mod) == 0
+    return batch.filter(pa.array(~m if want_train else m))
+
+
+_ALPHA = np.float64(0.4)  # Brants et al. 2007's fixed backoff penalty
+
+
+def _cascade_table(bucket, kind, doc_id, t2, t3, tf, cb, ctx, q):
+    """The ONE typed schema every cascade channel shares (explicit
+    pa types — pandas-inferred empty object columns would null-type
+    and break the union)."""
+    return pa.table({
+        "bucket": pa.array(np.asarray(bucket, np.int32)),
+        "kind": pa.array(np.asarray(kind, np.int8)),
+        "doc_id": pa.array(np.asarray(doc_id, np.int64)),
+        "t2": pa.array(list(t2), pa.string()),
+        "t3": pa.array(list(t3), pa.string()),
+        "tf": pa.array(np.asarray(tf, np.int64)),
+        "cb": pa.array(np.asarray(cb, np.int64)),
+        "ctx": pa.array(np.asarray(ctx, np.int64)),
+        "q": pa.array(np.asarray(q, np.int64)),
+    })
+
+
+_EMPTY_CASCADE = _cascade_table([], [], [], [], [], [], [], [], [])
+
+
+def _tri_counts(a, b, c, vocab):
+    """per-batch unique (a,b,c) triples + counts; fused int key with a
+    stacked-rows fallback when base-V packing would overflow (the
+    repetition_stats pattern)."""
+    nv = np.int64(len(vocab))
+    if nv ** 3 < np.int64(1) << 62:
+        key = (a * nv + b) * nv + c
+        uniq, cnt = np.unique(key, return_counts=True)
+        return uniq // (nv * nv), (uniq // nv) % nv, uniq % nv, cnt
+    rows = np.stack([a, b, c], axis=1)
+    uniq_rows, cnt = np.unique(rows, axis=0, return_counts=True)
+    return uniq_rows[:, 0], uniq_rows[:, 1], uniq_rows[:, 2], cnt
+
+
+def backoff_trigram_perplexity(ds_factory, column: str = "text",
+                               id_column: str = "doc_id",
+                               train_mod: int = 3, n_buckets: int = 64):
+    """Stupid-backoff TRIGRAM scoring (Brants et al. 2007) of the
+    held-out split (doc_id % train_mod == 0) against an LM trained on
+    the REST of the corpus → Dataset (doc_id, n_trigrams, nll_q9).
+
+        S(w3|w1 w2) = c3(w1w2w3)/ctx12(w1w2)        if the trigram is
+                                                     in the train split
+                    = 0.4 · (c2(w2w3)/ctx2(w2))      else if the bigram is
+                    = 0.4 · (0.4 · ((c1(w3)+1)/(N+V)))  else (add-1 floor
+                                                     so unseen words stay
+                                                     finite)
+
+    ctx12/ctx2 are CONTEXT counts (occurrences as an n-gram prefix, i.e.
+    sum of the level's counts over the last token — computed in the
+    bucket that owns all of the prefix's n-grams and replicated onto
+    rows, the bigram_perplexity trick), so a level's hit ratio is always
+    well-defined and ≤ 1.
+
+    THE POINT vs bigram_perplexity: held-out scoring means doc n-grams
+    are NOT guaranteed a model row, so scoring is a CASCADE of three
+    tagged-union bucket joins — level 3 keyed crc32(w1·' '·w2), misses
+    fall through to level 2 keyed crc32(w2), then to level 1 keyed
+    crc32(w3) (LEFT semantics: absent unigrams score c1 = 0). Resolved
+    rows ride the stream as inert kind=1 rows (forking the stream would
+    re-execute lineage — the diamond invariant); everything that moves
+    is term-sized int64/string key rows, never corpus text, and no
+    model level ever broadcasts (trigram tables are vocab³-bounded).
+    Per-term scores are int64-quantized at the level that resolves them
+    (the doc_perplexity contract), so the final per-doc reduction is one
+    order-free integer-sum shuffle. ``ds_factory()`` must return a fresh
+    reader per call (the lineage invariant)."""
+    import pandas as pd
+
+    # --- level-1 model: train unigrams (vocab-bounded, materialized
+    # once — two consumers below, so lineage must not re-execute) ---
+    lm1 = unigram_counts(
+        ds_factory().map_batches(
+            lambda t: _split_rows(t, id_column, train_mod, True),
+            batch_format="pyarrow", batch_size=None),
+        column=column).materialize()
+    N = int(lm1.sum("n") or 0)
+    V = int(lm1.count())
+
+    # --- level-3 channel: train trigram partials + score term rows ---
+    def lm3_partial(batch: pa.Table) -> pa.Table:
+        tune_allocator()
+        t = _split_rows(batch, id_column, train_mod, True)
+        a, b, c, _, vocab, _, _ = _batch_trigrams(t, column)
+        if a.size == 0:
+            return _EMPTY_CASCADE
+        ua, ub, uc, cnt = _tri_counts(a, b, c, vocab)
+        va = vocab.take(pa.array(ua, pa.int64()))
+        vb = vocab.take(pa.array(ub, pa.int64()))
+        k12 = pc.binary_join_element_wise(va, vb, " ")
+        n = len(cnt)
+        return _cascade_table(_crc_np(k12, n_buckets),
+                              np.full(n, 2, np.int8),
+                              np.full(n, -1, np.int64),
+                              k12.to_pylist(),
+                              vocab.take(pa.array(uc, pa.int64())).to_pylist(),
+                              np.zeros(n, np.int64), cnt, np.zeros(n),
+                              np.zeros(n))
+
+    def term3_partial(batch: pa.Table) -> pa.Table:
+        tune_allocator()
+        t = _split_rows(batch, id_column, train_mod, False)
+        a, b, c, tdoc, vocab, n_docs, _ = _batch_trigrams(t, column)
+        if a.size == 0:
+            return _EMPTY_CASCADE
+        ids = t.column(id_column).to_numpy().astype(np.int64)
+        nv = np.int64(len(vocab))
+        if np.int64(n_docs) * nv ** 3 < np.int64(1) << 62:
+            key = ((tdoc * nv + a) * nv + b) * nv + c
+            uniq, tf = np.unique(key, return_counts=True)
+            ud = uniq // (nv ** 3)
+            ua = (uniq // (nv * nv)) % nv
+            ub = (uniq // nv) % nv
+            uc = uniq % nv
+        else:
+            rows = np.stack([tdoc, a, b, c], axis=1)
+            uniq_rows, tf = np.unique(rows, axis=0, return_counts=True)
+            ud, ua, ub, uc = uniq_rows.T
+        va = vocab.take(pa.array(ua, pa.int64()))
+        vb = vocab.take(pa.array(ub, pa.int64()))
+        k12 = pc.binary_join_element_wise(va, vb, " ")
+        n = len(tf)
+        # t2 rides along for the level-2 fall-through key
+        return _cascade_table(_crc_np(k12, n_buckets),
+                              np.zeros(n, np.int8), ids[ud],
+                              k12.to_pylist(),
+                              vocab.take(pa.array(uc, pa.int64())).to_pylist(),
+                              tf, np.zeros(n), np.zeros(n), np.zeros(n))
+
+    # NOTE level-3 reuses the shared schema with t2 := the fused "w1 w2"
+    # prefix key; the true w2 is recovered after the split (w2 has no
+    # spaces — the tokenizer dropped them — so the fused key is
+    # injective and splits back losslessly).
+    def join3(df: "pd.DataFrame") -> pa.Table:
+        tune_allocator()
+        lmr = df[df["kind"] == 2]
+        tr = df[df["kind"] == 0]
+        if tr.empty:
+            return _EMPTY_CASCADE
+        cb = lmr.groupby(["t2", "t3"], sort=False)["cb"].sum().reset_index()
+        if len(cb):
+            cb["ctx"] = cb.groupby("t2", sort=False)["cb"].transform("sum")
+        else:
+            cb["ctx"] = np.empty(0, np.int64)
+        m = tr.merge(cb, on=["t2", "t3"], how="left", suffixes=("", "_lm"))
+        hit = m["cb_lm"].notna().to_numpy()
+        tfv = m["tf"].to_numpy(np.int64)
+        doc = m["doc_id"].to_numpy(np.int64)
+        out = []
+        if hit.any():
+            r = np.log(m["cb_lm"].to_numpy(np.float64)[hit]
+                       / m["ctx_lm"].to_numpy(np.float64)[hit])
+            q = np.floor((tfv[hit].astype(np.float64) * r)
+                         * QUANT + 0.5).astype(np.int64)
+            n = int(hit.sum())
+            out.append(_cascade_table(
+                (doc[hit] % n_buckets).astype(np.int32),
+                np.ones(n, np.int8), doc[hit], [""] * n, [""] * n,
+                tfv[hit], np.zeros(n), np.zeros(n), q))
+        miss = ~hit
+        if miss.any():
+            w2 = m["t2"].to_numpy()[miss]
+            w2 = np.array([s.split(" ", 1)[1] for s in w2], object)
+            n = int(miss.sum())
+            out.append(_cascade_table(
+                _crc_np(pa.array(w2, pa.string()), n_buckets),
+                np.zeros(n, np.int8), doc[miss], w2,
+                m["t3"].to_numpy()[miss], tfv[miss],
+                np.zeros(n), np.zeros(n), np.zeros(n)))
+        return pa.concat_tables(out) if out else _EMPTY_CASCADE
+
+    lvl3 = ds_factory().map_batches(lm3_partial, batch_format="pyarrow",
+                                    batch_size=None) \
+        .union(ds_factory().map_batches(term3_partial,
+                                        batch_format="pyarrow",
+                                        batch_size=None)) \
+        .groupby("bucket").map_groups(join3, batch_format="pandas")
+
+    # --- level-2 channel: train bigram partials join on (w2, w3) ---
+    def lm2_partial(batch: pa.Table) -> pa.Table:
+        tune_allocator()
+        t = _split_rows(batch, id_column, train_mod, True)
+        c1, c2, _, vocab, _, _ = _batch_bigrams(t, column)
+        if c1.size == 0:
+            return _EMPTY_CASCADE
+        nv = np.int64(len(vocab))
+        key = c1 * nv + c2
+        uniq, cnt = np.unique(key, return_counts=True)
+        v1, v2 = _pair_strings(vocab, uniq // nv, uniq % nv)
+        n = len(cnt)
+        return _cascade_table(_crc_np(v1, n_buckets),
+                              np.full(n, 2, np.int8),
+                              np.full(n, -1, np.int64),
+                              v1.to_pylist(), v2.to_pylist(),
+                              np.zeros(n), cnt, np.zeros(n), np.zeros(n))
+
+    def join2(df: "pd.DataFrame") -> pa.Table:
+        tune_allocator()
+        keep = df[df["kind"] == 1]
+        lmr = df[df["kind"] == 2]
+        tr = df[df["kind"] == 0]
+        out = []
+        if len(keep):
+            out.append(_cascade_table(
+                keep["bucket"].to_numpy(np.int32),
+                keep["kind"].to_numpy(np.int8),
+                keep["doc_id"].to_numpy(np.int64),
+                [""] * len(keep), [""] * len(keep),
+                keep["tf"].to_numpy(np.int64),
+                keep["cb"].to_numpy(np.int64),
+                keep["ctx"].to_numpy(np.int64),
+                keep["q"].to_numpy(np.int64)))
+        if not tr.empty:
+            cb = lmr.groupby(["t2", "t3"], sort=False)["cb"].sum() \
+                .reset_index()
+            if len(cb):
+                cb["ctx"] = cb.groupby("t2", sort=False)["cb"] \
+                    .transform("sum")
+            else:
+                cb["ctx"] = np.empty(0, np.int64)
+            m = tr.merge(cb, on=["t2", "t3"], how="left",
+                         suffixes=("", "_lm"))
+            hit = m["cb_lm"].notna().to_numpy()
+            tfv = m["tf"].to_numpy(np.int64)
+            doc = m["doc_id"].to_numpy(np.int64)
+            if hit.any():
+                r = np.log(_ALPHA
+                           * (m["cb_lm"].to_numpy(np.float64)[hit]
+                              / m["ctx_lm"].to_numpy(np.float64)[hit]))
+                q = np.floor((tfv[hit].astype(np.float64) * r)
+                             * QUANT + 0.5).astype(np.int64)
+                n = int(hit.sum())
+                out.append(_cascade_table(
+                    (doc[hit] % n_buckets).astype(np.int32),
+                    np.ones(n, np.int8), doc[hit], [""] * n, [""] * n,
+                    tfv[hit], np.zeros(n), np.zeros(n), q))
+            miss = ~hit
+            if miss.any():
+                t3 = m["t3"].to_numpy()[miss]
+                n = int(miss.sum())
+                out.append(_cascade_table(
+                    _crc_np(pa.array(t3, pa.string()), n_buckets),
+                    np.zeros(n, np.int8), doc[miss], [""] * n, t3,
+                    tfv[miss], np.zeros(n), np.zeros(n), np.zeros(n)))
+        return pa.concat_tables(out) if out else _EMPTY_CASCADE
+
+    lvl2 = lvl3.union(ds_factory().map_batches(lm2_partial,
+                                               batch_format="pyarrow",
+                                               batch_size=None)) \
+        .groupby("bucket").map_groups(join2, batch_format="pandas")
+
+    # --- level-1 channel: unigram LEFT join (always resolves) ---
+    def lm1_rows(t: pa.Table) -> pa.Table:
+        toks = t.column("tok")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n = len(t)
+        return _cascade_table(_crc_np(toks, n_buckets),
+                              np.full(n, 2, np.int8),
+                              np.full(n, -1, np.int64),
+                              [""] * n, toks.to_pylist(), np.zeros(n),
+                              t.column("n").to_numpy().astype(np.int64),
+                              np.zeros(n), np.zeros(n))
+
+    denom = np.float64(N + V)
+
+    def join1(df: "pd.DataFrame") -> pa.Table:
+        tune_allocator()
+        keep = df[df["kind"] == 1]
+        lmr = df[df["kind"] == 2]
+        tr = df[df["kind"] == 0]
+        out = []
+        if len(keep):
+            out.append(_cascade_table(
+                keep["bucket"].to_numpy(np.int32),
+                keep["kind"].to_numpy(np.int8),
+                keep["doc_id"].to_numpy(np.int64),
+                [""] * len(keep), [""] * len(keep),
+                keep["tf"].to_numpy(np.int64),
+                keep["cb"].to_numpy(np.int64),
+                keep["ctx"].to_numpy(np.int64),
+                keep["q"].to_numpy(np.int64)))
+        if not tr.empty:
+            cb = lmr.groupby("t3", sort=False)["cb"].sum().reset_index()
+            m = tr.merge(cb, on="t3", how="left", suffixes=("", "_lm"))
+            c1 = m["cb_lm"].fillna(0).to_numpy(np.float64)
+            tfv = m["tf"].to_numpy(np.int64)
+            doc = m["doc_id"].to_numpy(np.int64)
+            r = np.log(_ALPHA * (_ALPHA * ((c1 + 1.0) / denom)))
+            q = np.floor((tfv.astype(np.float64) * r)
+                         * QUANT + 0.5).astype(np.int64)
+            n = len(m)
+            out.append(_cascade_table(
+                (doc % n_buckets).astype(np.int32),
+                np.ones(n, np.int8), doc, [""] * n, [""] * n,
+                tfv, np.zeros(n), np.zeros(n), q))
+        return pa.concat_tables(out) if out else _EMPTY_CASCADE
+
+    lvl1 = lvl2.union(lm1.map_batches(lm1_rows, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(join1, batch_format="pandas")
+
+    # --- sentinel channel + final per-doc integer sum ---
+    def sentinel(batch: pa.Table) -> pa.Table:
+        t = _split_rows(batch, id_column, train_mod, False)
+        _, _, _, _, _, _, ntri = _batch_trigrams(t, column)
+        ids = t.column(id_column).to_numpy().astype(np.int64)
+        n = len(ids)
+        return _cascade_table((ids % n_buckets).astype(np.int32),
+                              np.full(n, 3, np.int8), ids, [""] * n,
+                              [""] * n, ntri, np.zeros(n), np.zeros(n),
+                              np.zeros(n))
+
+    sent = ds_factory().map_batches(sentinel, batch_format="pyarrow",
+                                    batch_size=None)
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        s = df[df["kind"] == 3]
+        tq = df[df["kind"] == 1]
+        nll = tq.groupby("doc_id", sort=False)["q"].sum()
+        out = s[["doc_id", "tf"]].rename(columns={"tf": "n_trigrams"}) \
+            .copy()
+        out["nll_q9"] = -nll.reindex(out["doc_id"]).fillna(0) \
+            .to_numpy(np.int64)
+        out["n_trigrams"] = out["n_trigrams"].astype(np.int64)
+        return out[["doc_id", "n_trigrams", "nll_q9"]]
+
+    return lvl1.union(sent).groupby("bucket") \
+        .map_groups(finish, batch_format="pandas")
+
+
+def backoff_trigram_sql(table: str = "documents", column: str = "text",
+                        id_column: str = "doc_id",
+                        train_mod: int = 3) -> str:
+    """DuckDB twin: same tokenizer/split, same context-count
+    definitions, the SAME three-branch CASE with exact parenthesization
+    (CAST(0.4 AS DOUBLE) mirrors np.float64(0.4)), int64 quantization
+    before the per-doc SUM."""
+    case = (
+        "CASE WHEN t.c3 IS NOT NULL THEN "
+        "CAST(t.c3 AS DOUBLE) / CAST(x12.ctx12 AS DOUBLE) "
+        "WHEN b.c2 IS NOT NULL THEN CAST(0.4 AS DOUBLE) * "
+        "(CAST(b.c2 AS DOUBLE) / CAST(x2.ctx2 AS DOUBLE)) "
+        "ELSE CAST(0.4 AS DOUBLE) * (CAST(0.4 AS DOUBLE) * "
+        "((CAST(COALESCE(u.c1, 0) AS DOUBLE) + 1.0) / "
+        "CAST(nv.n + nv.v AS DOUBLE))) END")
+    return (
+        f"WITH raw AS (SELECT {id_column} AS doc_id, "
+        f"unnest(regexp_split_to_array(trim({column}), '\\s+')) AS tok, "
+        f"generate_subscripts(regexp_split_to_array(trim({column}), "
+        f"'\\s+'), 1) AS i FROM {table}), "
+        "toks AS (SELECT doc_id, tok, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY i) AS p FROM raw WHERE tok <> ''), "
+        f"trn AS (SELECT * FROM toks WHERE doc_id % {train_mod} <> 0), "
+        f"sct AS (SELECT * FROM toks WHERE doc_id % {train_mod} = 0), "
+        "tri AS (SELECT a.tok AS t1, b.tok AS t2, c.tok AS t3, "
+        "COUNT(*) AS c3 FROM trn a JOIN trn b ON b.doc_id = a.doc_id "
+        "AND b.p = a.p + 1 JOIN trn c ON c.doc_id = a.doc_id "
+        "AND c.p = a.p + 2 GROUP BY 1, 2, 3), "
+        "ctx12 AS (SELECT t1, t2, SUM(c3) AS ctx12 FROM tri GROUP BY 1, 2), "
+        "big AS (SELECT a.tok AS b1, b.tok AS b2, COUNT(*) AS c2 "
+        "FROM trn a JOIN trn b ON b.doc_id = a.doc_id AND b.p = a.p + 1 "
+        "GROUP BY 1, 2), "
+        "ctx2 AS (SELECT b1, SUM(c2) AS ctx2 FROM big GROUP BY 1), "
+        "uni AS (SELECT tok, COUNT(*) AS c1 FROM trn GROUP BY 1), "
+        "nv AS (SELECT COUNT(*) AS v, COALESCE(SUM(c1), 0) AS n FROM uni), "
+        "dtf AS (SELECT a.doc_id, a.tok AS t1, b.tok AS t2, c.tok AS t3, "
+        "CAST(COUNT(*) AS BIGINT) AS tf FROM sct a "
+        "JOIN sct b ON b.doc_id = a.doc_id AND b.p = a.p + 1 "
+        "JOIN sct c ON c.doc_id = a.doc_id AND c.p = a.p + 2 "
+        "GROUP BY 1, 2, 3, 4), "
+        "terms AS (SELECT d.doc_id, d.tf, "
+        "CAST(floor((CAST(d.tf AS DOUBLE) * "
+        f"ln({case})) * 1000000000.0 + 0.5) AS BIGINT) AS q "
+        "FROM dtf d "
+        "LEFT JOIN tri t ON t.t1 = d.t1 AND t.t2 = d.t2 AND t.t3 = d.t3 "
+        "LEFT JOIN ctx12 x12 ON x12.t1 = d.t1 AND x12.t2 = d.t2 "
+        "LEFT JOIN big b ON b.b1 = d.t2 AND b.b2 = d.t3 "
+        "LEFT JOIN ctx2 x2 ON x2.b1 = d.t2 "
+        "LEFT JOIN uni u ON u.tok = d.t3 CROSS JOIN nv) "
+        f"SELECT doc.{id_column} AS doc_id, "
+        "CAST(COALESCE(s.nt, 0) AS BIGINT) AS n_trigrams, "
+        "CAST(COALESCE(-s.snll, 0) AS BIGINT) AS nll_q9 "
+        f"FROM {table} doc LEFT JOIN (SELECT doc_id, SUM(tf) AS nt, "
+        "SUM(q) AS snll FROM terms GROUP BY 1) s "
+        f"ON s.doc_id = doc.{id_column} "
+        f"WHERE doc.{id_column} % {train_mod} = 0"
+    )
