@@ -817,6 +817,20 @@ def _q_nearest_segment(sf_dir: str):
     return nearest_segment(sf_dir, zoom=6)
 
 
+
+def _q_nearest_segment_cells(sf_dir: str):
+    """Cell-bucketed CO-PARTITIONED nearest-segment join — the scale
+    path for unbounded reference networks: both sides shuffle on a
+    coarse world-grid key (segments bbox-replicated with a 1-ring
+    halo), per-cell exact resolution with the shared d2 kernel, and a
+    fused broadcast fallback net for pages the certainty guard
+    (best_d2 < (rings*cell)^2) cannot prove. Byte-identical to the
+    broadcast variant, so it shares its oracle."""
+    from vtzero_ray.functions.geo import nearest_segment_cells
+
+    return nearest_segment_cells(sf_dir, zoom=6)
+
+
 def _q_cocitation(sf_dir: str):
     """Co-citation related-hosts: target pairs co-linked by a common
     source over the really-extracted host graph — per-src pair explode
@@ -1876,6 +1890,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "grid_clusters", "hilbert_tiles_z6",
                   # nearest-segment map-matching join
                   "nearest_segment_z6",
+                  "nearest_segment_cells_z6",
                   # persisted spatial index range query
                   "bbox_query_indexed")
 
@@ -1963,6 +1978,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "triangle_support": _q_triangles,
         "hilbert_tiles_z6": _q_hilbert_tiles,
         "nearest_segment_z6": _q_nearest_segment,
+        "nearest_segment_cells_z6": _q_nearest_segment_cells,
         "jsonl_identity": _q_jsonl_identity,
         "warc_pages": _q_warc_pages,
         "gopher_rules": _q_gopher_rules,
@@ -2308,6 +2324,9 @@ def _all_oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_pages FROM documents GROUP BY 1, 2", 6),
         # nearest_segment_z6: same site-path CTEs, same d2 CASE, QUALIFY
         "nearest_segment_z6": nearest_segment_oracle_sql(
+            _sql_site_path_ctes(6)),
+        # nearest_segment_cells_z6: byte-identical scale path, same twin
+        "nearest_segment_cells_z6": nearest_segment_oracle_sql(
             _sql_site_path_ctes(6)),
         "tile_assignment_z12": (
             f"SELECT 12 AS z, {t12['x']} AS x, {t12['y']} AS y, COUNT(*) AS n_pages "

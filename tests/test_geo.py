@@ -340,3 +340,71 @@ class TestNearestSegment:
         got = e.queries_extra()["nearest_segment_z6"](sf).to_pandas()
         assert len(got) == 500                      # every page snapped
         assert (got.site != got.doc_id % 50).all()  # never its own site
+
+
+class TestNearestSegmentCells:
+    """Cell-bucketed co-partitioned variant: byte-identical to the
+    broadcast path, with the certainty guard + fallback net exercised."""
+
+    def test_equals_broadcast(self, ray_session):
+        from vtzero_ray.functions.geo import (nearest_segment,
+                                              nearest_segment_cells)
+
+        sf = "/root/testdata/sf0.001"
+        want = nearest_segment(sf).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        got = nearest_segment_cells(sf).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        import pandas as pd
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_equals_broadcast_tiny_cells(self, ray_session):
+        """Tiny cells + rings=1 force a real sparse-region fallback tail
+        (most pages have no nearby foreign segment at this grid): the
+        result must STILL be byte-identical."""
+        from vtzero_ray.functions.geo import (nearest_segment,
+                                              nearest_segment_cells)
+
+        sf = "/root/testdata/sf0.001"
+        want = nearest_segment(sf).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        got = nearest_segment_cells(sf, cell=512, rings=1, n_buckets=8) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        import pandas as pd
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_explode_cells(self):
+        import numpy as np
+
+        from vtzero_ray.functions.geo import _explode_cells
+
+        idx, cx, cy = _explode_cells(np.array([0, 5]), np.array([1, 5]),
+                                     np.array([2, 7]), np.array([3, 7]))
+        got = sorted(zip(idx.tolist(), cx.tolist(), cy.tolist()))
+        assert got == [(0, 0, 2), (0, 0, 3), (0, 1, 2), (0, 1, 3),
+                       (1, 5, 7)]
+
+    def test_candidate_pruning(self, ray_session):
+        """The point of the co-partitioned path: per-cell candidate
+        lists are far smaller than the full network. Measured through
+        the replication table itself: mean candidates per occupied cell
+        << total segments."""
+        import numpy as np
+
+        from vtzero_ray.functions.geo import _explode_cells
+        from vtzero_ray.pipelines.clip_paths import world_segments
+
+        sf = "/root/testdata/sf0.001"
+        seg = world_segments(sf, zoom=6, extent=4096).to_pandas()
+        cell, rings = 8192, 1
+        x0 = seg.wx0.to_numpy(); x1 = seg.wx1.to_numpy()
+        y0 = seg.wy0.to_numpy(); y1 = seg.wy1.to_numpy()
+        idx, cx, cy = _explode_cells(
+            np.minimum(x0, x1) // cell - rings,
+            np.maximum(x0, x1) // cell + rings,
+            np.minimum(y0, y1) // cell - rings,
+            np.maximum(y0, y1) // cell + rings)
+        import pandas as pd
+        per_cell = pd.DataFrame({"cx": cx, "cy": cy}) \
+            .groupby(["cx", "cy"]).size()
+        assert per_cell.mean() < len(seg) / 4

@@ -528,6 +528,57 @@ def hilbert_sql(tiles_cte: str, z: int) -> str:
 # nearest-segment join (map matching: snap points to the closest polyline)
 # ---------------------------------------------------------------------------
 
+def _seg_d2_matrix(px, py, psite, sx0, sy0, sx1, sy1, ssite):
+    """Exact point×segment squared-distance matrix — ONE CASE expression
+    per pair over exact-int operands, dot cast to float64 BEFORE
+    squaring (dot² would overflow int64); own-site pairs masked to inf.
+    The op sequence is the nearest_segment expression VERBATIM (both
+    the broadcast and the cell-bucketed paths call this, so they stay
+    bit-identical to each other and to the SQL twin)."""
+    dx = sx1 - sx0
+    dy = sy1 - sy0
+    len2 = dx * dx + dy * dy
+    pax = px[:, None] - sx0[None, :]
+    pay = py[:, None] - sy0[None, :]
+    dot = pax * dx[None, :] + pay * dy[None, :]
+    p2a = pax * pax + pay * pay
+    pbx = px[:, None] - sx1[None, :]
+    pby = py[:, None] - sy1[None, :]
+    p2b = pbx * pbx + pby * pby
+    interior = (p2a.astype(np.float64)
+                - (dot.astype(np.float64) * dot.astype(np.float64))
+                / len2.astype(np.float64)[None, :])
+    d2 = np.where((len2[None, :] == 0) | (dot <= 0),
+                  p2a.astype(np.float64),
+                  np.where(dot >= len2[None, :],
+                           p2b.astype(np.float64), interior))
+    d2[psite[:, None] == ssite[None, :]] = np.inf
+    return d2
+
+
+def _broadcast_best(psite, px, py, s, chunk):
+    """Chunked exact scan of the full (site, seg_idx)-sorted segment
+    table ``s``: strict < keeps the first-tie winner, so the result
+    order is min-(d2, site, seg_idx)."""
+    n = len(px)
+    best_d2 = np.full(n, np.inf)
+    best_site = np.full(n, -1, np.int64)
+    best_seg = np.full(n, -1, np.int64)
+    for lo in range(0, len(s["site"]), chunk):
+        hi = lo + chunk
+        d2 = _seg_d2_matrix(px, py, psite,
+                            s["wx0"][lo:hi], s["wy0"][lo:hi],
+                            s["wx1"][lo:hi], s["wy1"][lo:hi],
+                            s["site"][lo:hi])
+        j = np.argmin(d2, axis=1)  # first min = smallest (site, seg)
+        cand = d2[np.arange(n), j]
+        upd = cand < best_d2
+        best_d2[upd] = cand[upd]
+        best_site[upd] = s["site"][lo:hi][j[upd]]
+        best_seg[upd] = s["seg_idx"][lo:hi][j[upd]]
+    return best_site, best_seg, best_d2
+
+
 def nearest_segment(sf_dir: str, zoom: int = 6, extent: int = 4096,
                     chunk: int = 4096, max_segments: int = 2_000_000):
     """→ Dataset (doc_id, site, seg_idx, d_q3): for every page, the
@@ -578,38 +629,8 @@ def nearest_segment(sf_dir: str, zoom: int = 6, extent: int = 4096,
         psite = t.column("site").to_numpy().astype(np.int64)
         px = t.column("wx").to_numpy().astype(np.int64)
         py = t.column("wy").to_numpy().astype(np.int64)
-        n = len(doc)
-        best_d2 = np.full(n, np.inf)
-        best_site = np.full(n, -1, np.int64)
-        best_seg = np.full(n, -1, np.int64)
-        for lo in range(0, len(s["site"]), chunk):
-            hi = lo + chunk
-            sx0 = s["wx0"][lo:hi]
-            sy0 = s["wy0"][lo:hi]
-            dx = s["wx1"][lo:hi] - sx0
-            dy = s["wy1"][lo:hi] - sy0
-            len2 = dx * dx + dy * dy
-            pax = px[:, None] - sx0[None, :]
-            pay = py[:, None] - sy0[None, :]
-            dot = pax * dx[None, :] + pay * dy[None, :]
-            p2a = pax * pax + pay * pay
-            pbx = px[:, None] - s["wx1"][lo:hi][None, :]
-            pby = py[:, None] - s["wy1"][lo:hi][None, :]
-            p2b = pbx * pbx + pby * pby
-            interior = (p2a.astype(np.float64)
-                        - (dot.astype(np.float64) * dot.astype(np.float64))
-                        / len2.astype(np.float64)[None, :])
-            d2 = np.where((len2[None, :] == 0) | (dot <= 0),
-                          p2a.astype(np.float64),
-                          np.where(dot >= len2[None, :],
-                                   p2b.astype(np.float64), interior))
-            d2[psite[:, None] == s["site"][lo:hi][None, :]] = np.inf
-            j = np.argmin(d2, axis=1)  # first min = smallest (site, seg)
-            cand = d2[np.arange(n), j]
-            upd = cand < best_d2
-            best_d2[upd] = cand[upd]
-            best_site[upd] = s["site"][lo:hi][j[upd]]
-            best_seg[upd] = s["seg_idx"][lo:hi][j[upd]]
+        best_site, best_seg, best_d2 = _broadcast_best(psite, px, py, s,
+                                                       chunk)
         keep = np.isfinite(best_d2)
         dq = np.floor(np.sqrt(best_d2[keep]) * 1000.0 + 0.5) \
             .astype(np.int64)
@@ -657,3 +678,198 @@ def nearest_segment_sql(e_ctes: str) -> str:
         "FROM cand QUALIFY row_number() OVER (PARTITION BY doc_id "
         "ORDER BY d2, site, seg_idx) = 1"
     )
+
+
+def _explode_cells(cxmin, cxmax, cymin, cymax):
+    """Vectorized rectangle→cell fan-out: row i expands to every
+    (cellx, celly) in [cxmin[i]..cxmax[i]] × [cymin[i]..cymax[i]] →
+    (row_idx, cellx, celly)."""
+    nx = cxmax - cxmin + 1
+    ny = cymax - cymin + 1
+    k = nx * ny
+    tot = int(k.sum())
+    idx = np.repeat(np.arange(len(k), dtype=np.int64), k)
+    start = np.concatenate([[0], np.cumsum(k)[:-1]])
+    j = np.arange(tot, dtype=np.int64) - np.repeat(start, k)
+    ny_r = np.repeat(ny, k)
+    return idx, np.repeat(cxmin, k) + j // ny_r, \
+        np.repeat(cymin, k) + j % ny_r
+
+
+def _cell_bucket(cx: np.ndarray, cy: np.ndarray, n_buckets: int):
+    return (((cx * 73856093) ^ (cy * 19349663)) % n_buckets) \
+        .astype(np.int32)
+
+
+def nearest_segment_cells(sf_dir: str, zoom: int = 6, extent: int = 4096,
+                          cell: int = 8192, rings: int = 1,
+                          n_buckets: int = 32, chunk: int = 4096,
+                          max_segments: int = 2_000_000):
+    """Cell-bucketed CO-PARTITIONED nearest-segment join — the scale
+    path `nearest_segment`'s broadcast guard points at: when the
+    reference network is corpus-sized, NEITHER side broadcasts. Both
+    sides shuffle on the same coarse world-grid key: each segment is
+    replicated into every cell its bbox dilated by ``rings`` touches
+    (bounded fan-out: a segment spanning S cells emits
+    (S_x+2r)(S_y+2r) rows), pages carry their own cell, and each
+    shuffle group resolves its pages against only the locally-present
+    candidate segments with the SAME exact d2 kernel as the broadcast
+    path (`_seg_d2_matrix` — shared code, bit-identical results).
+
+    Exactness: a segment absent from a page's cell has its dilated
+    bbox ≥ rings+1 cells away, hence every point of it ≥ rings·cell
+    world units away — so best_d2 < (rings·cell)² proves global
+    optimality. Pages that can't be proven (sparse regions, or no
+    local candidate) fall back to the exact chunked scan against the
+    full table inside ONE fused pass-through stage (the cell_knn_join
+    Finalize pattern — forking the stream would re-execute lineage);
+    the partitioning assumption is that with rings·cell ≥ the network's
+    max gap the tail is empty, and the fallback table is lazily
+    fetched only by batches that actually contain uncertain rows.
+    Output is byte-identical to `nearest_segment` (asserted in tests).
+    """
+    import ray
+    import pandas as pd
+
+    from vtzero_ray.pipelines.clip_paths import (_world_points,
+                                                 world_segments)
+
+    seg_df = world_segments(sf_dir, zoom=zoom, extent=extent).to_pandas()
+    if len(seg_df) > max_segments:
+        raise ValueError(
+            f"reference network has {len(seg_df)} segments > "
+            f"max_segments={max_segments}")
+    seg_df = seg_df.sort_values(["site", "seg_idx"], kind="stable")
+    seg_full = {c: np.ascontiguousarray(seg_df[c].to_numpy(np.int64))
+                for c in ("site", "seg_idx", "wx0", "wy0", "wx1", "wy1")}
+    # full table is the fallback NET only — fetched lazily per batch
+    # that actually needs it, never on the happy path
+    seg_ref = ray.put(seg_full)
+
+    # --- segment side: bbox-dilated cell replication ---
+    sx0 = seg_full["wx0"]
+    sy0 = seg_full["wy0"]
+    sx1 = seg_full["wx1"]
+    sy1 = seg_full["wy1"]
+    cxmin = np.minimum(sx0, sx1) // cell - rings
+    cxmax = np.maximum(sx0, sx1) // cell + rings
+    cymin = np.minimum(sy0, sy1) // cell - rings
+    cymax = np.maximum(sy0, sy1) // cell + rings
+    idx, rcx, rcy = _explode_cells(cxmin, cxmax, cymin, cymax)
+    n = len(idx)
+    import ray.data as rd
+
+    seg_rep = rd.from_arrow(pa.table({
+        "bucket": pa.array(_cell_bucket(rcx, rcy, n_buckets)),
+        "kind": pa.array(np.ones(n, np.int8)),
+        "cellx": pa.array(rcx), "celly": pa.array(rcy),
+        "doc_id": pa.array(np.full(n, -1, np.int64)),
+        "site": pa.array(seg_full["site"][idx]),
+        "seg": pa.array(seg_full["seg_idx"][idx]),
+        "x0": pa.array(sx0[idx]), "y0": pa.array(sy0[idx]),
+        "x1": pa.array(sx1[idx]), "y1": pa.array(sy1[idx]),
+    }))
+
+    def prep_points(t: pa.Table) -> pa.Table:
+        px = t.column("wx").to_numpy().astype(np.int64)
+        py = t.column("wy").to_numpy().astype(np.int64)
+        cx = px // cell
+        cy = py // cell
+        m = len(px)
+        return pa.table({
+            "bucket": pa.array(_cell_bucket(cx, cy, n_buckets)),
+            "kind": pa.array(np.zeros(m, np.int8)),
+            "cellx": pa.array(cx), "celly": pa.array(cy),
+            "doc_id": pa.array(t.column("doc_id").to_numpy()
+                               .astype(np.int64)),
+            "site": pa.array(t.column("site").to_numpy()
+                             .astype(np.int64)),
+            "seg": pa.array(np.full(m, -1, np.int64)),
+            "x0": pa.array(px), "y0": pa.array(py),
+            "x1": pa.array(np.zeros(m, np.int64)),
+            "y1": pa.array(np.zeros(m, np.int64)),
+        })
+
+    pts = _world_points(sf_dir, zoom, extent) \
+        .map_batches(prep_points, batch_format="pyarrow", batch_size=None)
+
+    guard2 = float(rings * cell) ** 2
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        from vtzero_ray.runtime import tune_allocator
+        tune_allocator()
+        out = []
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "site": pd.Series([], dtype="int64"),
+            "seg": pd.Series([], dtype="int64"),
+            "d2": pd.Series([], dtype="float64"),
+            "certain": pd.Series([], dtype=bool),
+            "psite": pd.Series([], dtype="int64"),
+            "px": pd.Series([], dtype="int64"),
+            "py": pd.Series([], dtype="int64")})
+        for _, g in df.groupby(["cellx", "celly"], sort=False):
+            p = g[g["kind"] == 0]
+            if p.empty:
+                continue
+            px = p["x0"].to_numpy(np.int64)
+            py = p["y0"].to_numpy(np.int64)
+            psite = p["site"].to_numpy(np.int64)
+            doc = p["doc_id"].to_numpy(np.int64)
+            s = g[g["kind"] == 1].sort_values(["site", "seg"],
+                                              kind="stable")
+            if s.empty:
+                out.append(pd.DataFrame({
+                    "doc_id": doc, "site": np.int64(-1),
+                    "seg": np.int64(-1), "d2": np.inf, "certain": False,
+                    "psite": psite, "px": px, "py": py}))
+                continue
+            sc = {"site": s["site"].to_numpy(np.int64),
+                  "seg_idx": s["seg"].to_numpy(np.int64),
+                  "wx0": s["x0"].to_numpy(np.int64),
+                  "wy0": s["y0"].to_numpy(np.int64),
+                  "wx1": s["x1"].to_numpy(np.int64),
+                  "wy1": s["y1"].to_numpy(np.int64)}
+            bs, bg, bd2 = _broadcast_best(psite, px, py, sc, chunk)
+            out.append(pd.DataFrame({
+                "doc_id": doc, "site": bs, "seg": bg, "d2": bd2,
+                "certain": np.isfinite(bd2) & (bd2 < guard2),
+                "psite": psite, "px": px, "py": py}))
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    resolved = pts.union(seg_rep).groupby("bucket") \
+        .map_groups(resolve, batch_format="pandas")
+
+    # fused fallback (the cell_knn_join Finalize pattern): certain rows
+    # keep their local result; uncertain rows re-resolve against the
+    # full table — fetched ONLY when such rows exist in the batch
+    def finalize(t: pa.Table) -> pa.Table:
+        from vtzero_ray.runtime import tune_allocator
+        tune_allocator()
+        ok = t.column("certain").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy().astype(np.int64)
+        site = t.column("site").to_numpy().astype(np.int64)
+        seg = t.column("seg").to_numpy().astype(np.int64)
+        d2 = t.column("d2").to_numpy().astype(np.float64)
+        if not ok.all():
+            s = ray.get(seg_ref)
+            redo = ~ok
+            bs, bg, bd2 = _broadcast_best(
+                t.column("psite").to_numpy()[redo].astype(np.int64),
+                t.column("px").to_numpy()[redo].astype(np.int64),
+                t.column("py").to_numpy()[redo].astype(np.int64),
+                s, chunk)
+            site = site.copy(); seg = seg.copy(); d2 = d2.copy()
+            site[redo] = bs
+            seg[redo] = bg
+            d2[redo] = bd2
+        keep = np.isfinite(d2)
+        dq = np.floor(np.sqrt(d2[keep]) * 1000.0 + 0.5).astype(np.int64)
+        return pa.table({"doc_id": pa.array(doc[keep]),
+                         "site": pa.array(site[keep]),
+                         "seg_idx": pa.array(seg[keep]),
+                         "d_q3": pa.array(dq)})
+
+    return resolved.map_batches(finalize, batch_format="pyarrow")
