@@ -857,6 +857,18 @@ def _q_backoff_trigram(sf_dir: str):
                                 columns=["doc_id", "text"]))
 
 
+
+def _q_host_communities(sf_dir: str):
+    """Deterministic label-propagation communities over the really-
+    extracted host graph: per iteration ONE src-bucket tagged-union
+    join ships labels to neighbors + ONE dst-bucket vote shuffle picks
+    (count DESC, label ASC) winners; symmetrized once via a canonical
+    (lo, hi) dedup shuffle so reversed duplicates never vote twice."""
+    from vtzero_ray.functions.graph import host_communities
+
+    return host_communities(_docs(sf_dir))
+
+
 def _q_bigram_perplexity(sf_dir: str):
     """Bigram-LM perplexity, the model-as-TABLE scoring shape: a bigram
     model is vocabulary²-bounded (no broadcast at 100 TB) — LM rows and
@@ -1763,6 +1775,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "doc_sample_10pct", "distinct_langs",
                   "events_hopping_window", "ann_topk_ivf",
                   "trigram_backoff",
+                  "label_prop_hosts",
                   "audio_features", "top_orders", "media_features",
                   # GIF/LZW real-codec probe (PNG + JPEG hold the
                   # driver media slots)
@@ -1970,6 +1983,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "host_walks": _q_host_walks,
         "cocitation_hosts": _q_cocitation,
+        "label_prop_hosts": _q_host_communities,
         "bigram_perplexity": _q_bigram_perplexity,
         "trigram_backoff": _q_backoff_trigram,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -2222,6 +2236,8 @@ def _all_oracle_sql() -> dict[str, str]:
         host_walks_sql as host_walks_oracle_sql
     from vtzero_ray.functions.graph import \
         host_cocitation_sql as host_cocitation_oracle_sql
+    from vtzero_ray.functions.graph import \
+        host_communities_sql as host_communities_oracle_sql
     from vtzero_ray.functions.lm import \
         bigram_perplexity_sql as bigram_oracle_sql
     from vtzero_ray.functions.lm import \
@@ -2658,6 +2674,9 @@ def _all_oracle_sql() -> dict[str, str]:
         "host_walks": host_walks_oracle_sql(linked_html_sql_expr()),
         # cocitation_hosts: same edges, self-join on src
         "cocitation_hosts": host_cocitation_oracle_sql(
+            linked_html_sql_expr()),
+        # label_prop_hosts: symmetrized edges, unrolled vote rounds
+        "label_prop_hosts": host_communities_oracle_sql(
             linked_html_sql_expr()),
         # bigram_perplexity: same tokenizer/ctx/V, int64-quantized terms
         "bigram_perplexity": bigram_oracle_sql(),

@@ -430,3 +430,83 @@ class TestTriangles:
             got = triangles_mod(ds, 500).to_pandas() \
                 .sort_values(["u", "v"]).reset_index(drop=True)
             pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestLabelProp:
+    """Deterministic label propagation: hand graph vs a plain-Python
+    reference, DuckDB-twin equality over the really-extracted host
+    graph, partition invariance."""
+
+    def _reference(self, n_nodes, edges, n_iters):
+        """Synchronous LPA, ties (count DESC, label ASC), undirected
+        closure, isolated nodes keep their own label."""
+        und = set()
+        for s, d in edges:
+            if s != d:
+                und.add((min(s, d), max(s, d)))
+        adj = {v: [] for v in range(n_nodes)}
+        for lo, hi in und:
+            adj[lo].append(hi)
+            adj[hi].append(lo)
+        lbl = {v: v for v in range(n_nodes)}
+        for _ in range(n_iters):
+            new = {}
+            for v in range(n_nodes):
+                if not adj[v]:
+                    new[v] = lbl[v]
+                    continue
+                cnt = {}
+                for u in adj[v]:
+                    cnt[lbl[u]] = cnt.get(lbl[u], 0) + 1
+                new[v] = min(cnt, key=lambda k: (-cnt[k], k))
+            lbl = new
+        return lbl
+
+    def test_hand_graph(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import label_prop
+
+        # two triangles bridged by one edge + an isolated node, with a
+        # duplicate reversed edge that must NOT vote twice
+        edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3),
+                 (2, 3), (1, 0)]
+        n = 7
+        edf = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                        "dst": pa.array([e[1] for e in edges], pa.int64())})
+        nodes = rd.from_arrow(pa.table({"doc_id": pa.array(range(n),
+                                                           pa.int64())}))
+        for iters in (1, 3):
+            got = label_prop(nodes, rd.from_arrow(edf).repartition(3),
+                             n_iters=iters).to_pandas() \
+                .sort_values("v").reset_index(drop=True)
+            want = self._reference(n, edges, iters)
+            assert dict(zip(got.v, got.community)) == want, iters
+        # the isolated node stayed a singleton
+        assert want[6] == 6
+        # the triangles really collapsed onto shared labels
+        assert len({want[0], want[1], want[2]}) == 1
+
+    def test_twin_and_partition_invariance(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from vtzero_ray.functions.crawl import linked_html_sql_expr
+        from vtzero_ray.functions.graph import (host_communities,
+                                                host_communities_sql)
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(host_communities_sql(linked_html_sql_expr())) \
+            .df().sort_values("v").reset_index(drop=True)
+        # communities genuinely formed (not everyone kept their own id)
+        assert (exp.v != exp.community).sum() > 0
+        for parts in (2, 9):
+            docs = rd.read_parquet(f"{sf}/documents.parquet",
+                                   columns=["doc_id"]).repartition(parts)
+            got = host_communities(docs).to_pandas() \
+                .sort_values("v").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -962,3 +962,195 @@ def triangles_sql(n_out: int = 3, table: str = "documents") -> str:
         "FROM ed LEFT JOIN wedge w ON w.y = ed.u AND w.z = ed.v "
         "GROUP BY 1, 2"
     )
+
+
+# ---------------------------------------------------------------------------
+# label propagation — community detection (Raghavan et al. 2007), made
+# deterministic: synchronous updates, winner = (count DESC, label ASC)
+# ---------------------------------------------------------------------------
+
+def label_prop(ds_nodes, edges, n_iters: int = 3, n_buckets: int = 8):
+    """Deterministic synchronous label propagation over the UNDIRECTED
+    closure of ``edges`` → Dataset (v, community).
+
+    Every node starts labeled with itself; each iteration every node
+    adopts the most frequent label among its neighbors (ties → smaller
+    label; isolated nodes keep their own). The classic paper breaks
+    ties randomly and updates asynchronously — both are replaced by
+    deterministic rules here so iterations are bit-exact under any
+    block scheduling and the unrolled SQL twin reproduces them.
+
+    Distributed shape (the pagerank vocabulary — labels are node-sized,
+    so nothing broadcasts): symmetrize once via a canonical
+    (lo, hi)-bucket dedup shuffle (the triangle_support move — a
+    directed pair present BOTH ways must not vote twice); then per
+    iteration ONE src-bucket tagged-union join ships each node's label
+    to its neighbors and ONE dst-bucket shuffle counts votes and picks
+    the winner (old-label zero-rows ride the same union so isolated
+    nodes keep rows). Edges and each iteration's labels are
+    materialized (the lineage-break contract)."""
+    nodes = ds_nodes.select_columns(["doc_id"]).materialize()
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s != d
+        lo = np.minimum(s[keep], d[keep])
+        hi = np.maximum(s[keep], d[keep])
+        pairs = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table({"bucket": pa.array((pairs[:, 0] % n_buckets)
+                                            .astype(np.int32)),
+                         "lo": pa.array(pairs[:, 0]),
+                         "hi": pa.array(pairs[:, 1])})
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["lo", "hi"])
+        lo = df["lo"].to_numpy(np.int64)
+        hi = df["hi"].to_numpy(np.int64)
+        src = np.concatenate([lo, hi])
+        dst = np.concatenate([hi, lo])
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    sym = edges.map_batches(canon, batch_format="pyarrow",
+                            batch_size=None) \
+        .groupby("bucket").map_groups(expand, batch_format="pandas") \
+        .materialize()
+    if sym.num_blocks() > 4 * n_buckets:
+        sym = sym.repartition(n_buckets).materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        v = t.column("doc_id")
+        return pa.table({"v": v, "lbl": v})
+
+    labels = nodes.map_batches(init_labels, batch_format="pyarrow",
+                               batch_size=None).materialize()
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bucket": pa.array((v % n_buckets)
+                                            .astype(np.int32)),
+                         "src": t.column("v"),
+                         "dst": pa.array(np.full(len(t), -1, np.int64)),
+                         "lbl": t.column("lbl")})
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bucket": pa.array((s % n_buckets)
+                                            .astype(np.int32)),
+                         "src": t.column("src"),
+                         "dst": t.column("dst"),
+                         "lbl": pa.array(np.zeros(len(t), np.int64))})
+
+    def join_votes(df: pd.DataFrame) -> pd.DataFrame:
+        r = df[df["dst"] < 0]
+        e = df[df["dst"] >= 0]
+        m = e.merge(r[["src", "lbl"]], on="src", how="inner",
+                    suffixes=("_e", ""))
+        out = pd.DataFrame({"v": m["dst"].to_numpy(np.int64),
+                            "lbl": m["lbl"].to_numpy(np.int64),
+                            "old": np.zeros(len(m), np.int64),
+                            "kind": np.zeros(len(m), np.int8)})
+        out["bucket2"] = (out["v"] % n_buckets).astype(np.int32)
+        return out
+
+    def old_rows(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": pa.array(v), "lbl": t.column("lbl"),
+                         "old": pa.array(np.ones(len(v), np.int64)),
+                         "kind": pa.array(np.ones(len(v), np.int8)),
+                         "bucket2": pa.array((v % n_buckets)
+                                             .astype(np.int32))})
+
+    def pick_winner(df: pd.DataFrame) -> pd.DataFrame:
+        olds = df[df["kind"] == 1]
+        votes = df[df["kind"] == 0]
+        if votes.empty:
+            w = olds[["v", "lbl"]]
+            return pd.DataFrame({"v": w["v"].to_numpy(np.int64),
+                                 "lbl": w["lbl"].to_numpy(np.int64)})
+        cnt = votes.groupby(["v", "lbl"], sort=False).size() \
+            .reset_index(name="n")
+        cnt = cnt.sort_values(["v", "n", "lbl"],
+                              ascending=[True, False, True],
+                              kind="stable")
+        win = cnt.drop_duplicates("v")[["v", "lbl"]]
+        out = olds[["v"]].merge(win, on="v", how="left")
+        keep_old = out["lbl"].isna().to_numpy()
+        lbl = out["lbl"].to_numpy()
+        lbl[keep_old] = olds["lbl"].to_numpy(np.int64)[keep_old]
+        return pd.DataFrame({"v": out["v"].to_numpy(np.int64),
+                             "lbl": lbl.astype(np.int64)})
+
+    for _ in range(max(0, n_iters)):
+        tagged = labels.map_batches(tag_labels, batch_format="pyarrow",
+                                    batch_size=None) \
+            .union(sym.map_batches(tag_edges, batch_format="pyarrow",
+                                   batch_size=None))
+        votes = tagged.groupby("bucket").map_groups(
+            join_votes, batch_format="pandas") \
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        allv = votes.union(labels.map_batches(old_rows,
+                                              batch_format="pyarrow",
+                                              batch_size=None))
+        labels = allv.groupby("bucket2").map_groups(
+            pick_winner, batch_format="pandas").materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t.column("v"),
+                         "community": t.column("lbl")})
+
+    return labels.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def host_communities(ds_docs, n_hosts: int = 1000, n_iters: int = 3):
+    """Communities of the really-extracted host graph: synth HTML →
+    extract_links → host edge table → deterministic label propagation
+    over the fixed host universe (linkless hosts stay their own
+    singleton community)."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.crawl import extract_links, synth_linked_html
+
+    edges = host_edges(extract_links(synth_linked_html(ds_docs)),
+                       n_hosts=n_hosts, n_buckets=8)
+    nodes = rd.range(n_hosts, override_num_blocks=4).map_batches(
+        lambda t: pa.table({"doc_id": t.column("id").cast(pa.int64())}),
+        batch_format="pyarrow", batch_size=None)
+    return label_prop(nodes, edges, n_iters=n_iters, n_buckets=8)
+
+
+def label_prop_sql_over(edges_sql: str, nodes_sql: str,
+                        n_iters: int = 3) -> str:
+    """Unrolled twin over arbitrary DISTINCT-(src, dst) edges + (v)
+    nodes CTEs: same symmetrization, same (count DESC, label ASC)
+    winner, same keep-own-label fallback."""
+    parts = [
+        f"WITH nodes AS ({nodes_sql}), ",
+        f"e AS ({edges_sql}), ",
+        "und AS (SELECT DISTINCT least(src, dst) AS lo, "
+        "greatest(src, dst) AS hi FROM e WHERE src <> dst), ",
+        "sym AS (SELECT lo AS src, hi AS dst FROM und "
+        "UNION ALL SELECT hi, lo FROM und), ",
+        "l0 AS (SELECT v, v AS lbl FROM nodes), ",
+    ]
+    for i in range(max(0, n_iters)):
+        parts.append(
+            f"c{i} AS (SELECT s.dst AS v, l.lbl, COUNT(*) AS n "
+            f"FROM sym s JOIN l{i} l ON l.v = s.src GROUP BY 1, 2), "
+            f"w{i} AS (SELECT v, lbl FROM c{i} QUALIFY row_number() "
+            "OVER (PARTITION BY v ORDER BY n DESC, lbl ASC) = 1), "
+            f"l{i + 1} AS (SELECT l{i}.v, COALESCE(w{i}.lbl, l{i}.lbl) "
+            f"AS lbl FROM l{i} LEFT JOIN w{i} USING (v)), ")
+    body = "".join(parts).rstrip().rstrip(",")
+    return (body + f" SELECT v, CAST(lbl AS BIGINT) AS community "
+                   f"FROM l{max(0, n_iters)}")
+
+
+def host_communities_sql(html_expr: str, n_hosts: int = 1000,
+                         n_iters: int = 3,
+                         table: str = "documents") -> str:
+    nodes = f"SELECT range AS v FROM range({n_hosts})"
+    return label_prop_sql_over(
+        _host_edges_sql(html_expr, n_hosts, table), nodes,
+        n_iters=n_iters)
