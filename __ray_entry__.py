@@ -869,6 +869,22 @@ def _q_host_communities(sf_dir: str):
     return host_communities(_docs(sf_dir))
 
 
+
+def _q_image_dhash_pairs(sf_dir: str):
+    """Perceptual near-duplicate image pairs: REAL PNG decode →
+    integer dHash (four 16-bit bands) → ONE banded bucket shuffle;
+    thr <= bands-1 makes the banded join return exactly the all-pairs
+    hamming set (pigeonhole). The corpus plants every-4th-image
+    brightness variants, so real near-dups (not byte-dups) pair up."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.imagehash import (dhash_pairs,
+                                                synth_media_dhash)
+
+    return dhash_pairs(rd.from_arrow(synth_media_dhash(128))
+                       .repartition(8), thr=3)
+
+
 def _q_bigram_perplexity(sf_dir: str):
     """Bigram-LM perplexity, the model-as-TABLE scoring shape: a bigram
     model is vocabulary²-bounded (no broadcast at 100 TB) — LM rows and
@@ -1776,6 +1792,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "events_hopping_window", "ann_topk_ivf",
                   "trigram_backoff",
                   "label_prop_hosts",
+                  "image_dhash_pairs",
                   "audio_features", "top_orders", "media_features",
                   # GIF/LZW real-codec probe (PNG + JPEG hold the
                   # driver media slots)
@@ -1984,6 +2001,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "host_walks": _q_host_walks,
         "cocitation_hosts": _q_cocitation,
         "label_prop_hosts": _q_host_communities,
+        "image_dhash_pairs": _q_image_dhash_pairs,
         "bigram_perplexity": _q_bigram_perplexity,
         "trigram_backoff": _q_backoff_trigram,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -2238,6 +2256,8 @@ def _all_oracle_sql() -> dict[str, str]:
         host_cocitation_sql as host_cocitation_oracle_sql
     from vtzero_ray.functions.graph import \
         host_communities_sql as host_communities_oracle_sql
+    from vtzero_ray.functions.imagehash import \
+        dhash_pairs_sql as dhash_pairs_oracle_sql
     from vtzero_ray.functions.lm import \
         bigram_perplexity_sql as bigram_oracle_sql
     from vtzero_ray.functions.lm import \
@@ -2678,6 +2698,9 @@ def _all_oracle_sql() -> dict[str, str]:
         # label_prop_hosts: symmetrized edges, unrolled vote rounds
         "label_prop_hosts": host_communities_oracle_sql(
             linked_html_sql_expr()),
+        # image_dhash_pairs: signatures re-derived from the closed-form
+        # pixels, all-pairs xor+bit_count (pigeonhole == banded join)
+        "image_dhash_pairs": dhash_pairs_oracle_sql(3, 128),
         # bigram_perplexity: same tokenizer/ctx/V, int64-quantized terms
         "bigram_perplexity": bigram_oracle_sql(),
         # trigram_backoff: same split/tokenizer, the SAME three-branch
