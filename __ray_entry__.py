@@ -885,6 +885,21 @@ def _q_image_dhash_pairs(sf_dir: str):
                        .repartition(8), thr=3)
 
 
+
+def _q_ccnet_tiers(sf_dir: str):
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020): per
+    LANGUAGE perplexity tertiles — doc_perplexity with lang riding
+    along, grid-bounded per-(lang, bucket) histogram partials, driver
+    quantile_disc cutoffs, one broadcast labeling scan."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.lm import ccnet_tiers
+
+    return ccnet_tiers(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text", "lang"]))
+
+
 def _q_bigram_perplexity(sf_dir: str):
     """Bigram-LM perplexity, the model-as-TABLE scoring shape: a bigram
     model is vocabulary²-bounded (no broadcast at 100 TB) — LM rows and
@@ -1793,6 +1808,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "trigram_backoff",
                   "label_prop_hosts",
                   "image_dhash_pairs",
+                  "ccnet_tiers",
                   "audio_features", "top_orders", "media_features",
                   # GIF/LZW real-codec probe (PNG + JPEG hold the
                   # driver media slots)
@@ -2002,6 +2018,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "cocitation_hosts": _q_cocitation,
         "label_prop_hosts": _q_host_communities,
         "image_dhash_pairs": _q_image_dhash_pairs,
+        "ccnet_tiers": _q_ccnet_tiers,
         "bigram_perplexity": _q_bigram_perplexity,
         "trigram_backoff": _q_backoff_trigram,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -2262,6 +2279,8 @@ def _all_oracle_sql() -> dict[str, str]:
         bigram_perplexity_sql as bigram_oracle_sql
     from vtzero_ray.functions.lm import \
         backoff_trigram_sql as backoff_oracle_sql
+    from vtzero_ray.functions.lm import \
+        ccnet_tiers_sql as ccnet_oracle_sql
     from vtzero_ray.functions.graph import \
         pagerank_weighted_sql as pagerank_weighted_oracle_sql
     from vtzero_ray.functions.graph import \
@@ -2706,6 +2725,8 @@ def _all_oracle_sql() -> dict[str, str]:
         # trigram_backoff: same split/tokenizer, the SAME three-branch
         # CASE text, LEFT joins reproduce the cascade's fall-throughs
         "trigram_backoff": backoff_oracle_sql(),
+        # ccnet_tiers: scored CTE + per-lang quantile_disc, same labels
+        "ccnet_tiers": ccnet_oracle_sql(),
         # pagerank_weighted: same unrolled CTEs, w/wsum mass split
         "pagerank_weighted": pagerank_weighted_oracle_sql(),
         # hits_hosts: half-steps unrolled, same normalization expr

@@ -375,3 +375,39 @@ class TestBackoffTrigram:
             lambda: rd.from_arrow(_tab(self.HAND)).repartition(4))
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestCCNetTiers:
+    def test_twin_and_tier_semantics(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from vtzero_ray.functions.lm import ccnet_tiers, ccnet_tiers_sql
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(ccnet_tiers_sql()).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        for parts in (1, 5):
+            got = ccnet_tiers(
+                rd.read_parquet(f"{sf}/documents.parquet",
+                                columns=["doc_id", "text", "lang"])
+                .repartition(parts)).to_pandas() \
+                .sort_values("doc_id").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # every doc labeled; all three tiers present per big language;
+        # tiers ordered by bucket within a language
+        assert len(got) == con.execute(
+            "SELECT COUNT(*) FROM documents").fetchone()[0]
+        big = got.groupby("lang").size().idxmax()
+        sub = got[got.lang == big]
+        assert set(sub.tier) == {0, 1, 2}
+        assert sub[sub.tier == 0].ppl_bucket.max() \
+            <= sub[sub.tier == 1].ppl_bucket.min()
+        assert sub[sub.tier == 1].ppl_bucket.max() \
+            <= sub[sub.tier == 2].ppl_bucket.min()
+        # head holds roughly the best third
+        assert len(sub[sub.tier == 0]) >= len(sub) // 6

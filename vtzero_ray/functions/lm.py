@@ -105,7 +105,8 @@ def unigram_counts(ds, column: str = "text", n_buckets: int = 64):
 
 
 def doc_perplexity(ds, column: str = "text", id_column: str = "doc_id",
-                   max_vocab: int | None = None):
+                   max_vocab: int | None = None,
+                   keep_columns: tuple[str, ...] = ()):
     """Per-doc add-1-smoothed unigram NLL over the corpus' own LM →
     Dataset (doc_id, n_tokens, nll_q9) with nll_q9 = the integer-
     quantized negative log-likelihood (sum of per-term
@@ -159,9 +160,12 @@ def doc_perplexity(ds, column: str = "text", id_column: str = "doc_id",
             cum = np.concatenate([[0], np.cumsum(q)])
             starts = np.searchsorted(ud, np.arange(n_docs + 1))
             nll = -(cum[starts[1:]] - cum[starts[:-1]])
-        return pa.table({id_column: ids,
-                         "n_tokens": pa.array(n_tokens),
-                         "nll_q9": pa.array(nll)})
+        out = {id_column: ids,
+               "n_tokens": pa.array(n_tokens),
+               "nll_q9": pa.array(nll)}
+        for c in keep_columns:  # pass-through facts (e.g. lang) ride
+            out[c] = batch.column(c)  # along — no join needed later
+        return pa.table(out)
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
 
@@ -1067,4 +1071,102 @@ def backoff_trigram_sql(table: str = "documents", column: str = "text",
         "SUM(q) AS snll FROM terms GROUP BY 1) s "
         f"ON s.doc_id = doc.{id_column} "
         f"WHERE doc.{id_column} % {train_mod} = 0"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail tiers — per-language perplexity tertiles
+# ---------------------------------------------------------------------------
+
+def ccnet_tiers(ds, qs: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+                bucket_div: int = 1_000_000, column: str = "text",
+                id_column: str = "doc_id", lang_column: str = "lang"):
+    """CCNet's published corpus split (Wenzek et al. 2020): per
+    LANGUAGE, rank documents by LM perplexity and cut the corpus into
+    head / middle / tail tiers at the ``qs`` quantiles → Dataset
+    (doc_id, lang, ppl_bucket, tier) with tier 0 = head (best).
+
+    Composition: doc_perplexity with the lang column riding along →
+    integer millinat buckets (the filter_by_perplexity grid) →
+    per-(lang, bucket) histogram partials (grid × languages bounded,
+    NEVER corpus-sized) → driver-side per-lang quantile_disc cutoffs
+    (sorted v[ceil(q*n)-1], the length_quantiles-verified rule) →
+    one labeling scan against the broadcast cutoff table. The scored
+    frame is materialized once (two consumers — at 100 TB persist it
+    to parquet, the text-index pattern)."""
+    import math
+
+    scored = doc_perplexity(ds, column=column, id_column=id_column,
+                            keep_columns=(lang_column,)).materialize()
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        nt = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        nll = t.column("nll_q9").to_numpy(zero_copy_only=False)
+        b = np.where(nt > 0, (nll // np.maximum(nt, 1)) // bucket_div,
+                     0).astype(np.int64)
+        return pa.table({id_column: t.column(id_column),
+                         lang_column: t.column(lang_column),
+                         "ppl_bucket": pa.array(b)})
+
+    buck = scored.map_batches(bucketize, batch_format="pyarrow",
+                              batch_size=None)
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "lang": t.column(lang_column).to_pandas(),
+            "b": t.column("ppl_bucket").to_numpy(zero_copy_only=False)})
+        g = df.groupby(["lang", "b"], sort=False).size() \
+            .reset_index(name="cnt")
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "b": pa.array(g["b"].to_numpy(np.int64)),
+                         "cnt": pa.array(g["cnt"].to_numpy(np.int64))})
+
+    parts = buck.map_batches(hist_partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    cuts: dict[str, tuple[int, int]] = {}
+    for lang, g in parts.groupby("lang", sort=False):
+        hist = g.groupby("b", sort=True)["cnt"].sum()
+        vals = hist.index.to_numpy(np.int64)
+        cum = hist.to_numpy(np.int64).cumsum()
+        n = int(cum[-1])
+        idx = [int(np.searchsorted(cum, max(math.ceil(q * n), 1)))
+               for q in qs]
+        cuts[lang] = (int(vals[idx[0]]), int(vals[idx[1]]))
+
+    def label(t: pa.Table) -> pa.Table:
+        langs = t.column(lang_column).to_pylist()
+        b = t.column("ppl_bucket").to_numpy(zero_copy_only=False)
+        c1 = np.array([cuts[v][0] for v in langs], np.int64)
+        c2 = np.array([cuts[v][1] for v in langs], np.int64)
+        tier = np.where(b <= c1, 0, np.where(b <= c2, 1, 2)) \
+            .astype(np.int64)
+        return t.append_column("tier", pa.array(tier))
+
+    return buck.map_batches(label, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def ccnet_tiers_sql(qs: tuple[float, float] = (1.0 / 3, 2.0 / 3),
+                    bucket_div: int = 1_000_000,
+                    table: str = "documents", column: str = "text",
+                    id_column: str = "doc_id",
+                    lang_column: str = "lang") -> str:
+    """DuckDB twin: scored CTE = doc_perplexity_sql, same bucketing,
+    per-lang quantile_disc cutoffs, same <=-chain labeling."""
+    scored = doc_perplexity_sql(table=table, column=column,
+                                id_column=id_column)
+    return (
+        f"WITH scored AS ({scored}), "
+        "b AS (SELECT s.doc_id, d.lang, "
+        "CAST(CASE WHEN s.n_tokens = 0 THEN 0 "
+        f"ELSE (s.nll_q9 // s.n_tokens) // {bucket_div} END AS BIGINT) "
+        f"AS ppl_bucket FROM scored s JOIN {table} d "
+        f"ON d.{id_column} = s.doc_id), "
+        f"c AS (SELECT lang, quantile_disc(ppl_bucket, {qs[0]!r}) AS c1, "
+        f"quantile_disc(ppl_bucket, {qs[1]!r}) AS c2 FROM b GROUP BY 1) "
+        "SELECT b.doc_id, b.lang, b.ppl_bucket, "
+        "CAST(CASE WHEN b.ppl_bucket <= c.c1 THEN 0 "
+        "WHEN b.ppl_bucket <= c.c2 THEN 1 ELSE 2 END AS BIGINT) AS tier "
+        "FROM b JOIN c USING (lang)"
     )
