@@ -900,6 +900,21 @@ def _q_ccnet_tiers(sf_dir: str):
                         columns=["doc_id", "text", "lang"]))
 
 
+
+def _q_weighted_sample(sf_dir: str):
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    deterministic dyadic md5 uniforms, key = ln(u)/w int64-quantized,
+    per-batch top-k prune under the FULL (key, id) order -> ONE
+    output-sized merge task. Weights = document length (n_chars)."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.pack import weighted_sample
+
+    return weighted_sample(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars"]), k=50)
+
+
 def _q_bigram_perplexity(sf_dir: str):
     """Bigram-LM perplexity, the model-as-TABLE scoring shape: a bigram
     model is vocabulary²-bounded (no broadcast at 100 TB) — LM rows and
@@ -1809,6 +1824,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "label_prop_hosts",
                   "image_dhash_pairs",
                   "ccnet_tiers",
+                  "weighted_sample",
                   "audio_features", "top_orders", "media_features",
                   # GIF/LZW real-codec probe (PNG + JPEG hold the
                   # driver media slots)
@@ -2019,6 +2035,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "label_prop_hosts": _q_host_communities,
         "image_dhash_pairs": _q_image_dhash_pairs,
         "ccnet_tiers": _q_ccnet_tiers,
+        "weighted_sample": _q_weighted_sample,
         "bigram_perplexity": _q_bigram_perplexity,
         "trigram_backoff": _q_backoff_trigram,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -2281,6 +2298,8 @@ def _all_oracle_sql() -> dict[str, str]:
         backoff_trigram_sql as backoff_oracle_sql
     from vtzero_ray.functions.lm import \
         ccnet_tiers_sql as ccnet_oracle_sql
+    from vtzero_ray.functions.pack import \
+        weighted_sample_sql as weighted_sample_oracle_sql
     from vtzero_ray.functions.graph import \
         pagerank_weighted_sql as pagerank_weighted_oracle_sql
     from vtzero_ray.functions.graph import \
@@ -2727,6 +2746,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "trigram_backoff": backoff_oracle_sql(),
         # ccnet_tiers: scored CTE + per-lang quantile_disc, same labels
         "ccnet_tiers": ccnet_oracle_sql(),
+        # weighted_sample: same dyadic-uniform ln(u)/w key, QUALIFY top-k
+        "weighted_sample": weighted_sample_oracle_sql(k=50),
         # pagerank_weighted: same unrolled CTEs, w/wsum mass split
         "pagerank_weighted": pagerank_weighted_oracle_sql(),
         # hits_hosts: half-steps unrolled, same normalization expr

@@ -264,3 +264,61 @@ class TestChunkDocs:
         toks = {i: len(t.split()) for i, t in enumerate(texts)}
         for r in last.itertuples():
             assert r.start_tok + r.n_toks - 1 == toks[r.doc_id]
+
+
+class TestWeightedSample:
+    def test_twin_and_partition_invariance(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from vtzero_ray.functions.pack import (weighted_sample,
+                                               weighted_sample_sql)
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(weighted_sample_sql(k=40)).df() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert len(exp) == 40
+        for parts in (1, 7):
+            got = weighted_sample(
+                rd.read_parquet(f"{sf}/documents.parquet",
+                                columns=["doc_id", "n_chars"])
+                .repartition(parts), k=40).to_pandas() \
+                .sort_values("doc_id").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_weights_bias_inclusion(self, ray_session):
+        """Across many seeds, heavy docs (w=50) are sampled far more
+        often than light docs (w=1) — the A-ES property the op exists
+        for. Deterministic: seeds are fixed strings."""
+        import ray.data as rd
+
+        n = 200
+        tab = pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "w": pa.array([50 if i < n // 2 else 1 for i in range(n)],
+                          pa.int64())})
+        from vtzero_ray.functions.pack import weighted_sample
+
+        heavy = light = 0
+        for s in range(8):
+            got = weighted_sample(rd.from_arrow(tab), k=20,
+                                  weight_column="w",
+                                  seed=f"s{s}").to_pandas()
+            heavy += (got.doc_id < n // 2).sum()
+            light += (got.doc_id >= n // 2).sum()
+        assert heavy > 4 * light
+
+    def test_zero_weight_unsampleable(self, ray_session):
+        import ray.data as rd
+
+        tab = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                        "w": pa.array([0] * 5 + [3] * 5, pa.int64())})
+        from vtzero_ray.functions.pack import weighted_sample
+
+        got = weighted_sample(rd.from_arrow(tab), k=10,
+                              weight_column="w").to_pandas()
+        assert len(got) == 5 and (got.doc_id >= 5).all()

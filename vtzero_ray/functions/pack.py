@@ -404,3 +404,85 @@ def chunk_docs_sql(size: int = 32, overlap: int = 8,
         f"LEAST(chunk_id * {stride} + {size}, n)], ' ') AS chunk_text "
         "FROM c"
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+def weighted_sample(ds, k: int = 50, weight_column: str = "n_chars",
+                    seed: str = "ws", id_column: str = "doc_id"):
+    """Deterministic weighted sample of ``k`` docs WITHOUT replacement
+    (Efraimidis & Spirakis 2006, log-space variant) → Dataset
+    (doc_id, weight, key_q9): the k largest keys
+    ``ln(u)/w`` where u is an exact dyadic uniform built from the
+    doc's md5 (53 mantissa bits + 1, over 2^53 — bit-equal in both
+    engines) and w its integer weight; inclusion probability rises
+    with w, and fixing the seed makes the sample a pure function of
+    the corpus (the shuffle_epoch contract). Zero/negative weights are
+    unsampleable and dropped.
+
+    Shape: ONE scan with per-batch top-k pruning under the FULL merge
+    order (key_q9 DESC, doc_id ASC — the boundary-tie rule) → single
+    output-sized merge task (the ANN merge shape). key_q9 =
+    floor((ln(u)/w)*1e9+0.5), one IEEE expression over exact ints,
+    mirrored token-for-token in SQL."""
+    import hashlib
+
+    mask = np.uint64((1 << 53) - 1)
+    pre = f"{seed}:".encode()
+
+    def topk_local(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = t.column(weight_column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = w > 0
+        ids = ids[pos]
+        w = w[pos]
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(pre + str(i).encode())
+                            .digest()[8:], "little") for i in ids),
+            np.uint64, count=len(ids))
+        u = ((h & mask) + np.uint64(1)).astype(np.float64) \
+            / 9007199254740992.0
+        q = np.floor((np.log(u) / w.astype(np.float64))
+                     * 1000000000.0 + 0.5).astype(np.int64)
+        # prune under the FULL total order (key DESC, id ASC)
+        order = np.lexsort((ids, -q))[:k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "weight": pa.array(w[order]),
+                         "key_q9": pa.array(q[order])})
+
+    def merge(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        q = t.column("key_q9").to_numpy()
+        order = np.lexsort((ids, -q))[:k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "weight": pa.array(t.column("weight")
+                                            .to_numpy()[order]),
+                         "key_q9": pa.array(q[order])})
+
+    return ds.map_batches(topk_local, batch_format="pyarrow",
+                          batch_size=None) \
+        .repartition(1) \
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+
+
+def weighted_sample_sql(k: int = 50, weight_column: str = "n_chars",
+                        seed: str = "ws", table: str = "documents",
+                        id_column: str = "doc_id") -> str:
+    """DuckDB twin: md5_number_lower 53-bit dyadic uniform, the same
+    ln(u)/w expression, QUALIFY top-k under (key DESC, id ASC)."""
+    key = (f"CAST(floor((ln(CAST(((md5_number_lower('{seed}:' || "
+           f"CAST({id_column} AS VARCHAR)) & 9007199254740991) + 1) "
+           "AS DOUBLE) / 9007199254740992.0) / "
+           f"CAST({weight_column} AS DOUBLE)) * 1000000000.0 + 0.5) "
+           "AS BIGINT)")
+    return (
+        f"SELECT {id_column} AS doc_id, "
+        f"CAST({weight_column} AS BIGINT) AS weight, {key} AS key_q9 "
+        f"FROM {table} WHERE {weight_column} > 0 "
+        f"QUALIFY row_number() OVER (ORDER BY {key} DESC, "
+        f"{id_column} ASC) <= {k}"
+    )
