@@ -915,6 +915,21 @@ def _q_weighted_sample(sf_dir: str):
                         columns=["doc_id", "n_chars"]), k=50)
 
 
+
+def _q_kcore(sf_dir: str):
+    """Bulk-synchronous k-core peel (k=4, 3 unrolled rounds — both
+    engines execute the same rounds so results are exact by
+    construction; converged at this scale, asserted in tests): per
+    round one degree-count shuffle + one bucketed anti-join dropping
+    edges that touch dying nodes, over the quadratic synth graph."""
+    import pyarrow.parquet as pq
+
+    from vtzero_ray.functions.graph import kcore_mod
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return kcore_mod(_docs(sf_dir), n, k=4, rounds=3)
+
+
 def _q_bigram_perplexity(sf_dir: str):
     """Bigram-LM perplexity, the model-as-TABLE scoring shape: a bigram
     model is vocabulary²-bounded (no broadcast at 100 TB) — LM rows and
@@ -1825,6 +1840,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "image_dhash_pairs",
                   "ccnet_tiers",
                   "weighted_sample",
+                  "kcore_docs",
                   "audio_features", "top_orders", "media_features",
                   # GIF/LZW real-codec probe (PNG + JPEG hold the
                   # driver media slots)
@@ -2036,6 +2052,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash_pairs": _q_image_dhash_pairs,
         "ccnet_tiers": _q_ccnet_tiers,
         "weighted_sample": _q_weighted_sample,
+        "kcore_docs": _q_kcore,
         "bigram_perplexity": _q_bigram_perplexity,
         "trigram_backoff": _q_backoff_trigram,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -2300,6 +2317,8 @@ def _all_oracle_sql() -> dict[str, str]:
         ccnet_tiers_sql as ccnet_oracle_sql
     from vtzero_ray.functions.pack import \
         weighted_sample_sql as weighted_sample_oracle_sql
+    from vtzero_ray.functions.graph import \
+        kcore_sql as kcore_oracle_sql
     from vtzero_ray.functions.graph import \
         pagerank_weighted_sql as pagerank_weighted_oracle_sql
     from vtzero_ray.functions.graph import \
@@ -2748,6 +2767,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "ccnet_tiers": ccnet_oracle_sql(),
         # weighted_sample: same dyadic-uniform ln(u)/w key, QUALIFY top-k
         "weighted_sample": weighted_sample_oracle_sql(k=50),
+        # kcore_docs: same synth edges, unrolled simultaneous peel
+        "kcore_docs": kcore_oracle_sql(k=4, rounds=3),
         # pagerank_weighted: same unrolled CTEs, w/wsum mass split
         "pagerank_weighted": pagerank_weighted_oracle_sql(),
         # hits_hosts: half-steps unrolled, same normalization expr

@@ -510,3 +510,62 @@ class TestLabelProp:
             got = host_communities(docs).to_pandas() \
                 .sort_values("v").reset_index(drop=True)
             pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+class TestKCore:
+    """Bulk-synchronous k-core peel: hand graph, twin equality,
+    convergence at test scale, partition invariance."""
+
+    def test_hand_graph(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import kcore_peel
+
+        # K4 on {0,1,2,3} + a tail 3-4-5: peeling at k=2 kills 5 then
+        # 4; at k=3 only the K4 survives
+        edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+                 (3, 4), (4, 5)]
+        edf = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                        "dst": pa.array([e[1] for e in edges], pa.int64())})
+        nodes = rd.from_arrow(pa.table({"doc_id": pa.array(range(6),
+                                                           pa.int64())}))
+        import ray.data as rd2
+        got2 = kcore_peel(nodes, rd2.from_arrow(edf).repartition(3),
+                          k=2, rounds=3).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        assert got2.v.tolist() == [0, 1, 2, 3]
+        assert got2.deg.tolist() == [3, 3, 3, 3]
+        got3 = kcore_peel(nodes, rd2.from_arrow(edf), k=3,
+                          rounds=2).to_pandas() \
+            .sort_values("v").reset_index(drop=True)
+        assert got3.v.tolist() == [0, 1, 2, 3]
+
+    def test_twin_convergence_and_partition_invariance(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import kcore_mod, kcore_sql
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(kcore_sql(k=4, rounds=3)).df() \
+            .sort_values("v").reset_index(drop=True)
+        # the peel genuinely removed nodes AND converged at this scale
+        n_docs = con.execute("SELECT COUNT(*) FROM documents") \
+            .fetchone()[0]
+        assert 0 < len(exp) < n_docs
+        exp4 = con.execute(kcore_sql(k=4, rounds=4)).df() \
+            .sort_values("v").reset_index(drop=True)
+        pd.testing.assert_frame_equal(exp, exp4)
+        for parts in (1, 6):
+            docs = rd.read_parquet(f"{sf}/documents.parquet",
+                                   columns=["doc_id"]).repartition(parts)
+            got = kcore_mod(docs, n_docs, k=4, rounds=3).to_pandas() \
+                .sort_values("v").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # k-core property on the converged output: every member keeps
+        # >= k neighbors inside the core
+        assert (got.deg >= 4).all()

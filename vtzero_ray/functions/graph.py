@@ -969,27 +969,13 @@ def triangles_sql(n_out: int = 3, table: str = "documents") -> str:
 # deterministic: synchronous updates, winner = (count DESC, label ASC)
 # ---------------------------------------------------------------------------
 
-def label_prop(ds_nodes, edges, n_iters: int = 3, n_buckets: int = 8):
-    """Deterministic synchronous label propagation over the UNDIRECTED
-    closure of ``edges`` → Dataset (v, community).
 
-    Every node starts labeled with itself; each iteration every node
-    adopts the most frequent label among its neighbors (ties → smaller
-    label; isolated nodes keep their own). The classic paper breaks
-    ties randomly and updates asynchronously — both are replaced by
-    deterministic rules here so iterations are bit-exact under any
-    block scheduling and the unrolled SQL twin reproduces them.
-
-    Distributed shape (the pagerank vocabulary — labels are node-sized,
-    so nothing broadcasts): symmetrize once via a canonical
-    (lo, hi)-bucket dedup shuffle (the triangle_support move — a
-    directed pair present BOTH ways must not vote twice); then per
-    iteration ONE src-bucket tagged-union join ships each node's label
-    to its neighbors and ONE dst-bucket shuffle counts votes and picks
-    the winner (old-label zero-rows ride the same union so isolated
-    nodes keep rows). Edges and each iteration's labels are
-    materialized (the lineage-break contract)."""
-    nodes = ds_nodes.select_columns(["doc_id"]).materialize()
+def symmetrize_edges(edges, n_buckets: int = 8):
+    """DISTINCT undirected closure of a directed (src, dst) edge table,
+    materialized: self-loops dropped, reversed duplicates collapsed via
+    ONE canonical (lo, hi)-bucket dedup shuffle, then both directions
+    emitted (so per-node degree = outgoing count in the symmetric
+    representation). Shared by label_prop and kcore_peel."""
 
     def canon(t: pa.Table) -> pa.Table:
         s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1017,6 +1003,32 @@ def label_prop(ds_nodes, edges, n_iters: int = 3, n_buckets: int = 8):
         .materialize()
     if sym.num_blocks() > 4 * n_buckets:
         sym = sym.repartition(n_buckets).materialize()
+    return sym
+
+
+
+def label_prop(ds_nodes, edges, n_iters: int = 3, n_buckets: int = 8):
+    """Deterministic synchronous label propagation over the UNDIRECTED
+    closure of ``edges`` → Dataset (v, community).
+
+    Every node starts labeled with itself; each iteration every node
+    adopts the most frequent label among its neighbors (ties → smaller
+    label; isolated nodes keep their own). The classic paper breaks
+    ties randomly and updates asynchronously — both are replaced by
+    deterministic rules here so iterations are bit-exact under any
+    block scheduling and the unrolled SQL twin reproduces them.
+
+    Distributed shape (the pagerank vocabulary — labels are node-sized,
+    so nothing broadcasts): symmetrize once via a canonical
+    (lo, hi)-bucket dedup shuffle (the triangle_support move — a
+    directed pair present BOTH ways must not vote twice); then per
+    iteration ONE src-bucket tagged-union join ships each node's label
+    to its neighbors and ONE dst-bucket shuffle counts votes and picks
+    the winner (old-label zero-rows ride the same union so isolated
+    nodes keep rows). Edges and each iteration's labels are
+    materialized (the lineage-break contract)."""
+    nodes = ds_nodes.select_columns(["doc_id"]).materialize()
+    sym = symmetrize_edges(edges, n_buckets)
 
     def init_labels(t: pa.Table) -> pa.Table:
         v = t.column("doc_id")
@@ -1154,3 +1166,158 @@ def host_communities_sql(html_expr: str, n_hosts: int = 1000,
     return label_prop_sql_over(
         _host_edges_sql(html_expr, n_hosts, table), nodes,
         n_iters=n_iters)
+
+
+# ---------------------------------------------------------------------------
+# k-core — bulk-synchronous peel (fixed rounds, SQL-unrollable)
+# ---------------------------------------------------------------------------
+
+def kcore_peel(ds_nodes, edges, k: int = 2, rounds: int = 3,
+               n_buckets: int = 8):
+    """Bulk-synchronous k-core peel over the undirected closure of
+    ``edges`` → Dataset (v, deg): the nodes still alive after
+    ``rounds`` simultaneous peel rounds (each round removes EVERY node
+    whose current degree < k at once) and their residual degree, so
+    every output row has deg >= k among output rows once the peel has
+    converged. Peel depth is graph-dependent; ``rounds`` is the
+    deterministic unroll bound BOTH engines execute, making results
+    exact by construction even pre-convergence (the HITS fixed-iters
+    precedent — tests assert rounds and rounds+1 agree at test scale).
+
+    Per round: ONE src-bucket degree count over the alive symmetric
+    edge table, then ONE bucketed anti-join drops edges touching dying
+    nodes (dying set rides the union as tagged rows on BOTH endpoint
+    buckets); the edge table is materialized per round (lineage
+    break). Nothing is ever node-broadcast."""
+    alive = symmetrize_edges(edges, n_buckets)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        us, cnt = np.unique(s, return_counts=True)
+        return pa.table({"bucket": pa.array((us % n_buckets)
+                                            .astype(np.int32)),
+                         "v": pa.array(us),
+                         "d": pa.array(cnt.astype(np.int64))})
+
+    def deg_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("v", sort=False)["d"].sum().reset_index()
+        return g[["v", "d"]]
+
+    for _ in range(max(0, rounds)):
+        degs = alive.map_batches(deg_partial, batch_format="pyarrow",
+                                 batch_size=None) \
+            .groupby("bucket").map_groups(deg_sum,
+                                          batch_format="pandas") \
+            .materialize()
+
+        def dying_rows(t: pa.Table) -> pa.Table:
+            v = t.column("v").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            die = v[d < k]
+            n = len(die)
+            return pa.table({"bucket": pa.array((die % n_buckets)
+                                                .astype(np.int32)),
+                             "src": pa.array(die),
+                             "dst": pa.array(np.full(n, -1, np.int64))})
+
+        def edge_rows(t: pa.Table) -> pa.Table:
+            s = t.column("src").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({"bucket": pa.array((s % n_buckets)
+                                                .astype(np.int32)),
+                             "src": t.column("src"),
+                             "dst": t.column("dst")})
+
+        def drop_dying(df: pd.DataFrame) -> pd.DataFrame:
+            dead = set(df.loc[df["dst"] < 0, "src"].to_numpy(np.int64))
+            e = df[df["dst"] >= 0]
+            if dead:
+                keep = ~(e["src"].isin(dead) | e["dst"].isin(dead))
+                e = e[keep]
+            return pd.DataFrame({"src": e["src"].to_numpy(np.int64),
+                                 "dst": e["dst"].to_numpy(np.int64)})
+
+        # one anti-join pass per ENDPOINT bucket would miss edges whose
+        # dst dies in another bucket — replicate dying rows onto both
+        # endpoint buckets instead: an edge (u, v) lives in u's bucket,
+        # and v's death must reach it there. Emit dying rows keyed by
+        # EVERY bucket (dying sets are output-sized; n_buckets copies
+        # of a small set beat a second shuffle).
+        def dying_all_buckets(t: pa.Table) -> pa.Table:
+            v = t.column("v").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            die = v[d < k]
+            n = len(die)
+            b = np.repeat(np.arange(n_buckets, dtype=np.int32), n)
+            return pa.table({"bucket": pa.array(b),
+                             "src": pa.array(np.tile(die, n_buckets)),
+                             "dst": pa.array(np.full(n * n_buckets, -1,
+                                                     np.int64))})
+
+        tagged = alive.map_batches(edge_rows, batch_format="pyarrow",
+                                   batch_size=None) \
+            .union(degs.map_batches(dying_all_buckets,
+                                    batch_format="pyarrow",
+                                    batch_size=None))
+        alive = tagged.groupby("bucket").map_groups(
+            drop_dying, batch_format="pandas").materialize()
+
+    final = alive.map_batches(deg_partial, batch_format="pyarrow",
+                              batch_size=None) \
+        .groupby("bucket").map_groups(deg_sum, batch_format="pandas")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t.column("v"),
+                         "deg": t.column("d")})
+
+    return final.map_batches(finish, batch_format="pyarrow",
+                             batch_size=None)
+
+
+def kcore_mod(ds, n_nodes: int, k: int = 3, rounds: int = 3,
+              n_out: int = 3):
+    """Driver shape: the quadratic synth graph (real hubs + sinks, so
+    peeling genuinely cascades) — two independent readers (lineage)."""
+    edges = synth_edges(ds, n_nodes, n_out=n_out)
+    return kcore_peel(ds, edges, k=k, rounds=rounds)
+
+
+def kcore_sql_over(edges_sql: str, nodes_sql: str, k: int = 2,
+                   rounds: int = 3) -> str:
+    """Unrolled twin: same symmetrization, same simultaneous-peel
+    rounds (dead = deg < k on the CURRENT edge set), same residual
+    degree output."""
+    parts = [
+        f"WITH nodes AS ({nodes_sql}), ",
+        f"ed AS ({edges_sql}), ",
+        "und AS (SELECT DISTINCT least(src, dst) AS lo, "
+        "greatest(src, dst) AS hi FROM ed WHERE src <> dst), ",
+        "e0 AS (SELECT lo AS src, hi AS dst FROM und "
+        "UNION ALL SELECT hi, lo FROM und), ",
+    ]
+    for i in range(max(0, rounds)):
+        parts.append(
+            f"d{i} AS (SELECT src AS v, COUNT(*) AS d FROM e{i} "
+            "GROUP BY 1), "
+            f"x{i} AS (SELECT v FROM d{i} WHERE d < {k}), "
+            f"e{i + 1} AS (SELECT src, dst FROM e{i} "
+            f"WHERE src NOT IN (SELECT v FROM x{i}) "
+            f"AND dst NOT IN (SELECT v FROM x{i})), ")
+    r = max(0, rounds)
+    body = "".join(parts).rstrip().rstrip(",")
+    return (body + f" SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg "
+                   f"FROM e{r} GROUP BY 1")
+
+
+def kcore_sql(k: int = 3, rounds: int = 3, n_out: int = 3,
+              table: str = "documents") -> str:
+    """Twin over the quadratic synth graph (the triangles_sql edge
+    CTE: n = COUNT(*) of the table)."""
+    edges = (f"SELECT DISTINCT doc_id AS src, "
+             f"(doc_id * doc_id * 7 + j.range * 13) % "
+             f"(SELECT COUNT(*) FROM {table}) AS dst "
+             f"FROM {table}, range(1, {n_out + 1}) j")
+    nodes = f"SELECT doc_id AS v FROM {table}"
+    return kcore_sql_over(edges, nodes, k=k, rounds=rounds)
