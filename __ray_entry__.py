@@ -930,6 +930,23 @@ def _q_kcore(sf_dir: str):
     return kcore_mod(_docs(sf_dir), n, k=4, rounds=3)
 
 
+
+def _q_snapshot_diff(sf_dir: str):
+    """Continuous-crawl snapshot delta: per-batch (key, md5, side)
+    partials — content never shuffles — meet in ONE bucketed
+    tagged-union shuffle; statuses unchanged/changed/added/removed
+    over the deterministic two-version synth corpus."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.crawl import (snapshot_diff,
+                                            synth_snapshot_sides)
+
+    old, new = synth_snapshot_sides(
+        lambda: rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "text"]))
+    return snapshot_diff(old, new)
+
+
 def _q_bigram_perplexity(sf_dir: str):
     """Bigram-LM perplexity, the model-as-TABLE scoring shape: a bigram
     model is vocabulary²-bounded (no broadcast at 100 TB) — LM rows and
@@ -1841,6 +1858,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "ccnet_tiers",
                   "weighted_sample",
                   "kcore_docs",
+                  "snapshot_diff",
                   "audio_features", "top_orders", "media_features",
                   # GIF/LZW real-codec probe (PNG + JPEG hold the
                   # driver media slots)
@@ -2053,6 +2071,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_tiers": _q_ccnet_tiers,
         "weighted_sample": _q_weighted_sample,
         "kcore_docs": _q_kcore,
+        "snapshot_diff": _q_snapshot_diff,
         "bigram_perplexity": _q_bigram_perplexity,
         "trigram_backoff": _q_backoff_trigram,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -2319,6 +2338,8 @@ def _all_oracle_sql() -> dict[str, str]:
         weighted_sample_sql as weighted_sample_oracle_sql
     from vtzero_ray.functions.graph import \
         kcore_sql as kcore_oracle_sql
+    from vtzero_ray.functions.crawl import \
+        snapshot_diff_sql as snapshot_diff_oracle_sql
     from vtzero_ray.functions.graph import \
         pagerank_weighted_sql as pagerank_weighted_oracle_sql
     from vtzero_ray.functions.graph import \
@@ -2769,6 +2790,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "weighted_sample": weighted_sample_oracle_sql(k=50),
         # kcore_docs: same synth edges, unrolled simultaneous peel
         "kcore_docs": kcore_oracle_sql(k=4, rounds=3),
+        # snapshot_diff: FULL OUTER JOIN + md5 compare, same statuses
+        "snapshot_diff": snapshot_diff_oracle_sql(),
         # pagerank_weighted: same unrolled CTEs, w/wsum mass split
         "pagerank_weighted": pagerank_weighted_oracle_sql(),
         # hits_hosts: half-steps unrolled, same normalization expr

@@ -545,3 +545,113 @@ def robots_filter_sql(pages_cte: str, rules: list[tuple[str, str]],
         "SELECT 1 FROM rules r WHERE r.host = px.host "
         "AND starts_with(px.path, r.prefix))"
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff — the continuous-crawl delta between two corpus versions
+# ---------------------------------------------------------------------------
+
+STATUS_UNCHANGED, STATUS_CHANGED, STATUS_ADDED, STATUS_REMOVED = 0, 1, 2, 3
+
+
+def snapshot_diff(ds_old, ds_new, id_column: str = "doc_id",
+                  column: str = "text", n_buckets: int = 64):
+    """Delta between two crawl snapshots → Dataset (doc_id, status):
+    0 unchanged, 1 changed (same key, different content), 2 added
+    (new only), 3 removed (old only).
+
+    The continuous-crawl shape dedup_incremental's index serves from
+    the membership side, answered here as a one-shot diff: per-batch
+    (key, md5(content), side) partials — content itself NEVER shuffles,
+    32 hex bytes per doc do — meet in ONE bucketed (doc_id % n_buckets)
+    tagged-union shuffle where each key's verdict is a local decision.
+    Duplicate keys within a side keep their lexicographically-least
+    md5 (deterministic under any batching)."""
+    import hashlib
+
+    def partial(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t.column(id_column).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            txt = t.column(column).to_pylist()
+            md5 = [hashlib.md5(v.encode()).hexdigest() for v in txt]
+            return pa.table({
+                "bucket": pa.array((ids % n_buckets).astype(np.int32)),
+                "doc_id": pa.array(ids),
+                "md5": pa.array(md5, pa.string()),
+                "side": pa.array(np.full(len(ids), side, np.int8))})
+        return fn
+
+    import pandas as pd
+
+    def verdict(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["doc_id", "side", "md5"], kind="stable") \
+            .drop_duplicates(["doc_id", "side"])
+        o = g[g["side"] == 0][["doc_id", "md5"]]
+        n = g[g["side"] == 1][["doc_id", "md5"]]
+        m = o.merge(n, on="doc_id", how="outer", suffixes=("_o", "_n"),
+                    indicator=True)
+        status = np.where(
+            m["_merge"] == "left_only", STATUS_REMOVED,
+            np.where(m["_merge"] == "right_only", STATUS_ADDED,
+                     np.where(m["md5_o"] == m["md5_n"],
+                              STATUS_UNCHANGED, STATUS_CHANGED))) \
+            .astype(np.int64)
+        return pd.DataFrame({"doc_id": m["doc_id"].to_numpy(np.int64),
+                             "status": status})
+
+    both = ds_old.map_batches(partial(0), batch_format="pyarrow",
+                              batch_size=None) \
+        .union(ds_new.map_batches(partial(1), batch_format="pyarrow",
+                                  batch_size=None))
+    return both.groupby("bucket").map_groups(verdict,
+                                             batch_format="pandas")
+
+
+def synth_snapshot_sides(ds_factory):
+    """Deterministic two-version corpus from documents: version 1 drops
+    doc_id % 7 == 1, version 2 drops doc_id % 7 == 2 and rewrites the
+    text of doc_id % 5 == 0 — so all four statuses occur. Returns
+    (ds_old, ds_new) from INDEPENDENT readers (the lineage
+    invariant)."""
+
+    def old_side(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(ids % 7 != 1))
+
+    def new_side(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        t = t.filter(pa.array(ids % 7 != 2))
+        ids = t.column("doc_id").to_numpy()
+        txt = t.column("text")
+        import pyarrow.compute as pc
+        changed = pc.binary_join_element_wise(
+            txt, pa.array([" v2"] * len(t), pa.string()), "")
+        out = np.where(ids % 5 == 0,
+                       changed.to_numpy(zero_copy_only=False),
+                       txt.to_numpy(zero_copy_only=False))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    return (ds_factory().map_batches(old_side, batch_format="pyarrow",
+                                     batch_size=None),
+            ds_factory().map_batches(new_side, batch_format="pyarrow",
+                                     batch_size=None))
+
+
+def snapshot_diff_sql(table: str = "documents") -> str:
+    """DuckDB twin of snapshot_diff over synth_snapshot_sides: FULL
+    OUTER JOIN on the key, md5 comparison (identical digests both
+    engines), the same status codes."""
+    return (
+        f"WITH o AS (SELECT doc_id, md5(text) AS m FROM {table} "
+        "WHERE doc_id % 7 <> 1), "
+        "nn AS (SELECT doc_id, md5(CASE WHEN doc_id % 5 = 0 "
+        f"THEN text || ' v2' ELSE text END) AS m FROM {table} "
+        "WHERE doc_id % 7 <> 2) "
+        "SELECT COALESCE(o.doc_id, nn.doc_id) AS doc_id, "
+        "CAST(CASE WHEN nn.doc_id IS NULL THEN 3 "
+        "WHEN o.doc_id IS NULL THEN 2 "
+        "WHEN o.m = nn.m THEN 0 ELSE 1 END AS BIGINT) AS status "
+        "FROM o FULL OUTER JOIN nn ON nn.doc_id = o.doc_id"
+    )
