@@ -947,6 +947,22 @@ def _q_snapshot_diff(sf_dir: str):
     return snapshot_diff(old, new)
 
 
+
+def _q_audiofp_pairs(sf_dir: str):
+    """Near-duplicate audio pairs: REAL WAV decode → integer energy
+    fingerprint (65 3-sample windows, 64 difference bits as four
+    16-bit bands) → the SAME banded hamming join the image dHash
+    uses. The corpus plants periodic-distortion variants (a uniform
+    offset would cancel in difference coding)."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.imagehash import (audiofp_pairs,
+                                                synth_media_audiofp)
+
+    return audiofp_pairs(rd.from_arrow(synth_media_audiofp(128))
+                         .repartition(8), thr=3)
+
+
 def _q_bigram_perplexity(sf_dir: str):
     """Bigram-LM perplexity, the model-as-TABLE scoring shape: a bigram
     model is vocabulary²-bounded (no broadcast at 100 TB) — LM rows and
@@ -1859,6 +1875,7 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "weighted_sample",
                   "kcore_docs",
                   "snapshot_diff",
+                  "audio_fp_pairs",
                   "audio_features", "top_orders", "media_features",
                   # GIF/LZW real-codec probe (PNG + JPEG hold the
                   # driver media slots)
@@ -2072,6 +2089,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "kcore_docs": _q_kcore,
         "snapshot_diff": _q_snapshot_diff,
+        "audio_fp_pairs": _q_audiofp_pairs,
         "bigram_perplexity": _q_bigram_perplexity,
         "trigram_backoff": _q_backoff_trigram,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -2328,6 +2346,8 @@ def _all_oracle_sql() -> dict[str, str]:
         host_communities_sql as host_communities_oracle_sql
     from vtzero_ray.functions.imagehash import \
         dhash_pairs_sql as dhash_pairs_oracle_sql
+    from vtzero_ray.functions.imagehash import \
+        audiofp_pairs_sql as audiofp_pairs_oracle_sql
     from vtzero_ray.functions.lm import \
         bigram_perplexity_sql as bigram_oracle_sql
     from vtzero_ray.functions.lm import \
@@ -2779,6 +2799,9 @@ def _all_oracle_sql() -> dict[str, str]:
         # image_dhash_pairs: signatures re-derived from the closed-form
         # pixels, all-pairs xor+bit_count (pigeonhole == banded join)
         "image_dhash_pairs": dhash_pairs_oracle_sql(3, 128),
+        # audio_fp_pairs: fingerprints re-derived from the closed-form
+        # samples, all-pairs xor+bit_count (pigeonhole == banded join)
+        "audio_fp_pairs": audiofp_pairs_oracle_sql(3, 128),
         # bigram_perplexity: same tokenizer/ctx/V, int64-quantized terms
         "bigram_perplexity": bigram_oracle_sql(),
         # trigram_backoff: same split/tokenizer, the SAME three-branch

@@ -76,3 +76,55 @@ class TestDHash:
         grad = np.tile(np.arange(9, 0, -1, dtype=np.uint8)[None, :, None]
                        * 20, (8, 1, 3))
         assert dhash_bands(grad) == [65535, 65535, 65535, 65535]
+
+
+class TestAudioFingerprint:
+    """Audio energy fingerprint through the REAL WAV decode, sharing
+    banded_pairs with the image dHash."""
+
+    def test_signatures_match_twin(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from vtzero_ray.functions.imagehash import (audiofp_signatures,
+                                                    audiofp_signatures_sql,
+                                                    synth_media_audiofp)
+
+        got = audiofp_signatures(
+            rd.from_arrow(synth_media_audiofp(64)).repartition(5)) \
+            .to_pandas().sort_values("media_id").reset_index(drop=True)
+        exp = duckdb.sql(audiofp_signatures_sql(64)).df() \
+            .sort_values("media_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_pairs_exact_and_selective(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from vtzero_ray.functions.imagehash import (audiofp_pairs,
+                                                    audiofp_pairs_sql,
+                                                    synth_media_audiofp)
+
+        exp = duckdb.sql(audiofp_pairs_sql(3, 128)).df() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        # exactly the planted variants pair up: selective, not trivial
+        planted = {(4 * k + 2, 4 * k + 3) for k in range(32)}
+        assert set(zip(exp.id_a, exp.id_b)) == planted
+        for parts in (1, 6):
+            got = audiofp_pairs(
+                rd.from_arrow(synth_media_audiofp(128))
+                .repartition(parts), thr=3).to_pandas() \
+                .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_short_clip_raises(self):
+        import numpy as np
+
+        import pytest as _pytest
+
+        from vtzero_ray.functions.imagehash import audiofp_bands
+
+        with _pytest.raises(ValueError, match="too short"):
+            audiofp_bands(np.zeros((100, 1), np.int16))

@@ -118,27 +118,31 @@ def dhash_signatures(ds):
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
 
 
-def dhash_pairs(ds, thr: int = 3, n_buckets: int = 16):
-    """→ Dataset (id_a, id_b, hamming): every unordered pair of images
-    whose dHashes differ in <= thr of 64 bits. thr <= N_BANDS-1 keeps
-    the banded join EXACT (pigeonhole); larger thr would need more
-    bands. ONE bucketed shuffle of signature rows (4 rows per image);
-    per-bucket all-pairs cost is band-collision-bounded."""
+def banded_pairs(sigs, thr: int = 3, n_buckets: int = 16,
+                 id_column: str = "media_id"):
+    """Generic banded hamming join over 4×16-bit signature frames
+    (id, b0..b3) → Dataset (id_a, id_b, hamming <= thr). Shared by the
+    image dHash and the audio energy fingerprint — any 64-bit
+    perceptual hash stored as four nonnegative band columns rides it.
+    thr <= N_BANDS-1 keeps the banded join EXACT (pigeonhole); larger
+    thr would need more bands. ONE bucketed shuffle of signature rows
+    (4 per item); per-bucket all-pairs cost is band-collision-bounded,
+    each pair emitted at its FIRST equal band (locally decidable —
+    rows carry all four bands)."""
     if thr > N_BANDS - 1:
         raise ValueError(f"thr={thr} breaks the pigeonhole guarantee "
                          f"(need thr <= {N_BANDS - 1})")
-    sigs = dhash_signatures(ds)
 
     def band_rows(t: pa.Table) -> pa.Table:
         n = len(t)
         cols = [t.column(f"b{k}").to_numpy() for k in range(N_BANDS)]
         band = np.repeat(np.arange(N_BANDS, dtype=np.int64), n)
         val = np.concatenate(cols)
-        ids = np.tile(t.column("media_id").to_numpy(), N_BANDS)
+        ids = np.tile(t.column(id_column).to_numpy(), N_BANDS)
         tab = {"bucket": pa.array(((band * 65537 + val) % n_buckets)
                                   .astype(np.int32)),
                "band": pa.array(band), "val": pa.array(val),
-               "media_id": pa.array(ids)}
+               "item_id": pa.array(ids)}
         for k in range(N_BANDS):
             tab[f"b{k}"] = pa.array(np.tile(cols[k], N_BANDS))
         return pa.table(tab)
@@ -151,8 +155,8 @@ def dhash_pairs(ds, thr: int = 3, n_buckets: int = 16):
         for (band, _val), g in df.groupby(["band", "val"], sort=False):
             if len(g) < 2:
                 continue
-            g = g.sort_values("media_id", kind="stable")
-            ids = g["media_id"].to_numpy(np.int64)
+            g = g.sort_values("item_id", kind="stable")
+            ids = g["item_id"].to_numpy(np.int64)
             bs = [g[f"b{k}"].to_numpy(np.int64) for k in range(N_BANDS)]
             ai, bi = np.triu_indices(len(ids), k=1)
             ham = np.zeros(len(ai), np.int64)
@@ -175,6 +179,16 @@ def dhash_pairs(ds, thr: int = 3, n_buckets: int = 16):
     return sigs.map_batches(band_rows, batch_format="pyarrow",
                             batch_size=None) \
         .groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+def dhash_pairs(ds, thr: int = 3, n_buckets: int = 16):
+    """→ Dataset (id_a, id_b, hamming): every unordered pair of images
+    whose dHashes differ in <= thr of 64 bits (see banded_pairs)."""
+    if thr > N_BANDS - 1:
+        raise ValueError(f"thr={thr} breaks the pigeonhole guarantee "
+                         f"(need thr <= {N_BANDS - 1})")
+    return banded_pairs(dhash_signatures(ds), thr=thr,
+                        n_buckets=n_buckets)
 
 
 def _dhash_sig_sql(n: int = 128) -> str:
@@ -225,4 +239,151 @@ def dhash_pairs_sql(thr: int = 3, n: int = 128) -> str:
 
 def dhash_signatures_sql(n: int = 128) -> str:
     return (f"WITH {_dhash_sig_sql(n)} SELECT id AS media_id, "
+            "b0, b1, b2, b3 FROM sigs")
+
+
+# ---------------------------------------------------------------------------
+# audio energy fingerprint — the audio member of the perceptual family
+# ---------------------------------------------------------------------------
+
+_AFP_WIN = 3        # samples per energy window
+_AFP_NWIN = 65      # windows → 64 difference bits (Haitsma-Kalker shape)
+
+
+def synth_media_audiofp(n: int = 128) -> pa.Table:
+    """Deterministic REAL-WAV corpus with planted near-duplicates:
+    every 4th clip re-renders its predecessor's sample formula with a
+    +1 term inside the mod-65536 (wrapped samples flip a few energy
+    comparisons — a near duplicate). base drives (length, rate,
+    channels) so variant pairs share geometry."""
+    from ..stages.wav import _wav_shape, encode_wav
+
+    ids = np.arange(n, dtype=np.int64)
+    payloads, rates, chs, lens = [], [], [], []
+    for i in ids:
+        base = int(i) - 1 if i % 4 == 3 else int(i)
+        delta = 7 if i % 4 == 3 else 0
+        ns, rate, ch = _wav_shape(base)
+        si = np.arange(ns, dtype=np.int64)[:, None]
+        c = np.arange(ch, dtype=np.int64)[None, :]
+        # MULTIPLICATIVE quadratic phase: the WAV synth's linear formula
+        # never wraps inside the fingerprint window (identical energy
+        # ramps for every clip), and an additive base shift barely moves
+        # wrap positions — (2*base+1)·(si²·13 + si·7) scrambles per clip
+        # (unrelated pairs land at hamming >= 14). The variant's
+        # distortion is PERIODIC ((si % 9) * 7): a uniform offset would
+        # cancel in difference coding; the periodic one flips 0-1 bits
+        # (true near-dup, measured)
+        samples = ((((2 * base + 1) * (si * si * 13 + si * 7)
+                     + c * 97 + (si % 9) * delta) % 65536)
+                   - 32768).astype(np.int16)
+        payloads.append(encode_wav(samples, rate))
+        rates.append(rate)
+        chs.append(ch)
+        lens.append(ns)
+    return pa.table({
+        "media_id": pa.array(ids),
+        "kind": pa.array(["audio"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "sample_rate": pa.array(np.array(rates, np.int32)),
+        "channels": pa.array(np.array(chs, np.int32)),
+        "n_samples": pa.array(np.array(lens, np.int32)),
+    })
+
+
+def audiofp_bands(samples: np.ndarray) -> list[int]:
+    """(n, ch) int16 samples → four 16-bit energy-fingerprint bands.
+
+    mono = channel SUM (no division — DuckDB // truncates negatives
+    where NumPy floors); window energy = sum |mono| over 3-sample
+    windows of the first 195 samples; bit j = e[j] > e[j+1]; band k =
+    bits 16k..16k+15."""
+    need = _AFP_WIN * _AFP_NWIN
+    if samples.shape[0] < need:
+        raise ValueError(f"clip too short for fingerprint ({need} "
+                         f"samples needed, got {samples.shape[0]})")
+    mono = samples[:need].astype(np.int64).sum(axis=1)
+    e = np.abs(mono).reshape(_AFP_NWIN, _AFP_WIN).sum(axis=1)
+    bits = (e[:-1] > e[1:]).astype(np.int64)            # 64 bits
+    shifts = np.arange(16, dtype=np.int64)
+    return [int((bits[16 * k:16 * k + 16] << shifts).sum())
+            for k in range(N_BANDS)]
+
+
+def audiofp_signatures(ds):
+    """audio corpus → Dataset (media_id, b0..b3): REAL WAV decode then
+    the integer energy fingerprint."""
+    from ..stages.wav import decode_wav
+
+    def fn(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        ids = t.column("media_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pays = t.column("payload").to_pylist()
+        bands = np.empty((len(ids), N_BANDS), np.int64)
+        for i, p in enumerate(pays):
+            samples, _ = decode_wav(p)
+            bands[i] = audiofp_bands(samples)
+        return pa.table({"media_id": pa.array(ids),
+                         "b0": pa.array(bands[:, 0]),
+                         "b1": pa.array(bands[:, 1]),
+                         "b2": pa.array(bands[:, 2]),
+                         "b3": pa.array(bands[:, 3])})
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def audiofp_pairs(ds, thr: int = 3, n_buckets: int = 16):
+    """Near-duplicate audio pairs — audiofp_signatures through the
+    SAME banded_pairs join the image dHash uses."""
+    if thr > N_BANDS - 1:
+        raise ValueError(f"thr={thr} breaks the pigeonhole guarantee "
+                         f"(need thr <= {N_BANDS - 1})")
+    return banded_pairs(audiofp_signatures(ds), thr=thr,
+                        n_buckets=n_buckets)
+
+
+def _audiofp_sig_sql(n: int = 128) -> str:
+    """CTE chain re-deriving audio fingerprints from the closed-form
+    samples. Ends with sigs(id, b0..b3)."""
+    mono = ("SUM((((2*base+1) * (s.range*s.range*13 + s.range*7) "
+            "+ c.range*97 + (s.range % 9) * delta) % 65536) - 32768)")
+    return (
+        f"m AS (SELECT range AS id, "
+        "CASE WHEN range % 4 = 3 THEN range - 1 ELSE range END AS base, "
+        "CASE WHEN range % 4 = 3 THEN 7 ELSE 0 END AS delta "
+        f"FROM range({n})), "
+        "md AS (SELECT id, base, delta, 1 + base % 2 AS ch FROM m), "
+        f"mono AS (SELECT md.id, s.range AS i, {mono} AS v "
+        f"FROM md, range({_AFP_WIN * _AFP_NWIN}) s, range(2) c "
+        "WHERE c.range < md.ch GROUP BY md.id, s.range, md.base, "
+        "md.delta), "
+        f"en AS (SELECT id, i // {_AFP_WIN} AS w, SUM(abs(v)) AS e "
+        "FROM mono GROUP BY 1, 2), "
+        "bits AS (SELECT a.id, a.w AS j, "
+        "CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit "
+        "FROM en a JOIN en b ON b.id = a.id AND b.w = a.w + 1 "
+        f"WHERE a.w < {_AFP_NWIN - 1}), "
+        "sigs AS (SELECT id, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN j // 16 = {k} THEN "
+            "bit << (j % 16) ELSE 0 END) AS BIGINT) AS b{0}".format(k)
+            for k in range(N_BANDS)) +
+        " FROM bits GROUP BY id)"
+    )
+
+
+def audiofp_pairs_sql(thr: int = 3, n: int = 128) -> str:
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))"
+                     for k in range(N_BANDS))
+    return (
+        f"WITH {_audiofp_sig_sql(n)} "
+        f"SELECT a.id AS id_a, b.id AS id_b, CAST({ham} AS BIGINT) "
+        "AS hamming FROM sigs a JOIN sigs b ON b.id > a.id "
+        f"WHERE {ham} <= {thr}"
+    )
+
+
+def audiofp_signatures_sql(n: int = 128) -> str:
+    return (f"WITH {_audiofp_sig_sql(n)} SELECT id AS media_id, "
             "b0, b1, b2, b3 FROM sigs")
