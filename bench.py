@@ -306,7 +306,15 @@ def run_bench() -> dict:
                      "near_dedup", "dsir_weights",
                      # grid-DBSCAN spatial clustering + indexed bbox query
                      "grid_clusters", "bbox_query_indexed",
-                     "hilbert_tiles_z6", "nearest_segment_z6"):
+                     "hilbert_tiles_z6", "nearest_segment_z6",
+                     # round-4 continuation 2: backoff LM cascade,
+                     # co-partitioned map matching, communities,
+                     # perceptual dedup (image + audio), CCNet tiers,
+                     # weighted sampling, k-core, crawl diff
+                     "trigram_backoff", "nearest_segment_cells_z6",
+                     "label_prop_hosts", "image_dhash_pairs",
+                     "audio_fp_pairs", "ccnet_tiers", "weighted_sample",
+                     "kcore_docs", "snapshot_diff"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)
