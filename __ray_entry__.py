@@ -1052,6 +1052,24 @@ def _q_triangles(sf_dir: str):
     return triangles_mod(ds, n)
 
 
+def _q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction (top-20 non-adjacent pairs) over the
+    quadratic synth graph: symmetrize → node-bucket wedge explode with
+    int64-quantized floor(1e9/ln(deg)) center terms → pair-bucket
+    tagged-union anti-join vs the edge set with per-bucket top-k prune
+    under the merge's full order → one output-sized merge task."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vtzero_ray.functions.graph import adamic_adar_mod
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"]).repartition(8)
+    return adamic_adar_mod(ds, n)
+
+
+
 def _q_prep_training_data(sf_dir: str):
     """The full training-data prep recipe as one streaming composition:
     C4 line cleaning → exact dedup (keep-first, md5-bucket shuffle) →
@@ -1939,6 +1957,8 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "bigram_perplexity",
                   # weighted link rank (pagerank holds the slot)
                   "pagerank_weighted", "hits_hosts", "triangle_support",
+                  # Adamic-Adar link prediction (wedge machinery twin)
+                  "adamic_adar",
                   # source-format breadth (S1): JSONL round-trip, WARC
                   # crawl-archive parse (pages_text_identity covers the
                   # parquet read path)
@@ -2096,6 +2116,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "hits_hosts": _q_hits,
         "topk_ivfpq": _q_topk_ivfpq,
         "triangle_support": _q_triangles,
+        "adamic_adar": _q_adamic_adar,
         "hilbert_tiles_z6": _q_hilbert_tiles,
         "nearest_segment_z6": _q_nearest_segment,
         "nearest_segment_cells_z6": _q_nearest_segment_cells,
@@ -2366,6 +2387,8 @@ def _all_oracle_sql() -> dict[str, str]:
         host_hits_sql as host_hits_oracle_sql
     from vtzero_ray.functions.ivfpq import \
         topk_ivfpq_sql as ivfpq_oracle_sql
+    from vtzero_ray.functions.graph import \
+        adamic_adar_sql as aa_oracle_sql
     from vtzero_ray.functions.graph import \
         triangles_sql as triangles_oracle_sql
     from vtzero_ray.functions.geo import \
@@ -2823,6 +2846,9 @@ def _all_oracle_sql() -> dict[str, str]:
         "topk_ivfpq": ivfpq_oracle_sql(),
         # triangle_support: adjacency self-join wedges + closing count
         "triangle_support": triangles_oracle_sql(),
+        # adamic_adar: wedge self-join with quantized 1/ln(deg) terms,
+        # NOT-EXISTS edge filter, same top-k total order
+        "adamic_adar": aa_oracle_sql(),
         # jsonl_identity: the round trip must reproduce the raw table
         "jsonl_identity": ("SELECT doc_id, text, lang, source, n_chars "
                            "FROM documents"),

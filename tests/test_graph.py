@@ -432,6 +432,79 @@ class TestTriangles:
             pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+class TestAdamicAdar:
+    def test_hand_graph(self, ray_session):
+        """Path 0-1-2 plus 1-3: wedges at center 1 (deg 3) give the
+        three non-edges (0,2),(0,3),(2,3) identical q=floor(1e9/ln 3);
+        centers 0/2/3 have deg 1 and contribute nothing."""
+        import numpy as np
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import adamic_adar
+
+        edges = pa.table({
+            "src": pa.array([0, 1, 1, 1], pa.int64()),
+            "dst": pa.array([1, 2, 3, 0], pa.int64()),  # dup 0-1 reversed
+        })
+        got = adamic_adar(rd.from_arrow(edges), k=10).to_pandas() \
+            .sort_values(["y", "z"]).reset_index(drop=True)
+        q = int(np.floor(1e9 / np.log(3.0)))
+        assert list(map(tuple, got.itertuples(index=False))) == [
+            (0, 2, q), (0, 3, q), (2, 3, q)]
+
+    def test_edges_excluded_and_summed(self, ray_session):
+        """Square 0-1-2-3-0: each diagonal has TWO common neighbors of
+        degree 2 → aa_q = 2*floor(1e9/ln 2); the four edges themselves
+        never appear even though they are also wedge pairs."""
+        import numpy as np
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import adamic_adar
+
+        edges = pa.table({
+            "src": pa.array([0, 1, 2, 3], pa.int64()),
+            "dst": pa.array([1, 2, 3, 0], pa.int64()),
+        })
+        got = adamic_adar(rd.from_arrow(edges), k=10).to_pandas() \
+            .sort_values(["y", "z"]).reset_index(drop=True)
+        q2 = 2 * int(np.floor(1e9 / np.log(2.0)))
+        assert list(map(tuple, got.itertuples(index=False))) == [
+            (0, 2, q2), (1, 3, q2)]
+
+    def test_star_guard(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import adamic_adar
+
+        edges = pa.table({
+            "src": pa.array([0, 0, 0], pa.int64()),
+            "dst": pa.array([1, 2, 3], pa.int64()),
+        })
+        with pytest.raises(Exception, match="degree"):
+            adamic_adar(rd.from_arrow(edges), max_degree=2).to_pandas()
+
+    def test_twin_and_partition_invariance(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from vtzero_ray.functions.graph import adamic_adar_mod, \
+            adamic_adar_sql
+
+        sf = "/root/testdata/sf0.001"
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{sf}/documents.parquet')")
+        exp = con.execute(adamic_adar_sql()).df().reset_index(drop=True)
+        assert len(exp) == 20 and exp.aa_q.is_monotonic_decreasing
+        for parts in (1, 7):
+            ds = rd.read_parquet(f"{sf}/documents.parquet",
+                                 columns=["doc_id"]).repartition(parts)
+            got = adamic_adar_mod(ds, 500).to_pandas() \
+                .reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
 class TestLabelProp:
     """Deterministic label propagation: hand graph vs a plain-Python
     reference, DuckDB-twin equality over the really-extracted host

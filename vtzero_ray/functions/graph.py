@@ -1321,3 +1321,162 @@ def kcore_sql(k: int = 3, rounds: int = 3, n_out: int = 3,
              f"FROM {table}, range(1, {n_out + 1}) j")
     nodes = f"SELECT doc_id AS v FROM {table}"
     return kcore_sql_over(edges, nodes, k=k, rounds=rounds)
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction (Adamic & Adar 2003): score non-adjacent
+# node pairs by Σ over common neighbors x of 1/ln(deg(x)) — rare shared
+# neighbors predict links, hubs barely count.
+# ---------------------------------------------------------------------------
+
+
+def adamic_adar(edges, k: int = 20, n_buckets: int = 32,
+                max_degree: int = 4096):
+    """→ Dataset (y, z, aa_q): the top-``k`` NON-adjacent undirected
+    node pairs by Adamic-Adar affinity, ties broken (aa_q DESC, y, z).
+
+    Cross-engine exactness: each center node's contribution is quantized
+    ONCE as floor(1e9 / ln(deg)) — one libm ``ln`` plus one IEEE division
+    over exact ints (the doc_perplexity contract) — so per-pair scores
+    are order-free int64 sums and both engines land on identical values.
+    deg >= 2 is structural (a center needs two neighbors to form a wedge),
+    so ln never sees 1.
+
+    Shape = triangle_support's machinery with the closing join INVERTED:
+    canonical dedup via :func:`symmetrize_edges` (materialized — the
+    symmetric table feeds both the wedge explode and the edge tag, and a
+    lazy Dataset would re-execute lineage per consumer) → node-bucket
+    wedge explode where every wedge row carries its center's quantized
+    term (a node's FULL neighbor set colocates in its bucket, so deg is
+    a local decision; degrees past ``max_degree`` raise LOUDLY — the
+    star-guard contract) → pair-bucket tagged union against the edge
+    set keeps pairs with NO edge, sums terms, and prunes to per-bucket
+    top-k under the merge's FULL (aa_q DESC, y, z) order (each pair
+    lives in exactly one bucket, so the global top-k is inside the
+    union of bucket top-k) → ONE output-sized repartition(1) merge."""
+    import pandas as pd
+
+    sym = symmetrize_edges(edges, n_buckets=n_buckets)
+
+    def adj_bucket(t: pa.Table) -> pa.Table:
+        x = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"x": pa.array(x), "n": pa.array(n),
+                         "b": pa.array((x % n_buckets).astype(np.int32))})
+
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        out_y, out_z, out_q = [], [], []
+        for x, g in df.groupby("x", sort=False):
+            nb = np.unique(g["n"].to_numpy(np.int64))
+            if nb.size > max_degree:
+                raise ValueError(f"node {x} degree {nb.size} exceeds "
+                                 f"max_degree={max_degree}")
+            if nb.size < 2:
+                continue
+            q = np.int64(np.floor(1000000000.0 / np.log(float(nb.size))))
+            iy, iz = np.triu_indices(nb.size, k=1)
+            out_y.append(nb[iy])
+            out_z.append(nb[iz])
+            out_q.append(np.full(iy.size, q, np.int64))
+        if not out_y:
+            return pd.DataFrame({"y": np.empty(0, np.int64),
+                                 "z": np.empty(0, np.int64),
+                                 "q": np.empty(0, np.int64),
+                                 "pb": np.empty(0, np.int32)})
+        y = np.concatenate(out_y)
+        z = np.concatenate(out_z)
+        return pd.DataFrame({"y": y, "z": z, "q": np.concatenate(out_q),
+                             "pb": ((y * 31 + z) % n_buckets)
+                             .astype(np.int32)})
+
+    W = sym.map_batches(adj_bucket, batch_format="pyarrow",
+                        batch_size=None) \
+        .groupby("b").map_groups(wedges, batch_format="pandas") \
+        .map_batches(lambda t: t, batch_format="pyarrow")
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = s < d  # the symmetric table holds both directions once
+        u, v = s[keep], d[keep]
+        return pa.table({"y": pa.array(u), "z": pa.array(v),
+                         "q": pa.array(np.zeros(u.size, np.int64)),
+                         "is_edge": pa.array(np.ones(u.size, np.bool_)),
+                         "pb": pa.array(((u * 31 + v) % n_buckets)
+                                        .astype(np.int32))})
+
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        return pa.table({"y": t.column("y"), "z": t.column("z"),
+                         "q": t.column("q"),
+                         "is_edge": pa.array(np.zeros(len(t), np.bool_)),
+                         "pb": t.column("pb")})
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ed = df[df["is_edge"]]
+        wg = df[~df["is_edge"]]
+        if not len(wg):
+            return pd.DataFrame({"y": np.empty(0, np.int64),
+                                 "z": np.empty(0, np.int64),
+                                 "aa_q": np.empty(0, np.int64)})
+        sc = wg.groupby(["y", "z"], sort=False)["q"].sum().reset_index()
+        edge_keys = set(zip(ed["y"].to_numpy(np.int64),
+                            ed["z"].to_numpy(np.int64)))
+        mask = [(yy, zz) not in edge_keys
+                for yy, zz in zip(sc["y"].to_numpy(np.int64),
+                                  sc["z"].to_numpy(np.int64))]
+        sc = sc[np.asarray(mask, bool)]
+        sc = sc.sort_values(["q", "y", "z"],
+                            ascending=[False, True, True], kind="stable")
+        return sc.head(k).rename(columns={"q": "aa_q"})
+
+    cands = sym.map_batches(tag_edge, batch_format="pyarrow",
+                            batch_size=None) \
+        .union(W.map_batches(tag_wedge, batch_format="pyarrow",
+                             batch_size=None)) \
+        .groupby("pb").map_groups(score_topk, batch_format="pandas")
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811 (merge runs remotely)
+        df = t.to_pandas().sort_values(["aa_q", "y", "z"],
+                                       ascending=[False, True, True],
+                                       kind="stable").head(k)
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False)
+
+    return cands.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def adamic_adar_mod(ds, n_nodes: int, k: int = 20, n_out: int = 3):
+    """Driver shape: top-k predicted links over the quadratic synth
+    graph (the triangles_mod graph — its hub structure gives wedge-rich
+    non-edges with distinct scores)."""
+    return adamic_adar(synth_edges(ds, n_nodes, n_out=n_out), k=k)
+
+
+def adamic_adar_sql(k: int = 20, n_out: int = 3,
+                    table: str = "documents") -> str:
+    """DuckDB twin: same synth edges, canonical undirected dedup,
+    degree table, wedge self-join carrying the identical
+    floor(1e9/ln(deg)) quantized term, NOT EXISTS edge filter, same
+    (aa_q DESC, y, z) top-k order."""
+    return (
+        f"WITH n AS (SELECT COUNT(*) AS c FROM {table}), "
+        f"e0 AS (SELECT DISTINCT doc_id AS src, "
+        f"(doc_id * doc_id * 7 + j.range * 13) % n.c AS dst "
+        f"FROM {table}, n, range(1, {n_out + 1}) j), "
+        "ed AS (SELECT DISTINCT LEAST(src, dst) AS u, "
+        "GREATEST(src, dst) AS v FROM e0 WHERE src != dst), "
+        "adj AS (SELECT u AS x, v AS nb FROM ed "
+        "UNION ALL SELECT v AS x, u AS nb FROM ed), "
+        "deg AS (SELECT x, COUNT(*) AS d FROM adj GROUP BY x), "
+        "wedge AS (SELECT a.nb AS y, b.nb AS z, "
+        "CAST(floor(1000000000.0 / ln(CAST(dg.d AS DOUBLE))) AS BIGINT) "
+        "AS q FROM adj a JOIN adj b ON b.x = a.x AND a.nb < b.nb "
+        "JOIN deg dg ON dg.x = a.x), "
+        "sc AS (SELECT y, z, CAST(SUM(q) AS BIGINT) AS aa_q FROM wedge "
+        "GROUP BY 1, 2), "
+        "ne AS (SELECT sc.y, sc.z, sc.aa_q FROM sc WHERE NOT EXISTS "
+        "(SELECT 1 FROM ed WHERE ed.u = sc.y AND ed.v = sc.z)) "
+        f"SELECT y, z, aa_q FROM ne ORDER BY aa_q DESC, y, z LIMIT {k}"
+    )
