@@ -642,3 +642,66 @@ class TestKCore:
         # k-core property on the converged output: every member keeps
         # >= k neighbors inside the core
         assert (got.deg >= 4).all()
+
+
+class TestDenseIdentity:
+    """The dense bounded-universe paths must be BIT-IDENTICAL to the
+    bucketed twins — they share the per-edge term and normalization
+    expressions; only the orchestration differs."""
+
+    def _docs(self, blocks=5):
+        import ray.data as rd
+        return rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id"]).repartition(blocks)
+
+    def test_pagerank_dense_equals_bucketed(self, ray_session):
+        from vtzero_ray.functions.graph import (pagerank, pagerank_dense,
+                                                synth_edges)
+        ds = self._docs()
+        n = ds.count()
+        edges = synth_edges(ds, n)
+        a = (pagerank(ds, edges, n_iters=3).to_pandas()
+             .sort_values("v").reset_index(drop=True))
+        b = (pagerank_dense(synth_edges(self._docs(3), n), n, n_iters=3)
+             .to_pandas().sort_values("v").reset_index(drop=True))
+        assert a.equals(b)
+
+    def test_pagerank_dense_weighted_equals_bucketed(self, ray_session):
+        from vtzero_ray.functions.graph import (pagerank, pagerank_dense,
+                                                synth_weighted_edges)
+        ds = self._docs()
+        n = ds.count()
+        a = (pagerank(ds, synth_weighted_edges(ds, n), n_iters=2)
+             .to_pandas().sort_values("v").reset_index(drop=True))
+        b = (pagerank_dense(synth_weighted_edges(self._docs(2), n), n,
+                            n_iters=2)
+             .to_pandas().sort_values("v").reset_index(drop=True))
+        assert a.equals(b)
+
+    def test_hits_dense_equals_bucketed(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+
+        from vtzero_ray.functions.graph import hits, hits_dense, synth_edges
+        ds = self._docs()
+        n = ds.count()
+        nodes = rd.range(n, override_num_blocks=3).map_batches(
+            lambda t: pa.table({"doc_id": t.column("id").cast(pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+        a = (hits(nodes, synth_edges(ds, n), n_iters=2).to_pandas()
+             .sort_values("v").reset_index(drop=True))
+        b = (hits_dense(synth_edges(self._docs(4), n), n, n_iters=2)
+             .to_pandas().sort_values("v").reset_index(drop=True))
+        assert a.equals(b)
+
+    def test_dense_rejects_out_of_range_ids(self, ray_session):
+        import ray.data as rd
+        from vtzero_ray.functions.graph import pagerank_dense
+
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([0, 5], pa.int64()),
+            "dst": pa.array([1, 0], pa.int64()),
+            "deg": pa.array([1, 1], pa.int64())}))
+        with pytest.raises(Exception, match="outside"):
+            pagerank_dense(edges, 3, n_iters=1).to_pandas()
