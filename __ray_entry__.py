@@ -135,6 +135,22 @@ def _q_tiles_encoded(sf_dir: str):
     return t.select_columns(["z", "x", "y", "n_features", "check_code"])
 
 
+def _q_overzoom_z7(sf_dir: str):
+    """Overzoom: z6 tiles → z7 children WITHOUT touching the source corpus
+    (pure per-parent-tile transform, zero shuffles), then decode back —
+    counts and coordinate sums follow the closed-form integer transform
+    cpx = 2·px; dx = cpx // 4096; px' = cpx − 4096·dx; x' = 2x + dx."""
+    from vtzero_ray.pipelines.overzoom import (overzoom_tiles,
+                                               point_tile_summary_batch)
+    from vtzero_ray.pipelines.tiling import tiles_pipeline, validate_tiles
+
+    tiles = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
+    children = overzoom_tiles(tiles, levels=1)
+    children = children.map_batches(validate_tiles, batch_format="pyarrow")
+    return children.map_batches(point_tile_summary_batch,
+                                batch_format="pyarrow")
+
+
 def _q_tile_stats_z6(sf_dir: str):
     """Full encode→decode round trip: vtzero-stats (A1) over freshly encoded
     tiles; geometry byte sums and value-table sizes are SQL-predictable."""
@@ -2025,7 +2041,11 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "nearest_segment_z6",
                   "nearest_segment_cells_z6",
                   # persisted spatial index range query
-                  "bbox_query_indexed")
+                  "bbox_query_indexed",
+                  # z→z+1 tile derivation from encoded tiles (tiles_encoded
+                  # holds the driver encode slot; overzoom is its pyramid-
+                  # extension twin, shuffle-free by construction)
+                  "overzoom_z7")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2050,6 +2070,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "lang_page_counts": _q_lang_page_counts,
         "tiles_encoded": _q_tiles_encoded,
         # decode / stats / filter parity (SURVEY §3.2, §3.3)
+        "overzoom_z7": _q_overzoom_z7,
         "tile_stats_z6": _q_tile_stats_z6,
         "decoded_features_z6": _q_decoded_features_z6,
         "filter_lang_en_z6": _q_filter_lang_en_z6,
@@ -2509,6 +2530,20 @@ def _all_oracle_sql() -> dict[str, str]:
             f"SELECT 6 AS z, {t6['x']} AS x, {t6['y']} AS y, "
             f"COUNT(*) AS n_features, CAST(0 AS TINYINT) AS check_code "
             f"FROM documents GROUP BY 1, 2, 3"
+        ),
+        # overzoom: child pixel = 2·(z6 pixel) split on the extent boundary;
+        # scale AFTER the z6 floor (lossy overzoom, NOT a direct z7 encode)
+        "overzoom_z7": (
+            f"WITH q AS (SELECT {t6['x']} AS x6, {t6['y']} AS y6, "
+            f"CAST(floor(({t6['fx']} - floor({t6['fx']})) * 4096) AS INTEGER) AS px6, "
+            f"CAST(floor(({t6['fy']} - floor({t6['fy']})) * 4096) AS INTEGER) AS py6 "
+            f"FROM documents) "
+            f"SELECT 7 AS z, 2 * x6 + (2 * px6 // 4096) AS x, "
+            f"2 * y6 + (2 * py6 // 4096) AS y, COUNT(*) AS n_features, "
+            f"CAST(SUM(2 * px6 - (2 * px6 // 4096) * 4096) AS BIGINT) AS sum_px, "
+            f"CAST(SUM(2 * py6 - (2 * py6 // 4096) * 4096) AS BIGINT) AS sum_py, "
+            f"CAST(0 AS TINYINT) AS check_code "
+            f"FROM q GROUP BY 1, 2, 3"
         ),
         # -- decode / stats / filter parity -----------------------------------
         "tile_stats_z6": (

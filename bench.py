@@ -314,7 +314,10 @@ def run_bench() -> dict:
                      "trigram_backoff", "nearest_segment_cells_z6",
                      "label_prop_hosts", "image_dhash_pairs",
                      "audio_fp_pairs", "ccnet_tiers", "weighted_sample",
-                     "kcore_docs", "snapshot_diff"):
+                     "kcore_docs", "snapshot_diff",
+                     # round-4 continuation 3: shuffle-free pyramid
+                     # extension from encoded tiles
+                     "overzoom_z7"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

@@ -1,0 +1,235 @@
+"""Tile overzoom: derive z+1 child tiles from already-encoded z tiles.
+
+The tile-serving operation every pyramid store needs (tippecanoe /
+tileserver "overzooming"): when a deeper zoom is requested than was
+materialized, the parent tile's geometry is re-quantized into its four
+children by an exact integer transform — coordinates double, the high bit
+picks the child, the remainder is the child-local coordinate:
+
+    cpx = 2·px;  dx = cpx // extent;  px' = cpx − dx·extent
+    child = (z+1, 2x+dx, 2y+dy)
+
+This is a PURE per-parent-tile transform: every feature of a child tile
+lives in exactly one parent tile, so overzoom is ONE ``map_batches`` scan
+over the tile table — NO shuffle, no corpus re-read. At 100 TB that is
+the whole point: a z→z+1 (or z→z+k, chained) pyramid extension touches
+only the tile bytes, never the source pages.
+
+Semantics note (why this is not "re-encode at z+1"): overzoom scales the
+z-quantized coordinates, so a child pixel is ``2·floor(frac(fx)·extent)
+mod extent`` — the standard lossy overzoom — while a direct z+1 encode
+quantizes the full-precision projection. The SQL oracle mirrors the
+overzoom formula exactly (scale AFTER the z-floor).
+
+Scope: single-point features with string properties — the flagship tile
+schema (reference builder semantics: point_feature_builder,
+/root/reference/include/vtzero/builder.hpp:713-780). Line/polygon
+overzoom additionally needs a clip against the child extent
+(stages/clip.liang_barsky); tiles containing other layouts raise loudly
+rather than emit wrong bytes.
+
+Re-encoding rides the SAME byte path as the original tile shuffle
+(stages/encode_segmented.encode_sorted_point_tiles): decode→overzoom→
+re-encode of an unsplit tile at the same zoom is byte-idempotent with the
+assembler output, asserted in tests/test_overzoom.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..mvt.decode_fast import (_ragged_take, binary_column_parts,
+                               multipoint_coords)
+from ..pipelines.decode import decode_tiles_batch_v
+from ..stages.encode_segmented import encode_sorted_point_tiles
+
+
+def _decode_string_values(vals: pa.Array) -> pa.Array:
+    """Vectorized MVT value-message → utf8 decode for STRING values.
+
+    A string value is field 1, wire type 2: ``0x0a · varint(len) · bytes``
+    (reference vtzero/value.hpp string_value_type). Raises on any other
+    value type — overzoom only re-encodes the string-property layout.
+    """
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    data, starts, ends = binary_column_parts(vals)
+    lens = ends - starts
+    n = len(vals)
+    if n == 0:
+        return pa.array([], pa.string())
+    if not (lens >= 2).all():
+        raise ValueError("overzoom: truncated property value message")
+    if (data[starts] != 0x0A).any():
+        raise ValueError("overzoom: non-string property value")
+    b0 = data[starts + 1].astype(np.int64)
+    two = b0 >= 0x80
+    hdr = np.where(two, 3, 2)
+    slen = b0.copy()
+    if two.any():
+        if not (lens[two] >= 3).all():
+            raise ValueError("overzoom: truncated length varint")
+        b1 = data[starts[two] + 2].astype(np.int64)
+        if (b1 >= 0x80).any():
+            raise ValueError("overzoom: string value longer than 16383")
+        slen[two] = (b0[two] & 0x7F) | (b1 << 7)
+    if (hdr + slen != lens).any():
+        raise ValueError("overzoom: value message length mismatch")
+    payload = _ragged_take(data, starts + hdr, slen)
+    off = np.zeros(n + 1, np.int32)
+    np.cumsum(slen, out=off[1:])
+    return pa.Array.from_buffers(
+        pa.utf8(), n,
+        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(payload.tobytes())],
+    )
+
+
+_EMPTY = pa.table({
+    "z": pa.array([], pa.int32()), "x": pa.array([], pa.int32()),
+    "y": pa.array([], pa.int32()), "mvt": pa.array([], pa.binary()),
+    "n_features": pa.array([], pa.int64()),
+})
+
+
+class OverzoomPoints:
+    """map_batches kernel: parent tile rows (z,x,y,mvt) → child tile rows.
+
+    Stateless aside from configuration; one vectorized decode + one
+    vectorized re-encode per batch, all-integer coordinate math.
+    """
+
+    def __init__(self, layer_name: str = "pages", extent: int = 4096) -> None:
+        if extent % 2:
+            raise ValueError("overzoom requires an even extent")
+        self.layer_name = layer_name.encode("utf-8")
+        self.extent = extent
+        self.__name__ = "OverzoomPoints"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY
+        feats = decode_tiles_batch_v(batch, with_props=True,
+                                     with_geometry=True)
+        errs = feats.column("error")
+        if pa.compute.any(pa.compute.is_valid(errs)).as_py():
+            bad = feats.filter(pa.compute.is_valid(errs))
+            raise ValueError(
+                f"overzoom: undecodable input tile: {bad.column('error')[0]}")
+        n = len(feats)
+        if n == 0:
+            return _EMPTY
+        gt = feats.column("geom_type").to_numpy()
+        if (gt != 1).any():
+            raise ValueError("overzoom: only point layers are supported "
+                             "(line/polygon overzoom needs a clip stage)")
+        feat_of, px, py, bad = multipoint_coords(feats.column("geom_cmds"))
+        if bad.any() or feat_of.shape[0] != n or (np.diff(feat_of) <= 0).any():
+            raise ValueError("overzoom: expected single-point geometries")
+        npp = feats.column("n_props").to_numpy()
+        if (npp != 2).any():
+            raise ValueError("overzoom: expected exactly (url, lang) props")
+        keys = feats.column("prop_keys")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        kflat = keys.flatten()
+        kexp = pa.array(["url", "lang"] * n)
+        if len(kflat) != len(kexp) or not pa.compute.all(
+                pa.compute.equal(kflat, kexp)).as_py():
+            raise ValueError("overzoom: unexpected property keys")
+        vals = feats.column("prop_vals_raw")
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vflat = _decode_string_values(vals.flatten())
+        url = vflat.take(pa.array(np.arange(n, dtype=np.int64) * 2))
+        lang = vflat.take(pa.array(np.arange(n, dtype=np.int64) * 2 + 1))
+
+        ext = self.extent
+        z = feats.column("z").to_numpy().astype(np.int64)
+        x = feats.column("x").to_numpy().astype(np.int64)
+        y = feats.column("y").to_numpy().astype(np.int64)
+        fid = feats.column("feature_id").to_numpy().astype(np.uint64)
+        cpx = 2 * px.astype(np.int64)
+        cpy = 2 * py.astype(np.int64)
+        dx = cpx // ext
+        dy = cpy // ext
+        lpx = (cpx - dx * ext).astype(np.int64)
+        lpy = (cpy - dy * ext).astype(np.int64)
+        cz = z + 1
+        cx = 2 * x + dx
+        cy = 2 * y + dy
+
+        order = np.lexsort((fid, cy, cx, cz))
+        key_changed = np.empty(n, dtype=bool)
+        key_changed[0] = True
+        zo, xo, yo = cz[order], cx[order], cy[order]
+        key_changed[1:] = ((zo[1:] != zo[:-1]) | (xo[1:] != xo[:-1])
+                           | (yo[1:] != yo[:-1]))
+        seg = np.flatnonzero(key_changed)
+        starts = np.append(seg, n).astype(np.int64)
+        oi = pa.array(order)
+        mvts = encode_sorted_point_tiles(
+            starts, fid[order], lpx[order], lpy[order],
+            url.take(oi), lang.take(oi),
+            layer_name=self.layer_name, extent=ext,
+        )
+        return pa.table({
+            "z": pa.array(zo[seg].astype(np.int32)),
+            "x": pa.array(xo[seg].astype(np.int32)),
+            "y": pa.array(yo[seg].astype(np.int32)),
+            "mvt": pa.array(mvts, pa.binary()),
+            "n_features": pa.array(starts[1:] - starts[:-1]),
+        })
+
+
+def overzoom_tiles(tiles_ds, levels: int = 1, layer_name: str = "pages",
+                   extent: int = 4096):
+    """tiles(z) → tiles(z+levels), one stateless scan per level.
+
+    Tile count grows ≤4× per level while features are conserved, so the
+    pyramid extension never touches the source corpus — the 100-TB shape.
+    """
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    out = tiles_ds
+    for _ in range(levels):
+        out = out.map_batches(OverzoomPoints(layer_name, extent),
+                              batch_format="pyarrow")
+    return out
+
+
+def point_tile_summary_batch(batch: pa.Table) -> pa.Table:
+    """Per-tile decode summary for POINT tiles: (z, x, y) → feature count
+    and coordinate sums, read back through the real decoder — the oracle
+    surface for overzoom (child coordinates are SQL-predictable integers).
+
+    Expects a ``check_code`` column (validate_tiles upstream) and carries
+    it through; tiles are whole rows, so per-batch aggregation is global.
+    """
+    feats = decode_tiles_batch_v(batch, with_props=False, with_geometry=True)
+    feat_of, px, py, bad = multipoint_coords(feats.column("geom_cmds"))
+    if bad.any() or feat_of.shape[0] != len(feats):
+        raise ValueError("point_tile_summary: non-single-point geometry")
+    fz = feats.column("z").to_numpy().astype(np.int64)
+    fx = feats.column("x").to_numpy().astype(np.int64)
+    fy = feats.column("y").to_numpy().astype(np.int64)
+    key = (fz << np.int64(58)) | (fx << np.int64(29)) | fy
+    uk, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+    spx = np.zeros(uk.shape[0], np.int64)
+    spy = np.zeros(uk.shape[0], np.int64)
+    np.add.at(spx, inv, px.astype(np.int64))
+    np.add.at(spy, inv, py.astype(np.int64))
+    bz = batch.column("z").to_numpy().astype(np.int64)
+    bx = batch.column("x").to_numpy().astype(np.int64)
+    by = batch.column("y").to_numpy().astype(np.int64)
+    bkey = (bz << np.int64(58)) | (bx << np.int64(29)) | by
+    pos = np.searchsorted(uk, bkey)
+    if (pos >= uk.shape[0]).any() or (uk[pos] != bkey).any():
+        raise ValueError("point_tile_summary: decoded tile key mismatch")
+    return pa.table({
+        "z": batch.column("z"), "x": batch.column("x"),
+        "y": batch.column("y"),
+        "n_features": pa.array(cnt[pos].astype(np.int64)),
+        "sum_px": pa.array(spx[pos]), "sum_py": pa.array(spy[pos]),
+        "check_code": batch.column("check_code"),
+    })

@@ -391,9 +391,9 @@ class PointTileAssembler:
         # bind at construction (driver side): a lazy import inside __call__
         # would execute in the WORKER, which may not have vtzero_ray on its
         # sys.path (UDFs ship by value via __ray_entry__ registration)
-        from .encode_segmented import encode_point_tiles_segmented
+        from .encode_segmented import encode_sorted_point_tiles
 
-        self._encode_segmented = encode_point_tiles_segmented
+        self._encode_sorted = encode_sorted_point_tiles
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -428,43 +428,13 @@ class PointTileAssembler:
         key_changed[1:] = (z[1:] != z[:-1]) | (x[1:] != x[:-1]) | (y[1:] != y[:-1])
         seg_starts = np.flatnonzero(key_changed)
         starts = np.append(seg_starts, len(batch)).astype(np.int64)
-        mvts = self._encode_segmented(
-            starts, doc_id.astype(np.uint64), px, py, url, lang,
+        # segmented vectorized encode + exact interning-conflict fallback,
+        # shared with the overzoom re-encode (encode_segmented.py)
+        mvts = self._encode_sorted(
+            starts, doc_id, px, py, url, lang,
             layer_name=self.layer_name, extent=self.extent,
             id_first=self.id_first,
         )
-        # interning precondition (per-tile-distinct urls, url∩lang=∅): the
-        # closed-form indexes in the segmented kernel assume it. Detect
-        # violations EXACTLY (one hash pass + one int64 sort per bucket —
-        # a global count_distinct would false-trigger on every bucket,
-        # since one url appears once per zoom) and re-encode only the
-        # offending tiles through the scalar interning path.
-        counts = (starts[1:] - starts[:-1]).astype(np.int64)
-        tidf = np.repeat(np.arange(len(mvts), dtype=np.int64), counts)
-        ucodes = pa.compute.dictionary_encode(url)
-        if isinstance(ucodes, pa.ChunkedArray):
-            ucodes = ucodes.combine_chunks()
-        ucodes = ucodes.indices.to_numpy().astype(np.int64)
-        key = tidf * (int(ucodes.max()) + 2) + ucodes
-        skey = np.sort(key)
-        bad_keys = skey[1:][skey[1:] == skey[:-1]]
-        bad = set((bad_keys // (int(ucodes.max()) + 2)).tolist())
-        lang_vals = pa.compute.unique(lang)
-        coll = pa.compute.is_in(url, value_set=lang_vals)
-        if pa.compute.any(coll).as_py():
-            coll_np = coll.to_numpy(zero_copy_only=False)
-            bad |= set(np.unique(tidf[coll_np]).tolist())
-        if bad:
-            urls_py = url.to_pylist()
-            langs_py = lang.to_pylist()
-            for t in sorted(bad):
-                s, e = int(starts[t]), int(starts[t + 1])
-                mvts[t] = _encode_point_tile_small(
-                    [int(v) for v in doc_id[s:e]],
-                    [int(v) for v in px[s:e]], [int(v) for v in py[s:e]],
-                    urls_py[s:e], langs_py[s:e],
-                    self.layer_name, 2, self.extent,
-                )
         return pa.table(
             {
                 "z": pa.array(z[seg_starts].astype(np.int32)),

@@ -350,3 +350,63 @@ def encode_point_tiles_segmented(
 
     raw = buf.tobytes()
     return [raw[tile_start[t]:tile_start[t + 1]] for t in range(T)]
+
+
+def encode_sorted_point_tiles(
+    starts: np.ndarray,
+    feature_ids: np.ndarray,
+    px: np.ndarray,
+    py: np.ndarray,
+    url_arr: pa.Array,
+    lang_arr: pa.Array,
+    layer_name: bytes = b"pages",
+    extent: int = 4096,
+    id_first: bool = False,
+) -> list[bytes]:
+    """Segmented vectorized encode PLUS the exact interning-conflict
+    fallback, factored out of PointTileAssembler so every producer of
+    sorted point-feature segments (the tile shuffle, overzoom re-encode)
+    shares ONE byte-identical path.
+
+    The closed-form interning indexes assume per-tile-distinct urls and
+    url∩lang=∅; violations are detected exactly (one dictionary-encode +
+    one int64 sort per call) and only the offending tiles re-encode
+    through the scalar interning path (_encode_point_tile_small).
+    """
+    from .encode import _encode_point_tile_small
+
+    if isinstance(url_arr, pa.ChunkedArray):
+        url_arr = url_arr.combine_chunks()
+    if isinstance(lang_arr, pa.ChunkedArray):
+        lang_arr = lang_arr.combine_chunks()
+    mvts = encode_point_tiles_segmented(
+        starts, feature_ids.astype(np.uint64), px, py, url_arr, lang_arr,
+        layer_name=layer_name, extent=extent, id_first=id_first,
+    )
+    counts = (starts[1:] - starts[:-1]).astype(np.int64)
+    tidf = np.repeat(np.arange(len(mvts), dtype=np.int64), counts)
+    ucodes = pa.compute.dictionary_encode(url_arr)
+    if isinstance(ucodes, pa.ChunkedArray):
+        ucodes = ucodes.combine_chunks()
+    ucodes = ucodes.indices.to_numpy().astype(np.int64)
+    key = tidf * (int(ucodes.max()) + 2) + ucodes
+    skey = np.sort(key)
+    bad_keys = skey[1:][skey[1:] == skey[:-1]]
+    bad = set((bad_keys // (int(ucodes.max()) + 2)).tolist())
+    lang_vals = pa.compute.unique(lang_arr)
+    coll = pa.compute.is_in(url_arr, value_set=lang_vals)
+    if pa.compute.any(coll).as_py():
+        coll_np = coll.to_numpy(zero_copy_only=False)
+        bad |= set(np.unique(tidf[coll_np]).tolist())
+    if bad:
+        urls_py = url_arr.to_pylist()
+        langs_py = lang_arr.to_pylist()
+        for t in sorted(bad):
+            s, e = int(starts[t]), int(starts[t + 1])
+            mvts[t] = _encode_point_tile_small(
+                [int(v) for v in feature_ids[s:e]],
+                [int(v) for v in px[s:e]], [int(v) for v in py[s:e]],
+                urls_py[s:e], langs_py[s:e],
+                layer_name, 2, extent,
+            )
+    return mvts
