@@ -151,6 +151,20 @@ def _q_overzoom_z7(sf_dir: str):
                                 batch_format="pyarrow")
 
 
+def _q_overzoom_paths_z3(sf_dir: str):
+    """Linestring overzoom: z2 clipped-path tiles → z3 children (double,
+    fan out to the ≤4 children, re-clip with the same Liang-Barsky
+    expressions, re-chain parts), then decode back — per-(tile, site)
+    part/point counts against a two-level clip SQL mirror."""
+    from vtzero_ray.pipelines.clip_paths import clipped_path_tiles
+    from vtzero_ray.pipelines.overzoom import (overzoom_paths,
+                                               path_tile_summary_batch)
+
+    tiles = clipped_path_tiles(sf_dir, zoom=2)
+    kids = overzoom_paths(tiles, levels=1)
+    return kids.map_batches(path_tile_summary_batch, batch_format="pyarrow")
+
+
 def _q_tile_stats_z6(sf_dir: str):
     """Full encode→decode round trip: vtzero-stats (A1) over freshly encoded
     tiles; geometry byte sums and value-table sizes are SQL-predictable."""
@@ -2045,7 +2059,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # z→z+1 tile derivation from encoded tiles (tiles_encoded
                   # holds the driver encode slot; overzoom is its pyramid-
                   # extension twin, shuffle-free by construction)
-                  "overzoom_z7")
+                  "overzoom_z7",
+                  # linestring overzoom (re-clip to the child's buffered
+                  # box; clipped_paths_z2 holds the driver path slot)
+                  "overzoom_paths_z3")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2071,6 +2088,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "tiles_encoded": _q_tiles_encoded,
         # decode / stats / filter parity (SURVEY §3.2, §3.3)
         "overzoom_z7": _q_overzoom_z7,
+        "overzoom_paths_z3": _q_overzoom_paths_z3,
         "tile_stats_z6": _q_tile_stats_z6,
         "decoded_features_z6": _q_decoded_features_z6,
         "filter_lang_en_z6": _q_filter_lang_en_z6,
@@ -2544,6 +2562,58 @@ def _all_oracle_sql() -> dict[str, str]:
             f"CAST(SUM(2 * py6 - (2 * py6 // 4096) * 4096) AS BIGINT) AS sum_py, "
             f"CAST(0 AS TINYINT) AS check_code "
             f"FROM q GROUP BY 1, 2, 3"
+        ),
+        # path overzoom: re-index decoded segments as idx2 = k + p (one
+        # gap per part boundary), double, fan out to all 4 children
+        # (superset — the clip rejects non-members), re-clip with the
+        # SAME liang-barsky expressions, re-chain parts per child
+        "overzoom_paths_z3": (
+            _sql_clip_ctes(2)
+            + ", np1 AS (SELECT *, CASE WHEN lag(seg_idx) OVER pw IS NULL "
+            "OR lag(seg_idx) OVER pw != seg_idx - 1 "
+            "OR lag(cx1) OVER pw != cx0 OR lag(cy1) OVER pw != cy0 "
+            "THEN 1 ELSE 0 END AS new_part FROM v "
+            "WINDOW pw AS (PARTITION BY x, y, site ORDER BY seg_idx)), "
+            "ren AS (SELECT x, y, site, cx0, cy0, cx1, cy1, "
+            "(row_number() OVER pw) - 1 + (SUM(new_part) OVER pw) - 1 AS idx2 "
+            "FROM np1 WINDOW pw AS (PARTITION BY x, y, site ORDER BY seg_idx)), "
+            "kids AS (SELECT site, idx2, 2 * x + cdx.range AS x3, "
+            "2 * y + cdy.range AS y3, "
+            "CAST(2 * cx0 - cdx.range * 4096 AS DOUBLE) AS x0f, "
+            "CAST(2 * cy0 - cdy.range * 4096 AS DOUBLE) AS y0f, "
+            "CAST(2 * cx1 - 2 * cx0 AS DOUBLE) AS dxf, "
+            "CAST(2 * cy1 - 2 * cy0 AS DOUBLE) AS dyf "
+            "FROM ren, range(0, 2) cdx, range(0, 2) cdy), "
+            "tp2 AS (SELECT *, "
+            "CASE WHEN dxf > 0 THEN (-64.0 - x0f) / dxf "
+            "WHEN dxf < 0 THEN (4160.0 - x0f) / dxf ELSE -1e300 END AS te_x, "
+            "CASE WHEN dxf > 0 THEN (4160.0 - x0f) / dxf "
+            "WHEN dxf < 0 THEN (-64.0 - x0f) / dxf ELSE 1e300 END AS tx_x, "
+            "CASE WHEN dyf > 0 THEN (-64.0 - y0f) / dyf "
+            "WHEN dyf < 0 THEN (4160.0 - y0f) / dyf ELSE -1e300 END AS te_y, "
+            "CASE WHEN dyf > 0 THEN (4160.0 - y0f) / dyf "
+            "WHEN dyf < 0 THEN (-64.0 - y0f) / dyf ELSE 1e300 END AS tx_y, "
+            "(dxf = 0 AND (x0f < -64.0 OR x0f > 4160.0)) AS rej_x, "
+            "(dyf = 0 AND (y0f < -64.0 OR y0f > 4160.0)) AS rej_y FROM kids), "
+            "u2 AS (SELECT *, GREATEST(0.0, te_x, te_y) AS t0, "
+            "LEAST(1.0, tx_x, tx_y) AS t1 FROM tp2), "
+            "w0 AS (SELECT site, idx2, x3, y3, "
+            "CAST(floor(x0f + t0 * dxf + 0.5) AS BIGINT) AS cx0, "
+            "CAST(floor(y0f + t0 * dyf + 0.5) AS BIGINT) AS cy0, "
+            "CAST(floor(x0f + t1 * dxf + 0.5) AS BIGINT) AS cx1, "
+            "CAST(floor(y0f + t1 * dyf + 0.5) AS BIGINT) AS cy1 "
+            "FROM u2 WHERE NOT rej_x AND NOT rej_y AND t0 < t1), "
+            "w AS (SELECT * FROM w0 WHERE cx0 != cx1 OR cy0 != cy1), "
+            "np2 AS (SELECT *, CASE WHEN lag(idx2) OVER pw2 IS NULL "
+            "OR lag(idx2) OVER pw2 != idx2 - 1 "
+            "OR lag(cx1) OVER pw2 != cx0 OR lag(cy1) OVER pw2 != cy0 "
+            "THEN 1 ELSE 0 END AS new_part FROM w "
+            "WINDOW pw2 AS (PARTITION BY x3, y3, site ORDER BY idx2)) "
+            "SELECT 3 AS z, CAST(x3 AS INTEGER) AS x, "
+            "CAST(y3 AS INTEGER) AS y, site, "
+            "CAST(SUM(new_part) AS BIGINT) AS n_parts, "
+            "CAST(COUNT(*) + SUM(new_part) AS BIGINT) AS n_points "
+            "FROM np2 GROUP BY 1, 2, 3, 4"
         ),
         # -- decode / stats / filter parity -----------------------------------
         "tile_stats_z6": (

@@ -316,8 +316,9 @@ def run_bench() -> dict:
                      "audio_fp_pairs", "ccnet_tiers", "weighted_sample",
                      "kcore_docs", "snapshot_diff",
                      # round-4 continuation 3: shuffle-free pyramid
-                     # extension from encoded tiles
-                     "overzoom_z7"):
+                     # extension from encoded tiles (points + re-clipped
+                     # linestrings)
+                     "overzoom_z7", "overzoom_paths_z3"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

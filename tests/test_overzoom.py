@@ -225,6 +225,186 @@ class TestOverzoomErrors:
         assert out.column_names == ["z", "x", "y", "mvt", "n_features"]
 
 
+def path_tiles_from_segments(rows, extent=4096):
+    """(z,x,y,site,seg_idx,cx0,cy0,cx1,cy1) rows → clipped-path tiles."""
+    import pandas as pd
+
+    from vtzero_ray.pipelines.clip_paths import _encode_tile_group
+
+    df = pd.DataFrame(rows, columns=["z", "x", "y", "site", "seg_idx",
+                                     "cx0", "cy0", "cx1", "cy1"])
+    df = df.astype({"z": "int32", "x": "int32", "y": "int32"})
+    out = _encode_tile_group(df, extent)
+    return pa.table({
+        "z": pa.array(out["z"].to_numpy(), pa.int32()),
+        "x": pa.array(out["x"].to_numpy(), pa.int32()),
+        "y": pa.array(out["y"].to_numpy(), pa.int32()),
+        "mvt": pa.array(list(out["mvt"]), pa.binary()),
+        "n_features": pa.array(out["n_features"].to_numpy(), pa.int64()),
+    })
+
+
+class TestOverzoomPaths:
+    def test_hand_case_bytes(self):
+        from vtzero_ray.pipelines.overzoom import (OverzoomPaths,
+                                                   path_tile_summary_batch)
+
+        # one segment fully inside the NW child: child tile must be
+        # byte-identical to encoding the doubled segment directly
+        pt = path_tiles_from_segments(
+            [(2, 1, 1, 7, 0, 100, 100, 900, 700)])
+        kids = OverzoomPaths()(pt)
+        assert len(kids) == 1
+        expected = path_tiles_from_segments(
+            [(3, 2, 2, 7, 0, 200, 200, 1800, 1400)])
+        assert kids.column("mvt")[0].as_py() == expected.column("mvt")[0].as_py()
+        summ = path_tile_summary_batch(kids)
+        assert summ.to_pydict() == {"z": [3], "x": [2], "y": [2],
+                                    "site": [7], "n_parts": [1],
+                                    "n_points": [2]}
+
+    def test_center_crossing_split(self):
+        from vtzero_ray.pipelines.overzoom import (OverzoomPaths,
+                                                   path_tile_summary_batch)
+
+        # diagonal through the tile center: every child gets a clipped
+        # piece; the split point 2048 doubles to 4096 == the boundary
+        pt = path_tiles_from_segments(
+            [(2, 1, 1, 3, 0, 0, 0, 4096, 4096)])
+        kids = OverzoomPaths()(pt)
+        summ = path_tile_summary_batch(kids)
+        d = {(x, y): (p, n) for x, y, p, n in zip(
+            summ.column("x").to_pylist(), summ.column("y").to_pylist(),
+            summ.column("n_parts").to_pylist(),
+            summ.column("n_points").to_pylist())}
+        # NW and SE children carry the diagonal (extended into the
+        # buffer); NE/SW children see only the ±64-buffered corner nick
+        assert (2, 2) in d and (3, 3) in d
+        assert d[(2, 2)] == (1, 2) and d[(3, 3)] == (1, 2)
+
+    def test_part_break_preserved_when_endpoints_meet(self):
+        from vtzero_ray.mvt import codec
+        from vtzero_ray.pipelines.overzoom import OverzoomPaths
+        from vtzero_ray.pipelines.decode import decode_tiles_batch_v
+
+        # two segments of the SAME site with a seg_idx gap whose
+        # endpoints meet: parent keeps 2 parts; after overzoom the
+        # children must STILL see 2 parts (idx2 gap), not a merged one
+        pt = path_tiles_from_segments(
+            [(2, 1, 1, 5, 0, 100, 100, 500, 500),
+             (2, 1, 1, 5, 7, 500, 500, 900, 300)])
+        feats = decode_tiles_batch_v(pt, with_props=True, with_geometry=True)
+        cmds = np.asarray(feats.column("geom_cmds")[0].as_py(), np.uint32)
+        assert len(codec.decode_linestring(cmds)) == 2  # parent: 2 parts
+        kids = OverzoomPaths()(pt)
+        assert len(kids) == 1  # all inside NW child
+        kf = decode_tiles_batch_v(kids, with_props=True, with_geometry=True)
+        kcmds = np.asarray(kf.column("geom_cmds")[0].as_py(), np.uint32)
+        assert len(codec.decode_linestring(kcmds)) == 2  # still 2 parts
+
+    def test_two_levels_compose(self):
+        from vtzero_ray.pipelines.overzoom import (OverzoomPaths,
+                                                   path_tile_summary_batch)
+
+        pt = path_tiles_from_segments(
+            [(2, 1, 1, 3, 0, 0, 0, 4096, 4096),
+             (2, 1, 1, 9, 0, 50, 4000, 4090, 100)])
+        one = OverzoomPaths()(pt)
+        two = OverzoomPaths()(one)
+        assert (two.column("z").to_numpy() == 4).all()
+        s = path_tile_summary_batch(two)
+        assert len(s) > 0
+        # grand-child keys live under the z2 parent (1,1) quad
+        assert set(np.unique(two.column("x").to_numpy())) <= {4, 5, 6, 7}
+
+    def test_rejects_point_layer(self):
+        from vtzero_ray.pipelines.overzoom import OverzoomPaths
+
+        fids, px, py, urls, langs = make_case(5, seed=3)
+        batch = pa.table({
+            "z": pa.array([6] * 5, pa.int32()),
+            "x": pa.array([1] * 5, pa.int32()),
+            "y": pa.array([2] * 5, pa.int32()),
+            "doc_id": pa.array([int(f) for f in fids], pa.uint64()),
+            "px": pa.array([int(v) for v in px], pa.int32()),
+            "py": pa.array([int(v) for v in py], pa.int32()),
+            "url": pa.array(urls), "lang": pa.array(langs),
+        })
+        tiles = PointTileAssembler()(batch)
+        with pytest.raises(ValueError, match="linestring"):
+            OverzoomPaths()(tiles)
+
+    def test_segment_level_reference(self):
+        """Decode→transform must equal running the library clip kernels
+        directly on the parent's segment table (independent of the tile
+        byte round trip)."""
+        import pandas as pd
+
+        from vtzero_ray.pipelines.overzoom import (OverzoomPaths,
+                                                   path_tile_summary_batch)
+        from vtzero_ray.stages.clip import liang_barsky
+
+        rng = np.random.default_rng(123)
+        rows = []
+        for site in range(6):
+            n = 8
+            xs = rng.integers(-64, 4161, n)
+            ys = rng.integers(-64, 4161, n)
+            si = 0
+            for j in range(n - 1):
+                if (xs[j], ys[j]) == (xs[j + 1], ys[j + 1]):
+                    continue
+                rows.append((2, 1, 2, site, si, int(xs[j]), int(ys[j]),
+                             int(xs[j + 1]), int(ys[j + 1])))
+                si += 2 if rng.random() < 0.3 else 1  # inject part breaks
+        pt = path_tiles_from_segments(rows)
+        kids = OverzoomPaths()(pt)
+        got = path_tile_summary_batch(kids).to_pandas()
+        got = got.sort_values(["x", "y", "site"]).reset_index(drop=True)
+
+        # reference: idx2 re-index per (site) with chain-break rule, then
+        # double + clip per child, then count parts
+        df = pd.DataFrame(rows, columns=["z", "x", "y", "site", "seg_idx",
+                                         "cx0", "cy0", "cx1", "cy1"])
+        ref_rows = {}
+        for site, g in df.groupby("site"):
+            g = g.sort_values("seg_idx")
+            si = g["seg_idx"].to_numpy()
+            new_part = np.ones(len(g), bool)
+            new_part[1:] = ((si[1:] != si[:-1] + 1)
+                            | (g["cx0"].to_numpy()[1:] != g["cx1"].to_numpy()[:-1])
+                            | (g["cy0"].to_numpy()[1:] != g["cy1"].to_numpy()[:-1]))
+            idx2 = np.arange(len(g)) + np.cumsum(new_part) - 1
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    keep, a0, b0, a1, b1 = liang_barsky(
+                        2 * g["cx0"].to_numpy() - dx * 4096,
+                        2 * g["cy0"].to_numpy() - dy * 4096,
+                        2 * g["cx1"].to_numpy() - dx * 4096,
+                        2 * g["cy1"].to_numpy() - dy * 4096,
+                        -64.0, 4160.0)
+                    if not keep.any():
+                        continue
+                    ki = idx2[keep]
+                    np2 = np.ones(ki.shape[0], bool)
+                    np2[1:] = ((ki[1:] != ki[:-1] + 1)
+                               | (a0[keep][1:] != a1[keep][:-1])
+                               | (b0[keep][1:] != b1[keep][:-1]))
+                    ref_rows[(2 + dx, 4 + dy, site)] = (
+                        int(np2.sum()), int(keep.sum() + np2.sum()))
+        exp = pd.DataFrame(
+            [(3, x, y, s, p, n) for (x, y, s), (p, n) in
+             sorted(ref_rows.items())],
+            columns=["z", "x", "y", "site", "n_parts", "n_points"])
+        exp = exp.sort_values(["x", "y", "site"]).reset_index(drop=True)
+        assert got["z"].tolist() == exp["z"].tolist()
+        assert got["x"].tolist() == exp["x"].tolist()
+        assert got["y"].tolist() == exp["y"].tolist()
+        assert got["site"].tolist() == exp["site"].tolist()
+        assert got["n_parts"].tolist() == exp["n_parts"].tolist()
+        assert got["n_points"].tolist() == exp["n_points"].tolist()
+
+
 class TestOverzoomDataset:
     def test_pipeline_end_to_end(self, ray_session):
         from vtzero_ray.pipelines.tiling import tiles_pipeline, validate_tiles

@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..runtime import tune_allocator
+from .pbf import zigzag_decode32_np
 
 
 class Unsupported(Exception):
@@ -710,8 +711,6 @@ def multipoint_coords(geom_col):
     stream doesn't match the single-MoveTo layout (caller decodes those
     through codec.decode_point for exact validation semantics).
     """
-    from .pbf import zigzag_decode32_np
-
     if isinstance(geom_col, pa.ChunkedArray):
         geom_col = geom_col.combine_chunks()
     off = geom_col.offsets.to_numpy().astype(np.int64)

@@ -37,11 +37,19 @@ assembler output, asserted in tests/test_overzoom.py.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
+# module-level imports only: UDF bodies run in Ray workers where
+# function-local package imports fail under ship-by-value (the
+# pipelines/tiling.validate_tiles precedent)
+from ..mvt import codec
 from ..mvt.decode_fast import (_ragged_take, binary_column_parts,
                                multipoint_coords)
+from ..mvt.values import VT_UINT, decode_value
+from ..pipelines.clip_paths import _encode_tile_group
 from ..pipelines.decode import decode_tiles_batch_v
+from ..stages.clip import liang_barsky
 from ..stages.encode_segmented import encode_sorted_point_tiles
 
 
@@ -180,6 +188,183 @@ class OverzoomPoints:
             "mvt": pa.array(mvts, pa.binary()),
             "n_features": pa.array(starts[1:] - starts[:-1]),
         })
+
+
+class OverzoomPaths:
+    """map_batches kernel: parent CLIPPED-PATH tile rows (z,x,y,mvt) →
+    z+1 child tiles — the LINESTRING overzoom (the gap the point kernel
+    documents): coordinates double, each segment fans out to the ≤4
+    children whose buffered box its bbox overlaps, is re-clipped with the
+    EXACT Liang-Barsky expressions of the first-level clip
+    (stages/clip.liang_barsky — so the SQL oracle mirrors both levels
+    token-for-token), and surviving segments re-chain into multi-part
+    polylines per (child, site) encoded through the same scalar builder
+    path as pipelines/clip_paths._encode_tile_group — child tiles are
+    format-identical to first-level clipped tiles, so levels compose.
+
+    Part boundaries survive the decode via the re-index idx2 = k + p
+    (k = segment ordinal within the feature, p = part ordinal): the +1
+    gap per part breaks chain_parts' consecutive test exactly where the
+    parent had a part break, even if endpoints coincidentally meet.
+
+    Like the point kernel this is ONE stateless scan, zero shuffles, and
+    the source corpus is never re-read — features per tile are bounded
+    (site cardinality), so the per-feature decode loop is not a hot path.
+    """
+
+    def __init__(self, layer_name: str = "clipped_paths", extent: int = 4096,
+                 buffer: int = 64) -> None:
+        self.layer_name = layer_name
+        self.extent = extent
+        self.buffer = buffer
+        self.__name__ = "OverzoomPaths"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY
+        feats = decode_tiles_batch_v(batch, with_props=True,
+                                     with_geometry=True)
+        errs = feats.column("error")
+        if pa.compute.any(pa.compute.is_valid(errs)).as_py():
+            bad = feats.filter(pa.compute.is_valid(errs))
+            raise ValueError(
+                f"overzoom: undecodable input tile: {bad.column('error')[0]}")
+        n = len(feats)
+        if n == 0:
+            return _EMPTY
+        gt = feats.column("geom_type").to_numpy()
+        if (gt != 2).any():
+            raise ValueError("path overzoom: only linestring layers are "
+                             "supported")
+        geom = feats.column("geom_cmds")
+        if isinstance(geom, pa.ChunkedArray):
+            geom = geom.combine_chunks()
+        pkeys = feats.column("prop_keys").to_pylist()
+        pvals = feats.column("prop_vals_raw").to_pylist()
+        fz = feats.column("z").to_numpy().astype(np.int64)
+        fx = feats.column("x").to_numpy().astype(np.int64)
+        fy = feats.column("y").to_numpy().astype(np.int64)
+
+        segs_x0, segs_y0, segs_x1, segs_y1 = [], [], [], []
+        segs_idx2, segs_site, segs_fi = [], [], []
+        for i in range(n):
+            try:
+                si = pkeys[i].index("site")
+            except ValueError:
+                raise ValueError("path overzoom: feature lacks a 'site' "
+                                 "property") from None
+            _, site = decode_value(pvals[i][si], VT_UINT)
+            cmds = np.asarray(geom[i].as_py(), dtype=np.uint32)
+            parts = codec.decode_linestring(cmds)
+            k = 0
+            for p, part in enumerate(parts):
+                pts = part.astype(np.int64)
+                if ((pts[1:, 0] == pts[:-1, 0])
+                        & (pts[1:, 1] == pts[:-1, 1])).any():
+                    raise ValueError("path overzoom: zero-length segment")
+                m = pts.shape[0] - 1
+                segs_x0.append(pts[:-1, 0])
+                segs_y0.append(pts[:-1, 1])
+                segs_x1.append(pts[1:, 0])
+                segs_y1.append(pts[1:, 1])
+                segs_idx2.append(np.arange(k, k + m, dtype=np.int64) + p)
+                segs_site.append(np.full(m, int(site), np.int64))
+                segs_fi.append(np.full(m, i, np.int64))
+                k += m
+        if not segs_x0:
+            return _EMPTY
+        x0 = 2 * np.concatenate(segs_x0)
+        y0 = 2 * np.concatenate(segs_y0)
+        x1 = 2 * np.concatenate(segs_x1)
+        y1 = 2 * np.concatenate(segs_y1)
+        idx2 = np.concatenate(segs_idx2)
+        site = np.concatenate(segs_site)
+        fi = np.concatenate(segs_fi)
+
+        ext, buf = self.extent, self.buffer
+        # fan out to the ≤2×2 children whose buffered box the segment
+        # bbox overlaps (superset is fine: Liang-Barsky rejection decides
+        # membership, so the oracle's all-4-children cross join agrees)
+        txmin = np.clip((np.minimum(x0, x1) - buf) // ext, 0, 1)
+        txmax = np.clip((np.maximum(x0, x1) + buf) // ext, 0, 1)
+        tymin = np.clip((np.minimum(y0, y1) - buf) // ext, 0, 1)
+        tymax = np.clip((np.maximum(y0, y1) + buf) // ext, 0, 1)
+        nx = txmax - txmin + 1
+        ny = tymax - tymin + 1
+        reps = (nx * ny).astype(np.int64)
+        idx = np.repeat(np.arange(x0.shape[0], dtype=np.int64), reps)
+        local = np.arange(int(reps.sum()), dtype=np.int64) - \
+            np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+        dx = txmin[idx] + local % nx[idx]
+        dy = tymin[idx] + local // nx[idx]
+
+        keep, cx0, cy0, cx1, cy1 = liang_barsky(
+            x0[idx] - dx * ext, y0[idx] - dy * ext,
+            x1[idx] - dx * ext, y1[idx] - dy * ext,
+            -float(buf), float(ext + buf))
+        fk = fi[idx][keep]
+        df = pd.DataFrame({
+            "z": (fz[fk] + 1).astype(np.int32),
+            "x": (2 * fx[fk] + dx[keep]).astype(np.int32),
+            "y": (2 * fy[fk] + dy[keep]).astype(np.int32),
+            "site": site[idx][keep],
+            "seg_idx": idx2[idx][keep],
+            "cx0": cx0[keep], "cy0": cy0[keep],
+            "cx1": cx1[keep], "cy1": cy1[keep],
+        })
+        out = _encode_tile_group(df, ext)
+        return pa.table({
+            "z": pa.array(out["z"].to_numpy(), pa.int32()),
+            "x": pa.array(out["x"].to_numpy(), pa.int32()),
+            "y": pa.array(out["y"].to_numpy(), pa.int32()),
+            "mvt": pa.array(list(out["mvt"]), pa.binary()),
+            "n_features": pa.array(out["n_features"].to_numpy(), pa.int64()),
+        })
+
+
+def overzoom_paths(tiles_ds, levels: int = 1,
+                   layer_name: str = "clipped_paths", extent: int = 4096,
+                   buffer: int = 64):
+    """Clipped-path tiles(z) → tiles(z+levels); children are format-
+    identical to first-level clipped tiles so the scan composes."""
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    out = tiles_ds
+    for _ in range(levels):
+        out = out.map_batches(OverzoomPaths(layer_name, extent, buffer),
+                              batch_format="pyarrow")
+    return out
+
+
+def path_tile_summary_batch(batch: pa.Table) -> pa.Table:
+    """Per-(tile, site) decode summary for LINESTRING tiles: n_parts and
+    n_points read back through the real decoder — the oracle surface for
+    path overzoom (the doubled+re-clipped integers are SQL-predictable)."""
+    feats = decode_tiles_batch_v(batch, with_props=True, with_geometry=True)
+    gt = feats.column("geom_type").to_numpy()
+    if (gt != 2).any():
+        raise ValueError("path_tile_summary: non-linestring feature")
+    geom = feats.column("geom_cmds")
+    if isinstance(geom, pa.ChunkedArray):
+        geom = geom.combine_chunks()
+    pkeys = feats.column("prop_keys").to_pylist()
+    pvals = feats.column("prop_vals_raw").to_pylist()
+    n = len(feats)
+    sites = np.empty(n, np.int64)
+    n_parts = np.empty(n, np.int64)
+    n_points = np.empty(n, np.int64)
+    for i in range(n):
+        _, sites[i] = decode_value(pvals[i][pkeys[i].index("site")], VT_UINT)
+        parts = codec.decode_linestring(
+            np.asarray(geom[i].as_py(), dtype=np.uint32))
+        n_parts[i] = len(parts)
+        n_points[i] = sum(p.shape[0] for p in parts)
+    return pa.table({
+        "z": feats.column("z"), "x": feats.column("x"),
+        "y": feats.column("y"),
+        "site": pa.array(sites), "n_parts": pa.array(n_parts),
+        "n_points": pa.array(n_points),
+    })
 
 
 def overzoom_tiles(tiles_ds, levels: int = 1, layer_name: str = "pages",

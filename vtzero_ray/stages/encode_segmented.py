@@ -22,7 +22,9 @@ import numpy as np
 import pyarrow as pa
 
 from ..mvt.pbf import encode_varint, varint_lengths_np
-from .encode import _binary_parts, write_varints_at, zigzag32_np
+from ..runtime import tune_allocator
+from .encode import (_binary_parts, _encode_point_tile_small,
+                     write_varints_at, zigzag32_np)
 
 _BIG = np.int64(1 << 60)
 
@@ -141,8 +143,6 @@ def encode_point_tiles_segmented(
     extent: int = 4096,
     id_first: bool = False,
 ) -> list[bytes]:
-    from ..runtime import tune_allocator
-
     tune_allocator()
     n = feature_ids.shape[0]
     T = starts.shape[0] - 1
@@ -371,10 +371,10 @@ def encode_sorted_point_tiles(
     The closed-form interning indexes assume per-tile-distinct urls and
     url∩lang=∅; violations are detected exactly (one dictionary-encode +
     one int64 sort per call) and only the offending tiles re-encode
-    through the scalar interning path (_encode_point_tile_small).
+    through the scalar interning path (_encode_point_tile_small — imported
+    at module scope: this body runs in Ray workers under ship-by-value,
+    where function-local package imports fail).
     """
-    from .encode import _encode_point_tile_small
-
     if isinstance(url_arr, pa.ChunkedArray):
         url_arr = url_arr.combine_chunks()
     if isinstance(lang_arr, pa.ChunkedArray):
