@@ -19,6 +19,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ._mdhash import hash_u64  # shared md5 hash (leaf; no dedup cycle)
+
 
 def _normalized(mat: np.ndarray) -> np.ndarray:
     mat = mat.astype(np.float64)
@@ -120,7 +122,6 @@ def quantize(mat: np.ndarray) -> np.ndarray:
 def sign_tensor(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
     """Deterministic ±1 hyperplanes from md5 (same formula as the SQL
     oracle: 1 - 2*(md5_number_lower('t:j:d') % 2), d is 1-based)."""
-    from .dedup import hash_u64
 
     s = np.empty((n_tables, n_bits, dim), np.int64)
     for t in range(n_tables):

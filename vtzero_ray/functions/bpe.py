@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..runtime import tune_allocator
+from .lm import _split_codes
 
 tune_allocator()
 
@@ -112,8 +113,6 @@ class BPEEncode:
         return got
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .lm import _split_codes
-
         tune_allocator()
         codes, tok_doc, vocab, n_docs = _split_codes(batch, "text")
         ids = batch.column("doc_id")

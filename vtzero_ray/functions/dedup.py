@@ -22,6 +22,8 @@ import pandas as pd
 import pyarrow as pa
 
 from ..runtime import tune_allocator
+from ._mdhash import hash_u64  # shared md5 hash (leaf module; see _mdhash)
+from .ann import sign_tensor  # acyclic now: ann only imports the leaf
 
 log = logging.getLogger(__name__)
 
@@ -63,17 +65,8 @@ _POLY_B = np.uint64(1099511628211)
 # corpus vocabulary is small so the cache amortizes to O(1) per token.
 # The hash is the LOWER 8 md5 bytes little-endian — exactly DuckDB's
 # ``md5_number_lower`` — so every signature derived from it is
-# reproducible in the SQL oracles (functions/dedup_sql.py).
-_TOKEN_CACHE: dict[str, int] = {}
-
-
-def hash_u64(s: str) -> int:
-    h = _TOKEN_CACHE.get(s)
-    if h is None:
-        h = int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
-        if len(_TOKEN_CACHE) < 1_000_000:
-            _TOKEN_CACHE[s] = h
-    return h
+# reproducible in the SQL oracles (functions/dedup_sql.py); hash_u64
+# itself lives in the _mdhash leaf so ann can share it without a cycle.
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
@@ -732,8 +725,6 @@ def _signs_memo(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
     key = (n_tables, n_bits, dim)
     s = _SIGNS_MEMO.get(key)
     if s is None:
-        from .ann import sign_tensor
-
         s = _SIGNS_MEMO[key] = sign_tensor(n_tables, n_bits, dim)
     return s
 

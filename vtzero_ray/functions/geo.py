@@ -34,6 +34,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from vtzero_ray.runtime import tune_allocator
+
 GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 _GH_BITS = 20  # per-axis cell index bits (40-bit hash, 8 base-32 chars)
 
@@ -622,7 +624,6 @@ def nearest_segment(sf_dir: str, zoom: int = 6, extent: int = 4096,
     seg_ref = ray.put(seg)
 
     def fn(t: pa.Table) -> pa.Table:
-        from vtzero_ray.runtime import tune_allocator
         tune_allocator()
         s = ray.get(seg_ref)  # plasma-cached per node; arrays zero-copy
         doc = t.column("doc_id").to_numpy().astype(np.int64)
@@ -796,7 +797,6 @@ def nearest_segment_cells(sf_dir: str, zoom: int = 6, extent: int = 4096,
     guard2 = float(rings * cell) ** 2
 
     def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
-        from vtzero_ray.runtime import tune_allocator
         tune_allocator()
         out = []
         empty = pd.DataFrame({
@@ -846,7 +846,6 @@ def nearest_segment_cells(sf_dir: str, zoom: int = 6, extent: int = 4096,
     # keep their local result; uncertain rows re-resolve against the
     # full table — fetched ONLY when such rows exist in the batch
     def finalize(t: pa.Table) -> pa.Table:
-        from vtzero_ray.runtime import tune_allocator
         tune_allocator()
         ok = t.column("certain").to_numpy(zero_copy_only=False)
         doc = t.column("doc_id").to_numpy().astype(np.int64)

@@ -32,6 +32,7 @@ from .ann import (QSCALE, _merge_int_topk_single, _query_probes,
                   load_centroids, load_ivf_centroids,
                   load_queries_quantized, quantize)
 from .pq import _encode_mat, load_pq_codebooks, load_queries_unit
+from .pq import quantize_unit
 
 
 def build_ivfpq_index(ds, out_dir: str, sf_dir: str,
@@ -72,7 +73,6 @@ def build_ivfpq_index(ds, out_dir: str, sf_dir: str,
         sim = (cmat_ @ mat.T).astype(np.float64) / cnorm[:, None]
         cent = cids_[np.argmax(sim, axis=0)]
         # PQ codes: pq.pq_codes semantics verbatim (unit grid)
-        from .pq import quantize_unit
         codes = _encode_mat(quantize_unit(raw), cb_)
         cols = {"vec_id": pa.array(ids, pa.int64()),
                 "centroid_id": pa.array(cent, pa.int64()),

@@ -25,6 +25,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..runtime import tune_allocator
+
 
 def _doc_term_stats(batch: pa.Table, terms: tuple, column: str):
     """Vectorized per-doc token stats: (dl int64[n], tf int64[t, n]).
@@ -122,8 +124,6 @@ def bm25_topk(ds, terms, k: int = 10, k1: float = 1.2, b: float = 0.75,
            for df in dfs]
 
     def score_topk(batch: pa.Table) -> pa.Table:
-        from ..runtime import tune_allocator
-
         tune_allocator()
         dl, tf = _doc_term_stats(batch, terms, column)
         s = _score(tf, dl, idf, avgdl, k1, b)
@@ -349,8 +349,6 @@ def bm25_topk_indexed(index_dir: str, terms, k: int = 10, k1: float = 1.2,
                                        batch_size=None)
 
     def score_group(df):
-        from ..runtime import tune_allocator
-
         tune_allocator()
         ids = df["doc_id"].to_numpy(np.int64)
         tf = df["tf"].to_numpy(np.int64)

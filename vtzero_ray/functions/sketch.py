@@ -15,6 +15,8 @@ import math
 import numpy as np
 import pyarrow as pa
 
+from ..runtime import tune_allocator
+
 
 class HLL:
     __slots__ = ("p", "m", "registers")
@@ -250,8 +252,6 @@ def cms_token_est(ds, probes, column: str = "text",
     import pandas as pd
 
     def partial(batch: pa.Table) -> pa.Table:
-        from ..runtime import tune_allocator
-
         tune_allocator()
         vocab, counts, total = _split_tokens(batch, column)
         c = CMS(w_bits, depth)

@@ -233,8 +233,6 @@ def _bigram_partial(batch: pa.Table) -> pa.Table:
     integer (lang, tok1, tok2) keys counted with ONE np.unique pass;
     strings are assembled only for the UNIQUE pairs that leave the task.
     """
-    from ..runtime import tune_allocator
-
     tune_allocator()
     pc = pa.compute
     texts = _as_array(batch.column("text"))
@@ -408,8 +406,6 @@ def repetition_stats(ds, dup_n: int = 5, column: str = "text",
     import pandas as pd
 
     def rep(batch: pa.Table) -> pa.Table:
-        from ..runtime import tune_allocator
-
         tune_allocator()
         texts = _as_array(batch.column(column))
         ids = batch.column(id_column)

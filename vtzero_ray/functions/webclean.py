@@ -33,6 +33,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..runtime import tune_allocator
+from .lm import _split_codes
 
 tune_allocator()
 import pyarrow.compute as pc
@@ -338,7 +339,6 @@ def dup_span_stats(ds, w: int = 5, column: str = "text",
 
     def explode(t: pa.Table) -> pa.Table:
         tune_allocator()
-        from .lm import _split_codes
 
         codes, tok_doc, vocab, n_docs = _split_codes(t, column)
         ids = t.column(id_column).to_numpy(zero_copy_only=False) \

@@ -19,6 +19,7 @@ from ..exceptions import VtzeroError
 from ..mvt.builder import (GeometryFeatureBuilder, PropertyMapper,
                            TileBuilder)
 from ..mvt.decoder import VectorTile
+from ..mvt.pbf import decode_varint, encode_varint
 from ..mvt.values import encode_value
 
 _log = logging.getLogger(__name__)
@@ -76,8 +77,6 @@ def filter_features(tiles_ds, layer_name: str, key: str, value) -> "ray.data.Dat
 def _tile_layer_spans(buf: bytes, pos: int, end: int):
     """Top-level tile walk → [(lo, hi)] byte spans of each layer message.
     O(#fields) per tile — no feature or property parsing at all."""
-    from ..mvt.pbf import decode_varint
-
     spans = []
     while pos < end:
         key = buf[pos]
@@ -107,8 +106,6 @@ def _tile_layer_spans(buf: bytes, pos: int, end: int):
 
 def _layer_name_of(buf: bytes, lo: int, hi: int) -> bytes:
     """Scan a layer message's fields for field 1 (name) only."""
-    from ..mvt.pbf import decode_varint
-
     pos = lo
     while pos < hi:
         key = buf[pos]
@@ -162,8 +159,6 @@ def select_layer(tiles_ds, layer_name: str):
         return None, False  # parsed fine, layer just absent
 
     def per_tile(batch: pa.Table) -> pa.Table:
-        from ..mvt.pbf import encode_varint
-
         out = {"z": [], "x": [], "y": [], "mvt": []}
         quarantined = 0
         for z, x, y, mvt in zip(batch.column("z").to_pylist(),

@@ -388,12 +388,11 @@ class PointTileAssembler:
         self.extent = extent
         self.id_first = id_first
         self.__name__ = "PointTileAssembler"  # map_groups wraps plain fns
-        # bind at construction (driver side): a lazy import inside __call__
-        # would execute in the WORKER, which may not have vtzero_ray on its
-        # sys.path (UDFs ship by value via __ray_entry__ registration)
-        from .encode_segmented import encode_sorted_point_tiles
-
-        self._encode_sorted = encode_sorted_point_tiles
+        # the filter fast path constructs assemblers INSIDE worker bodies,
+        # so the segmented-encode binding must resolve without an import
+        # at call time: _seg is a module-level global (bottom of this
+        # file), ship-safe under by-value pickling
+        self._encode_sorted = _seg.encode_sorted_point_tiles
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -487,3 +486,11 @@ class TileEncoder:
             feature_id=None if fid is None else int(fid),
             props=props,
         )
+
+
+# imported at the BOTTOM so encode_segmented's own module-level
+# `from .encode import ...` names are already defined in either import
+# order (module-object form keeps the pair cycle-safe; cloudpickle's
+# by-value module pickle terminates because encode_segmented's globals
+# hold only leaf functions, never this module)
+from . import encode_segmented as _seg  # noqa: E402

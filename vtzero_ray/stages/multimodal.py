@@ -23,9 +23,18 @@ worker heap; these stages default to 64-row batches.
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
+
+# name imports at module scope (worker bodies dispatch to sibling codecs;
+# function-local package imports fail under ship-by-value). Acyclic: bmp/
+# gif/jpeg are leaves and png imports only those leaves.
+from .bmp import decode_bmp, encode_bmp
+from .gif import decode_gif_indexed, encode_gif
+from .jpeg import encode_jpeg
+from .png import decode_image, encode_png, sniff_image
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -56,54 +65,9 @@ def synth_media(n: int = 256, seed: int = 42) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
-# pure-NumPy BMP codec — the one REAL media codec in this container
-# (24-bit uncompressed BITMAPINFOHEADER; no image library needed)
+# pure-NumPy BMP codec lives in stages/bmp.py (leaf module shared with
+# the png dispatch); decode_bmp/encode_bmp are re-exported above.
 # ---------------------------------------------------------------------------
-
-import struct
-
-# plain format strings, NOT struct.Struct instances — compiled Struct
-# objects don't pickle, and these globals ride into Ray workers with
-# every stage that references the codec
-_BMP_HEADER = "<2sIHHI"          # magic, file size, res, res, data offset
-_BMP_INFO = "<IiiHHIIiiII"       # BITMAPINFOHEADER
-
-
-def encode_bmp(px: np.ndarray) -> bytes:
-    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP bytes (bottom-up
-    rows, BGR order, 4-byte row padding)."""
-    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
-        raise ValueError("encode_bmp expects (h, w, 3) uint8")
-    h, w, _ = px.shape
-    stride = (3 * w + 3) // 4 * 4
-    rows = np.zeros((h, stride), np.uint8)
-    rows[:, : 3 * w] = px[::-1, :, ::-1].reshape(h, 3 * w)  # flip + RGB→BGR
-    body = rows.tobytes()
-    info = struct.pack(_BMP_INFO, 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
-    header = struct.pack(_BMP_HEADER, b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
-    return header + info + body
-
-
-def decode_bmp(data: bytes) -> np.ndarray:
-    """24-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB (top-down).
-    Malformed input raises ValueError — never crashes the process."""
-    if len(data) < 54 or data[:2] != b"BM":
-        raise ValueError("not a BMP payload")
-    _, _file_size, _, _, offset = struct.unpack_from(_BMP_HEADER, data, 0)
-    (hdr, w, h, planes, bpp, comp, *_rest) = struct.unpack_from(_BMP_INFO, data, 14)
-    if hdr < 40 or planes != 1 or bpp != 24 or comp != 0:
-        raise ValueError(f"unsupported BMP (hdr={hdr} bpp={bpp} comp={comp})")
-    if w <= 0 or h == 0:
-        raise ValueError("bad BMP dimensions")
-    flip = h > 0          # positive height = bottom-up storage
-    h = abs(h)
-    stride = (3 * w + 3) // 4 * 4
-    need = offset + stride * h
-    if len(data) < need:
-        raise ValueError(f"truncated BMP: {len(data)} < {need}")
-    rows = np.frombuffer(data, np.uint8, count=stride * h, offset=offset)
-    px = rows.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]
-    return px[::-1] if flip else px
 
 
 def synth_pixels(media_id: int, w: int, h: int) -> np.ndarray:
@@ -270,8 +234,6 @@ class ImageStats:
     actor-pool example."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .png import decode_image
-
         ids, ws, hs, sr, sg, sb = [], [], [], [], [], []
         for mid, p in zip(batch.column("media_id").to_pylist(),
                           batch.column("payload")):
@@ -322,8 +284,6 @@ class ImageDecode:
         if self.decoder == "numpy":
             # REAL pixel-derived features from the pure-NumPy codecs
             # (format-sniffed: PNG via stages/png.py or 24-bit BMP)
-            from .png import decode_image
-
             px = decode_image(payload).astype(np.float64)
             gray = px.mean(axis=2)
             h, w, _ = px.shape
@@ -355,13 +315,9 @@ class ImageResize:
         if self.decoder == "numpy":
             # REAL nearest-neighbor resize via the pure-NumPy codecs;
             # the output re-encodes in the SOURCE format (PNG stays PNG)
-            from .png import decode_image, encode_png, sniff_image
-
             if sniff_image(payload) == "gif":
                 # palette images resize in INDEX space (exact — no
                 # re-quantization) and keep their color table
-                from .gif import decode_gif_indexed, encode_gif
-
                 idx, pal = decode_gif_indexed(payload)
                 sh, sw = idx.shape
                 scale = self.target / max(sh, sw, 1)
@@ -384,8 +340,6 @@ class ImageResize:
             if kind == "png":
                 return encode_png(out)
             if kind == "jpeg":
-                from .jpeg import encode_jpeg
-
                 return encode_jpeg(out, quality=90)
             return encode_bmp(out)
         # deterministic fake: truncate/pad payload proportionally

@@ -23,7 +23,16 @@ from __future__ import annotations
 import struct
 import zlib
 
+
 import numpy as np
+
+# name imports at module scope: decode_image dispatches to the sibling
+# codecs inside Ray workers, where function-local package imports fail
+# under ship-by-value. bmp/gif/jpeg are LEAF modules, so this is acyclic
+# (multimodal imports THIS module's names, never the reverse).
+from .bmp import decode_bmp
+from .gif import decode_gif
+from .jpeg import decode_jpeg
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 # samples per pixel by color type (8-bit depth only)
@@ -213,18 +222,12 @@ def decode_image(payload: bytes) -> np.ndarray:
             return np.repeat(px[:, :, None], 3, axis=2)
         return px[:, :, :3]
     if kind == "bmp":
-        from .multimodal import decode_bmp
-
         return decode_bmp(payload)
     if kind == "jpeg":
-        from .jpeg import decode_jpeg
-
         px = decode_jpeg(payload)
         if px.ndim == 2:
             return np.repeat(px[:, :, None], 3, axis=2)
         return px
     if kind == "gif":
-        from .gif import decode_gif
-
         return decode_gif(payload)
     raise ValueError("payload is not PNG, BMP, JPEG or GIF")

@@ -17,6 +17,8 @@ import pyarrow as pa
 from ..mvt import codec
 from ..mvt.builder import PolygonFeatureBuilder, TileBuilder
 from ..mvt.values import VT_UINT, encode_value
+from ..mvt.decode_fast import multipoint_coords
+from ..pipelines.decode import decode_tiles_batch_v
 
 
 def rasterize_tiles(tiles_ds, grid: int = 16, extent: int = 4096):
@@ -32,9 +34,6 @@ def rasterize_tiles(tiles_ds, grid: int = 16, extent: int = 4096):
     cell = extent // grid
 
     def per_batch(batch: pa.Table) -> pa.Table:
-        from ..mvt.decode_fast import multipoint_coords
-        from ..pipelines.decode import decode_tiles_batch_v
-
         feats = decode_tiles_batch_v(batch, with_props=False,
                                      with_geometry=True)
         feats = feats.filter(
