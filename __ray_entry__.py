@@ -165,6 +165,23 @@ def _q_overzoom_paths_z3(sf_dir: str):
     return kids.map_batches(path_tile_summary_batch, batch_format="pyarrow")
 
 
+def _q_downzoom_z5(sf_dir: str):
+    """Pyramid BUILD step: z6 tiles → z5 parents from the encoded tiles
+    alone (decode scan + ONE tile-row shuffle, 4× fewer keys per level —
+    the corpus is never re-read), then decode back; the halving
+    px' = ((x mod 2)·4096 + px) // 2 is the exact integer inverse of
+    overzoom's doubling."""
+    from vtzero_ray.pipelines.overzoom import (downzoom_points,
+                                               point_tile_summary_batch)
+    from vtzero_ray.pipelines.tiling import tiles_pipeline, validate_tiles
+
+    tiles = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
+    parents = downzoom_points(tiles, levels=1)
+    parents = parents.map_batches(validate_tiles, batch_format="pyarrow")
+    return parents.map_batches(point_tile_summary_batch,
+                               batch_format="pyarrow")
+
+
 def _q_tile_stats_z6(sf_dir: str):
     """Full encode→decode round trip: vtzero-stats (A1) over freshly encoded
     tiles; geometry byte sums and value-table sizes are SQL-predictable."""
@@ -2062,7 +2079,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "overzoom_z7",
                   # linestring overzoom (re-clip to the child's buffered
                   # box; clipped_paths_z2 holds the driver path slot)
-                  "overzoom_paths_z3")
+                  "overzoom_paths_z3",
+                  # pyramid-build inverse (tiles z -> z-1 without the
+                  # corpus; exact integer inverse of overzoom)
+                  "downzoom_z5")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2089,6 +2109,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # decode / stats / filter parity (SURVEY §3.2, §3.3)
         "overzoom_z7": _q_overzoom_z7,
         "overzoom_paths_z3": _q_overzoom_paths_z3,
+        "downzoom_z5": _q_downzoom_z5,
         "tile_stats_z6": _q_tile_stats_z6,
         "decoded_features_z6": _q_decoded_features_z6,
         "filter_lang_en_z6": _q_filter_lang_en_z6,
@@ -2614,6 +2635,20 @@ def _all_oracle_sql() -> dict[str, str]:
             "CAST(SUM(new_part) AS BIGINT) AS n_parts, "
             "CAST(COUNT(*) + SUM(new_part) AS BIGINT) AS n_points "
             "FROM np2 GROUP BY 1, 2, 3, 4"
+        ),
+        # downzoom: parent pixel = halved child pixel with the sibling
+        # offset folded in — the exact integer inverse of overzoom
+        "downzoom_z5": (
+            f"WITH q AS (SELECT {t6['x']} AS x6, {t6['y']} AS y6, "
+            f"CAST(floor(({t6['fx']} - floor({t6['fx']})) * 4096) AS INTEGER) AS px6, "
+            f"CAST(floor(({t6['fy']} - floor({t6['fy']})) * 4096) AS INTEGER) AS py6 "
+            f"FROM documents) "
+            f"SELECT 5 AS z, x6 // 2 AS x, y6 // 2 AS y, "
+            f"COUNT(*) AS n_features, "
+            f"CAST(SUM(((x6 % 2) * 4096 + px6) // 2) AS BIGINT) AS sum_px, "
+            f"CAST(SUM(((y6 % 2) * 4096 + py6) // 2) AS BIGINT) AS sum_py, "
+            f"CAST(0 AS TINYINT) AS check_code "
+            f"FROM q GROUP BY 1, 2, 3"
         ),
         # -- decode / stats / filter parity -----------------------------------
         "tile_stats_z6": (

@@ -225,6 +225,84 @@ class TestOverzoomErrors:
         assert out.column_names == ["z", "x", "y", "mvt", "n_features"]
 
 
+class TestDownzoom:
+    def test_roundtrip_identity(self):
+        from vtzero_ray.pipelines.overzoom import (DownzoomToFeatures,
+                                                   OverzoomPoints)
+
+        tiles, _ = make_parent_tiles(n_tiles=3, n=80)
+        kids = OverzoomPoints()(tiles)
+        back = PointTileAssembler()(DownzoomToFeatures()(kids))
+        orig = {(tiles.column("x")[i].as_py(), tiles.column("y")[i].as_py()):
+                tiles.column("mvt")[i].as_py() for i in range(len(tiles))}
+        got = {(back.column("x")[i].as_py(), back.column("y")[i].as_py()):
+               back.column("mvt")[i].as_py() for i in range(len(back))}
+        assert got == orig  # downzoom ∘ overzoom == identity on bytes
+
+    def test_halving_formula_and_merge(self):
+        from vtzero_ray.pipelines.overzoom import DownzoomToFeatures
+
+        # two sibling children (2a, 2b) and (2a+1, 2b) merge into (a, b)
+        rows = []
+        for t, (cx, cy, px, py) in enumerate([(20, 41, 101, 4095),
+                                              (21, 41, 3, 0)]):
+            rows.append((6, cx, cy, 10 + t, px, py,
+                         f"https://e.x/{t}", "en"))
+        batch = pa.table({
+            "z": pa.array([r[0] for r in rows], pa.int32()),
+            "x": pa.array([r[1] for r in rows], pa.int32()),
+            "y": pa.array([r[2] for r in rows], pa.int32()),
+            "doc_id": pa.array([r[3] for r in rows], pa.uint64()),
+            "px": pa.array([r[4] for r in rows], pa.int32()),
+            "py": pa.array([r[5] for r in rows], pa.int32()),
+            "url": pa.array([r[6] for r in rows]),
+            "lang": pa.array([r[7] for r in rows]),
+        })
+        tiles = PointTileAssembler()(batch)
+        feats = DownzoomToFeatures()(tiles)
+        d = feats.to_pydict()
+        assert d["z"] == [5, 5] and d["x"] == [10, 10] and d["y"] == [20, 20]
+        # child (20,41): even x → px'=(0*4096+101)//2=50; odd y → py'=(4096+4095)//2
+        assert d["px"] == [50, (4096 + 3) // 2]
+        assert d["py"] == [(4096 + 4095) // 2, (4096 + 0) // 2]
+
+    def test_rejects_z0(self):
+        from vtzero_ray.pipelines.overzoom import DownzoomToFeatures
+
+        fids, px, py, urls, langs = make_case(3, seed=9)
+        batch = pa.table({
+            "z": pa.array([0] * 3, pa.int32()),
+            "x": pa.array([0] * 3, pa.int32()),
+            "y": pa.array([0] * 3, pa.int32()),
+            "doc_id": pa.array([int(f) for f in fids], pa.uint64()),
+            "px": pa.array([int(v) for v in px], pa.int32()),
+            "py": pa.array([int(v) for v in py], pa.int32()),
+            "url": pa.array(urls), "lang": pa.array(langs),
+        })
+        tiles = PointTileAssembler()(batch)
+        with pytest.raises(ValueError, match="no parent"):
+            from vtzero_ray.pipelines.overzoom import DownzoomToFeatures
+            DownzoomToFeatures()(tiles)
+
+    def test_dataset_two_levels(self, ray_session):
+        from vtzero_ray.pipelines.overzoom import (downzoom_points,
+                                                   point_tile_summary_batch)
+        from vtzero_ray.pipelines.tiling import tiles_pipeline, validate_tiles
+
+        tiles = tiles_pipeline("/root/testdata/sf0.001", zooms=(6,),
+                               validate=False)
+        mt = tiles.materialize()
+        n_src = sum(b.column("n_features").to_numpy().sum()
+                    for b in mt.iter_batches(batch_format="pyarrow"))
+        down = downzoom_points(mt, levels=2)
+        down = down.map_batches(validate_tiles, batch_format="pyarrow")
+        st = down.map_batches(point_tile_summary_batch,
+                              batch_format="pyarrow").to_pandas()
+        assert (st["z"] == 4).all()
+        assert st["n_features"].sum() == n_src  # features conserved
+        assert (st["check_code"] == 0).all()
+
+
 def path_tiles_from_segments(rows, extent=4096):
     """(z,x,y,site,seg_idx,cx0,cy0,cx1,cy1) rows → clipped-path tiles."""
     import pandas as pd

@@ -100,6 +100,53 @@ _EMPTY = pa.table({
 })
 
 
+def _point_tile_features(batch: pa.Table):
+    """Decode a batch of pages POINT tiles → flat per-feature arrays
+    ``(z, x, y, fid, px, py, url, lang)`` (int64 coords, Arrow strings) —
+    the assembler's input vocabulary. Shared by overzoom (transform then
+    re-encode locally) and downzoom (transform then the standard tile
+    shuffle). Returns None for a batch that decodes to zero features;
+    raises loudly on any non-(single-point, url/lang) layout."""
+    feats = decode_tiles_batch_v(batch, with_props=True, with_geometry=True)
+    errs = feats.column("error")
+    if pa.compute.any(pa.compute.is_valid(errs)).as_py():
+        bad = feats.filter(pa.compute.is_valid(errs))
+        raise ValueError(
+            f"overzoom: undecodable input tile: {bad.column('error')[0]}")
+    n = len(feats)
+    if n == 0:
+        return None
+    gt = feats.column("geom_type").to_numpy()
+    if (gt != 1).any():
+        raise ValueError("overzoom: only point layers are supported "
+                         "(line/polygon overzoom needs a clip stage)")
+    feat_of, px, py, bad = multipoint_coords(feats.column("geom_cmds"))
+    if bad.any() or feat_of.shape[0] != n or (np.diff(feat_of) <= 0).any():
+        raise ValueError("overzoom: expected single-point geometries")
+    npp = feats.column("n_props").to_numpy()
+    if (npp != 2).any():
+        raise ValueError("overzoom: expected exactly (url, lang) props")
+    keys = feats.column("prop_keys")
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    kflat = keys.flatten()
+    kexp = pa.array(["url", "lang"] * n)
+    if len(kflat) != len(kexp) or not pa.compute.all(
+            pa.compute.equal(kflat, kexp)).as_py():
+        raise ValueError("overzoom: unexpected property keys")
+    vals = feats.column("prop_vals_raw")
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    vflat = _decode_string_values(vals.flatten())
+    url = vflat.take(pa.array(np.arange(n, dtype=np.int64) * 2))
+    lang = vflat.take(pa.array(np.arange(n, dtype=np.int64) * 2 + 1))
+    z = feats.column("z").to_numpy().astype(np.int64)
+    x = feats.column("x").to_numpy().astype(np.int64)
+    y = feats.column("y").to_numpy().astype(np.int64)
+    fid = feats.column("feature_id").to_numpy().astype(np.uint64)
+    return z, x, y, fid, px.astype(np.int64), py.astype(np.int64), url, lang
+
+
 class OverzoomPoints:
     """map_batches kernel: parent tile rows (z,x,y,mvt) → child tile rows.
 
@@ -117,48 +164,14 @@ class OverzoomPoints:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return _EMPTY
-        feats = decode_tiles_batch_v(batch, with_props=True,
-                                     with_geometry=True)
-        errs = feats.column("error")
-        if pa.compute.any(pa.compute.is_valid(errs)).as_py():
-            bad = feats.filter(pa.compute.is_valid(errs))
-            raise ValueError(
-                f"overzoom: undecodable input tile: {bad.column('error')[0]}")
-        n = len(feats)
-        if n == 0:
+        dec = _point_tile_features(batch)
+        if dec is None:
             return _EMPTY
-        gt = feats.column("geom_type").to_numpy()
-        if (gt != 1).any():
-            raise ValueError("overzoom: only point layers are supported "
-                             "(line/polygon overzoom needs a clip stage)")
-        feat_of, px, py, bad = multipoint_coords(feats.column("geom_cmds"))
-        if bad.any() or feat_of.shape[0] != n or (np.diff(feat_of) <= 0).any():
-            raise ValueError("overzoom: expected single-point geometries")
-        npp = feats.column("n_props").to_numpy()
-        if (npp != 2).any():
-            raise ValueError("overzoom: expected exactly (url, lang) props")
-        keys = feats.column("prop_keys")
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        kflat = keys.flatten()
-        kexp = pa.array(["url", "lang"] * n)
-        if len(kflat) != len(kexp) or not pa.compute.all(
-                pa.compute.equal(kflat, kexp)).as_py():
-            raise ValueError("overzoom: unexpected property keys")
-        vals = feats.column("prop_vals_raw")
-        if isinstance(vals, pa.ChunkedArray):
-            vals = vals.combine_chunks()
-        vflat = _decode_string_values(vals.flatten())
-        url = vflat.take(pa.array(np.arange(n, dtype=np.int64) * 2))
-        lang = vflat.take(pa.array(np.arange(n, dtype=np.int64) * 2 + 1))
-
+        z, x, y, fid, px, py, url, lang = dec
+        n = z.shape[0]
         ext = self.extent
-        z = feats.column("z").to_numpy().astype(np.int64)
-        x = feats.column("x").to_numpy().astype(np.int64)
-        y = feats.column("y").to_numpy().astype(np.int64)
-        fid = feats.column("feature_id").to_numpy().astype(np.uint64)
-        cpx = 2 * px.astype(np.int64)
-        cpy = 2 * py.astype(np.int64)
+        cpx = 2 * px
+        cpy = 2 * py
         dx = cpx // ext
         dy = cpy // ext
         lpx = (cpx - dx * ext).astype(np.int64)
@@ -380,6 +393,77 @@ def overzoom_tiles(tiles_ds, levels: int = 1, layer_name: str = "pages",
     for _ in range(levels):
         out = out.map_batches(OverzoomPoints(layer_name, extent),
                               batch_format="pyarrow")
+    return out
+
+
+_EMPTY_FEATURES = pa.table({
+    "z": pa.array([], pa.int32()), "x": pa.array([], pa.int32()),
+    "y": pa.array([], pa.int32()), "doc_id": pa.array([], pa.int64()),
+    "px": pa.array([], pa.int32()), "py": pa.array([], pa.int32()),
+    "url": pa.array([], pa.string()), "lang": pa.array([], pa.string()),
+})
+
+
+class DownzoomToFeatures:
+    """map_batches kernel: child POINT tile rows (z,x,y,mvt) → PARENT-
+    space feature rows (z,x,y,doc_id,px,py,url,lang) — exactly the tile
+    assembler's input schema, so downzoom is this stateless scan plus the
+    STANDARD bucketed tile shuffle (pipelines/tiling.py): parent tiles
+    come out byte-identical to assembling the halved features directly.
+
+    The transform is the exact integer inverse of overzoom's doubling:
+    px' = ((x mod 2)·extent + px) // 2, x' = x // 2 — so
+    downzoom(overzoom(tiles)) round-trips to the ORIGINAL tile bytes
+    (asserted in tests), while downzoom of a base zoom is the lossy
+    pyramid-BUILD step (tippecanoe's ascending build) that never re-reads
+    the source corpus.
+    """
+
+    def __init__(self, extent: int = 4096) -> None:
+        if extent % 2:
+            raise ValueError("downzoom requires an even extent")
+        self.extent = extent
+        self.__name__ = "DownzoomToFeatures"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_FEATURES
+        dec = _point_tile_features(batch)
+        if dec is None:
+            return _EMPTY_FEATURES
+        z, x, y, fid, px, py, url, lang = dec
+        if (z <= 0).any():
+            raise ValueError("downzoom: tiles at z=0 have no parent")
+        ext = self.extent
+        ppx = ((x & 1) * ext + px) // 2
+        ppy = ((y & 1) * ext + py) // 2
+        return pa.table({
+            "z": pa.array((z - 1).astype(np.int32)),
+            "x": pa.array((x >> 1).astype(np.int32)),
+            "y": pa.array((y >> 1).astype(np.int32)),
+            "doc_id": pa.array(fid.astype(np.int64)),
+            "px": pa.array(ppx.astype(np.int32)),
+            "py": pa.array(ppy.astype(np.int32)),
+            "url": url, "lang": lang,
+        })
+
+
+def downzoom_points(tiles_ds, levels: int = 1, extent: int = 4096):
+    """tiles(z) → tiles(z−levels): per level ONE stateless decode scan +
+    ONE bucketed tile shuffle over TILE rows (≤ the tile count, shrinking
+    4× per level — never the source corpus). Output is byte-identical to
+    the flagship assembler on the same features by construction."""
+    from ..stages.encode import PointTileAssembler, add_tile_bucket
+
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    out = tiles_ds
+    for _ in range(levels):
+        feats = out.map_batches(DownzoomToFeatures(extent),
+                                batch_format="pyarrow")
+        feats = feats.map_batches(add_tile_bucket, batch_format="pyarrow")
+        out = feats.groupby("bucket").map_groups(
+            PointTileAssembler(extent=extent), batch_format="pyarrow")
     return out
 
 
