@@ -455,6 +455,28 @@ def _q_raster_to_vector_z6(sf_dir: str):
     return vec.select_columns(["z", "x", "y", "n_cells"])
 
 
+def _q_overzoom_cells_z7(sf_dir: str):
+    """Polygon overzoom: z6 hotcell polygon tiles → z7 children (double,
+    Sutherland-Hodgman re-clip per child, re-encode), then decode back.
+    Cell squares are 256 px at grid 16, so doubled 512-px squares always
+    land wholly in one child (512 divides 4096) — the SQL twin assigns
+    each cell to its child with integer arithmetic; the kernel itself
+    handles straddling rings (tested on hand geometry)."""
+    from vtzero_ray.pipelines.overzoom import (overzoom_polygons,
+                                               polygon_tile_summary_batch)
+    from vtzero_ray.pipelines.tiling import tiles_pipeline
+    from vtzero_ray.stages.raster import raster_to_vector, rasterize_tiles
+
+    tiles = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
+    # threshold=1: every occupied cell polygonizes (threshold=2 leaves ~1
+    # hot tile at z6 — too sparse to exercise the overzoom geometry)
+    vec = raster_to_vector(rasterize_tiles(tiles, grid=16), threshold=1,
+                           grid=16)
+    kids = overzoom_polygons(vec, levels=1)
+    return kids.map_batches(polygon_tile_summary_batch,
+                            batch_format="pyarrow")
+
+
 # -- text analysis -----------------------------------------------------------
 
 def _docs(sf_dir: str):
@@ -2082,7 +2104,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "overzoom_paths_z3",
                   # pyramid-build inverse (tiles z -> z-1 without the
                   # corpus; exact integer inverse of overzoom)
-                  "downzoom_z5")
+                  "downzoom_z5",
+                  # polygon overzoom (Sutherland-Hodgman re-clip; the
+                  # third geometry type of the overzoom family)
+                  "overzoom_cells_z7")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2109,6 +2134,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         # decode / stats / filter parity (SURVEY §3.2, §3.3)
         "overzoom_z7": _q_overzoom_z7,
         "overzoom_paths_z3": _q_overzoom_paths_z3,
+        "overzoom_cells_z7": _q_overzoom_cells_z7,
         "downzoom_z5": _q_downzoom_z5,
         "tile_stats_z6": _q_tile_stats_z6,
         "decoded_features_z6": _q_decoded_features_z6,
@@ -2635,6 +2661,23 @@ def _all_oracle_sql() -> dict[str, str]:
             "CAST(SUM(new_part) AS BIGINT) AS n_parts, "
             "CAST(COUNT(*) + SUM(new_part) AS BIGINT) AS n_points "
             "FROM np2 GROUP BY 1, 2, 3, 4"
+        ),
+        # polygon overzoom: 256-px cell squares double to 512 px, so each
+        # lands wholly in ONE child (512 | 4096) — closed-form assignment;
+        # first ring point survives a no-op Sutherland-Hodgman pass
+        "overzoom_cells_z7": (
+            f"WITH cells AS (SELECT {t6['x']} AS x6, {t6['y']} AS y6, "
+            f"(CAST(floor(({t6['fy']} - floor({t6['fy']})) * 4096) AS INTEGER) // 256) AS r, "
+            f"(CAST(floor(({t6['fx']} - floor({t6['fx']})) * 4096) AS INTEGER) // 256) AS c, "
+            f"COUNT(*) AS n FROM documents GROUP BY 1, 2, 3, 4) "
+            f"SELECT 7 AS z, 2 * x6 + (c // 8) AS x, 2 * y6 + (r // 8) AS y, "
+            f"COUNT(*) AS n_features, "
+            f"CAST(SUM(r * 16 + c) AS BIGINT) AS sum_fid, "
+            f"CAST(SUM(512 * (c % 8)) AS BIGINT) AS sum_x0, "
+            f"CAST(SUM(512 * (r % 8)) AS BIGINT) AS sum_y0, "
+            f"CAST(COUNT(*) * 524288 AS BIGINT) AS sum_area2, "
+            f"CAST(SUM(n) AS BIGINT) AS sum_points "
+            f"FROM cells WHERE n >= 1 GROUP BY 1, 2, 3"
         ),
         # downzoom: parent pixel = halved child pixel with the sibling
         # offset folded in — the exact integer inverse of overzoom

@@ -318,7 +318,8 @@ def run_bench() -> dict:
                      # round-4 continuation 3: shuffle-free pyramid
                      # extension from encoded tiles (points + re-clipped
                      # linestrings)
-                     "overzoom_z7", "overzoom_paths_z3", "downzoom_z5"):
+                     "overzoom_z7", "overzoom_paths_z3", "downzoom_z5",
+                     "overzoom_cells_z7"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

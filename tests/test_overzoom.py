@@ -303,6 +303,174 @@ class TestDownzoom:
         assert (st["check_code"] == 0).all()
 
 
+def square_tile(z, x, y, squares, layer="hotcells"):
+    """(fid, x0, y0, size, n_points) squares → one polygon tile."""
+    from vtzero_ray.mvt import builder as b
+
+    tb = b.TileBuilder()
+    lb = tb.add_layer(layer, 2, 4096)
+    for fid, x0, y0, size, npnts in squares:
+        fb = b.PolygonFeatureBuilder(lb)
+        fb.set_id(fid)
+        fb.add_ring(5)
+        fb.set_point(x0, y0)
+        fb.set_point(x0 + size, y0)
+        fb.set_point(x0 + size, y0 + size)
+        fb.set_point(x0, y0 + size)
+        fb.close_ring()
+        fb.add_property("n_points", npnts)
+        fb.commit()
+    return pa.table({
+        "z": pa.array([z], pa.int32()), "x": pa.array([x], pa.int32()),
+        "y": pa.array([y], pa.int32()),
+        "mvt": pa.array([tb.serialize()], pa.binary()),
+    })
+
+
+class TestOverzoomPolygons:
+    def test_straddling_square_splits_into_quads(self):
+        from vtzero_ray.pipelines.overzoom import (OverzoomPolygons,
+                                                   polygon_tile_summary_batch)
+
+        # [1920,2176]² doubles to [3840,4352]² → one 256² corner per child
+        t = square_tile(6, 10, 20, [(5, 1920, 1920, 256, 7)])
+        s = polygon_tile_summary_batch(OverzoomPolygons()(t)).to_pydict()
+        assert s["z"] == [7, 7, 7, 7]
+        assert sorted(zip(s["x"], s["y"])) == [(20, 40), (20, 41),
+                                               (21, 40), (21, 41)]
+        assert s["sum_area2"] == [2 * 256 * 256] * 4
+        assert s["sum_points"] == [7] * 4
+        assert s["sum_fid"] == [5] * 4
+
+    def test_interior_square_exact(self):
+        from vtzero_ray.pipelines.overzoom import (OverzoomPolygons,
+                                                   polygon_tile_summary_batch)
+
+        t = square_tile(6, 10, 20, [(0, 0, 0, 256, 3), (17, 512, 256, 256, 4)])
+        s = polygon_tile_summary_batch(OverzoomPolygons()(t)).to_pydict()
+        # both squares double wholly into the NW child
+        assert (s["z"], s["x"], s["y"]) == ([7], [20], [40])
+        assert s["n_features"] == [2]
+        assert s["sum_x0"] == [0 + 1024]
+        assert s["sum_y0"] == [0 + 512]
+        assert s["sum_area2"] == [2 * (2 * 512 * 512)]
+
+    def test_triangle_matches_python_reference(self):
+        from vtzero_ray.mvt import builder as b, codec
+        from vtzero_ray.pipelines.overzoom import OverzoomPolygons
+        from vtzero_ray.pipelines.decode import decode_tiles_batch_v
+
+        # CCW-on-screen triangle straddling the center with non-axis
+        # edges: the clipped children must match a pure-Python
+        # Sutherland-Hodgman + rounding reference
+        tri = [(1000, 1500), (3100, 1900), (1700, 3300)]
+        tb = b.TileBuilder()
+        lb = tb.add_layer("hotcells", 2, 4096)
+        fb = b.PolygonFeatureBuilder(lb)
+        fb.set_id(1)
+        fb.add_ring(4)
+        for px, py in tri:
+            fb.set_point(px, py)
+        fb.close_ring()
+        fb.add_property("n_points", 1)
+        fb.commit()
+        t = pa.table({
+            "z": pa.array([6], pa.int32()), "x": pa.array([0], pa.int32()),
+            "y": pa.array([0], pa.int32()),
+            "mvt": pa.array([tb.serialize()], pa.binary()),
+        })
+        kids = OverzoomPolygons()(t)
+
+        def sh_clip(pts, lo, hi):
+            for axis, bound, keep_ge in ((0, lo, True), (0, hi, False),
+                                         (1, lo, True), (1, hi, False)):
+                out = []
+                m = len(pts)
+                for i in range(m):
+                    prv, cur = pts[i - 1], pts[i]
+                    pin = (prv[axis] >= bound) if keep_ge else (prv[axis] <= bound)
+                    cin = (cur[axis] >= bound) if keep_ge else (cur[axis] <= bound)
+                    if cin != pin:
+                        tt = (bound - prv[axis]) / (cur[axis] - prv[axis])
+                        ix = [prv[0] + tt * (cur[0] - prv[0]),
+                              prv[1] + tt * (cur[1] - prv[1])]
+                        ix[axis] = float(bound)
+                        out.append(tuple(ix))
+                    if cin:
+                        out.append(tuple(cur))
+                pts = out
+                if not pts:
+                    break
+            return pts
+
+        dbl = [(2.0 * px, 2.0 * py) for px, py in tri]
+        expected = {}
+        for dx in (0, 1):
+            for dy in (0, 1):
+                local = [(px - dx * 4096, py - dy * 4096) for px, py in dbl]
+                cl = sh_clip(local, 0.0, 4096.0)
+                pts = [(int(np.floor(px + 0.5)), int(np.floor(py + 0.5)))
+                       for px, py in cl]
+                dd = [p for i, p in enumerate(pts) if p != pts[i - 1]]
+                if len(dd) >= 3:
+                    expected[(2 * 0 + dx, 2 * 0 + dy)] = dd
+        feats = decode_tiles_batch_v(kids, with_props=False,
+                                     with_geometry=True)
+        got = {}
+        for i in range(len(feats)):
+            ring = codec.decode_polygon(np.asarray(
+                feats.column("geom_cmds")[i].as_py(), np.uint32))[0][0]
+            got[(feats.column("x")[i].as_py(),
+                 feats.column("y")[i].as_py())] = \
+                [tuple(p) for p in ring[:-1].tolist()]
+        assert set(got) == set(expected)
+        for k in expected:
+            # same cyclic ring — rotate to align first points
+            e, g = expected[k], got[k]
+            assert len(e) == len(g), k
+            ri = g.index(e[0])
+            assert e == g[ri:] + g[:ri], k
+
+    def test_rejects_holes_and_points(self):
+        from vtzero_ray.mvt import builder as b
+        from vtzero_ray.pipelines.overzoom import OverzoomPolygons
+
+        tb = b.TileBuilder()
+        lb = tb.add_layer("hotcells", 2, 4096)
+        fb = b.PolygonFeatureBuilder(lb)
+        fb.set_id(1)
+        fb.add_ring(5)
+        for px, py in [(0, 0), (100, 0), (100, 100), (0, 100)]:
+            fb.set_point(px, py)
+        fb.close_ring()
+        fb.add_ring(5)  # hole (CW on screen axes)
+        for px, py in [(10, 10), (10, 20), (20, 20), (20, 10)]:
+            fb.set_point(px, py)
+        fb.close_ring()
+        fb.add_property("n_points", 1)
+        fb.commit()
+        t = pa.table({
+            "z": pa.array([6], pa.int32()), "x": pa.array([0], pa.int32()),
+            "y": pa.array([0], pa.int32()),
+            "mvt": pa.array([tb.serialize()], pa.binary()),
+        })
+        with pytest.raises(ValueError, match="outer ring"):
+            OverzoomPolygons()(t)
+
+        fids, px, py, urls, langs = make_case(3, seed=4)
+        pts = PointTileAssembler()(pa.table({
+            "z": pa.array([6] * 3, pa.int32()),
+            "x": pa.array([1] * 3, pa.int32()),
+            "y": pa.array([1] * 3, pa.int32()),
+            "doc_id": pa.array([int(f) for f in fids], pa.uint64()),
+            "px": pa.array([int(v) for v in px], pa.int32()),
+            "py": pa.array([int(v) for v in py], pa.int32()),
+            "url": pa.array(urls), "lang": pa.array(langs),
+        }))
+        with pytest.raises(ValueError, match="polygon"):
+            OverzoomPolygons()(pts)
+
+
 def path_tiles_from_segments(rows, extent=4096):
     """(z,x,y,site,seg_idx,cx0,cy0,cx1,cy1) rows → clipped-path tiles."""
     import pandas as pd

@@ -44,12 +44,13 @@ import pyarrow as pa
 # function-local package imports fail under ship-by-value (the
 # pipelines/tiling.validate_tiles precedent)
 from ..mvt import codec
+from ..mvt.builder import PolygonFeatureBuilder, TileBuilder
 from ..mvt.decode_fast import (_ragged_take, binary_column_parts,
                                multipoint_coords)
 from ..mvt.values import VT_UINT, decode_value
 from ..pipelines.clip_paths import _encode_tile_group
 from ..pipelines.decode import decode_tiles_batch_v
-from ..stages.clip import liang_barsky
+from ..stages.clip import clip_ring, liang_barsky
 from ..stages.encode_segmented import encode_sorted_point_tiles
 
 
@@ -394,6 +395,206 @@ def overzoom_tiles(tiles_ds, levels: int = 1, layer_name: str = "pages",
         out = out.map_batches(OverzoomPoints(layer_name, extent),
                               batch_format="pyarrow")
     return out
+
+
+_EMPTY_CELLS = pa.table({
+    "z": pa.array([], pa.int32()), "x": pa.array([], pa.int32()),
+    "y": pa.array([], pa.int32()), "mvt": pa.array([], pa.binary()),
+    "n_cells": pa.array([], pa.int64()),
+})
+
+
+class OverzoomPolygons:
+    """map_batches kernel: parent POLYGON tile rows (z,x,y,mvt) → z+1
+    children — the third geometry type (points: OverzoomPoints, lines:
+    OverzoomPaths). Each outer ring doubles and re-clips against every
+    overlapped child box with Sutherland-Hodgman (stages/clip.clip_ring,
+    exact on axis-aligned boundaries), rounds floor(v+0.5), drops
+    degenerate (<3 distinct points or zero-area) results, and re-encodes
+    through the scalar PolygonFeatureBuilder in parent feature order.
+
+    Scope: single-outer-ring features with uint properties (the
+    raster_to_vector hotcells shape); multi-ring/holed polygons raise
+    loudly (hole overzoom needs ring-pairing semantics). One stateless
+    scan, zero shuffles, corpus never re-read.
+    """
+
+    def __init__(self, layer_name: str = "hotcells",
+                 extent: int = 4096) -> None:
+        if extent % 2:
+            raise ValueError("overzoom requires an even extent")
+        self.layer_name = layer_name
+        self.extent = extent
+        self.__name__ = "OverzoomPolygons"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_CELLS
+        feats = decode_tiles_batch_v(batch, with_props=True,
+                                     with_geometry=True)
+        errs = feats.column("error")
+        if pa.compute.any(pa.compute.is_valid(errs)).as_py():
+            bad = feats.filter(pa.compute.is_valid(errs))
+            raise ValueError(
+                f"overzoom: undecodable input tile: {bad.column('error')[0]}")
+        n = len(feats)
+        if n == 0:
+            return _EMPTY_CELLS
+        gt = feats.column("geom_type").to_numpy()
+        if (gt != 3).any():
+            raise ValueError("polygon overzoom: only polygon layers are "
+                             "supported")
+        geom = feats.column("geom_cmds")
+        if isinstance(geom, pa.ChunkedArray):
+            geom = geom.combine_chunks()
+        pkeys = feats.column("prop_keys").to_pylist()
+        pvals = feats.column("prop_vals_raw").to_pylist()
+        fz = feats.column("z").to_numpy().astype(np.int64)
+        fx = feats.column("x").to_numpy().astype(np.int64)
+        fy = feats.column("y").to_numpy().astype(np.int64)
+        fid = feats.column("feature_id").to_numpy().astype(np.int64)
+
+        ext = self.extent
+        children: dict[tuple, list] = {}
+        for i in range(n):
+            rings = codec.decode_polygon(
+                np.asarray(geom[i].as_py(), dtype=np.uint32))
+            if len(rings) != 1 or rings[0][2] != codec.RING_OUTER:
+                raise ValueError("polygon overzoom: expected exactly one "
+                                 "outer ring (holes need ring pairing)")
+            ring = rings[0][0][:-1].astype(np.int64)  # drop closing dup
+            dbl = 2 * ring
+            lo_dx = max(0, int(dbl[:, 0].min()) // ext)
+            hi_dx = min(1, max(0, (int(dbl[:, 0].max()) - 1) // ext))
+            lo_dy = max(0, int(dbl[:, 1].min()) // ext)
+            hi_dy = min(1, max(0, (int(dbl[:, 1].max()) - 1) // ext))
+            for dx in range(lo_dx, hi_dx + 1):
+                for dy in range(lo_dy, hi_dy + 1):
+                    local = dbl - np.array([dx * ext, dy * ext])
+                    cl = clip_ring(local, 0.0, float(ext))
+                    if cl.shape[0] < 3:
+                        continue
+                    pts = np.floor(cl + 0.5).astype(np.int64)
+                    # drop consecutive dups including the wraparound
+                    keep = np.ones(pts.shape[0], bool)
+                    keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+                    pts = pts[keep]
+                    if pts.shape[0] >= 2 and (pts[0] == pts[-1]).all():
+                        pts = pts[:-1]
+                    if pts.shape[0] < 3:
+                        continue
+                    a = pts
+                    b = np.roll(pts, -1, axis=0)
+                    area2 = int((a[:, 0] * b[:, 1] - b[:, 0] * a[:, 1]).sum())
+                    if area2 <= 0:
+                        # zero → degenerate; negative cannot arise from
+                        # clipping an outer ring (SH preserves orientation)
+                        continue
+                    key = (int(fz[i]) + 1, int(2 * fx[i] + dx),
+                           int(2 * fy[i] + dy))
+                    children.setdefault(key, []).append(
+                        (int(fid[i]), pts, pkeys[i], pvals[i]))
+        if not children:
+            return _EMPTY_CELLS
+        out = {"z": [], "x": [], "y": [], "mvt": [], "n_cells": []}
+        for key in sorted(children):
+            tb = TileBuilder()
+            lb = tb.add_layer(self.layer_name, 2, ext)
+            for f, pts, keys, vals in children[key]:
+                fb = PolygonFeatureBuilder(lb)
+                fb.set_id(f)
+                fb.add_ring(pts.shape[0] + 1)
+                for px_, py_ in pts:
+                    fb.set_point(int(px_), int(py_))
+                fb.close_ring()
+                for k, v in zip(keys, vals):
+                    fb.add_property(k, raw=v)
+                fb.commit()
+            out["z"].append(key[0])
+            out["x"].append(key[1])
+            out["y"].append(key[2])
+            out["mvt"].append(tb.serialize())
+            out["n_cells"].append(len(children[key]))
+        return pa.table({
+            "z": pa.array(out["z"], pa.int32()),
+            "x": pa.array(out["x"], pa.int32()),
+            "y": pa.array(out["y"], pa.int32()),
+            "mvt": pa.array(out["mvt"], pa.binary()),
+            "n_cells": pa.array(out["n_cells"], pa.int64()),
+        })
+
+
+def overzoom_polygons(tiles_ds, levels: int = 1,
+                      layer_name: str = "hotcells", extent: int = 4096):
+    """Polygon tiles(z) → tiles(z+levels), one stateless scan per level."""
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    out = tiles_ds
+    for _ in range(levels):
+        out = out.map_batches(OverzoomPolygons(layer_name, extent),
+                              batch_format="pyarrow")
+    return out
+
+
+def polygon_tile_summary_batch(batch: pa.Table) -> pa.Table:
+    """Per-tile decode summary for POLYGON tiles: feature count, id and
+    property sums, first-ring-point sums, and 2×area sums read back
+    through the real decoder — the oracle surface for polygon overzoom."""
+    feats = decode_tiles_batch_v(batch, with_props=True, with_geometry=True)
+    gt = feats.column("geom_type").to_numpy()
+    if (gt != 3).any():
+        raise ValueError("polygon_tile_summary: non-polygon feature")
+    geom = feats.column("geom_cmds")
+    if isinstance(geom, pa.ChunkedArray):
+        geom = geom.combine_chunks()
+    pkeys = feats.column("prop_keys").to_pylist()
+    pvals = feats.column("prop_vals_raw").to_pylist()
+    n = len(feats)
+    fid = feats.column("feature_id").to_numpy().astype(np.int64)
+    x0 = np.empty(n, np.int64)
+    y0 = np.empty(n, np.int64)
+    area2 = np.empty(n, np.int64)
+    npts = np.empty(n, np.int64)
+    for i in range(n):
+        rings = codec.decode_polygon(
+            np.asarray(geom[i].as_py(), dtype=np.uint32))
+        if len(rings) != 1:
+            raise ValueError("polygon_tile_summary: expected one ring")
+        ring, s, _rt = rings[0]
+        x0[i], y0[i] = int(ring[0, 0]), int(ring[0, 1])
+        area2[i] = s
+        ki = pkeys[i].index("n_points")
+        _, npts[i] = decode_value(pvals[i][ki])
+    fz = feats.column("z").to_numpy().astype(np.int64)
+    fx = feats.column("x").to_numpy().astype(np.int64)
+    fy = feats.column("y").to_numpy().astype(np.int64)
+    key = (fz << np.int64(58)) | (fx << np.int64(29)) | fy
+    uk, inv = np.unique(key, return_inverse=True)
+    agg = {name: np.zeros(uk.shape[0], np.int64)
+           for name in ("cnt", "sfid", "sx0", "sy0", "sa2", "snp")}
+    np.add.at(agg["cnt"], inv, 1)
+    np.add.at(agg["sfid"], inv, fid)
+    np.add.at(agg["sx0"], inv, x0)
+    np.add.at(agg["sy0"], inv, y0)
+    np.add.at(agg["sa2"], inv, area2)
+    np.add.at(agg["snp"], inv, npts)
+    bz = batch.column("z").to_numpy().astype(np.int64)
+    bx = batch.column("x").to_numpy().astype(np.int64)
+    by = batch.column("y").to_numpy().astype(np.int64)
+    bkey = (bz << np.int64(58)) | (bx << np.int64(29)) | by
+    pos = np.searchsorted(uk, bkey)
+    if (pos >= uk.shape[0]).any() or (uk[pos] != bkey).any():
+        raise ValueError("polygon_tile_summary: decoded tile key mismatch")
+    return pa.table({
+        "z": batch.column("z"), "x": batch.column("x"),
+        "y": batch.column("y"),
+        "n_features": pa.array(agg["cnt"][pos]),
+        "sum_fid": pa.array(agg["sfid"][pos]),
+        "sum_x0": pa.array(agg["sx0"][pos]),
+        "sum_y0": pa.array(agg["sy0"][pos]),
+        "sum_area2": pa.array(agg["sa2"][pos]),
+        "sum_points": pa.array(agg["snp"][pos]),
+    })
 
 
 _EMPTY_FEATURES = pa.table({

@@ -130,7 +130,9 @@ def clip_ring(xy: np.ndarray, lo: float, hi: float) -> np.ndarray:
         # intersection of each edge (prv->cur) with the boundary line
         with np.errstate(divide="ignore", invalid="ignore"):
             t = (bound - vp) / (vc - vp)
-        ix = prv + t[:, None] * (cur - prv)
+            # nan/inf rows (vc == vp) are never emitted: emit_ix requires
+            # in_c != in_p, impossible when both share the boundary value
+            ix = prv + t[:, None] * (cur - prv)
         ix[:, axis] = bound  # exact on the boundary
         # emit order per edge: [intersection?] [current?]
         emit_ix = in_c != in_p
