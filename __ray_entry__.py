@@ -182,6 +182,27 @@ def _q_downzoom_z5(sf_dir: str):
                                batch_format="pyarrow")
 
 
+def _q_pyramid_store_z4(sf_dir: str):
+    """Full pyramid BUILD + resumable store round trip: z6 base tiles →
+    write_tiles → downzoom z5 → write → downzoom z4 → write (same
+    z-partitioned store, per-level atomic publish + manifest shards),
+    then read EVERY level back through the sink's read path and decode —
+    each level checked against the iterated closed-form halving."""
+    import tempfile
+
+    from vtzero_ray.pipelines.overzoom import point_tile_summary_batch
+    from vtzero_ray.pipelines.pyramid import build_pyramid
+    from vtzero_ray.pipelines.tiling import tiles_pipeline, validate_tiles
+    from vtzero_ray.sources.mvt_io import read_tiles
+
+    tiles = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
+    out_dir = tempfile.mkdtemp(prefix="pyramid_store_")
+    build_pyramid(tiles, out_dir, base_zoom=6, min_zoom=4)
+    back = read_tiles(out_dir).select_columns(["z", "x", "y", "mvt"])
+    back = back.map_batches(validate_tiles, batch_format="pyarrow")
+    return back.map_batches(point_tile_summary_batch, batch_format="pyarrow")
+
+
 def _q_tile_stats_z6(sf_dir: str):
     """Full encode→decode round trip: vtzero-stats (A1) over freshly encoded
     tiles; geometry byte sums and value-table sizes are SQL-predictable."""
@@ -2107,7 +2128,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "downzoom_z5",
                   # polygon overzoom (Sutherland-Hodgman re-clip; the
                   # third geometry type of the overzoom family)
-                  "overzoom_cells_z7")
+                  "overzoom_cells_z7",
+                  # composed pyramid build + resumable store round trip
+                  "pyramid_store_z4")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2136,6 +2159,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "overzoom_paths_z3": _q_overzoom_paths_z3,
         "overzoom_cells_z7": _q_overzoom_cells_z7,
         "downzoom_z5": _q_downzoom_z5,
+        "pyramid_store_z4": _q_pyramid_store_z4,
         "tile_stats_z6": _q_tile_stats_z6,
         "decoded_features_z6": _q_decoded_features_z6,
         "filter_lang_en_z6": _q_filter_lang_en_z6,
@@ -2678,6 +2702,34 @@ def _all_oracle_sql() -> dict[str, str]:
             f"CAST(COUNT(*) * 524288 AS BIGINT) AS sum_area2, "
             f"CAST(SUM(n) AS BIGINT) AS sum_points "
             f"FROM cells WHERE n >= 1 GROUP BY 1, 2, 3"
+        ),
+        # pyramid store: three levels, each the iterated halving of the
+        # finer one (px_l-1 = ((x_l mod 2)·4096 + px_l) // 2)
+        "pyramid_store_z4": (
+            f"WITH q6 AS (SELECT {t6['x']} AS x6, {t6['y']} AS y6, "
+            f"CAST(floor(({t6['fx']} - floor({t6['fx']})) * 4096) AS INTEGER) AS px6, "
+            f"CAST(floor(({t6['fy']} - floor({t6['fy']})) * 4096) AS INTEGER) AS py6 "
+            f"FROM documents), "
+            f"q5 AS (SELECT x6 // 2 AS x5, y6 // 2 AS y5, "
+            f"((x6 % 2) * 4096 + px6) // 2 AS px5, "
+            f"((y6 % 2) * 4096 + py6) // 2 AS py5, * FROM q6), "
+            f"q4 AS (SELECT x5 // 2 AS x4, y5 // 2 AS y4, "
+            f"((x5 % 2) * 4096 + px5) // 2 AS px4, "
+            f"((y5 % 2) * 4096 + py5) // 2 AS py4, * FROM q5) "
+            f"SELECT 6 AS z, x6 AS x, y6 AS y, COUNT(*) AS n_features, "
+            f"CAST(SUM(px6) AS BIGINT) AS sum_px, "
+            f"CAST(SUM(py6) AS BIGINT) AS sum_py, "
+            f"CAST(0 AS TINYINT) AS check_code FROM q4 GROUP BY 2, 3 "
+            f"UNION ALL "
+            f"SELECT 5 AS z, x5 AS x, y5 AS y, COUNT(*) AS n_features, "
+            f"CAST(SUM(px5) AS BIGINT) AS sum_px, "
+            f"CAST(SUM(py5) AS BIGINT) AS sum_py, "
+            f"CAST(0 AS TINYINT) AS check_code FROM q4 GROUP BY 2, 3 "
+            f"UNION ALL "
+            f"SELECT 4 AS z, x4 AS x, y4 AS y, COUNT(*) AS n_features, "
+            f"CAST(SUM(px4) AS BIGINT) AS sum_px, "
+            f"CAST(SUM(py4) AS BIGINT) AS sum_py, "
+            f"CAST(0 AS TINYINT) AS check_code FROM q4 GROUP BY 2, 3"
         ),
         # downzoom: parent pixel = halved child pixel with the sibling
         # offset folded in — the exact integer inverse of overzoom

@@ -303,6 +303,38 @@ class TestDownzoom:
         assert (st["check_code"] == 0).all()
 
 
+class TestBuildPyramid:
+    def test_store_levels_and_resume(self, ray_session, tmp_path):
+        from vtzero_ray.pipelines.overzoom import downzoom_points
+        from vtzero_ray.pipelines.pyramid import build_pyramid
+        from vtzero_ray.pipelines.tiling import tiles_pipeline
+        from vtzero_ray.sources.mvt_io import read_tiles
+
+        out = str(tmp_path / "store")
+        tiles = tiles_pipeline("/root/testdata/sf0.001", zooms=(6,),
+                               validate=False)
+        manifests = build_pyramid(tiles, out, base_zoom=6, min_zoom=4)
+        assert len(manifests) == 3
+        back = read_tiles(out).to_pandas()
+        assert sorted(back["z"].unique()) == [4, 5, 6]
+        # each level must equal deriving it freshly from the base
+        base = tiles_pipeline("/root/testdata/sf0.001", zooms=(6,),
+                              validate=False).materialize()
+        expect = {6: base.to_pandas()}
+        expect[5] = downzoom_points(base, levels=1).to_pandas()
+        expect[4] = downzoom_points(base, levels=2).to_pandas()
+        for z, exp in expect.items():
+            got = back[back["z"] == z]
+            gm = {(r.x, r.y): r.mvt for r in got.itertuples()}
+            em = {(r.x, r.y): r.mvt for r in exp.itertuples()}
+            assert gm == em, f"level {z} store mismatch"
+        # resume: a second build into the same store skips every level
+        m2 = build_pyramid(tiles, out, base_zoom=6, min_zoom=4)
+        for s in m2:
+            assert s["tiles"] == 0
+            assert len(s["skipped_partitions"]) >= 1
+
+
 def square_tile(z, x, y, squares, layer="hotcells"):
     """(fid, x0, y0, size, n_points) squares → one polygon tile."""
     from vtzero_ray.mvt import builder as b

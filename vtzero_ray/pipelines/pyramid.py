@@ -69,3 +69,33 @@ def tile_pyramid(ds, base_zoom: int = 10, levels=(10, 8, 6, 4),
     parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     return (parts.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket").map_groups(merge, batch_format="pandas"))
+
+
+def build_pyramid(tiles_ds, out_dir: str, base_zoom: int, min_zoom: int,
+                  extent: int = 4096) -> list:
+    """Materialize a full MVT tile PYRAMID store: write the base-zoom
+    tiles, then derive each coarser level from the PREVIOUS level's tiles
+    (pipelines/overzoom.downzoom_points — the exact integer halving) and
+    write it into the SAME z-partitioned store.
+
+    The write_tiles sink partitions by z, publishes atomically per
+    partition, and skips z-partitions already marked complete — so a
+    pyramid build is resumable PER LEVEL for free, and each level's
+    derivation reads tile rows (shrinking 4× per level), never the source
+    corpus. Each level is materialized once because it feeds two
+    consumers (the sink and the next level's downzoom) — the lineage
+    re-execution rule; level size is tile-bounded.
+
+    Returns the list of write_tiles manifests, finest level first.
+    """
+    from ..sources.mvt_io import write_tiles
+    from .overzoom import downzoom_points
+
+    if min_zoom > base_zoom or min_zoom < 0:
+        raise ValueError(f"min_zoom {min_zoom} must lie in [0, {base_zoom}]")
+    cur = tiles_ds.materialize()
+    manifests = [write_tiles(cur, out_dir)]
+    for _z in range(base_zoom, min_zoom, -1):
+        cur = downzoom_points(cur, levels=1, extent=extent).materialize()
+        manifests.append(write_tiles(cur, out_dir))
+    return manifests
