@@ -335,6 +335,43 @@ class TestBuildPyramid:
             assert len(s["skipped_partitions"]) >= 1
 
 
+class TestGetTile:
+    def test_virtual_deep_zoom(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from vtzero_ray.pipelines.overzoom import OverzoomPoints
+        from vtzero_ray.pipelines.pyramid import get_tile
+        from vtzero_ray.sources.mvt_io import write_tiles
+
+        tiles, _ = make_parent_tiles(n_tiles=2, n=40, seed=70)  # z6
+        out = str(tmp_path / "store")
+        write_tiles(rd.from_arrow(tiles), out)
+        # stored level: byte-equal direct read
+        got = get_tile(out, 6, 10, 20)
+        assert got == tiles.column("mvt")[0].as_py()
+        # one level deeper: equals overzooming the parent and picking
+        # the requested child
+        kids = OverzoomPoints()(tiles)
+        for i in range(len(kids)):
+            kx, ky = kids.column("x")[i].as_py(), kids.column("y")[i].as_py()
+            assert get_tile(out, 7, kx, ky) == kids.column("mvt")[i].as_py()
+        # two levels deeper on a populated path
+        kk = OverzoomPoints()(kids)
+        gx, gy = kk.column("x")[0].as_py(), kk.column("y")[0].as_py()
+        assert get_tile(out, 8, gx, gy) == kk.column("mvt")[0].as_py()
+        # empty child -> None; empty ancestor -> None
+        kidset = {(kids.column("x")[i].as_py(), kids.column("y")[i].as_py())
+                  for i in range(len(kids))}
+        empties = [(2 * 10 + dx, 2 * 20 + dy) for dx in (0, 1)
+                   for dy in (0, 1) if (2 * 10 + dx, 2 * 20 + dy) not in kidset]
+        if empties:
+            assert get_tile(out, 7, *empties[0]) is None
+        assert get_tile(out, 9, 0, 0) is None
+        # above the coarsest stored level: loud error
+        with pytest.raises(ValueError, match="coarsest"):
+            get_tile(out, 5, 5, 10)
+
+
 def square_tile(z, x, y, squares, layer="hotcells"):
     """(fid, x0, y0, size, n_points) squares → one polygon tile."""
     from vtzero_ray.mvt import builder as b

@@ -99,3 +99,57 @@ def build_pyramid(tiles_ds, out_dir: str, base_zoom: int, min_zoom: int,
         cur = downzoom_points(cur, levels=1, extent=extent).materialize()
         manifests.append(write_tiles(cur, out_dir))
     return manifests
+
+
+def get_tile(store_dir: str, z: int, x: int, y: int,
+             extent: int = 4096) -> bytes | None:
+    """Serve ONE tile from a build_pyramid store, overzooming on demand:
+    if (z,x,y) is deeper than the stored base, the deepest stored
+    ancestor is decoded and overzoomed down the quadtree path — the
+    tileserver "virtual deep zoom" read. Returns the MVT bytes or None
+    for an empty tile. Driver-side point lookup: reads ONLY the ancestor
+    level's parquet files (z-partition pruning), never a full level.
+    """
+    import glob
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .overzoom import OverzoomPoints
+
+    stored = sorted(
+        int(d.split("=")[1]) for d in os.listdir(store_dir)
+        if d.startswith("z=") and not d.startswith(".tmp"))
+    if not stored:
+        raise ValueError(f"no completed levels in {store_dir}")
+    candidates = [s for s in stored if s <= z]
+    if not candidates:
+        raise ValueError(f"z={z} is above the coarsest stored level "
+                         f"{min(stored)} (downzoom is a build step, "
+                         f"not a read step)")
+    src = max(candidates)
+    ax, ay = x >> (z - src), y >> (z - src)
+    rows = None
+    for f in glob.glob(os.path.join(store_dir, f"z={src}", "*.parquet")):
+        t = pq.read_table(f, columns=["z", "x", "y", "mvt"])
+        m = t.filter(pc.and_(pc.equal(t.column("x"), ax),
+                             pc.equal(t.column("y"), ay)))
+        if len(m):
+            rows = m
+            break
+    if rows is None:
+        return None
+    cur = rows
+    for _lvl in range(z - src):
+        cur = OverzoomPoints(extent=extent)(cur)
+        # keep only the child on the quadtree path to (z, x, y)
+        cz = cur.column("z").to_numpy()
+        assert (cz == cz[0]).all()
+        shift = z - int(cz[0])
+        keep = ((cur.column("x").to_numpy() == (x >> shift))
+                & (cur.column("y").to_numpy() == (y >> shift)))
+        cur = cur.filter(pa.array(keep))
+        if len(cur) == 0:
+            return None
+    return cur.column("mvt")[0].as_py()
