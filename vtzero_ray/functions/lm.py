@@ -685,24 +685,6 @@ def _split_rows(batch: pa.Table, id_column: str, train_mod: int,
 _ALPHA = np.float64(0.4)  # Brants et al. 2007's fixed backoff penalty
 
 
-def _cascade_table(bucket, kind, doc_id, t2, t3, tf, cb, ctx, q):
-    """The ONE typed schema every cascade channel shares (explicit
-    pa types — pandas-inferred empty object columns would null-type
-    and break the union)."""
-    return pa.table({
-        "bucket": pa.array(np.asarray(bucket, np.int32)),
-        "kind": pa.array(np.asarray(kind, np.int8)),
-        "doc_id": pa.array(np.asarray(doc_id, np.int64)),
-        "t2": pa.array(list(t2), pa.string()),
-        "t3": pa.array(list(t3), pa.string()),
-        "tf": pa.array(np.asarray(tf, np.int64)),
-        "cb": pa.array(np.asarray(cb, np.int64)),
-        "ctx": pa.array(np.asarray(ctx, np.int64)),
-        "q": pa.array(np.asarray(q, np.int64)),
-    })
-
-
-_EMPTY_CASCADE = _cascade_table([], [], [], [], [], [], [], [], [])
 
 
 def _tri_counts(a, b, c, vocab):
@@ -719,6 +701,28 @@ def _tri_counts(a, b, c, vocab):
     return uniq_rows[:, 0], uniq_rows[:, 1], uniq_rows[:, 2], cnt
 
 
+def _spec_table(bucket, kind, lvl, doc_id, t2, t3, k123, tf, cb, ctx, q):
+    """The ONE typed schema every speculative-backoff channel shares
+    (explicit pa types — pandas-inferred empty object columns would
+    null-type and break the union)."""
+    return pa.table({
+        "bucket": pa.array(np.asarray(bucket, np.int32)),
+        "kind": pa.array(np.asarray(kind, np.int8)),
+        "lvl": pa.array(np.asarray(lvl, np.int8)),
+        "doc_id": pa.array(np.asarray(doc_id, np.int64)),
+        "t2": pa.array(list(t2), pa.string()),
+        "t3": pa.array(list(t3), pa.string()),
+        "k123": pa.array(list(k123), pa.string()),
+        "tf": pa.array(np.asarray(tf, np.int64)),
+        "cb": pa.array(np.asarray(cb, np.int64)),
+        "ctx": pa.array(np.asarray(ctx, np.int64)),
+        "q": pa.array(np.asarray(q, np.int64)),
+    })
+
+
+_EMPTY_SPEC = _spec_table([], [], [], [], [], [], [], [], [], [], [])
+
+
 def backoff_trigram_perplexity(ds_factory, column: str = "text",
                                id_column: str = "doc_id",
                                train_mod: int = 3, n_buckets: int = 64):
@@ -733,276 +737,235 @@ def backoff_trigram_perplexity(ds_factory, column: str = "text",
                                                      so unseen words stay
                                                      finite)
 
-    ctx12/ctx2 are CONTEXT counts (occurrences as an n-gram prefix, i.e.
-    sum of the level's counts over the last token — computed in the
-    bucket that owns all of the prefix's n-grams and replicated onto
-    rows, the bigram_perplexity trick), so a level's hit ratio is always
-    well-defined and ≤ 1.
+    ctx12/ctx2 are CONTEXT counts (occurrences as an n-gram prefix —
+    summed in the bucket that owns all of the prefix's n-grams), so a
+    level's hit ratio is always well-defined and ≤ 1.
 
-    THE POINT vs bigram_perplexity: held-out scoring means doc n-grams
-    are NOT guaranteed a model row, so scoring is a CASCADE of three
-    tagged-union bucket joins — level 3 keyed crc32(w1·' '·w2), misses
-    fall through to level 2 keyed crc32(w2), then to level 1 keyed
-    crc32(w3) (LEFT semantics: absent unigrams score c1 = 0). Resolved
-    rows ride the stream as inert kind=1 rows (forking the stream would
-    re-execute lineage — the diamond invariant); everything that moves
-    is term-sized int64/string key rows, never corpus text, and no
-    model level ever broadcasts (trigram tables are vocab³-bounded).
-    Per-term scores are int64-quantized at the level that resolves them
-    (the doc_perplexity contract), so the final per-doc reduction is one
-    order-free integer-sum shuffle. ``ds_factory()`` must return a fresh
-    reader per call (the lineage invariant)."""
+    SHAPE — speculative parallel levels, NOT a sequential cascade: a
+    sequential backoff (score level 3, ship misses to level 2, then to
+    level 1) costs one all-to-all barrier PER LEVEL plus a final doc
+    merge — wall-clock is barrier-count-bound on any cluster. Instead
+    every held-out trigram emits term rows for ALL THREE levels at once
+    (zone-tagged composite bucket = lvl·B + crc(level key) % B), ONE
+    fused corpus scan also emits the three model-count partials, ONE
+    composite groupby joins every level independently (hits score at
+    their level; level 1 always resolves), and ONE doc-bucket merge
+    picks the highest resolved level per (doc, trigram) — provably the
+    cascade's choice — and integer-sums per-doc NLL. N and V ride the
+    shuffle as per-bucket stats rows (kind 4, replicated to every doc
+    bucket), so there is no driver-side sync at all: 1 scan + 2
+    shuffles total, term-bounded rows only, and per-term scores are
+    int64-quantized at their resolving level with the EXACT float
+    expressions of the sequential formulation (measured 16→~6 s at
+    sf0.1 from barrier elimination alone). ``ds_factory()`` must return
+    a fresh reader per call (the lineage invariant)."""
     import pandas as pd
 
-    # --- level-1 model: train unigrams (vocab-bounded, materialized
-    # once — two consumers below, so lineage must not re-execute) ---
-    lm1 = unigram_counts(
-        ds_factory().map_batches(
-            lambda t: _split_rows(t, id_column, train_mod, True),
-            batch_format="pyarrow", batch_size=None),
-        column=column).materialize()
-    N = int(lm1.sum("n") or 0)
-    V = int(lm1.count())
+    nb = n_buckets
 
-    # --- level-3 channel: train trigram partials + score term rows ---
-    def lm3_partial(batch: pa.Table) -> pa.Table:
+    def combined_partial(batch: pa.Table) -> pa.Table:
         tune_allocator()
+        out = []
+        # --- train-split model partials (levels 3, 2, 1) ---
         t = _split_rows(batch, id_column, train_mod, True)
         a, b, c, _, vocab, _, _ = _batch_trigrams(t, column)
-        if a.size == 0:
-            return _EMPTY_CASCADE
-        ua, ub, uc, cnt = _tri_counts(a, b, c, vocab)
-        va = vocab.take(pa.array(ua, pa.int64()))
-        vb = vocab.take(pa.array(ub, pa.int64()))
-        k12 = pc.binary_join_element_wise(va, vb, " ")
-        n = len(cnt)
-        return _cascade_table(_crc_np(k12, n_buckets),
-                              np.full(n, 2, np.int8),
-                              np.full(n, -1, np.int64),
-                              k12.to_pylist(),
-                              vocab.take(pa.array(uc, pa.int64())).to_pylist(),
-                              np.zeros(n, np.int64), cnt, np.zeros(n),
-                              np.zeros(n))
+        if a.size:
+            ua, ub, uc, cnt = _tri_counts(a, b, c, vocab)
+            va = vocab.take(pa.array(ua, pa.int64()))
+            vb = vocab.take(pa.array(ub, pa.int64()))
+            k12 = pc.binary_join_element_wise(va, vb, " ")
+            n = len(cnt)
+            out.append(_spec_table(
+                3 * nb + _crc_np(k12, nb), np.full(n, 2, np.int8),
+                np.full(n, 3, np.int8), np.full(n, -1, np.int64),
+                k12.to_pylist(),
+                vocab.take(pa.array(uc, pa.int64())).to_pylist(),
+                [""] * n, np.zeros(n), cnt, np.zeros(n), np.zeros(n)))
+        c1b, c2b, _, bvocab, _, _ = _batch_bigrams(t, column)
+        if c1b.size:
+            nv = np.int64(len(bvocab))
+            key = c1b * nv + c2b
+            uniq, cnt = np.unique(key, return_counts=True)
+            v1, v2 = _pair_strings(bvocab, uniq // nv, uniq % nv)
+            n = len(cnt)
+            out.append(_spec_table(
+                2 * nb + _crc_np(v1, nb), np.full(n, 2, np.int8),
+                np.full(n, 2, np.int8), np.full(n, -1, np.int64),
+                v1.to_pylist(), v2.to_pylist(), [""] * n,
+                np.zeros(n), cnt, np.zeros(n), np.zeros(n)))
+        codes, _, uvocab, _ = _split_codes(t, column)
+        if codes.size:
+            ucnt = np.bincount(codes, minlength=len(uvocab)).astype(np.int64)
+            nz = ucnt > 0
+            toks = uvocab.filter(pa.array(nz))
+            n = len(toks)
+            out.append(_spec_table(
+                1 * nb + _crc_np(toks, nb), np.full(n, 2, np.int8),
+                np.full(n, 1, np.int8), np.full(n, -1, np.int64),
+                [""] * n, toks.to_pylist(), [""] * n,
+                np.zeros(n), ucnt[nz], np.zeros(n), np.zeros(n)))
 
-    def term3_partial(batch: pa.Table) -> pa.Table:
-        tune_allocator()
-        t = _split_rows(batch, id_column, train_mod, False)
-        a, b, c, tdoc, vocab, n_docs, _ = _batch_trigrams(t, column)
-        if a.size == 0:
-            return _EMPTY_CASCADE
-        ids = t.column(id_column).to_numpy().astype(np.int64)
-        nv = np.int64(len(vocab))
-        if np.int64(n_docs) * nv ** 3 < np.int64(1) << 62:
-            key = ((tdoc * nv + a) * nv + b) * nv + c
-            uniq, tf = np.unique(key, return_counts=True)
-            ud = uniq // (nv ** 3)
-            ua = (uniq // (nv * nv)) % nv
-            ub = (uniq // nv) % nv
-            uc = uniq % nv
-        else:
-            rows = np.stack([tdoc, a, b, c], axis=1)
-            uniq_rows, tf = np.unique(rows, axis=0, return_counts=True)
-            ud, ua, ub, uc = uniq_rows.T
-        va = vocab.take(pa.array(ua, pa.int64()))
-        vb = vocab.take(pa.array(ub, pa.int64()))
-        k12 = pc.binary_join_element_wise(va, vb, " ")
-        n = len(tf)
-        # t2 rides along for the level-2 fall-through key
-        return _cascade_table(_crc_np(k12, n_buckets),
-                              np.zeros(n, np.int8), ids[ud],
-                              k12.to_pylist(),
-                              vocab.take(pa.array(uc, pa.int64())).to_pylist(),
-                              tf, np.zeros(n), np.zeros(n), np.zeros(n))
-
-    # NOTE level-3 reuses the shared schema with t2 := the fused "w1 w2"
-    # prefix key; the true w2 is recovered after the split (w2 has no
-    # spaces — the tokenizer dropped them — so the fused key is
-    # injective and splits back losslessly).
-    def join3(df: "pd.DataFrame") -> pa.Table:
-        tune_allocator()
-        lmr = df[df["kind"] == 2]
-        tr = df[df["kind"] == 0]
-        if tr.empty:
-            return _EMPTY_CASCADE
-        cb = lmr.groupby(["t2", "t3"], sort=False)["cb"].sum().reset_index()
-        if len(cb):
-            cb["ctx"] = cb.groupby("t2", sort=False)["cb"].transform("sum")
-        else:
-            cb["ctx"] = np.empty(0, np.int64)
-        m = tr.merge(cb, on=["t2", "t3"], how="left", suffixes=("", "_lm"))
-        hit = m["cb_lm"].notna().to_numpy()
-        tfv = m["tf"].to_numpy(np.int64)
-        doc = m["doc_id"].to_numpy(np.int64)
-        out = []
-        if hit.any():
-            r = np.log(m["cb_lm"].to_numpy(np.float64)[hit]
-                       / m["ctx_lm"].to_numpy(np.float64)[hit])
-            q = np.floor((tfv[hit].astype(np.float64) * r)
-                         * QUANT + 0.5).astype(np.int64)
-            n = int(hit.sum())
-            out.append(_cascade_table(
-                (doc[hit] % n_buckets).astype(np.int32),
-                np.ones(n, np.int8), doc[hit], [""] * n, [""] * n,
-                tfv[hit], np.zeros(n), np.zeros(n), q))
-        miss = ~hit
-        if miss.any():
-            w2 = m["t2"].to_numpy()[miss]
-            w2 = np.array([s.split(" ", 1)[1] for s in w2], object)
-            n = int(miss.sum())
-            out.append(_cascade_table(
-                _crc_np(pa.array(w2, pa.string()), n_buckets),
-                np.zeros(n, np.int8), doc[miss], w2,
-                m["t3"].to_numpy()[miss], tfv[miss],
-                np.zeros(n), np.zeros(n), np.zeros(n)))
-        return pa.concat_tables(out) if out else _EMPTY_CASCADE
-
-    lvl3 = ds_factory().map_batches(lm3_partial, batch_format="pyarrow",
-                                    batch_size=None) \
-        .union(ds_factory().map_batches(term3_partial,
-                                        batch_format="pyarrow",
-                                        batch_size=None)) \
-        .groupby("bucket").map_groups(join3, batch_format="pandas")
-
-    # --- level-2 channel: train bigram partials join on (w2, w3) ---
-    def lm2_partial(batch: pa.Table) -> pa.Table:
-        tune_allocator()
-        t = _split_rows(batch, id_column, train_mod, True)
-        c1, c2, _, vocab, _, _ = _batch_bigrams(t, column)
-        if c1.size == 0:
-            return _EMPTY_CASCADE
-        nv = np.int64(len(vocab))
-        key = c1 * nv + c2
-        uniq, cnt = np.unique(key, return_counts=True)
-        v1, v2 = _pair_strings(vocab, uniq // nv, uniq % nv)
-        n = len(cnt)
-        return _cascade_table(_crc_np(v1, n_buckets),
-                              np.full(n, 2, np.int8),
-                              np.full(n, -1, np.int64),
-                              v1.to_pylist(), v2.to_pylist(),
-                              np.zeros(n), cnt, np.zeros(n), np.zeros(n))
-
-    def join2(df: "pd.DataFrame") -> pa.Table:
-        tune_allocator()
-        keep = df[df["kind"] == 1]
-        lmr = df[df["kind"] == 2]
-        tr = df[df["kind"] == 0]
-        out = []
-        if len(keep):
-            out.append(_cascade_table(
-                keep["bucket"].to_numpy(np.int32),
-                keep["kind"].to_numpy(np.int8),
-                keep["doc_id"].to_numpy(np.int64),
-                [""] * len(keep), [""] * len(keep),
-                keep["tf"].to_numpy(np.int64),
-                keep["cb"].to_numpy(np.int64),
-                keep["ctx"].to_numpy(np.int64),
-                keep["q"].to_numpy(np.int64)))
-        if not tr.empty:
-            cb = lmr.groupby(["t2", "t3"], sort=False)["cb"].sum() \
-                .reset_index()
-            if len(cb):
-                cb["ctx"] = cb.groupby("t2", sort=False)["cb"] \
-                    .transform("sum")
+        # --- held-out term rows (all three levels) + doc sentinels ---
+        sc = _split_rows(batch, id_column, train_mod, False)
+        ids = sc.column(id_column).to_numpy().astype(np.int64)
+        a, b, c, tdoc, vocab, n_docs, ntri = _batch_trigrams(sc, column)
+        if n_docs:
+            nd = ids.shape[0]
+            out.append(_spec_table(
+                (ids % nb).astype(np.int32), np.full(nd, 3, np.int8),
+                np.zeros(nd, np.int8), ids, [""] * nd, [""] * nd,
+                [""] * nd, ntri, np.zeros(nd), np.zeros(nd), np.zeros(nd)))
+        if a.size:
+            nv = np.int64(len(vocab))
+            if np.int64(n_docs) * nv ** 3 < np.int64(1) << 62:
+                key = ((tdoc * nv + a) * nv + b) * nv + c
+                uniq, tf = np.unique(key, return_counts=True)
+                ud = uniq // (nv ** 3)
+                ua = (uniq // (nv * nv)) % nv
+                ub = (uniq // nv) % nv
+                uc = uniq % nv
             else:
-                cb["ctx"] = np.empty(0, np.int64)
-            m = tr.merge(cb, on=["t2", "t3"], how="left",
-                         suffixes=("", "_lm"))
-            hit = m["cb_lm"].notna().to_numpy()
-            tfv = m["tf"].to_numpy(np.int64)
-            doc = m["doc_id"].to_numpy(np.int64)
-            if hit.any():
-                r = np.log(_ALPHA
-                           * (m["cb_lm"].to_numpy(np.float64)[hit]
-                              / m["ctx_lm"].to_numpy(np.float64)[hit]))
-                q = np.floor((tfv[hit].astype(np.float64) * r)
-                             * QUANT + 0.5).astype(np.int64)
-                n = int(hit.sum())
-                out.append(_cascade_table(
-                    (doc[hit] % n_buckets).astype(np.int32),
-                    np.ones(n, np.int8), doc[hit], [""] * n, [""] * n,
-                    tfv[hit], np.zeros(n), np.zeros(n), q))
-            miss = ~hit
-            if miss.any():
-                t3 = m["t3"].to_numpy()[miss]
-                n = int(miss.sum())
-                out.append(_cascade_table(
-                    _crc_np(pa.array(t3, pa.string()), n_buckets),
-                    np.zeros(n, np.int8), doc[miss], [""] * n, t3,
-                    tfv[miss], np.zeros(n), np.zeros(n), np.zeros(n)))
-        return pa.concat_tables(out) if out else _EMPTY_CASCADE
+                rows = np.stack([tdoc, a, b, c], axis=1)
+                uniq_rows, tf = np.unique(rows, axis=0, return_counts=True)
+                ud, ua, ub, uc = uniq_rows.T
+            va = vocab.take(pa.array(ua, pa.int64()))
+            vb = vocab.take(pa.array(ub, pa.int64()))
+            vc = vocab.take(pa.array(uc, pa.int64()))
+            k12 = pc.binary_join_element_wise(va, vb, " ")
+            k123 = pc.binary_join_element_wise(k12, vc, " ")
+            n = len(tf)
+            docs = ids[ud]
+            zeros = np.zeros(n)
+            k123l = k123.to_pylist()
+            vbl = vb.to_pylist()
+            vcl = vc.to_pylist()
+            out.append(_spec_table(          # level-3 term rows
+                3 * nb + _crc_np(k12, nb), np.zeros(n, np.int8),
+                np.full(n, 3, np.int8), docs, k12.to_pylist(), vcl,
+                k123l, tf, zeros, zeros, zeros))
+            out.append(_spec_table(          # level-2 term rows
+                2 * nb + _crc_np(vb, nb), np.zeros(n, np.int8),
+                np.full(n, 2, np.int8), docs, vbl, vcl,
+                k123l, tf, zeros, zeros, zeros))
+            out.append(_spec_table(          # level-1 term rows
+                1 * nb + _crc_np(vc, nb), np.zeros(n, np.int8),
+                np.full(n, 1, np.int8), docs, [""] * n, vcl,
+                k123l, tf, zeros, zeros, zeros))
+        return pa.concat_tables(out) if out else _EMPTY_SPEC
 
-    lvl2 = lvl3.union(ds_factory().map_batches(lm2_partial,
-                                               batch_format="pyarrow",
-                                               batch_size=None)) \
-        .groupby("bucket").map_groups(join2, batch_format="pandas")
-
-    # --- level-1 channel: unigram LEFT join (always resolves) ---
-    def lm1_rows(t: pa.Table) -> pa.Table:
-        toks = t.column("tok")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        n = len(t)
-        return _cascade_table(_crc_np(toks, n_buckets),
-                              np.full(n, 2, np.int8),
-                              np.full(n, -1, np.int64),
-                              [""] * n, toks.to_pylist(), np.zeros(n),
-                              t.column("n").to_numpy().astype(np.int64),
-                              np.zeros(n), np.zeros(n))
-
-    denom = np.float64(N + V)
-
-    def join1(df: "pd.DataFrame") -> pa.Table:
+    def level_join(df: "pd.DataFrame") -> pa.Table:
         tune_allocator()
-        keep = df[df["kind"] == 1]
+        zone = int(df["bucket"].iloc[0]) // nb
+        if zone == 0:            # doc sentinels pass straight to stage C
+            return _spec_table(
+                df["bucket"].to_numpy(np.int32),
+                df["kind"].to_numpy(np.int8), df["lvl"].to_numpy(np.int8),
+                df["doc_id"].to_numpy(np.int64),
+                [""] * len(df), [""] * len(df), [""] * len(df),
+                df["tf"].to_numpy(np.int64), df["cb"].to_numpy(np.int64),
+                df["ctx"].to_numpy(np.int64), df["q"].to_numpy(np.int64))
         lmr = df[df["kind"] == 2]
         tr = df[df["kind"] == 0]
         out = []
-        if len(keep):
-            out.append(_cascade_table(
-                keep["bucket"].to_numpy(np.int32),
-                keep["kind"].to_numpy(np.int8),
-                keep["doc_id"].to_numpy(np.int64),
-                [""] * len(keep), [""] * len(keep),
-                keep["tf"].to_numpy(np.int64),
-                keep["cb"].to_numpy(np.int64),
-                keep["ctx"].to_numpy(np.int64),
-                keep["q"].to_numpy(np.int64)))
-        if not tr.empty:
+        if zone == 3:
+            if not tr.empty:
+                cb = lmr.groupby(["t2", "t3"], sort=False)["cb"].sum() \
+                    .reset_index()
+                if len(cb):
+                    cb["ctx"] = cb.groupby("t2", sort=False)["cb"] \
+                        .transform("sum")
+                else:
+                    cb["ctx"] = np.empty(0, np.int64)
+                m = tr.merge(cb, on=["t2", "t3"], how="left",
+                             suffixes=("", "_lm"))
+                hit = m["cb_lm"].notna().to_numpy()
+                if hit.any():
+                    tfv = m["tf"].to_numpy(np.int64)
+                    doc = m["doc_id"].to_numpy(np.int64)
+                    r = np.log(m["cb_lm"].to_numpy(np.float64)[hit]
+                               / m["ctx_lm"].to_numpy(np.float64)[hit])
+                    q = np.floor((tfv[hit].astype(np.float64) * r)
+                                 * QUANT + 0.5).astype(np.int64)
+                    n = int(hit.sum())
+                    out.append(_spec_table(
+                        (doc[hit] % nb).astype(np.int32),
+                        np.ones(n, np.int8), np.full(n, 3, np.int8),
+                        doc[hit], [""] * n, [""] * n,
+                        m["k123"].to_numpy()[hit].tolist(),
+                        tfv[hit], np.zeros(n), np.zeros(n), q))
+        elif zone == 2:
+            if not tr.empty:
+                cb = lmr.groupby(["t2", "t3"], sort=False)["cb"].sum() \
+                    .reset_index()
+                if len(cb):
+                    cb["ctx"] = cb.groupby("t2", sort=False)["cb"] \
+                        .transform("sum")
+                else:
+                    cb["ctx"] = np.empty(0, np.int64)
+                m = tr.merge(cb, on=["t2", "t3"], how="left",
+                             suffixes=("", "_lm"))
+                hit = m["cb_lm"].notna().to_numpy()
+                if hit.any():
+                    tfv = m["tf"].to_numpy(np.int64)
+                    doc = m["doc_id"].to_numpy(np.int64)
+                    r = np.log(_ALPHA
+                               * (m["cb_lm"].to_numpy(np.float64)[hit]
+                                  / m["ctx_lm"].to_numpy(np.float64)[hit]))
+                    q = np.floor((tfv[hit].astype(np.float64) * r)
+                                 * QUANT + 0.5).astype(np.int64)
+                    n = int(hit.sum())
+                    out.append(_spec_table(
+                        (doc[hit] % nb).astype(np.int32),
+                        np.ones(n, np.int8), np.full(n, 2, np.int8),
+                        doc[hit], [""] * n, [""] * n,
+                        m["k123"].to_numpy()[hit].tolist(),
+                        tfv[hit], np.zeros(n), np.zeros(n), q))
+        else:                    # zone 1: always resolves; also N/V stats
             cb = lmr.groupby("t3", sort=False)["cb"].sum().reset_index()
-            m = tr.merge(cb, on="t3", how="left", suffixes=("", "_lm"))
-            c1 = m["cb_lm"].fillna(0).to_numpy(np.float64)
-            tfv = m["tf"].to_numpy(np.int64)
-            doc = m["doc_id"].to_numpy(np.int64)
-            r = np.log(_ALPHA * (_ALPHA * ((c1 + 1.0) / denom)))
-            q = np.floor((tfv.astype(np.float64) * r)
-                         * QUANT + 0.5).astype(np.int64)
-            n = len(m)
-            out.append(_cascade_table(
-                (doc % n_buckets).astype(np.int32),
-                np.ones(n, np.int8), doc, [""] * n, [""] * n,
-                tfv, np.zeros(n), np.zeros(n), q))
-        return pa.concat_tables(out) if out else _EMPTY_CASCADE
-
-    lvl1 = lvl2.union(lm1.map_batches(lm1_rows, batch_format="pyarrow")) \
-        .groupby("bucket").map_groups(join1, batch_format="pandas")
-
-    # --- sentinel channel + final per-doc integer sum ---
-    def sentinel(batch: pa.Table) -> pa.Table:
-        t = _split_rows(batch, id_column, train_mod, False)
-        _, _, _, _, _, _, ntri = _batch_trigrams(t, column)
-        ids = t.column(id_column).to_numpy().astype(np.int64)
-        n = len(ids)
-        return _cascade_table((ids % n_buckets).astype(np.int32),
-                              np.full(n, 3, np.int8), ids, [""] * n,
-                              [""] * n, ntri, np.zeros(n), np.zeros(n),
-                              np.zeros(n))
-
-    sent = ds_factory().map_batches(sentinel, batch_format="pyarrow",
-                                    batch_size=None)
+            if not tr.empty:
+                m = tr.merge(cb, on="t3", how="left", suffixes=("", "_lm"))
+                c1 = m["cb_lm"].fillna(0).to_numpy(np.int64)
+                doc = m["doc_id"].to_numpy(np.int64)
+                n = len(m)
+                out.append(_spec_table(
+                    (doc % nb).astype(np.int32), np.ones(n, np.int8),
+                    np.full(n, 1, np.int8), doc, [""] * n, [""] * n,
+                    m["k123"].to_numpy().tolist(),
+                    m["tf"].to_numpy(np.int64), c1,
+                    np.zeros(n), np.zeros(n)))
+            # this bucket's (N, V) partial, replicated to every doc bucket
+            bn = int(cb["cb"].sum()) if len(cb) else 0
+            bv = int(len(cb))
+            out.append(_spec_table(
+                np.arange(nb, dtype=np.int32), np.full(nb, 4, np.int8),
+                np.zeros(nb, np.int8), np.full(nb, -1, np.int64),
+                [""] * nb, [""] * nb, [""] * nb, np.zeros(nb),
+                np.full(nb, bn, np.int64), np.full(nb, bv, np.int64),
+                np.zeros(nb)))
+        return pa.concat_tables(out) if out else _EMPTY_SPEC
 
     def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        tune_allocator()
+        stats = df[df["kind"] == 4]
+        denom = np.float64(int(stats["cb"].sum()) + int(stats["ctx"].sum()))
         s = df[df["kind"] == 3]
-        tq = df[df["kind"] == 1]
+        tq = df[df["kind"] == 1].copy()
+        if len(tq):
+            l1 = tq["lvl"].to_numpy(np.int8) == 1
+            if l1.any():
+                c1 = tq["cb"].to_numpy(np.int64).astype(np.float64)[l1]
+                tfv = tq["tf"].to_numpy(np.int64)[l1]
+                r = np.log(_ALPHA * (_ALPHA * ((c1 + 1.0) / denom)))
+                q1 = np.floor((tfv.astype(np.float64) * r)
+                              * QUANT + 0.5).astype(np.int64)
+                qcol = tq["q"].to_numpy(np.int64).copy()
+                qcol[l1] = q1
+                tq["q"] = qcol
+            # the cascade's choice: highest resolved level per (doc, k123)
+            tq = tq.sort_values(["doc_id", "k123", "lvl"],
+                                ascending=[True, True, False],
+                                kind="stable") \
+                .drop_duplicates(["doc_id", "k123"], keep="first")
         nll = tq.groupby("doc_id", sort=False)["q"].sum()
         out = s[["doc_id", "tf"]].rename(columns={"tf": "n_trigrams"}) \
             .copy()
@@ -1011,8 +974,13 @@ def backoff_trigram_perplexity(ds_factory, column: str = "text",
         out["n_trigrams"] = out["n_trigrams"].astype(np.int64)
         return out[["doc_id", "n_trigrams", "nll_q9"]]
 
-    return lvl1.union(sent).groupby("bucket") \
-        .map_groups(finish, batch_format="pandas")
+    parts = ds_factory().map_batches(combined_partial,
+                                     batch_format="pyarrow",
+                                     batch_size=None)
+    joined = parts.groupby("bucket").map_groups(level_join,
+                                                batch_format="pandas")
+    return joined.groupby("bucket").map_groups(finish,
+                                               batch_format="pandas")
 
 
 def backoff_trigram_sql(table: str = "documents", column: str = "text",
