@@ -695,6 +695,45 @@ class TestDenseIdentity:
              .to_pandas().sort_values("v").reset_index(drop=True))
         assert a.equals(b)
 
+    def test_label_prop_dense_equals_bucketed(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+
+        from vtzero_ray.functions.graph import (label_prop,
+                                                label_prop_dense,
+                                                synth_edges)
+        ds = self._docs()
+        n = ds.count()
+        nodes = rd.range(n, override_num_blocks=3).map_batches(
+            lambda t: pa.table({"doc_id": t.column("id").cast(pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+        a = (label_prop(nodes, synth_edges(ds, n), n_iters=3).to_pandas()
+             .sort_values("v").reset_index(drop=True))
+        b = (label_prop_dense(synth_edges(self._docs(4), n), n, n_iters=3)
+             .to_pandas().sort_values("v").reset_index(drop=True))
+        assert a.equals(b)
+
+    def test_kcore_dense_equals_bucketed(self, ray_session):
+        from vtzero_ray.functions.graph import (kcore_dense, kcore_peel,
+                                                synth_edges)
+        ds = self._docs()
+        n = ds.count()
+        a = (kcore_peel(ds, synth_edges(ds, n), k=4, rounds=3).to_pandas()
+             .sort_values("v").reset_index(drop=True))
+        b = (kcore_dense(synth_edges(self._docs(4), n), n, k=4, rounds=3)
+             .to_pandas().sort_values("v").reset_index(drop=True))
+        assert a.equals(b)
+
+    def test_label_prop_dense_guard(self, ray_session):
+        import ray.data as rd
+        from vtzero_ray.functions.graph import label_prop_dense
+
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([0], pa.int64()),
+            "dst": pa.array([1], pa.int64())}))
+        with pytest.raises(ValueError, match="too large"):
+            label_prop_dense(edges, 1 << 16, n_iters=1)
+
     def test_dense_rejects_out_of_range_ids(self, ray_session):
         import ray.data as rd
         from vtzero_ray.functions.graph import pagerank_dense

@@ -1121,10 +1121,10 @@ def host_communities(ds_docs, n_hosts: int = 1000, n_iters: int = 3):
 
     edges = host_edges(extract_links(synth_linked_html(ds_docs)),
                        n_hosts=n_hosts, n_buckets=8)
-    nodes = rd.range(n_hosts, override_num_blocks=4).map_batches(
-        lambda t: pa.table({"doc_id": t.column("id").cast(pa.int64())}),
-        batch_format="pyarrow", batch_size=None)
-    return label_prop(nodes, edges, n_iters=n_iters, n_buckets=8)
+    # the host universe 0..n_hosts-1 is a declared parameter -> dense
+    # bounded-universe path (bit-identical to the bucketed label_prop,
+    # asserted in TestDenseIdentity)
+    return label_prop_dense(edges, n_hosts, n_iters=n_iters)
 
 
 def label_prop_sql_over(edges_sql: str, nodes_sql: str,
@@ -1276,7 +1276,10 @@ def kcore_mod(ds, n_nodes: int, k: int = 3, rounds: int = 3,
     """Driver shape: the quadratic synth graph (real hubs + sinks, so
     peeling genuinely cascades) — two independent readers (lineage)."""
     edges = synth_edges(ds, n_nodes, n_out=n_out)
-    return kcore_peel(ds, edges, k=k, rounds=rounds)
+    # doc ids are 0..n_nodes-1 by construction -> dense alive-vector
+    # path (bit-identical to the bucketed kcore_peel, asserted in
+    # TestDenseIdentity)
+    return kcore_dense(edges, n_nodes, k=k, rounds=rounds)
 
 
 def kcore_sql_over(edges_sql: str, nodes_sql: str, k: int = 2,
@@ -1578,6 +1581,104 @@ def pagerank_dense(edges, n_nodes: int, n_iters: int = 3,
     return rd.from_arrow(pa.table({
         "v": pa.array(np.arange(n, dtype=np.int64)),
         "rank_q9": pa.array(ranks)}))
+
+
+def label_prop_dense(edges, n_nodes: int, n_iters: int = 3,
+                     n_buckets: int = 8):
+    """Bounded-universe label propagation → Dataset (v, community),
+    bit-identical to ``label_prop`` over nodes 0..n_nodes-1: labels live
+    in ONE int64 vector broadcast per iteration (ray.put), each
+    iteration is ONE streaming pass over the symmetrized edges emitting
+    per-block dense (node × label) int64 vote-count matrices (order-free
+    adds), merged in a single task; the winner rule (count DESC, label
+    ASC) is np.argmax's first-max over ascending label columns, and
+    zero-vote nodes keep their label. Guarded to universes where the
+    dense matrix is small (n² ≤ 8M cells ≈ 64 MB) — beyond that, use
+    the bucketed ``label_prop``."""
+    import ray
+    import ray.data as rd
+
+    n = int(n_nodes)
+    if n * n > 8_000_000:
+        raise ValueError(
+            f"label_prop_dense: {n}x{n} vote matrix too large — use the "
+            "bucketed label_prop for unbounded universes")
+    sym = symmetrize_edges(edges, n_buckets)
+    if sym.num_blocks() > 8:
+        sym = sym.repartition(8).materialize()
+
+    def terms_fn(ref):
+        def fn(t: pa.Table) -> pa.Table:
+            tune_allocator()
+            lbl = ray.get(ref)
+            src = t.column("src").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            dst = t.column("dst").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            _check_ids(src, dst, n, "label_prop_dense")
+            part = np.zeros(n * n, np.int64)
+            np.add.at(part, dst * n + lbl[src], 1)
+            return pa.table({"part": pa.array([part.tobytes()],
+                                              pa.large_binary())})
+        return fn
+
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(max(0, n_iters)):
+        votes = _dense_pass(sym, terms_fn(ray.put(labels)),
+                            n * n).reshape(n, n)
+        tot = votes.sum(axis=1)
+        win = np.argmax(votes, axis=1).astype(np.int64)
+        labels = np.where(tot > 0, win, labels)
+
+    return rd.from_arrow(pa.table({
+        "v": pa.array(np.arange(n, dtype=np.int64)),
+        "community": pa.array(labels)}))
+
+
+def kcore_dense(edges, n_nodes: int, k: int = 2, rounds: int = 3,
+                n_buckets: int = 8):
+    """Bounded-universe bulk-synchronous k-core peel → Dataset (v, deg),
+    bit-identical to ``kcore_peel`` over nodes 0..n_nodes-1: the alive
+    set lives in ONE uint8 vector broadcast per round; each round is
+    ONE streaming edge pass summing per-block alive-degree vectors
+    (an edge counts iff BOTH endpoints are alive — exactly the
+    edge-dropping semantics, since dying is monotone), then the dying
+    set updates on the driver. rounds+1 edge passes total, node-bounded
+    traffic, no per-round shuffles."""
+    import ray
+    import ray.data as rd
+
+    n = int(n_nodes)
+    sym = symmetrize_edges(edges, n_buckets)
+    if sym.num_blocks() > 8:
+        sym = sym.repartition(8).materialize()
+
+    def deg_fn(ref):
+        def fn(t: pa.Table) -> pa.Table:
+            tune_allocator()
+            alive = ray.get(ref)
+            src = t.column("src").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            dst = t.column("dst").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            _check_ids(src, dst, n, "kcore_dense")
+            m = (alive[src] != 0) & (alive[dst] != 0)
+            part = np.zeros(n, np.int64)
+            np.add.at(part, src[m], 1)
+            return pa.table({"part": pa.array([part.tobytes()],
+                                              pa.large_binary())})
+        return fn
+
+    alive = np.ones(n, np.uint8)
+    for _ in range(max(0, rounds)):
+        deg = _dense_pass(sym, deg_fn(ray.put(alive)), n)
+        die = (alive != 0) & (deg < k)
+        alive[die] = 0
+    deg = _dense_pass(sym, deg_fn(ray.put(alive)), n)
+    keep = deg >= 1   # == srcs of the surviving symmetric edge table
+    return rd.from_arrow(pa.table({
+        "v": pa.array(np.flatnonzero(keep).astype(np.int64)),
+        "deg": pa.array(deg[keep])}))
 
 
 def hits_dense(edges, n_nodes: int, n_iters: int = 2):
