@@ -498,6 +498,39 @@ def _q_overzoom_cells_z7(sf_dir: str):
                             batch_format="pyarrow")
 
 
+_PROFILE_COLS = ("doc_id", "lang", "source", "n_chars")
+_DOC_RULES = (("not_null", "lang"),
+              ("range", "n_chars", 100, 400),
+              ("in_set", "lang", ("en", "de", "fr")),
+              ("matches", "source", "^src[0-9]+$"))
+
+
+def _q_profile_documents(sf_dir: str):
+    """Deequ/TFDV-style table profile: per-column count/nulls/EXACT
+    distinct/min/max from ONE scan + ONE bucketed shuffle (per-batch
+    value dedup bounds shuffle traffic by batch dictionaries)."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.profile import profile_table
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=list(_PROFILE_COLS))
+    return profile_table(ds, _PROFILE_COLS)
+
+
+def _q_validate_documents(sf_dir: str):
+    """Declarative data-contract checks (completeness / range / value
+    set / pattern): all rules evaluate vectorized in ONE scan; the merge
+    is a single output-sized task."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.profile import check_constraints
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source", "n_chars"])
+    return check_constraints(ds, _DOC_RULES)
+
+
 # -- text analysis -----------------------------------------------------------
 
 def _docs(sf_dir: str):
@@ -2130,7 +2163,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # third geometry type of the overzoom family)
                   "overzoom_cells_z7",
                   # composed pyramid build + resumable store round trip
-                  "pyramid_store_z4")
+                  "pyramid_store_z4",
+                  # Deequ/TFDV-style profiling + contract validation
+                  "profile_documents", "validate_documents")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2160,6 +2195,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "overzoom_cells_z7": _q_overzoom_cells_z7,
         "downzoom_z5": _q_downzoom_z5,
         "pyramid_store_z4": _q_pyramid_store_z4,
+        "profile_documents": _q_profile_documents,
+        "validate_documents": _q_validate_documents,
         "tile_stats_z6": _q_tile_stats_z6,
         "decoded_features_z6": _q_decoded_features_z6,
         "filter_lang_en_z6": _q_filter_lang_en_z6,
@@ -2439,6 +2476,9 @@ def oracle_sql_extra() -> dict[str, str]:
 
 def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.ann import cluster_sizes_sql
+    from vtzero_ray.functions.profile import \
+        check_constraints_sql as constraints_oracle_sql
+    from vtzero_ray.functions.profile import profile_sql as profile_oracle_sql
     from vtzero_ray.functions.pq import pq_codes_sql as pq_codes_oracle_sql
     from vtzero_ray.functions.pq import topk_pq_sql as topk_pq_oracle_sql
     from vtzero_ray.functions.ann import topk_ivf_sql as ann_ivf_sql
@@ -2703,6 +2743,11 @@ def _all_oracle_sql() -> dict[str, str]:
             f"CAST(SUM(n) AS BIGINT) AS sum_points "
             f"FROM cells WHERE n >= 1 GROUP BY 1, 2, 3"
         ),
+        # Deequ/TFDV profiling + contract checks (exact twins from the
+        # same rule literals)
+        "profile_documents": profile_oracle_sql("documents", _PROFILE_COLS),
+        "validate_documents": constraints_oracle_sql("documents",
+                                                     _DOC_RULES),
         # pyramid store: three levels, each the iterated halving of the
         # finer one (px_l-1 = ((x_l mod 2)·4096 + px_l) // 2)
         "pyramid_store_z4": (
