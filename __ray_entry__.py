@@ -498,6 +498,15 @@ def _q_overzoom_cells_z7(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def _q_events_funnel(sf_dir: str):
+    """Ordered funnel (view → click → purchase, strict first-occurrence-
+    after semantics): pruned read, ONE user-bucket shuffle, vectorized
+    per-bucket step resolution, output-sized merge."""
+    from vtzero_ray.pipelines.relational import events_funnel
+
+    return events_funnel(sf_dir)
+
+
 _PROFILE_COLS = ("doc_id", "lang", "source", "n_chars")
 _DOC_RULES = (("not_null", "lang"),
               ("range", "n_chars", 100, 400),
@@ -2165,7 +2174,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # composed pyramid build + resumable store round trip
                   "pyramid_store_z4",
                   # Deequ/TFDV-style profiling + contract validation
-                  "profile_documents", "validate_documents")
+                  "profile_documents", "validate_documents",
+                  # ordered funnel (the sessions/windows family)
+                  "events_funnel")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2197,6 +2208,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "pyramid_store_z4": _q_pyramid_store_z4,
         "profile_documents": _q_profile_documents,
         "validate_documents": _q_validate_documents,
+        "events_funnel": _q_events_funnel,
         "tile_stats_z6": _q_tile_stats_z6,
         "decoded_features_z6": _q_decoded_features_z6,
         "filter_lang_en_z6": _q_filter_lang_en_z6,
@@ -2479,6 +2491,8 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.profile import \
         check_constraints_sql as constraints_oracle_sql
     from vtzero_ray.functions.profile import profile_sql as profile_oracle_sql
+    from vtzero_ray.pipelines.relational import \
+        events_funnel_sql as funnel_oracle_sql
     from vtzero_ray.functions.pq import pq_codes_sql as pq_codes_oracle_sql
     from vtzero_ray.functions.pq import topk_pq_sql as topk_pq_oracle_sql
     from vtzero_ray.functions.ann import topk_ivf_sql as ann_ivf_sql
@@ -2743,6 +2757,9 @@ def _all_oracle_sql() -> dict[str, str]:
             f"CAST(SUM(n) AS BIGINT) AS sum_points "
             f"FROM cells WHERE n >= 1 GROUP BY 1, 2, 3"
         ),
+        # ordered funnel: same prefilter, same (ts, event_id) sequence
+        # order, same strict first-occurrence-after chain
+        "events_funnel": funnel_oracle_sql(),
         # Deequ/TFDV profiling + contract checks (exact twins from the
         # same rule literals)
         "profile_documents": profile_oracle_sql("documents", _PROFILE_COLS),

@@ -95,3 +95,75 @@ def test_range_join_matches_duckdb(ray_session, sf_dir):
     """).df()
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert (got["n_shipped"] > 0).any()
+
+
+class TestEventsFunnel:
+    def _run(self, rows, blocks=3, steps=("view", "click", "purchase")):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.pipelines.relational import events_funnel
+        import tempfile, os
+        import pyarrow.parquet as pq
+
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([r[1] for r in rows], unit="s")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows)),
+            "props": pa.array([""] * len(rows)),
+        })
+        d = tempfile.mkdtemp(prefix="funnel_")
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        out = events_funnel(d, steps=steps).to_pandas()
+        return dict(zip(out["event_type"], out["n_users"]))
+
+    def test_order_and_strictness(self, ray_session):
+        rows = [
+            # user 1: full funnel in order
+            (1, 100, 1, "view"), (2, 200, 1, "click"), (3, 300, 1, "purchase"),
+            # user 2: click BEFORE view -> reaches view only
+            (4, 100, 2, "click"), (5, 200, 2, "view"),
+            # user 3: purchase without click -> view only
+            (6, 100, 3, "view"), (7, 200, 3, "purchase"),
+            # user 4: completes twice -> counted once
+            (8, 100, 4, "view"), (9, 110, 4, "click"), (10, 120, 4, "purchase"),
+            (11, 130, 4, "view"), (12, 140, 4, "click"), (13, 150, 4, "purchase"),
+            # user 5: never views -> not counted anywhere
+            (14, 100, 5, "click"), (15, 200, 5, "purchase"),
+        ]
+        got = self._run(rows)
+        assert got == {"view": 4, "click": 2, "purchase": 2}
+
+    def test_ts_tie_broken_by_event_id(self, ray_session):
+        # same timestamp: event_id order decides — view(id=1) precedes
+        # click(id=2), so the funnel completes
+        rows = [(1, 100, 7, "view"), (2, 100, 7, "click"),
+                (3, 100, 7, "purchase")]
+        assert self._run(rows) == {"view": 1, "click": 1, "purchase": 1}
+        # reversed ids: click sits before view -> stops at view
+        rows = [(3, 100, 8, "view"), (2, 100, 8, "click"),
+                (1, 100, 8, "purchase")]
+        assert self._run(rows) == {"view": 1, "click": 0, "purchase": 0}
+
+    def test_partition_invariance_vs_sql(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        from vtzero_ray.pipelines.relational import (events_funnel,
+                                                     events_funnel_sql)
+
+        sf = "/root/testdata/sf0.001"
+        got = events_funnel(sf).to_pandas().sort_values("step") \
+            .reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"'{sf}/events.parquet'")
+        exp = con.execute(events_funnel_sql()).df().sort_values("step") \
+            .reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+        assert (got["n_users"].to_numpy()[1:]
+                <= got["n_users"].to_numpy()[:-1]).all()

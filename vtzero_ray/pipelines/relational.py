@@ -466,3 +466,100 @@ def events_sessionize(sf_dir: str, gap_s: int = 1800, n_buckets: int = 64):
     out = ds.groupby("bucket").map_groups(sessions, batch_format="pandas")
     return out.map_batches(lambda t: t.drop_columns(["bucket"]) if "bucket" in t.column_names else t,
                            batch_format="pyarrow")
+
+
+def events_funnel(sf_dir: str, steps=("view", "click", "purchase"),
+                  n_buckets: int = 64):
+    """Ordered funnel completion — how many users performed step 1, then
+    step 2 AFTER it, then step 3 after that (the product-analytics
+    funnel; strict "first occurrence after the previous step" semantics)
+    → Dataset (step, event_type, n_users), n_users non-increasing.
+
+    Shape: the read prunes to the funnel's event types (order among a
+    user's KEPT events is what the semantics need, so filtering first is
+    free); ONE user-bucket shuffle co-locates each user's events, every
+    bucket resolves all of its users' step positions vectorized (per-step
+    masked group-min over the (ts, event_id) sequence order), and the
+    per-bucket step counts merge in one output-sized task."""
+    import ray.data as rd
+
+    steps = list(steps)
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "event_type",
+                                  "event_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        keep = pa.compute.is_in(et, value_set=pa.array(steps))
+        t = t.filter(keep)
+        u = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return t.append_column("bucket", pa.array((u % n_buckets)
+                                                  .astype(np.int32)))
+
+    def funnel_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        df["seq"] = df.groupby("user_id", sort=False).cumcount()
+        prev = None  # Series: user_id -> position of the previous step
+        counts = []
+        for s in steps:
+            m = df[df["event_type"] == s]
+            if prev is not None:
+                p = m["user_id"].map(prev)
+                m = m[p.notna().to_numpy()
+                      & (m["seq"].to_numpy() > p.fillna(-1).to_numpy())]
+            cur = m.groupby("user_id", sort=False)["seq"].min()
+            counts.append(len(cur))
+            prev = cur
+        return pd.DataFrame({
+            "step": np.arange(len(steps), dtype=np.int64),
+            "event_type": steps,
+            "n_users": np.array(counts, np.int64)})
+
+    parts = ds.map_batches(prep, batch_format="pyarrow", batch_size=None) \
+        .groupby("bucket").map_groups(funnel_bucket, batch_format="pandas")
+
+    def merge(t: pa.Table) -> pa.Table:
+        k = len(steps)
+        tot = np.zeros(k, np.int64)
+        np.add.at(tot, t.column("step").to_numpy(), 
+                  t.column("n_users").to_numpy())
+        return pa.table({
+            "step": pa.array(np.arange(k, dtype=np.int64)),
+            "event_type": pa.array(steps),
+            "n_users": pa.array(tot)})
+
+    return parts.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def events_funnel_sql(steps=("view", "click", "purchase")) -> str:
+    """Exact twin: same event-type prefilter (order among KEPT events is
+    what funnel semantics use), same (ts, event_id) sequence order, same
+    strict first-occurrence-after chain."""
+    steps = list(steps)
+    vals = ", ".join(f"'{s}'" for s in steps)
+    parts = [
+        f"WITH pos AS (SELECT user_id, event_type, "
+        f"row_number() OVER (PARTITION BY user_id "
+        f"ORDER BY ts, event_id) - 1 AS seq "
+        f"FROM events WHERE event_type IN ({vals}))"]
+    prev = None
+    for i, s in enumerate(steps):
+        if prev is None:
+            parts.append(
+                f", s{i} AS (SELECT user_id, MIN(seq) AS p FROM pos "
+                f"WHERE event_type = '{s}' GROUP BY 1)")
+        else:
+            parts.append(
+                f", s{i} AS (SELECT pos.user_id, MIN(seq) AS p FROM pos "
+                f"JOIN s{prev} ON pos.user_id = s{prev}.user_id "
+                f"WHERE event_type = '{s}' AND seq > s{prev}.p "
+                f"GROUP BY 1)")
+        prev = i
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS step, '{s}' AS event_type, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i}"
+        for i, s in enumerate(steps)]
+    return "".join(parts) + " " + " UNION ALL ".join(selects)
