@@ -498,6 +498,21 @@ def _q_overzoom_cells_z7(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def _q_strip_boilerplate(sf_dir: str):
+    """Per-host boilerplate stripping (the WARC→WET template-removal
+    step): lines on >= 3 of a host's pages are site furniture, removed
+    from every page of that host; cross-host identical lines stay
+    independent. Synth multihost corpus with planted headers/footers."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.webclean import (strip_boilerplate,
+                                               synth_hosted_docs)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return strip_boilerplate(synth_hosted_docs(ds), min_df=3)
+
+
 def _q_events_funnel(sf_dir: str):
     """Ordered funnel (view → click → purchase, strict first-occurrence-
     after semantics): pruned read, ONE user-bucket shuffle, vectorized
@@ -2176,7 +2191,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # Deequ/TFDV-style profiling + contract validation
                   "profile_documents", "validate_documents",
                   # ordered funnel (the sessions/windows family)
-                  "events_funnel")
+                  "events_funnel",
+                  # WET template removal (the dedup_lines family)
+                  "strip_boilerplate")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2209,6 +2226,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": _q_profile_documents,
         "validate_documents": _q_validate_documents,
         "events_funnel": _q_events_funnel,
+        "strip_boilerplate": _q_strip_boilerplate,
         "tile_stats_z6": _q_tile_stats_z6,
         "decoded_features_z6": _q_decoded_features_z6,
         "filter_lang_en_z6": _q_filter_lang_en_z6,
@@ -2493,6 +2511,8 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.profile import profile_sql as profile_oracle_sql
     from vtzero_ray.pipelines.relational import \
         events_funnel_sql as funnel_oracle_sql
+    from vtzero_ray.functions.webclean import \
+        strip_boilerplate_sql as strip_boilerplate_oracle_sql
     from vtzero_ray.functions.pq import pq_codes_sql as pq_codes_oracle_sql
     from vtzero_ray.functions.pq import topk_pq_sql as topk_pq_oracle_sql
     from vtzero_ray.functions.ann import topk_ivf_sql as ann_ivf_sql
@@ -2760,6 +2780,8 @@ def _all_oracle_sql() -> dict[str, str]:
         # ordered funnel: same prefilter, same (ts, event_id) sequence
         # order, same strict first-occurrence-after chain
         "events_funnel": funnel_oracle_sql(),
+        # per-host boilerplate: df = DISTINCT docs per (host, line)
+        "strip_boilerplate": strip_boilerplate_oracle_sql(),
         # Deequ/TFDV profiling + contract checks (exact twins from the
         # same rule literals)
         "profile_documents": profile_oracle_sql("documents", _PROFILE_COLS),

@@ -596,3 +596,50 @@ class TestFixMojibake:
         b = (fix_mojibake(rd.from_arrow(t).repartition(6)).to_pandas()
              .sort_values("doc_id").reset_index(drop=True))
         assert a.equals(b)
+
+
+class TestStripBoilerplate:
+    def test_host_df_rule(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import strip_boilerplate
+
+        rows = []
+        # host 0: "nav bar" on 3 pages (boilerplate at min_df=3);
+        # host 1: the SAME line on only 2 pages (content there)
+        for d in range(3):
+            rows.append((d, 0, f"nav bar\nbody {d}"))
+        for d in range(3, 5):
+            rows.append((d, 1, f"nav bar\nbody {d}"))
+        # host 2: a line repeated TWICE within one page — distinct-doc
+        # df is 1, so within-page repetition is not furniture
+        rows.append((5, 2, "echo\necho\nbody 5"))
+        t = pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "host": pa.array([r[1] for r in rows], pa.int64()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        })
+        out = strip_boilerplate(rd.from_arrow(t).repartition(3),
+                                min_df=3).to_pandas() \
+            .set_index("doc_id").sort_index()
+        for d in range(3):      # host 0 loses the nav bar
+            assert out.loc[d, "clean_text"] == f"body {d}"
+        for d in range(3, 5):   # host 1 keeps it
+            assert out.loc[d, "clean_text"] == f"nav bar\nbody {d}"
+        assert out.loc[5, "clean_text"] == "echo\necho\nbody 5"
+
+    def test_fully_boilerplate_doc_drops(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.functions.webclean import strip_boilerplate
+
+        t = pa.table({
+            "doc_id": pa.array(list(range(4)), pa.int64()),
+            "host": pa.array([0] * 4, pa.int64()),
+            "text": pa.array(["same"] * 4, pa.string()),
+        })
+        out = strip_boilerplate(rd.from_arrow(t), min_df=3).to_pandas()
+        assert len(out) == 0

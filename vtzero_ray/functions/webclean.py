@@ -941,3 +941,147 @@ def fix_mojibake(ds, column: str = "text", id_column: str = "doc_id",
                          "fixed_rounds": pa.array(rounds)})
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# per-host boilerplate stripping (the WARC→WET template-removal step)
+# ---------------------------------------------------------------------------
+
+
+def synth_hosted_docs(ds, n_hosts: int = 23, column: str = "text",
+                      id_column: str = "doc_id"):
+    """Multihost corpus with PLANTED boilerplate: host = doc_id %
+    n_hosts; line 1 is the host's copyright header (df ≈ docs/host —
+    boilerplate), line 2 a unique sentence, line 3 a host newsletter
+    footer on even ids (df ≈ docs/host/2) else a unique tail. Reproduced
+    verbatim by synth_hosted_docs_sql_expr()."""
+
+    def synth(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column)
+        txt = _arr(t.column(column))
+        h = pc.subtract(ids, pc.multiply(pc.divide(ids, n_hosts), n_hosts))
+        hs = pc.cast(h, pa.string())
+        l1 = pc.binary_join_element_wise(
+            pa.scalar("(c) host"), hs, " all rights reserved", "")
+        l2 = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(txt, 0, 90), ".", "")
+        m2 = pc.subtract(ids, pc.multiply(pc.divide(ids, 2), 2))
+        l3 = pc.if_else(
+            pc.equal(m2, 0),
+            pc.binary_join_element_wise(
+                pa.scalar("subscribe to host"), hs, " news", ""),
+            pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(txt, 90, 180), "!", ""))
+        out = pc.binary_join_element_wise(l1, l2, l3, "\n")
+        return pa.table({id_column: ids, "host": pc.cast(h, pa.int64()),
+                         column: out})
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=None)
+
+
+def synth_hosted_docs_sql_expr(n_hosts: int = 23, column: str = "text",
+                               id_column: str = "doc_id"):
+    """(host_expr, text_expr) reproducing synth_hosted_docs()."""
+    h = f"({id_column} % {n_hosts})"
+    text = (
+        f"('(c) host' || {h} || ' all rights reserved' || chr(10) || "
+        f"substr({column}, 1, 90) || '.' || chr(10) || "
+        f"CASE WHEN {id_column} % 2 = 0 "
+        f"THEN 'subscribe to host' || {h} || ' news' "
+        f"ELSE substr({column}, 91, 90) || '!' END)")
+    return h, text
+
+
+def strip_boilerplate(ds, min_df: int = 3, column: str = "text",
+                      id_column: str = "doc_id", host_column: str = "host",
+                      n_buckets: int = 64):
+    """Template/boilerplate removal (the WARC→WET cleanup CCNet and
+    RefinedWeb apply before dedup): a line appearing on ``min_df`` or
+    more of a HOST's pages is site furniture (nav, copyright, cookie
+    banners) and is removed from EVERY page of that host → Dataset
+    (doc_id, n_kept, clean_text) for docs with ≥ 1 surviving line.
+
+    The dedup_lines skeleton with a per-(host, line) document-frequency
+    rule instead of keep-first: explode lines → crc32(host·line)-bucket
+    shuffle (every copy of a host's line lands in one bucket, so its df
+    is a LOCAL decision; distinct docs, not occurrences, drive df) →
+    surviving occurrences re-join per doc in a doc-bucket shuffle.
+    Cross-host identical lines are independent — a line can be
+    boilerplate on one host and content on another."""
+    import zlib
+
+    import pandas as pd
+
+    def explode(t: pa.Table) -> pa.Table:
+        tune_allocator()
+        ids = t.column(id_column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hosts = t.column(host_column).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        txt = _arr(t.column(column))
+        lines = pc.split_pattern(txt, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = lines.values
+        offs = np.asarray(lines.offsets, dtype=np.int64)
+        nl = offs[1:] - offs[:-1]
+        doc = np.repeat(ids, nl)
+        host = np.repeat(hosts, nl)
+        idx = np.concatenate([np.arange(1, n + 1) for n in nl]) \
+            if len(nl) else np.empty(0, np.int64)
+        fl = flat.to_pylist()
+        b = np.fromiter(
+            (zlib.crc32(f"{h}\x01{v}".encode()) % n_buckets
+             for h, v in zip(host, fl)), np.int32, count=len(fl))
+        return pa.table({id_column: pa.array(doc),
+                         "host": pa.array(host),
+                         "idx": pa.array(idx.astype(np.int64)),
+                         "line": flat,
+                         "bucket": pa.array(b)})
+
+    def keep_rare(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # df = DISTINCT documents per (host, line) — a line repeated
+        # inside one page is not site furniture
+        key = df.groupby(["host", "line"], sort=False)[id_column]
+        df["df"] = key.transform("nunique")
+        w = df[df["df"] < min_df][[id_column, "idx", "line"]].copy()
+        w["dbucket"] = (w[id_column] % n_buckets).astype(np.int32)
+        return w
+
+    def rejoin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_column, "idx"], kind="stable")
+        out = df.groupby(id_column, sort=False).agg(
+            n_kept=("line", "size"),
+            clean_text=("line", lambda s: "\n".join(s)))
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return out.reset_index()[[id_column, "n_kept", "clean_text"]]
+
+    lines = ds.map_batches(explode, batch_format="pyarrow",
+                           batch_size=None)
+    kept = lines.groupby("bucket").map_groups(keep_rare,
+                                              batch_format="pandas")
+    return kept.groupby("dbucket").map_groups(rejoin,
+                                              batch_format="pandas")
+
+
+def strip_boilerplate_sql(table: str = "documents", min_df: int = 3,
+                          column: str = "text",
+                          id_column: str = "doc_id",
+                          n_hosts: int = 23) -> str:
+    """DuckDB twin over the synth_hosted_docs corpus: df = COUNT(DISTINCT
+    doc) per (host, line) window, keep df < min_df, per-doc idx-ordered
+    re-join."""
+    h, text = synth_hosted_docs_sql_expr(n_hosts, column, id_column)
+    return (
+        f"WITH src AS (SELECT {id_column} AS doc_id, {h} AS host, "
+        f"{text} AS text FROM {table}), "
+        "l AS (SELECT doc_id, host, "
+        "unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx, "
+        "unnest(string_split(text, chr(10))) AS line FROM src), "
+        "w AS (SELECT doc_id, idx, line, COUNT(DISTINCT doc_id) OVER "
+        "(PARTITION BY host, line) AS df FROM l) "
+        f"SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+        "string_agg(line, chr(10) ORDER BY idx) AS clean_text "
+        f"FROM w WHERE df < {min_df} GROUP BY 1"
+    )
