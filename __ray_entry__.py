@@ -498,6 +498,20 @@ def _q_overzoom_cells_z7(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def _q_pca_moments(sf_dir: str):
+    """PCA's distributed statistic: the quantized second-moment matrix +
+    sums + count in ONE scan of per-block int64 blob partials (moment-
+    bounded traffic) — exact vs a pairwise self-join; the eigensolve and
+    projection are pytest-gated on top of this surface."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.pca import embedding_moments
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return embedding_moments(ds)
+
+
 def _q_strip_boilerplate(sf_dir: str):
     """Per-host boilerplate stripping (the WARC→WET template-removal
     step): lines on >= 3 of a host's pages are site furniture, removed
@@ -2193,7 +2207,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # ordered funnel (the sessions/windows family)
                   "events_funnel",
                   # WET template removal (the dedup_lines family)
-                  "strip_boilerplate")
+                  "strip_boilerplate",
+                  # PCA second moments (the vector-pipeline reducer)
+                  "pca_moments")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2227,6 +2243,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "validate_documents": _q_validate_documents,
         "events_funnel": _q_events_funnel,
         "strip_boilerplate": _q_strip_boilerplate,
+        "pca_moments": _q_pca_moments,
         "tile_stats_z6": _q_tile_stats_z6,
         "decoded_features_z6": _q_decoded_features_z6,
         "filter_lang_en_z6": _q_filter_lang_en_z6,
@@ -2513,6 +2530,8 @@ def _all_oracle_sql() -> dict[str, str]:
         events_funnel_sql as funnel_oracle_sql
     from vtzero_ray.functions.webclean import \
         strip_boilerplate_sql as strip_boilerplate_oracle_sql
+    from vtzero_ray.functions.pca import \
+        embedding_moments_sql as pca_moments_oracle_sql
     from vtzero_ray.functions.pq import pq_codes_sql as pq_codes_oracle_sql
     from vtzero_ray.functions.pq import topk_pq_sql as topk_pq_oracle_sql
     from vtzero_ray.functions.ann import topk_ivf_sql as ann_ivf_sql
@@ -2782,6 +2801,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "events_funnel": funnel_oracle_sql(),
         # per-host boilerplate: df = DISTINCT docs per (host, line)
         "strip_boilerplate": strip_boilerplate_oracle_sql(),
+        # PCA moments: pairwise self-join over the quantized grid
+        "pca_moments": pca_moments_oracle_sql(),
         # Deequ/TFDV profiling + contract checks (exact twins from the
         # same rule literals)
         "profile_documents": profile_oracle_sql("documents", _PROFILE_COLS),

@@ -321,7 +321,8 @@ def run_bench() -> dict:
                      "overzoom_z7", "overzoom_paths_z3", "downzoom_z5",
                      "overzoom_cells_z7", "pyramid_store_z4",
                      "profile_documents", "validate_documents",
-                     "events_funnel", "strip_boilerplate"):
+                     "events_funnel", "strip_boilerplate",
+                     "pca_moments"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)
