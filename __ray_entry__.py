@@ -498,6 +498,21 @@ def _q_overzoom_cells_z7(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def _q_downzoom_paths_z1(sf_dir: str):
+    """Linestring downzoom: z2 clipped-path tiles → z1 parents (floor-
+    halved coords, collapsed zero-length segments re-chain through the
+    gap, pieces from different children stay separate parts), decoded
+    back to per-(tile, site) part/point counts."""
+    from vtzero_ray.pipelines.clip_paths import clipped_path_tiles
+    from vtzero_ray.pipelines.overzoom import (downzoom_paths,
+                                               path_tile_summary_batch)
+
+    tiles = clipped_path_tiles(sf_dir, zoom=2)
+    parents = downzoom_paths(tiles, levels=1)
+    return parents.map_batches(path_tile_summary_batch,
+                               batch_format="pyarrow")
+
+
 def _q_pca_moments(sf_dir: str):
     """PCA's distributed statistic: the quantized second-moment matrix +
     sums + count in ONE scan of per-block int64 blob partials (moment-
@@ -2209,7 +2224,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # WET template removal (the dedup_lines family)
                   "strip_boilerplate",
                   # PCA second moments (the vector-pipeline reducer)
-                  "pca_moments")
+                  "pca_moments",
+                  # linestring downzoom (completes the pyramid family:
+                  # points both ways, paths both ways, polygons up)
+                  "downzoom_paths_z1")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2244,6 +2262,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "strip_boilerplate": _q_strip_boilerplate,
         "pca_moments": _q_pca_moments,
+        "downzoom_paths_z1": _q_downzoom_paths_z1,
         "tile_stats_z6": _q_tile_stats_z6,
         "decoded_features_z6": _q_decoded_features_z6,
         "filter_lang_en_z6": _q_filter_lang_en_z6,
@@ -2835,6 +2854,36 @@ def _all_oracle_sql() -> dict[str, str]:
             f"CAST(SUM(px4) AS BIGINT) AS sum_px, "
             f"CAST(SUM(py4) AS BIGINT) AS sum_py, "
             f"CAST(0 AS TINYINT) AS check_code FROM q4 GROUP BY 2, 3"
+        ),
+        # path downzoom: halve AFTER the z2 clip (floor over doubles —
+        # DuckDB // truncates and buffer coords are negative), drop
+        # collapsed segments, count (child, part) pieces per parent
+        "downzoom_paths_z1": (
+            _sql_clip_ctes(2)
+            + ", np1 AS (SELECT *, CASE WHEN lag(seg_idx) OVER pw IS NULL "
+            "OR lag(seg_idx) OVER pw != seg_idx - 1 "
+            "OR lag(cx1) OVER pw != cx0 OR lag(cy1) OVER pw != cy0 "
+            "THEN 1 ELSE 0 END AS new_part FROM v "
+            "WINDOW pw AS (PARTITION BY x, y, site ORDER BY seg_idx)), "
+            "ren AS (SELECT x, y, site, cx0, cy0, cx1, cy1, "
+            "(SUM(new_part) OVER pw) - 1 AS p FROM np1 "
+            "WINDOW pw AS (PARTITION BY x, y, site ORDER BY seg_idx)), "
+            "hv AS (SELECT x // 2 AS px, y // 2 AS py, site, "
+            "(y % 2) * 2 + (x % 2) AS child, p, "
+            "CAST(floor(((x % 2) * 4096 + cx0) / 2.0) AS BIGINT) AS hx0, "
+            "CAST(floor(((y % 2) * 4096 + cy0) / 2.0) AS BIGINT) AS hy0, "
+            "CAST(floor(((x % 2) * 4096 + cx1) / 2.0) AS BIGINT) AS hx1, "
+            "CAST(floor(((y % 2) * 4096 + cy1) / 2.0) AS BIGINT) AS hy1 "
+            "FROM ren), "
+            "sv AS (SELECT * FROM hv "
+            "WHERE NOT (hx0 = hx1 AND hy0 = hy1)), "
+            "pp AS (SELECT px, py, site, child, p, COUNT(*) AS m "
+            "FROM sv GROUP BY 1, 2, 3, 4, 5) "
+            "SELECT 1 AS z, CAST(px AS INTEGER) AS x, "
+            "CAST(py AS INTEGER) AS y, site, "
+            "CAST(COUNT(*) AS BIGINT) AS n_parts, "
+            "CAST(SUM(m) + COUNT(*) AS BIGINT) AS n_points "
+            "FROM pp GROUP BY 1, 2, 3, 4"
         ),
         # downzoom: parent pixel = halved child pixel with the sibling
         # offset folded in — the exact integer inverse of overzoom

@@ -396,6 +396,79 @@ def square_tile(z, x, y, squares, layer="hotcells"):
     })
 
 
+class TestDownzoomPaths:
+    def test_collapse_rechains_through_gap(self, ray_session):
+        from vtzero_ray.mvt import codec
+        from vtzero_ray.pipelines.decode import decode_tiles_batch_v
+        from vtzero_ray.pipelines.overzoom import downzoom_paths
+        import ray.data as rd
+
+        # middle segment (100,100)->(101,100) halves to zero length;
+        # the neighbors re-chain into ONE part of 3 points
+        pt = path_tiles_from_segments(
+            [(3, 2, 2, 7, 0, 20, 100, 100, 100),
+             (3, 2, 2, 7, 1, 100, 100, 101, 100),
+             (3, 2, 2, 7, 2, 101, 100, 300, 200)])
+        out = downzoom_paths(rd.from_arrow(pt)).to_pandas()
+        assert len(out) == 1 and out.iloc[0]["n_features"] == 1
+        t = pa.table({
+            "z": pa.array(out["z"].astype("int32")),
+            "x": pa.array(out["x"].astype("int32")),
+            "y": pa.array(out["y"].astype("int32")),
+            "mvt": pa.array(list(out["mvt"]), pa.binary()),
+        })
+        feats = decode_tiles_batch_v(t, with_props=True, with_geometry=True)
+        parts = codec.decode_linestring(
+            np.asarray(feats.column("geom_cmds")[0].as_py(), np.uint32))
+        assert len(parts) == 1
+        assert parts[0].tolist() == [[10, 50], [50, 50], [150, 100]]
+
+    def test_children_stay_separate_parts(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.mvt import codec
+        from vtzero_ray.pipelines.decode import decode_tiles_batch_v
+        from vtzero_ray.pipelines.overzoom import downzoom_paths
+
+        # same site in two sibling children of parent (1,1): pieces stay
+        # separate parts even though endpoints meet after halving
+        pt1 = path_tiles_from_segments([(3, 2, 2, 7, 0, 4000, 96, 4096, 96)])
+        pt2 = path_tiles_from_segments([(3, 3, 2, 7, 0, 0, 96, 200, 96)])
+        tiles = pa.concat_tables([pt1, pt2])
+        out = downzoom_paths(rd.from_arrow(tiles)).to_pandas()
+        assert len(out) == 1
+        t = pa.table({
+            "z": pa.array(out["z"].astype("int32")),
+            "x": pa.array(out["x"].astype("int32")),
+            "y": pa.array(out["y"].astype("int32")),
+            "mvt": pa.array(list(out["mvt"]), pa.binary()),
+        })
+        feats = decode_tiles_batch_v(t, with_props=True, with_geometry=True)
+        parts = codec.decode_linestring(
+            np.asarray(feats.column("geom_cmds")[0].as_py(), np.uint32))
+        assert len(parts) == 2  # NW piece ends (2048,48); NE starts there
+        assert parts[0].tolist() == [[2000, 48], [2048, 48]]
+        assert parts[1].tolist() == [[2048, 48], [2148, 48]]
+
+    def test_negative_buffer_coords_floor(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.pipelines.overzoom import DownzoomPathsToSegments
+
+        # odd negative halves DOWN (floor), matching the SQL floor/2.0
+        pt = path_tiles_from_segments([(3, 2, 2, 7, 0, -63, -1, 100, 50)])
+        segs = DownzoomPathsToSegments()(pt)
+        assert segs.column("cx0").to_pylist() == [-32]
+        assert segs.column("cy0").to_pylist() == [-1]
+
+    def test_rejects_z0_and_points(self, ray_session):
+        from vtzero_ray.pipelines.overzoom import DownzoomPathsToSegments
+
+        pt = path_tiles_from_segments([(0, 0, 0, 1, 0, 0, 0, 10, 10)])
+        with pytest.raises(ValueError, match="no parent"):
+            DownzoomPathsToSegments()(pt)
+
+
 class TestOverzoomPolygons:
     def test_straddling_square_splits_into_quads(self):
         from vtzero_ray.pipelines.overzoom import (OverzoomPolygons,

@@ -350,6 +350,157 @@ def overzoom_paths(tiles_ds, levels: int = 1,
     return out
 
 
+class DownzoomPathsToSegments:
+    """map_batches kernel: child CLIPPED-PATH tiles (z,x,y,mvt) →
+    PARENT-space segment rows (z,x,y,site,seg_idx,cx0,cy0,cx1,cy1) —
+    the `_encode_tile_group` vocabulary, so path downzoom is this scan
+    plus the STANDARD tile-row shuffle (mirroring DownzoomToFeatures).
+
+    Semantics: coordinates halve with the sibling offset folded in
+    (FLOOR division — buffer coords are negative, and DuckDB's `//`
+    truncates, so the SQL twin divides by 2.0 and floors); segments
+    whose endpoints collapse to the same halved point vanish, their
+    neighbors re-chaining through the gap (halving preserves part
+    continuity); parts shrinking below 2 points drop. A parent part
+    never merges ACROSS child tiles — the children's buffered copies of
+    a boundary-crossing path overlap, and stitching them would need
+    overlap dedup; pieces stay separate parts in deterministic
+    (child-raster-order, part) order via the packed seg_idx
+    (child << 40 | part << 20 | run), whose within-run consecutiveness
+    is exactly chain_parts' merge rule. Halved coords stay inside the
+    parent's buffered box ([-32, extent/2 + buffer/2] offsets), so no
+    re-clip is needed.
+    """
+
+    def __init__(self, layer_name: str = "clipped_paths",
+                 extent: int = 4096) -> None:
+        if extent % 2:
+            raise ValueError("downzoom requires an even extent")
+        self.layer_name = layer_name
+        self.extent = extent
+        self.__name__ = "DownzoomPathsToSegments"
+
+    _EMPTY_SEGS = pa.table({
+        "z": pa.array([], pa.int32()), "x": pa.array([], pa.int32()),
+        "y": pa.array([], pa.int32()), "site": pa.array([], pa.int64()),
+        "seg_idx": pa.array([], pa.int64()),
+        "cx0": pa.array([], pa.int64()), "cy0": pa.array([], pa.int64()),
+        "cx1": pa.array([], pa.int64()), "cy1": pa.array([], pa.int64()),
+    })
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return self._EMPTY_SEGS
+        feats = decode_tiles_batch_v(batch, with_props=True,
+                                     with_geometry=True)
+        errs = feats.column("error")
+        if pa.compute.any(pa.compute.is_valid(errs)).as_py():
+            bad = feats.filter(pa.compute.is_valid(errs))
+            raise ValueError(
+                f"downzoom: undecodable input tile: {bad.column('error')[0]}")
+        n = len(feats)
+        if n == 0:
+            return self._EMPTY_SEGS
+        gt = feats.column("geom_type").to_numpy()
+        if (gt != 2).any():
+            raise ValueError("path downzoom: only linestring layers are "
+                             "supported")
+        if (feats.column("z").to_numpy() <= 0).any():
+            raise ValueError("downzoom: tiles at z=0 have no parent")
+        geom = feats.column("geom_cmds")
+        if isinstance(geom, pa.ChunkedArray):
+            geom = geom.combine_chunks()
+        pkeys = feats.column("prop_keys").to_pylist()
+        pvals = feats.column("prop_vals_raw").to_pylist()
+        fz = feats.column("z").to_numpy().astype(np.int64)
+        fx = feats.column("x").to_numpy().astype(np.int64)
+        fy = feats.column("y").to_numpy().astype(np.int64)
+
+        ext = self.extent
+        cols = {k: [] for k in ("z", "x", "y", "site", "seg_idx",
+                                "cx0", "cy0", "cx1", "cy1")}
+        for i in range(n):
+            try:
+                si = pkeys[i].index("site")
+            except ValueError:
+                raise ValueError("path downzoom: feature lacks a 'site' "
+                                 "property") from None
+            _, site = decode_value(pvals[i][si], VT_UINT)
+            parts = codec.decode_linestring(
+                np.asarray(geom[i].as_py(), dtype=np.uint32))
+            if len(parts) >= 1 << 20:
+                raise ValueError("path downzoom: too many parts")
+            child = int((fy[i] & 1) * 2 + (fx[i] & 1))
+            offx = int(fx[i] & 1) * ext
+            offy = int(fy[i] & 1) * ext
+            for p, part in enumerate(parts):
+                pts = part.astype(np.int64)
+                hx = (offx + pts[:, 0]) >> 1   # floor halving (also <0)
+                hy = (offy + pts[:, 1]) >> 1
+                keep = np.empty(hx.shape[0], bool)
+                keep[0] = True
+                keep[1:] = (hx[1:] != hx[:-1]) | (hy[1:] != hy[:-1])
+                hx, hy = hx[keep], hy[keep]
+                m = hx.shape[0] - 1
+                if m < 1:
+                    continue   # part collapsed below 2 points
+                if m >= 1 << 20:
+                    raise ValueError("path downzoom: part too long")
+                cols["z"].append(np.full(m, fz[i] - 1, np.int64))
+                cols["x"].append(np.full(m, fx[i] >> 1, np.int64))
+                cols["y"].append(np.full(m, fy[i] >> 1, np.int64))
+                cols["site"].append(np.full(m, int(site), np.int64))
+                cols["seg_idx"].append(
+                    (child << 40) | (p << 20)
+                    | np.arange(m, dtype=np.int64))
+                cols["cx0"].append(hx[:-1])
+                cols["cy0"].append(hy[:-1])
+                cols["cx1"].append(hx[1:])
+                cols["cy1"].append(hy[1:])
+        if not cols["z"]:
+            return self._EMPTY_SEGS
+        return pa.table({
+            "z": pa.array(np.concatenate(cols["z"]).astype(np.int32)),
+            "x": pa.array(np.concatenate(cols["x"]).astype(np.int32)),
+            "y": pa.array(np.concatenate(cols["y"]).astype(np.int32)),
+            "site": pa.array(np.concatenate(cols["site"])),
+            "seg_idx": pa.array(np.concatenate(cols["seg_idx"])),
+            "cx0": pa.array(np.concatenate(cols["cx0"])),
+            "cy0": pa.array(np.concatenate(cols["cy0"])),
+            "cx1": pa.array(np.concatenate(cols["cx1"])),
+            "cy1": pa.array(np.concatenate(cols["cy1"])),
+        })
+
+
+def downzoom_paths(tiles_ds, levels: int = 1,
+                   layer_name: str = "clipped_paths", extent: int = 4096,
+                   n_buckets: int = 64):
+    """Clipped-path tiles(z) → tiles(z−levels): per level ONE decode
+    scan + ONE bucketed tile-row shuffle re-encoding through the SAME
+    builder path as clipped_path_tiles — children are format-identical,
+    so levels compose (and overzoom_paths can re-derive them)."""
+    import functools
+
+    from ..stages.encode import add_tile_bucket
+
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    out = tiles_ds
+    for _ in range(levels):
+        segs = out.map_batches(DownzoomPathsToSegments(layer_name, extent),
+                               batch_format="pyarrow")
+        segs = segs.map_batches(add_tile_bucket, batch_format="pyarrow",
+                                fn_kwargs={"n_buckets": n_buckets})
+
+        def enc(df, _ext=extent):
+            return _encode_tile_group(df.drop(columns=["bucket"]), _ext)
+
+        out = segs.groupby("bucket").map_groups(enc,
+                                                batch_format="pandas") \
+            .map_batches(lambda t: t, batch_format="pyarrow")
+    return out
+
+
 def path_tile_summary_batch(batch: pa.Table) -> pa.Table:
     """Per-(tile, site) decode summary for LINESTRING tiles: n_parts and
     n_points read back through the real decoder — the oracle surface for
