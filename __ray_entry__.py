@@ -498,6 +498,19 @@ def _q_overzoom_cells_z7(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def _q_crosstab_lang_source(sf_dir: str):
+    """Contingency pivot (lang × source counts): dictionary-coded 2-D
+    bincount partials, category-bounded triples only, ONE output-sized
+    merge — zero shuffles."""
+    import ray.data as rd
+
+    from vtzero_ray.pipelines.relational import crosstab_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+    return crosstab_counts(ds, "lang", "source")
+
+
 def _q_downzoom_paths_z1(sf_dir: str):
     """Linestring downzoom: z2 clipped-path tiles → z1 parents (floor-
     halved coords, collapsed zero-length segments re-chain through the
@@ -2227,7 +2240,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "pca_moments",
                   # linestring downzoom (completes the pyramid family:
                   # points both ways, paths both ways, polygons up)
-                  "downzoom_paths_z1")
+                  "downzoom_paths_z1",
+                  # contingency pivot (zero-shuffle wide aggregate)
+                  "crosstab_lang_source")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2263,6 +2278,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "strip_boilerplate": _q_strip_boilerplate,
         "pca_moments": _q_pca_moments,
         "downzoom_paths_z1": _q_downzoom_paths_z1,
+        "crosstab_lang_source": _q_crosstab_lang_source,
         "tile_stats_z6": _q_tile_stats_z6,
         "decoded_features_z6": _q_decoded_features_z6,
         "filter_lang_en_z6": _q_filter_lang_en_z6,
@@ -2551,6 +2567,8 @@ def _all_oracle_sql() -> dict[str, str]:
         strip_boilerplate_sql as strip_boilerplate_oracle_sql
     from vtzero_ray.functions.pca import \
         embedding_moments_sql as pca_moments_oracle_sql
+    from vtzero_ray.pipelines.relational import \
+        crosstab_sql as crosstab_oracle_sql
     from vtzero_ray.functions.pq import pq_codes_sql as pq_codes_oracle_sql
     from vtzero_ray.functions.pq import topk_pq_sql as topk_pq_oracle_sql
     from vtzero_ray.functions.ann import topk_ivf_sql as ann_ivf_sql
@@ -2822,6 +2840,10 @@ def _all_oracle_sql() -> dict[str, str]:
         "strip_boilerplate": strip_boilerplate_oracle_sql(),
         # PCA moments: pairwise self-join over the quantized grid
         "pca_moments": pca_moments_oracle_sql(),
+        # contingency pivot: conditional sums over the pinned domain
+        "crosstab_lang_source": crosstab_oracle_sql(
+            "documents", "lang", "source",
+            [f"src{i}" for i in range(20)]),
         # Deequ/TFDV profiling + contract checks (exact twins from the
         # same rule literals)
         "profile_documents": profile_oracle_sql("documents", _PROFILE_COLS),

@@ -322,7 +322,8 @@ def run_bench() -> dict:
                      "overzoom_cells_z7", "pyramid_store_z4",
                      "profile_documents", "validate_documents",
                      "events_funnel", "strip_boilerplate",
-                     "pca_moments", "downzoom_paths_z1"):
+                     "pca_moments", "downzoom_paths_z1",
+                     "crosstab_lang_source"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

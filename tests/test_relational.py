@@ -167,3 +167,49 @@ class TestEventsFunnel:
         pd.testing.assert_frame_equal(got, exp)
         assert (got["n_users"].to_numpy()[1:]
                 <= got["n_users"].to_numpy()[:-1]).all()
+
+
+class TestCrosstab:
+    def test_partition_invariant_and_exact(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.pipelines.relational import (crosstab_counts,
+                                                     crosstab_sql)
+
+        import numpy as np
+        rng = np.random.default_rng(11)
+        t = pa.table({
+            "lang": pa.array(np.array(["en", "de", "fr"])
+                             [rng.integers(0, 3, 500)].tolist()),
+            "source": pa.array(np.array(["a", "b", "c", "d"])
+                               [rng.integers(0, 4, 500)].tolist()),
+        })
+        for blocks in (1, 9):
+            got = crosstab_counts(rd.from_arrow(t).repartition(blocks),
+                                  "lang", "source").to_pandas()
+            con = duckdb.connect()
+            con.register("tbl", t)
+            exp = con.execute(
+                crosstab_sql("tbl", "lang", "source",
+                             ["a", "b", "c", "d"])).df() \
+                .sort_values("lang").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, exp)
+        assert (got["total"] == got[[c for c in got.columns
+                                     if c.startswith("n_")]]
+                .sum(axis=1)).all()
+
+    def test_missing_combination_zero(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from vtzero_ray.pipelines.relational import crosstab_counts
+
+        t = pa.table({"lang": pa.array(["en", "de"]),
+                      "source": pa.array(["a", "b"])})
+        got = crosstab_counts(rd.from_arrow(t), "lang", "source") \
+            .to_pandas().set_index("lang")
+        assert got.loc["en", "n_a"] == 1 and got.loc["en", "n_b"] == 0
+        assert got.loc["de", "n_b"] == 1 and got.loc["de", "n_a"] == 0

@@ -563,3 +563,78 @@ def events_funnel_sql(steps=("view", "click", "purchase")) -> str:
         f"CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i}"
         for i, s in enumerate(steps)]
     return "".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+def crosstab_counts(ds, row_key: str, col_key: str):
+    """Contingency table (pivot on counts): → one row per row_key value
+    with one count column per col_key value (sorted, prefixed
+    ``n_<value>``) plus ``total``. Both key cardinalities must be
+    category-bounded (the pivot contract) — the per-batch partial is a
+    dictionary-coded 2-D bincount, so only (r, c, n) triples leave each
+    task and the merge is ONE output-sized task with NO shuffle at all.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        rk = pa.compute.dictionary_encode(_as_string(t.column(row_key)))
+        ck = pa.compute.dictionary_encode(_as_string(t.column(col_key)))
+        if isinstance(rk, pa.ChunkedArray):
+            rk = rk.combine_chunks()
+        if isinstance(ck, pa.ChunkedArray):
+            ck = ck.combine_chunks()
+        ri = rk.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ci = ck.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nr = len(rk.dictionary)
+        nc = len(ck.dictionary)
+        if nr == 0 or nc == 0:
+            return pa.table({"r": pa.array([], pa.string()),
+                             "c": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        cnt = np.bincount(ri * nc + ci, minlength=nr * nc) \
+            .reshape(nr, nc)
+        rr, cc = np.nonzero(cnt)
+        return pa.table({
+            "r": rk.dictionary.take(pa.array(rr)),
+            "c": ck.dictionary.take(pa.array(cc)),
+            "n": pa.array(cnt[rr, cc].astype(np.int64)),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        tot = df.groupby(["r", "c"], sort=True)["n"].sum().reset_index()
+        wide = tot.pivot(index="r", columns="c", values="n") \
+            .fillna(0).astype(np.int64)
+        wide = wide[sorted(wide.columns)]
+        out = pd.DataFrame({row_key: wide.index.to_numpy()})
+        for c in wide.columns:
+            out[f"n_{c}"] = wide[c].to_numpy()
+        out["total"] = wide.sum(axis=1).to_numpy()
+        return pa.Table.from_pandas(out.sort_values(row_key)
+                                    .reset_index(drop=True),
+                                    preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    return parts.repartition(1).map_batches(merge, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def _as_string(arr):
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pa.compute.cast(arr, pa.string())
+
+
+def crosstab_sql(table: str, row_key: str, col_key: str,
+                 col_values) -> str:
+    """Exact twin — one conditional sum per (sorted) column value; the
+    caller supplies the column domain (the driver query pins it so the
+    output schema is stable)."""
+    cols = ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE CAST({col_key} AS VARCHAR) = '{v}') "
+        f"AS BIGINT) AS n_{v}"
+        for v in sorted(col_values))
+    return (f"SELECT CAST({row_key} AS VARCHAR) AS {row_key}, {cols}, "
+            f"CAST(COUNT(*) AS BIGINT) AS total "
+            f"FROM {table} GROUP BY 1")
