@@ -443,6 +443,23 @@ def _crc_np(strings: pa.Array, n_buckets: int) -> np.ndarray:
                        np.int32, count=len(strings))
 
 
+def _bg_table(bucket, kind, doc_id, t1, t2, tf, cb, ctx):
+    """Typed shared schema for every bigram-perplexity channel."""
+    return pa.table({
+        "bucket": pa.array(np.asarray(bucket, np.int32)),
+        "kind": pa.array(np.asarray(kind, np.int8)),
+        "doc_id": pa.array(np.asarray(doc_id, np.int64)),
+        "t1": pa.array(list(t1), pa.string()),
+        "t2": pa.array(list(t2), pa.string()),
+        "tf": pa.array(np.asarray(tf, np.int64)),
+        "cb": pa.array(np.asarray(cb, np.int64)),
+        "ctx": pa.array(np.asarray(ctx, np.int64)),
+    })
+
+
+_EMPTY_BG = _bg_table([], [], [], [], [], [], [], [])
+
+
 def bigram_perplexity(ds_factory, column: str = "text",
                       id_column: str = "doc_id", n_buckets: int = 64):
     """Per-doc add-1-smoothed BIGRAM NLL → Dataset (doc_id, n_bigrams,
@@ -450,172 +467,147 @@ def bigram_perplexity(ds_factory, column: str = "text",
     occurrences as a bigram FIRST element and V = the full unigram
     vocabulary size.
 
-    THE POINT vs doc_perplexity: a bigram model is vocabulary²-bounded
-    — too big to broadcast at 100 TB — so scoring is a DISTRIBUTED
-    JOIN, not a broadcast: LM rows and doc-term rows bucket by the
-    SAME crc32(t1) key (ctx rides ON the LM rows, computed in the same
-    bucket that owns all of t1's bigrams — the build_text_index
-    replication trick), one tagged-union groupby joins them, then ONE
-    doc-bucket shuffle integer-sums the int64-quantized terms (the
-    doc_perplexity contract: no float addition ever crosses a task
-    boundary). Self-trained on the corpus, so every doc bigram has an
-    LM row (inner join is exact); docs with < 2 tokens keep a zero
-    row via the sentinel channel.
+    THE POINT vs doc_perplexity: a bigram model is vocabulary²-bounded —
+    too big to broadcast at 100 TB — so scoring is a DISTRIBUTED JOIN:
+    LM partial counts and doc-term rows bucket by the SAME crc32(t1)
+    key and one tagged-union groupby joins them (ctx is summed in the
+    bucket that owns ALL of t1's bigrams).
 
-    ``ds_factory()`` must return a FRESH reader per call (the corpus is
-    scanned four times: V, LM train, doc terms, per-doc sentinels —
-    independent readers, the lineage invariant)."""
-    V = unigram_counts(ds_factory(), column=column).count()
-
-    # --- LM table: (t1, t2, cb, ctx), bucketed by crc32(t1) ---
-    def lm_partial(batch: pa.Table) -> pa.Table:
-        tune_allocator()
-        c1, c2, _, vocab, _, _ = _batch_bigrams(batch, column)
-        empty = pa.table({"t1": pa.array([], pa.string()),
-                          "t2": pa.array([], pa.string()),
-                          "n": pa.array([], pa.int64())})
-        if c1.size == 0:
-            return empty
-        nv = np.int64(len(vocab))
-        key = c1 * nv + c2
-        uniq, cnt = np.unique(key, return_counts=True)
-        t1, t2 = _pair_strings(vocab, uniq // nv, uniq % nv)
-        return pa.table({"t1": t1, "t2": t2,
-                         "n": pa.array(cnt.astype(np.int64))})
-
-    def lm_bucket(t: pa.Table) -> pa.Table:
-        t1 = t.column("t1")
-        if isinstance(t1, pa.ChunkedArray):
-            t1 = t1.combine_chunks()
-        return t.append_column("bucket",
-                               pa.array(_crc_np(t1, n_buckets)))
-
-    def lm_final(df):
-        agg = df.groupby(["t1", "t2"], sort=False)["n"].sum() \
-            .reset_index().rename(columns={"n": "cb"})
-        agg["ctx"] = agg.groupby("t1", sort=False)["cb"].transform("sum")
-        agg["cb"] = agg["cb"].astype(np.int64)
-        agg["ctx"] = agg["ctx"].astype(np.int64)
-        # each map_groups group IS one bucket — keep its key for lm_tag
-        agg["bucket"] = np.int32(df["bucket"].iloc[0]) if len(df) else \
-            np.empty(0, np.int32)
-        return agg[["bucket", "t1", "t2", "cb", "ctx"]]
-
-    lm = ds_factory().map_batches(lm_partial, batch_format="pyarrow",
-                                  batch_size=None) \
-        .map_batches(lm_bucket, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(lm_final, batch_format="pandas")
-
-    # --- doc term rows: (doc_id, t1, t2, tf), same bucket key ---
-    def term_partial(batch: pa.Table) -> pa.Table:
-        tune_allocator()
-        c1, c2, bdoc, vocab, n_docs, _ = _batch_bigrams(batch, column)
-        ids = batch.column(id_column).to_numpy()
-        empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                          "t1": pa.array([], pa.string()),
-                          "t2": pa.array([], pa.string()),
-                          "tf": pa.array([], pa.int64())})
-        if c1.size == 0:
-            return empty
-        nv = np.int64(len(vocab))
-        if np.int64(n_docs) * nv * nv < np.int64(1) << 62:
-            key = (bdoc * nv + c1) * nv + c2
-            uniq, tf = np.unique(key, return_counts=True)
-            ud = uniq // (nv * nv)
-            uc1 = (uniq // nv) % nv
-            uc2 = uniq % nv
-        else:  # fused key would overflow — unique over stacked rows
-            rows = np.stack([bdoc, c1, c2], axis=1)
-            uniq_rows, tf = np.unique(rows, axis=0, return_counts=True)
-            ud, uc1, uc2 = uniq_rows.T
-        t1, t2 = _pair_strings(vocab, uc1, uc2)
-        return pa.table({"doc_id": pa.array(ids[ud], pa.int64()),
-                         "t1": t1, "t2": t2,
-                         "tf": pa.array(tf.astype(np.int64))})
-
-    terms = ds_factory().map_batches(term_partial, batch_format="pyarrow",
-                                     batch_size=None) \
-        .map_batches(lm_bucket, batch_format="pyarrow")
-
-    # --- bucketed join (tagged union: LM rows carry doc_id = -1) ---
-    def lm_tag(t: pa.Table) -> pa.Table:
-        n = len(t)
-        return pa.table({"bucket": t.column("bucket"),
-                         "doc_id": pa.array(np.full(n, -1, np.int64)),
-                         "t1": t.column("t1"), "t2": t.column("t2"),
-                         "tf": pa.array(np.zeros(n, np.int64)),
-                         "cb": t.column("cb"), "ctx": t.column("ctx")})
-
-    def term_tag(t: pa.Table) -> pa.Table:
-        n = len(t)
-        return pa.table({"bucket": t.column("bucket"),
-                         "doc_id": t.column("doc_id"),
-                         "t1": t.column("t1"), "t2": t.column("t2"),
-                         "tf": t.column("tf"),
-                         "cb": pa.array(np.zeros(n, np.int64)),
-                         "ctx": pa.array(np.zeros(n, np.int64))})
-
+    SHAPE (the speculative-backoff recipe): ONE fused corpus scan emits
+    every channel from a single tokenize — LM bigram partials + doc
+    term rows (join zone, crc(t1)), per-batch DISTINCT tokens (vocab
+    zone, crc(tok) — each token's distinct-ness is a local decision),
+    and per-doc sentinels (doc zone) — into ONE zone-tagged composite
+    groupby; V then rides to the doc merge as per-vocab-bucket stats
+    rows replicated to every doc bucket, so the q quantization happens
+    in the SECOND (doc) groupby with the identical float expression and
+    NO driver-side V count. 1 scan + 2 shuffles total (was 4 scans + 4
+    barriers); int64-quantized terms still make the per-doc reduction
+    order-free. ``ds_factory()`` must return a FRESH reader per call."""
     import pandas as pd
 
-    def join_q(df):
-        lmr = df[df["doc_id"] < 0]
-        tr = df[df["doc_id"] >= 0]
-        m = tr.merge(lmr[["t1", "t2", "cb", "ctx"]], on=["t1", "t2"],
-                     how="inner", suffixes=("", "_lm"))
-        if m.empty:
-            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
-                                 "q": np.empty(0, np.int64),
-                                 "b2": np.empty(0, np.int32)})
-        lnp = np.log((m["cb_lm"].to_numpy(np.float64) + 1.0)
-                     / (m["ctx_lm"].to_numpy(np.float64) + np.float64(V)))
-        q = np.floor((m["tf"].to_numpy(np.float64) * lnp)
-                     * QUANT + 0.5).astype(np.int64)
-        doc = m["doc_id"].to_numpy(np.int64)
-        return pd.DataFrame({"doc_id": doc, "q": q,
-                             "b2": (doc % n_buckets).astype(np.int32)})
+    nb = n_buckets
 
-    qrows = lm.map_batches(lm_tag, batch_format="pyarrow") \
-        .union(terms.map_batches(term_tag, batch_format="pyarrow")) \
-        .groupby("bucket").map_groups(join_q, batch_format="pandas") \
-        .map_batches(lambda t: t, batch_format="pyarrow")
-
-    # --- per-doc sentinel rows (n_bigrams; docs w/o bigrams keep 0) ---
-    def sentinel(batch: pa.Table) -> pa.Table:
-        _, _, _, _, n_docs, nb = _batch_bigrams(batch, column)
+    def combined(batch: pa.Table) -> pa.Table:
+        tune_allocator()
+        out = []
+        c1, c2, bdoc, vocab, n_docs, nbig = _batch_bigrams(batch, column)
         ids = batch.column(id_column).to_numpy().astype(np.int64)
-        return pa.table({"doc_id": pa.array(ids),
-                         "q": pa.array(-(nb + 1)),  # tag: q = -(nb+1)
-                         "b2": pa.array((ids % n_buckets)
-                                        .astype(np.int32))})
+        if n_docs:
+            nd = ids.shape[0]
+            out.append(_bg_table(          # doc sentinels (zone 0)
+                (ids % nb).astype(np.int32), np.full(nd, 3, np.int8),
+                ids, [""] * nd, [""] * nd, nbig,
+                np.zeros(nd), np.zeros(nd)))
+        nv_tokens = len(vocab)
+        # the split dictionary may hold the dropped "" token (codes filter
+        # it, the dictionary keeps it) — V counts KEPT tokens only
+        kept_vocab = vocab.filter(
+            pc.greater(pc.utf8_length(vocab), 0)) if nv_tokens else vocab
+        nk = len(kept_vocab)
+        if nk:                              # vocab zone (2): batch-unique
+            out.append(_bg_table(
+                2 * nb + _crc_np(kept_vocab, nb),
+                np.full(nk, 5, np.int8),
+                np.full(nk, -1, np.int64),
+                kept_vocab.to_pylist(), [""] * nk,
+                np.zeros(nk), np.zeros(nk),
+                np.zeros(nk)))
+        if c1.size:
+            nv = np.int64(nv_tokens)
+            key = c1 * nv + c2              # LM partials (zone 1)
+            uniq, cnt = np.unique(key, return_counts=True)
+            v1, v2 = _pair_strings(vocab, uniq // nv, uniq % nv)
+            n = len(cnt)
+            out.append(_bg_table(
+                1 * nb + _crc_np(v1, nb), np.full(n, 2, np.int8),
+                np.full(n, -1, np.int64), v1.to_pylist(), v2.to_pylist(),
+                np.zeros(n), cnt, np.zeros(n)))
+            if np.int64(n_docs) * nv * nv < np.int64(1) << 62:
+                k2 = (bdoc * nv + c1) * nv + c2
+                uniq, tf = np.unique(k2, return_counts=True)
+                ud = uniq // (nv * nv)
+                uc1 = (uniq // nv) % nv
+                uc2 = uniq % nv
+            else:   # fused key would overflow — unique over stacked rows
+                rows = np.stack([bdoc, c1, c2], axis=1)
+                uniq_rows, tf = np.unique(rows, axis=0, return_counts=True)
+                ud, uc1, uc2 = uniq_rows.T
+            t1, t2 = _pair_strings(vocab, uc1, uc2)
+            n = len(tf)
+            out.append(_bg_table(           # doc term rows (zone 1)
+                1 * nb + _crc_np(t1, nb), np.zeros(n, np.int8),
+                ids[ud], t1.to_pylist(), t2.to_pylist(), tf,
+                np.zeros(n), np.zeros(n)))
+        return pa.concat_tables(out) if out else _EMPTY_BG
 
-    sent = ds_factory().map_batches(sentinel, batch_format="pyarrow",
-                                    batch_size=None)
+    def zone_join(df: "pd.DataFrame") -> pa.Table:
+        tune_allocator()
+        zone = int(df["bucket"].iloc[0]) // nb
+        if zone == 0:                      # sentinels pass through
+            n = len(df)
+            return _bg_table(
+                df["bucket"].to_numpy(np.int32),
+                df["kind"].to_numpy(np.int8),
+                df["doc_id"].to_numpy(np.int64), [""] * n, [""] * n,
+                df["tf"].to_numpy(np.int64), df["cb"].to_numpy(np.int64),
+                df["ctx"].to_numpy(np.int64))
+        if zone == 2:                      # V partial → every doc bucket
+            vb = int(df.loc[df["kind"] == 5, "t1"].nunique())
+            return _bg_table(
+                np.arange(nb, dtype=np.int32), np.full(nb, 4, np.int8),
+                np.full(nb, -1, np.int64), [""] * nb, [""] * nb,
+                np.zeros(nb), np.full(nb, vb, np.int64), np.zeros(nb))
+        lmr = df[df["kind"] == 2]
+        tr = df[df["kind"] == 0]
+        if tr.empty:
+            return _EMPTY_BG
+        agg = lmr.groupby(["t1", "t2"], sort=False)["cb"].sum() \
+            .reset_index()
+        if len(agg):
+            agg["ctx"] = agg.groupby("t1", sort=False)["cb"] \
+                .transform("sum")
+        else:
+            agg["ctx"] = np.empty(0, np.int64)
+        m = tr.merge(agg, on=["t1", "t2"], how="inner",
+                     suffixes=("", "_lm"))
+        n = len(m)
+        doc = m["doc_id"].to_numpy(np.int64)
+        return _bg_table(                  # resolved rows → doc buckets
+            (doc % nb).astype(np.int32), np.ones(n, np.int8), doc,
+            [""] * n, [""] * n, m["tf"].to_numpy(np.int64),
+            m["cb_lm"].to_numpy(np.int64), m["ctx_lm"].to_numpy(np.int64))
 
-    # q terms are <= 0 (ln of a probability), so sign can't tag the
-    # sentinel channel — an explicit kind column disambiguates
-    def q_kind(t: pa.Table) -> pa.Table:
-        return t.append_column("is_sent",
-                               pa.array(np.zeros(len(t), np.bool_)))
-
-    def s_kind(t: pa.Table) -> pa.Table:
-        nbv = pc.multiply(pc.add(t.column("q"), 1), -1)  # undo the tag
-        return pa.table({"doc_id": t.column("doc_id"), "q": nbv,
-                         "b2": t.column("b2"),
-                         "is_sent": pa.array(np.ones(len(t), np.bool_))})
-
-    def finish(df):
-        s = df[df["is_sent"]]
-        tq = df[~df["is_sent"]]
-        nll = tq.groupby("doc_id", sort=False)["q"].sum()
-        out = s[["doc_id", "q"]].rename(columns={"q": "n_bigrams"}).copy()
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        tune_allocator()
+        V = int(df.loc[df["kind"] == 4, "cb"].sum())
+        s = df[df["kind"] == 3]
+        tq = df[df["kind"] == 1]
+        if len(tq):
+            # the EXACT former join_q expression, with V from the shuffle
+            lnp = np.log((tq["cb"].to_numpy(np.float64) + 1.0)
+                         / (tq["ctx"].to_numpy(np.float64)
+                            + np.float64(V)))
+            q = np.floor((tq["tf"].to_numpy(np.float64) * lnp)
+                         * QUANT + 0.5).astype(np.int64)
+            nll = pd.Series(q).groupby(
+                tq["doc_id"].to_numpy(np.int64)).sum()
+        else:
+            nll = pd.Series(np.empty(0, np.int64),
+                            index=np.empty(0, np.int64))
+        out = s[["doc_id", "tf"]].rename(columns={"tf": "n_bigrams"}) \
+            .copy()
         out["nll_q9"] = -nll.reindex(out["doc_id"]).fillna(0) \
             .to_numpy(np.int64)
         out["n_bigrams"] = out["n_bigrams"].astype(np.int64)
         return out[["doc_id", "n_bigrams", "nll_q9"]]
 
-    return qrows.map_batches(q_kind, batch_format="pyarrow") \
-        .union(sent.map_batches(s_kind, batch_format="pyarrow")) \
-        .groupby("b2").map_groups(finish, batch_format="pandas")
+    parts = ds_factory().map_batches(combined, batch_format="pyarrow",
+                                     batch_size=None)
+    joined = parts.groupby("bucket").map_groups(zone_join,
+                                                batch_format="pandas")
+    return joined.groupby("bucket").map_groups(finish,
+                                               batch_format="pandas")
 
 
 def bigram_perplexity_sql(table: str = "documents", column: str = "text",
