@@ -724,6 +724,27 @@ class TestDenseIdentity:
              .to_pandas().sort_values("v").reset_index(drop=True))
         assert a.equals(b)
 
+    def test_walks_dense_equals_bucketed(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+
+        from vtzero_ray.functions.graph import (random_walks,
+                                                random_walks_dense,
+                                                synth_edges)
+        ds = self._docs()
+        n = ds.count()
+        nodes = rd.range(n, override_num_blocks=3).map_batches(
+            lambda t: pa.table({"doc_id": t.column("id").cast(pa.int64())}),
+            batch_format="pyarrow", batch_size=None)
+        a = (random_walks(nodes, synth_edges(ds, n), n_steps=3)
+             .to_pandas().sort_values(["walk", "step"])
+             .reset_index(drop=True))
+        b = (random_walks_dense(synth_edges(self._docs(4), n), n,
+                                n_steps=3)
+             .to_pandas().sort_values(["walk", "step"])
+             .reset_index(drop=True))
+        assert a.equals(b)
+
     def test_label_prop_dense_guard(self, ray_session):
         import ray.data as rd
         from vtzero_ray.functions.graph import label_prop_dense

@@ -503,13 +503,9 @@ def host_walks(ds_docs, n_hosts: int = 1000, n_steps: int = 3,
 
     edges = host_edges(extract_links(synth_linked_html(ds_docs)),
                        n_hosts=n_hosts)
-    # override_num_blocks: rd.range defaults to ~200 blocks -> 5-row
-    # tasks re-mapped EVERY iteration (22 s of pure orchestration at
-    # sf0.1); the node table is tiny, a handful of blocks suffices
-    nodes = rd.range(n_hosts, override_num_blocks=4).map_batches(
-        lambda t: pa.table({"doc_id": t.column("id").cast(pa.int64())}),
-        batch_format="pyarrow", batch_size=None)
-    return random_walks(nodes, edges, n_steps=n_steps, seed=seed)
+    # declared bounded universe -> dense next-hop path (bit-identical
+    # to the bucketed random_walks, asserted in TestDenseIdentity)
+    return random_walks_dense(edges, n_hosts, n_steps=n_steps, seed=seed)
 
 
 def host_walks_sql(html_expr: str, n_hosts: int = 1000,
@@ -1581,6 +1577,96 @@ def pagerank_dense(edges, n_nodes: int, n_iters: int = 3,
     return rd.from_arrow(pa.table({
         "v": pa.array(np.arange(n, dtype=np.int64)),
         "rank_q9": pa.array(ranks)}))
+
+
+def random_walks_dense(edges, n_nodes: int, n_steps: int = 3,
+                       seed: str = "walk", n_buckets: int = 32):
+    """Bounded-universe deterministic hash walks → Dataset (walk, step,
+    node), bit-identical to ``random_walks`` over nodes 0..n_nodes-1.
+
+    The key observation: the next hop from node u at step t is a pure
+    function next_t(u) = argmin over out-edges (u, w) of
+    (md5('{seed}:{t}:{u}:{w}'), w) — INDEPENDENT of which walks sit at
+    u. So each step is ONE streaming edge pass emitting per-block
+    (min-hash, arg-w) composite partials for EVERY node (a superset of
+    the occupied frontier — harmless), min-merged in a single task; the
+    position vector advances on the driver (pos' = next_t[pos], sinks
+    stop). n_steps edge passes total, zero per-step shuffles."""
+    import ray
+    import ray.data as rd
+
+    from ._mdhash import hash_u64
+
+    n = int(n_nodes)
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    if edges.num_blocks() > 8:
+        edges = edges.repartition(8).materialize()
+    INF = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def step_fn(t):
+        def fn(tab: pa.Table) -> pa.Table:
+            tune_allocator()
+            src = tab.column("src").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            dst = tab.column("dst").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            _check_ids(src, dst, n, "random_walks_dense")
+            h = np.fromiter(
+                (hash_u64(f"{seed}:{t}:{u}:{w}")
+                 for u, w in zip(src, dst)), np.uint64, count=src.size)
+            order = np.lexsort((dst, h, src))
+            so = src[order]
+            first = np.ones(so.shape[0], bool)
+            first[1:] = so[1:] != so[:-1]
+            hmin = np.full(n, INF, np.uint64)
+            wmin = np.full(n, -1, np.int64)
+            hmin[so[first]] = h[order][first]
+            wmin[so[first]] = dst[order][first]
+            blob = np.concatenate([hmin.view(np.int64), wmin]).tobytes()
+            return pa.table({"part": pa.array([blob], pa.large_binary())})
+        return fn
+
+    def min_merge(tab: pa.Table) -> tuple:
+        rows = tab.column("part").to_pylist()
+        hm = np.full(n, INF, np.uint64)
+        wm = np.full(n, -1, np.int64)
+        for buf in rows:
+            v = np.frombuffer(buf, np.int64)
+            h2 = v[:n].view(np.uint64)
+            w2 = v[n:]
+            take = (h2 < hm) | ((h2 == hm) & (w2 >= 0) & (w2 < wm))
+            hm = np.where(take, h2, hm)
+            wm = np.where(take, w2, wm)
+        return hm, wm
+
+    out_walk = [np.arange(n, dtype=np.int64)]
+    out_step = [np.zeros(n, np.int64)]
+    out_node = [np.arange(n, dtype=np.int64)]
+    pos = np.arange(n, dtype=np.int64)
+    alive = np.ones(n, bool)
+    for t in range(1, max(0, n_steps) + 1):
+        if not alive.any():
+            break
+        parts = edges.map_batches(step_fn(t), batch_format="pyarrow",
+                                  batch_size=None)
+        rows = parts.repartition(1).map_batches(
+            lambda tb: tb, batch_format="pyarrow").take_all()
+        tab = pa.table({"part": pa.array([r["part"] for r in rows],
+                                         pa.large_binary())})
+        _, nxt = min_merge(tab)
+        np_next = nxt[pos]
+        step_alive = alive & (np_next >= 0)
+        pos = np.where(step_alive, np_next, pos)
+        alive = step_alive
+        idx = np.flatnonzero(step_alive)
+        out_walk.append(idx)
+        out_step.append(np.full(idx.size, t, np.int64))
+        out_node.append(pos[idx])
+
+    return rd.from_arrow(pa.table({
+        "walk": pa.array(np.concatenate(out_walk)),
+        "step": pa.array(np.concatenate(out_step)),
+        "node": pa.array(np.concatenate(out_node))}))
 
 
 def label_prop_dense(edges, n_nodes: int, n_iters: int = 3,
