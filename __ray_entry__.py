@@ -498,6 +498,16 @@ def _q_overzoom_cells_z7(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def _q_host_ppr(sf_dir: str):
+    """Personalized PageRank (Haveliwala 2002): teleport mass
+    concentrated on the v % 17 == 0 host cohort; the dense bounded-
+    universe path with a seed base vector — the per-edge term and all
+    float expressions are pagerank's own."""
+    from vtzero_ray.functions.graph import host_ppr
+
+    return host_ppr(_docs(sf_dir))
+
+
 def _q_crosstab_lang_source(sf_dir: str):
     """Contingency pivot (lang × source counts): dictionary-coded 2-D
     bincount partials, category-bounded triples only, ONE output-sized
@@ -2242,7 +2252,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # points both ways, paths both ways, polygons up)
                   "downzoom_paths_z1",
                   # contingency pivot (zero-shuffle wide aggregate)
-                  "crosstab_lang_source")
+                  "crosstab_lang_source",
+                  # personalized PageRank (seed-set teleport)
+                  "ppr_hosts")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2279,6 +2291,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "pca_moments": _q_pca_moments,
         "downzoom_paths_z1": _q_downzoom_paths_z1,
         "crosstab_lang_source": _q_crosstab_lang_source,
+        "ppr_hosts": _q_host_ppr,
         "tile_stats_z6": _q_tile_stats_z6,
         "decoded_features_z6": _q_decoded_features_z6,
         "filter_lang_en_z6": _q_filter_lang_en_z6,
@@ -2599,6 +2612,10 @@ def _all_oracle_sql() -> dict[str, str]:
         pagerank_sql as pagerank_oracle_sql
     from vtzero_ray.functions.graph import \
         host_pagerank_sql as host_pagerank_oracle_sql
+    from vtzero_ray.functions.graph import \
+        ppr_sql_over as ppr_oracle_sql_over
+    from vtzero_ray.functions.graph import \
+        _host_edges_sql as host_edges_oracle_sql
     from vtzero_ray.functions.graph import \
         host_walks_sql as host_walks_oracle_sql
     from vtzero_ray.functions.graph import \
@@ -3222,6 +3239,10 @@ def _all_oracle_sql() -> dict[str, str]:
         # host_pagerank: same unrolled recursion over edges the twin
         # ALSO extracts from the synth HTML (href regex + host parse)
         "host_pagerank": host_pagerank_oracle_sql(linked_html_sql_expr()),
+        # ppr_hosts: same edges/term, seed-concentrated r0/base CASE
+        "ppr_hosts": ppr_oracle_sql_over(
+            host_edges_oracle_sql(linked_html_sql_expr()),
+            "SELECT range AS v FROM range(1000)", "v % 17 = 0"),
         # host_walks: unrolled steps, min-(md5_number_lower, dst) hop
         "host_walks": host_walks_oracle_sql(linked_html_sql_expr()),
         # cocitation_hosts: same edges, self-join on src

@@ -323,7 +323,7 @@ def run_bench() -> dict:
                      "profile_documents", "validate_documents",
                      "events_funnel", "strip_boilerplate",
                      "pca_moments", "downzoom_paths_z1",
-                     "crosstab_lang_source"):
+                     "crosstab_lang_source", "ppr_hosts"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

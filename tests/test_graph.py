@@ -724,6 +724,37 @@ class TestDenseIdentity:
              .to_pandas().sort_values("v").reset_index(drop=True))
         assert a.equals(b)
 
+    def test_personalized_teleport(self, ray_session):
+        import numpy as np
+
+        from vtzero_ray.functions.graph import pagerank_dense, synth_edges
+
+        ds = self._docs()
+        n = ds.count()
+        seeds = np.arange(0, n, 7)
+        r = (pagerank_dense(synth_edges(ds, n), n, n_iters=3,
+                            seeds=seeds).to_pandas()
+             .sort_values("v").reset_index(drop=True))
+        # total mass ~1e9 (restart mass conserved up to sink leakage)
+        assert 0 < r["rank_q9"].sum() <= 1_100_000_000
+        # seed-cohort mass dominates the uniform share
+        seed_mass = r.loc[r["v"].isin(seeds), "rank_q9"].sum()
+        assert seed_mass > r["rank_q9"].sum() * len(seeds) / n
+        # non-seed nodes with no inbound path from seeds hold zero
+        import ray.data as rd
+        import pyarrow as pa
+
+        e2 = rd.from_arrow(pa.table({
+            "src": pa.array([0, 1], pa.int64()),
+            "dst": pa.array([1, 2], pa.int64()),
+            "deg": pa.array([1, 1], pa.int64())}))
+        r2 = pagerank_dense(e2, 4, n_iters=3, seeds=[0]).to_pandas() \
+            .set_index("v")["rank_q9"]
+        assert r2[3] == 0 and r2[0] > 0 and r2[1] > 0
+
+        with pytest.raises(ValueError, match="seeds"):
+            pagerank_dense(e2, 4, n_iters=1, seeds=[])
+
     def test_walks_dense_equals_bucketed(self, ray_session):
         import ray.data as rd
         import pyarrow as pa

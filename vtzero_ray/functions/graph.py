@@ -371,6 +371,57 @@ def pagerank_sql_over(edges_sql: str, nodes_sql: str, n_iters: int = 3,
                    f"FROM r{max(0, n_iters)}")
 
 
+def ppr_sql_over(edges_sql: str, nodes_sql: str, seed_pred: str,
+                 n_iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled PERSONALIZED-PageRank twin: identical to
+    pagerank_sql_over except the r0/base mass concentrates on the seed
+    set (``seed_pred`` is a boolean over nodes.v) — the per-edge term is
+    untouched."""
+    d = repr(damping)
+    parts = [
+        f"WITH nodes AS ({nodes_sql}), ",
+        f"seeds AS (SELECT v FROM nodes WHERE {seed_pred}), ",
+        "ns AS (SELECT COUNT(*) AS c FROM seeds), ",
+        f"e AS ({edges_sql}), ",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM e GROUP BY 1), ",
+        "base AS (SELECT CAST(floor((1.0::DOUBLE - " + d + "::DOUBLE) * "
+        "1000000000.0 / CAST(ns.c AS DOUBLE) + 0.5) AS BIGINT) AS b, "
+        "CAST(floor(1000000000.0 / CAST(ns.c AS DOUBLE) + 0.5) AS BIGINT) "
+        "AS r0 FROM ns), ",
+        "r0 AS (SELECT nodes.v, CASE WHEN nodes.v IN "
+        "(SELECT v FROM seeds) THEN base.r0 ELSE 0 END AS rq "
+        "FROM nodes, base), ",
+    ]
+    for i in range(max(0, n_iters)):
+        parts.append(
+            f"t{i} AS (SELECT e.dst AS v, CAST(floor({d}::DOUBLE * "
+            f"CAST(r{i}.rq AS DOUBLE) / CAST(deg.deg AS DOUBLE) + 0.5) "
+            "AS BIGINT) AS tq FROM e JOIN deg USING (src) "
+            f"JOIN r{i} ON r{i}.v = e.src), "
+            f"r{i + 1} AS (SELECT d0.v, "
+            "(CASE WHEN d0.v IN (SELECT v FROM seeds) THEN base.b "
+            "ELSE 0 END) + COALESCE(s.sq, 0) AS rq FROM nodes d0 "
+            "CROSS JOIN base LEFT JOIN (SELECT v, SUM(tq) AS sq "
+            f"FROM t{i} GROUP BY 1) s ON s.v = d0.v), ")
+    body = "".join(parts).rstrip().rstrip(",")
+    return (body + f" SELECT v, CAST(rq AS BIGINT) AS rank_q9 "
+                   f"FROM r{max(0, n_iters)}")
+
+
+def host_ppr(ds_docs, n_hosts: int = 1000, n_iters: int = 3,
+             seed_mod: int = 17):
+    """Personalized PageRank over the really-extracted host graph:
+    teleport mass concentrated on the deterministic seed set
+    v % seed_mod == 0 (topic-sensitive rank around a host cohort)."""
+    from vtzero_ray.functions.crawl import extract_links, synth_linked_html
+
+    edges = host_edges(extract_links(synth_linked_html(ds_docs)),
+                       n_hosts=n_hosts)
+    seeds = np.arange(0, n_hosts, seed_mod, dtype=np.int64)
+    return pagerank_dense(edges, n_hosts, n_iters=n_iters, seeds=seeds)
+
+
 def _host_edges_sql(html_expr: str, n_hosts: int = 1000,
                     table: str = "documents") -> str:
     """SQL producing exactly host_edges' DISTINCT (src, dst) pairs —
@@ -1530,11 +1581,16 @@ def _dense_pass(edges, fn, n_nodes: int) -> np.ndarray:
 
 
 def pagerank_dense(edges, n_nodes: int, n_iters: int = 3,
-                   damping: float = 0.85):
+                   damping: float = 0.85, seeds=None):
     """Bounded-universe PageRank -> Dataset (v, rank_q9), bit-identical
     to ``pagerank`` over nodes 0..n_nodes-1 (same r0/base/term/floor
     expressions, integer sums are order-free). Handles the optional
-    (w, wsum) weighted-edge columns exactly like ``pagerank``."""
+    (w, wsum) weighted-edge columns exactly like ``pagerank``.
+    ``seeds`` switches to PERSONALIZED PageRank: the teleport vector
+    concentrates on the seed set (r0 and the per-iteration restart mass
+    are floor(QUANT/|S|)-grid values on seeds, zero elsewhere); the
+    per-edge term expression is unchanged, so the unrolled SQL twin
+    differs only in its base/r0 CASE."""
     import ray
 
     edges = edges.materialize()
@@ -1542,8 +1598,22 @@ def pagerank_dense(edges, n_nodes: int, n_iters: int = 3,
         edges = edges.repartition(8).materialize()
     weighted = "w" in edges.schema().names
     n = int(n_nodes)
-    r0 = int(np.floor(QUANT / n + 0.5))
-    base = int(np.floor((1.0 - damping) * QUANT / n + 0.5))
+    if seeds is None:
+        r0v = np.full(n, int(np.floor(QUANT / n + 0.5)), np.int64)
+        basev = np.full(n, int(np.floor((1.0 - damping) * QUANT / n
+                                        + 0.5)), np.int64)
+    else:
+        # PERSONALIZED teleport: rank mass starts at (and returns to)
+        # the seed set only — topic-sensitive PageRank (Haveliwala 2002)
+        sd = np.asarray(sorted(set(int(v) for v in seeds)), np.int64)
+        if sd.size == 0 or sd.min() < 0 or sd.max() >= n:
+            raise ValueError("pagerank_dense: seeds must be a non-empty "
+                             f"subset of [0, {n})")
+        ns = int(sd.size)
+        r0v = np.zeros(n, np.int64)
+        r0v[sd] = int(np.floor(QUANT / ns + 0.5))
+        basev = np.zeros(n, np.int64)
+        basev[sd] = int(np.floor((1.0 - damping) * QUANT / ns + 0.5))
 
     def terms_fn(ref):
         def fn(t: pa.Table) -> pa.Table:
@@ -1568,10 +1638,10 @@ def pagerank_dense(edges, n_nodes: int, n_iters: int = 3,
                                               pa.large_binary())})
         return fn
 
-    ranks = np.full(n, r0, np.int64)
+    ranks = r0v.copy()
     for _ in range(max(0, n_iters)):
         ref = ray.put(ranks)
-        ranks = _dense_pass(edges, terms_fn(ref), n) + base
+        ranks = _dense_pass(edges, terms_fn(ref), n) + basev
 
     import ray.data as rd
     return rd.from_arrow(pa.table({
