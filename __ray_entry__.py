@@ -498,6 +498,22 @@ def _q_overzoom_cells_z7(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def _q_set_join_exact(sf_dir: str):
+    """EXACT set-similarity self-join (All-Pairs prefix filter,
+    Bayardo et al. 2007): every pair with k-shingle Jaccard >= 1/2,
+    guaranteed — the no-false-negatives complement of the MinHash-LSH
+    family, sharing its verify codepath."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.setjoin import set_join_exact
+
+    def mk():
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    return set_join_exact(mk, threshold=0.5, k=5)
+
+
 def _q_host_ppr(sf_dir: str):
     """Personalized PageRank (Haveliwala 2002): teleport mass
     concentrated on the v % 17 == 0 host cohort; the dense bounded-
@@ -2254,7 +2270,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # contingency pivot (zero-shuffle wide aggregate)
                   "crosstab_lang_source",
                   # personalized PageRank (seed-set teleport)
-                  "ppr_hosts")
+                  "ppr_hosts",
+                  # exact set-similarity join (prefix filter; the
+                  # no-false-negatives twin of minhash_lsh_candidates)
+                  "set_join_exact")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2292,6 +2311,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "downzoom_paths_z1": _q_downzoom_paths_z1,
         "crosstab_lang_source": _q_crosstab_lang_source,
         "ppr_hosts": _q_host_ppr,
+        "set_join_exact": _q_set_join_exact,
         "tile_stats_z6": _q_tile_stats_z6,
         "decoded_features_z6": _q_decoded_features_z6,
         "filter_lang_en_z6": _q_filter_lang_en_z6,
@@ -2582,6 +2602,8 @@ def _all_oracle_sql() -> dict[str, str]:
         embedding_moments_sql as pca_moments_oracle_sql
     from vtzero_ray.pipelines.relational import \
         crosstab_sql as crosstab_oracle_sql
+    from vtzero_ray.functions.setjoin import \
+        set_join_exact_sql as setjoin_oracle_sql
     from vtzero_ray.functions.pq import pq_codes_sql as pq_codes_oracle_sql
     from vtzero_ray.functions.pq import topk_pq_sql as topk_pq_oracle_sql
     from vtzero_ray.functions.ann import topk_ivf_sql as ann_ivf_sql
@@ -3239,6 +3261,8 @@ def _all_oracle_sql() -> dict[str, str]:
         # host_pagerank: same unrolled recursion over edges the twin
         # ALSO extracts from the synth HTML (href regex + host parse)
         "host_pagerank": host_pagerank_oracle_sql(linked_html_sql_expr()),
+        # set_join_exact: brute-force twin (any J>=t pair shares a gram)
+        "set_join_exact": setjoin_oracle_sql(),
         # ppr_hosts: same edges/term, seed-concentrated r0/base CASE
         "ppr_hosts": ppr_oracle_sql_over(
             host_edges_oracle_sql(linked_html_sql_expr()),

@@ -323,7 +323,8 @@ def run_bench() -> dict:
                      "profile_documents", "validate_documents",
                      "events_funnel", "strip_boilerplate",
                      "pca_moments", "downzoom_paths_z1",
-                     "crosstab_lang_source", "ppr_hosts"):
+                     "crosstab_lang_source", "ppr_hosts",
+                     "set_join_exact"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)
