@@ -2241,10 +2241,6 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "nearest_segment_cells_z6",
                   # persisted spatial index range query
                   "bbox_query_indexed",
-                  # z→z+1 tile derivation from encoded tiles (tiles_encoded
-                  # holds the driver encode slot; overzoom is its pyramid-
-                  # extension twin, shuffle-free by construction)
-                  "overzoom_z7",
                   # linestring overzoom (re-clip to the child's buffered
                   # box; clipped_paths_z2 holds the driver path slot)
                   "overzoom_paths_z3",
@@ -2256,8 +2252,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "overzoom_cells_z7",
                   # composed pyramid build + resumable store round trip
                   "pyramid_store_z4",
-                  # Deequ/TFDV-style profiling + contract validation
-                  "profile_documents", "validate_documents",
+                  # Deequ/TFDV contract validation (profile_documents is
+                  # PROMOTED to the main 50 as the family's driver row)
+                  "validate_documents",
                   # ordered funnel (the sessions/windows family)
                   "events_funnel",
                   # WET template removal (the dedup_lines family)
@@ -2271,9 +2268,14 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "crosstab_lang_source",
                   # personalized PageRank (seed-set teleport)
                   "ppr_hosts",
-                  # exact set-similarity join (prefix filter; the
-                  # no-false-negatives twin of minhash_lsh_candidates)
-                  "set_join_exact")
+                  # demotions balancing the 50-row budget: PNG media row
+                  # (JPEG keeps the media slot; BMP/GIF/audio already in
+                  # extras), standalone jaccard verify (near_dedup composes
+                  # candidates→verify→CC→anti-join so the stage stays
+                  # driver-exercised — the dup_clusters precedent), CMS
+                  # estimate (ngram_topk is its exact twin)
+                  "media_features_png", "jaccard_verified_dups",
+                  "cms_token_est")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
