@@ -124,3 +124,38 @@ class TestPrepTrainingData:
         b = (prep_training_data(sf, range_width=16).to_pandas()
              .sort_values("doc_id").reset_index(drop=True))
         assert a.drop(columns=[]).equals(b)
+
+
+class TestHilbertStore:
+    def test_sorted_store_disjoint_file_ranges(self, ray_session, tmp_path):
+        import numpy as np
+
+        from vtzero_ray.functions.geo import hilbert_d
+        from vtzero_ray.pipelines.tiling import tiles_pipeline
+        from vtzero_ray.sources.mvt_io import (file_hilbert_ranges,
+                                               read_tiles,
+                                               sort_tiles_hilbert,
+                                               write_tiles)
+
+        tiles = tiles_pipeline("/root/testdata/sf0.001", zooms=(6,),
+                               validate=False)
+        out = str(tmp_path / "hstore")
+        write_tiles(sort_tiles_hilbert(tiles), out)
+        ranges = file_hilbert_ranges(out)
+        assert len(ranges) >= 2  # the sort range-partitions into blocks
+        # disjoint AND ordered: pruning a range read is a binary search
+        for (f1, lo1, hi1, _), (f2, lo2, hi2, _) in zip(ranges,
+                                                        ranges[1:]):
+            assert hi1 < lo2, (f1, f2)
+        # keys really are the (z << 52) | hilbert_d of the tile coords
+        back = read_tiles(out).to_pandas()
+        z = back["z"].to_numpy(np.int64)
+        d = hilbert_d(back["x"].to_numpy(np.int64),
+                      back["y"].to_numpy(np.int64), 6)
+        assert (back["hkey"].to_numpy() == ((z << 52) | d)).all()
+        # content identical to the unsorted pipeline
+        plain = tiles_pipeline("/root/testdata/sf0.001", zooms=(6,),
+                               validate=False).to_pandas()
+        a = {(r.x, r.y): r.mvt for r in plain.itertuples()}
+        b = {(r.x, r.y): r.mvt for r in back.itertuples()}
+        assert a == b

@@ -51,8 +51,13 @@ class _BlockWriter:
             tmp_dir = os.path.join(self.out_dir, f".tmp-z={z}")
             os.makedirs(tmp_dir, exist_ok=True)
             fname = f"part-{uuid.uuid4().hex}.parquet"
+            schema = self.SCHEMA
+            if "hkey" in part.column_names:
+                # Hilbert-sorted stores carry their layout key into the
+                # files (file_hilbert_ranges prunes range reads on it)
+                schema = schema.append(pa.field("hkey", pa.int64()))
             pq.write_table(
-                part.select([c for c in self.SCHEMA.names]).cast(self.SCHEMA),
+                part.select([c for c in schema.names]).cast(schema),
                 os.path.join(tmp_dir, fname),
             )
             zs.append(z)
@@ -215,3 +220,55 @@ def export_zxy(tiles_ds, out_dir: str) -> int:
                 fh.write(m)
             n += 1
     return n
+
+
+def sort_tiles_hilbert(tiles_ds):
+    """Storage-locality ordering for a tile level: append the Hilbert
+    index of each (z, x, y) and GLOBALLY sort on it — Ray's sort
+    range-partitions the output blocks, so the write_tiles sink (one
+    file per block) emits files whose Hilbert key ranges are DISJOINT
+    and ordered. A bbox/range read then touches O(contiguous files)
+    instead of every file of the level (the classic Hilbert-layout
+    argument: consecutive d values are 4-adjacent tiles, which
+    Morton/geohash interleaving does not guarantee). Mixed-zoom input
+    sorts by (z, d), keeping levels contiguous.
+
+    This is the one deliberate GLOBAL SORT in the tile path — a layout
+    investment paid once at write time, amortized over every later
+    range read."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.geo import hilbert_d
+
+    def add_key(t: pa.Table) -> pa.Table:
+        z = t.column("z").to_numpy().astype(np.int64)
+        x = t.column("x").to_numpy().astype(np.int64)
+        y = t.column("y").to_numpy().astype(np.int64)
+        d = np.empty(len(t), np.int64)
+        for zv in np.unique(z):
+            m = z == zv
+            d[m] = hilbert_d(x[m], y[m], int(zv))
+        return t.append_column("hkey", pa.array((z << np.int64(52)) | d))
+
+    return tiles_ds.map_batches(add_key, batch_format="pyarrow",
+                                batch_size=None).sort("hkey")
+
+
+def file_hilbert_ranges(out_dir: str) -> list:
+    """(path, hkey_min, hkey_max, rows) per data file of a store written
+    from a Hilbert-sorted Dataset — the pruning index a range reader
+    consults (ranges are disjoint by construction; asserted in tests)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in glob.glob(os.path.join(out_dir, "z=*", "*.parquet")):
+        t = pq.read_table(f, columns=["hkey"])
+        h = t.column("hkey").to_numpy()
+        if h.size:
+            out.append((f, int(h.min()), int(h.max()), int(h.size)))
+    # file NAMES are uuids — key order is the index order
+    return sorted(out, key=lambda r: r[1])
