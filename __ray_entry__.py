@@ -165,6 +165,24 @@ def _q_overzoom_paths_z3(sf_dir: str):
     return kids.map_batches(path_tile_summary_batch, batch_format="pyarrow")
 
 
+def _q_downzoom_cells_z5(sf_dir: str):
+    """Polygon downzoom: z6 hotcell polygon tiles → z5 parents (rings
+    floor-halve, slivers drop, children's features merge per parent in
+    raster order), then decode back — completes downzoom across all
+    three geometry types."""
+    from vtzero_ray.pipelines.overzoom import (downzoom_polygons,
+                                               polygon_tile_summary_batch)
+    from vtzero_ray.pipelines.tiling import tiles_pipeline
+    from vtzero_ray.stages.raster import raster_to_vector, rasterize_tiles
+
+    tiles = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
+    vec = raster_to_vector(rasterize_tiles(tiles, grid=16), threshold=1,
+                           grid=16)
+    parents = downzoom_polygons(vec, levels=1)
+    return parents.map_batches(polygon_tile_summary_batch,
+                               batch_format="pyarrow")
+
+
 def _q_downzoom_z5(sf_dir: str):
     """Pyramid BUILD step: z6 tiles → z5 parents from the encoded tiles
     alone (decode scan + ONE tile-row shuffle, 4× fewer keys per level —
@@ -2275,7 +2293,10 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # driver-exercised — the dup_clusters precedent), CMS
                   # estimate (ngram_topk is its exact twin)
                   "media_features_png", "jaccard_verified_dups",
-                  "cms_token_est")
+                  "cms_token_est",
+                  # polygon downzoom (downzoom_z5 holds the driver
+                  # pyramid-build slot; this completes the geometry set)
+                  "downzoom_cells_z5")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2304,6 +2325,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "overzoom_paths_z3": _q_overzoom_paths_z3,
         "overzoom_cells_z7": _q_overzoom_cells_z7,
         "downzoom_z5": _q_downzoom_z5,
+        "downzoom_cells_z5": _q_downzoom_cells_z5,
         "pyramid_store_z4": _q_pyramid_store_z4,
         "profile_documents": _q_profile_documents,
         "validate_documents": _q_validate_documents,
@@ -2947,6 +2969,22 @@ def _all_oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_parts, "
             "CAST(SUM(m) + COUNT(*) AS BIGINT) AS n_points "
             "FROM pp GROUP BY 1, 2, 3, 4"
+        ),
+        # polygon downzoom: 256-px cells halve to 128-px squares in the
+        # parent (never degenerate), sibling offset folds into x0
+        "downzoom_cells_z5": (
+            f"WITH cells AS (SELECT {t6['x']} AS x6, {t6['y']} AS y6, "
+            f"(CAST(floor(({t6['fy']} - floor({t6['fy']})) * 4096) AS INTEGER) // 256) AS r, "
+            f"(CAST(floor(({t6['fx']} - floor({t6['fx']})) * 4096) AS INTEGER) // 256) AS c, "
+            f"COUNT(*) AS n FROM documents GROUP BY 1, 2, 3, 4) "
+            f"SELECT 5 AS z, x6 // 2 AS x, y6 // 2 AS y, "
+            f"COUNT(*) AS n_features, "
+            f"CAST(SUM(r * 16 + c) AS BIGINT) AS sum_fid, "
+            f"CAST(SUM(2048 * (x6 % 2) + 128 * c) AS BIGINT) AS sum_x0, "
+            f"CAST(SUM(2048 * (y6 % 2) + 128 * r) AS BIGINT) AS sum_y0, "
+            f"CAST(COUNT(*) * 32768 AS BIGINT) AS sum_area2, "
+            f"CAST(SUM(n) AS BIGINT) AS sum_points "
+            f"FROM cells GROUP BY 1, 2, 3"
         ),
         # downzoom: parent pixel = halved child pixel with the sibling
         # offset folded in — the exact integer inverse of overzoom

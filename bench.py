@@ -324,7 +324,7 @@ def run_bench() -> dict:
                      "events_funnel", "strip_boilerplate",
                      "pca_moments", "downzoom_paths_z1",
                      "crosstab_lang_source", "ppr_hosts",
-                     "set_join_exact"):
+                     "set_join_exact", "downzoom_cells_z5"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)

@@ -613,6 +613,48 @@ class TestOverzoomPolygons:
             OverzoomPolygons()(pts)
 
 
+class TestDownzoomPolygons:
+    def test_sibling_merge_exact(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.pipelines.overzoom import (
+            downzoom_polygons, polygon_tile_summary_batch)
+
+        t1 = square_tile(3, 2, 2, [(5, 256, 512, 256, 7)])
+        t2 = square_tile(3, 3, 2, [(9, 0, 0, 512, 4)])
+        out = downzoom_polygons(
+            rd.from_arrow(pa.concat_tables([t1, t2]))).to_pandas()
+        t = pa.table({"z": pa.array(out["z"].astype("int32")),
+                      "x": pa.array(out["x"].astype("int32")),
+                      "y": pa.array(out["y"].astype("int32")),
+                      "mvt": pa.array(list(out["mvt"]), pa.binary())})
+        s = polygon_tile_summary_batch(t).to_pydict()
+        assert s == {"z": [2], "x": [1], "y": [1], "n_features": [2],
+                     "sum_fid": [14], "sum_x0": [128 + 2048],
+                     "sum_y0": [256 + 0],
+                     "sum_area2": [2 * 128 * 128 + 2 * 256 * 256],
+                     "sum_points": [11]}
+
+    def test_sliver_drops(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.pipelines.overzoom import downzoom_polygons
+
+        # a 1-px square halves to a point -> dropped; the 4-px square
+        # beside it survives as a 2-px square
+        t = square_tile(3, 2, 2, [(1, 100, 100, 1, 3),
+                                  (2, 200, 200, 4, 5)])
+        out = downzoom_polygons(rd.from_arrow(t)).to_pandas()
+        assert len(out) == 1 and int(out.iloc[0]["n_cells"]) == 1
+
+    def test_rejects_z0(self, ray_session):
+        from vtzero_ray.pipelines.overzoom import DownzoomPolygonsToFeatures
+
+        t = square_tile(0, 0, 0, [(1, 0, 0, 256, 3)])
+        with pytest.raises(ValueError, match="no parent"):
+            DownzoomPolygonsToFeatures()(t)
+
+
 def path_tiles_from_segments(rows, extent=4096):
     """(z,x,y,site,seg_idx,cx0,cy0,cx1,cy1) rows → clipped-path tiles."""
     import pandas as pd

@@ -675,6 +675,171 @@ class OverzoomPolygons:
         })
 
 
+_EMPTY_POLY_FEATS = pa.table({
+    "z": pa.array([], pa.int32()), "x": pa.array([], pa.int32()),
+    "y": pa.array([], pa.int32()), "okey": pa.array([], pa.int64()),
+    "fid": pa.array([], pa.int64()), "ring": pa.array([], pa.binary()),
+    "pkey": pa.array([], pa.string()), "pval": pa.array([], pa.binary()),
+})
+
+
+class DownzoomPolygonsToFeatures:
+    """map_batches kernel: child POLYGON tiles → PARENT-space feature
+    rows — the polygon pyramid-BUILD step (completing downzoom across
+    all three geometry types): outer rings floor-halve with the sibling
+    offset folded in, consecutive duplicate points (and the wraparound)
+    collapse, rings shrinking below 3 distinct points or to zero area
+    drop as slivers. Features from the 4 children keep their identity
+    (no cross-child union — that needs polygon clipping algebra) and
+    order deterministically by (child raster order, in-child position)
+    via ``okey``. Ring bytes travel packed (int64 xy pairs) through ONE
+    tile-row shuffle into a scalar re-encode."""
+
+    def __init__(self, extent: int = 4096) -> None:
+        if extent % 2:
+            raise ValueError("downzoom requires an even extent")
+        self.extent = extent
+        self.__name__ = "DownzoomPolygonsToFeatures"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_POLY_FEATS
+        feats = decode_tiles_batch_v(batch, with_props=True,
+                                     with_geometry=True)
+        errs = feats.column("error")
+        if pa.compute.any(pa.compute.is_valid(errs)).as_py():
+            bad = feats.filter(pa.compute.is_valid(errs))
+            raise ValueError(
+                f"downzoom: undecodable input tile: {bad.column('error')[0]}")
+        n = len(feats)
+        if n == 0:
+            return _EMPTY_POLY_FEATS
+        gt = feats.column("geom_type").to_numpy()
+        if (gt != 3).any():
+            raise ValueError("polygon downzoom: only polygon layers are "
+                             "supported")
+        if (feats.column("z").to_numpy() <= 0).any():
+            raise ValueError("downzoom: tiles at z=0 have no parent")
+        geom = feats.column("geom_cmds")
+        if isinstance(geom, pa.ChunkedArray):
+            geom = geom.combine_chunks()
+        pkeys = feats.column("prop_keys").to_pylist()
+        pvals = feats.column("prop_vals_raw").to_pylist()
+        fz = feats.column("z").to_numpy().astype(np.int64)
+        fx = feats.column("x").to_numpy().astype(np.int64)
+        fy = feats.column("y").to_numpy().astype(np.int64)
+        fid = feats.column("feature_id").to_numpy().astype(np.int64)
+
+        ext = self.extent
+        cols = {k: [] for k in _EMPTY_POLY_FEATS.column_names}
+        pos_in_child: dict[tuple, int] = {}
+        for i in range(n):
+            rings = codec.decode_polygon(
+                np.asarray(geom[i].as_py(), dtype=np.uint32))
+            if len(rings) != 1 or rings[0][2] != codec.RING_OUTER:
+                raise ValueError("polygon downzoom: expected exactly one "
+                                 "outer ring")
+            if len(pkeys[i]) != 1:
+                raise ValueError("polygon downzoom: expected one property")
+            ring = rings[0][0][:-1].astype(np.int64)
+            h = (ring + np.array([int(fx[i] & 1) * ext,
+                                  int(fy[i] & 1) * ext])) >> 1
+            keep = np.empty(h.shape[0], bool)
+            keep[0] = True
+            keep[1:] = (h[1:] != h[:-1]).any(axis=1)
+            h = h[keep]
+            if h.shape[0] >= 2 and (h[0] == h[-1]).all():
+                h = h[:-1]
+            if h.shape[0] < 3:
+                continue
+            b = np.roll(h, -1, axis=0)
+            if int((h[:, 0] * b[:, 1] - b[:, 0] * h[:, 1]).sum()) <= 0:
+                continue   # sliver collapsed to zero area
+            tk = (int(fz[i]), int(fx[i]), int(fy[i]))
+            j = pos_in_child.get(tk, 0)
+            pos_in_child[tk] = j + 1
+            child = int((fy[i] & 1) * 2 + (fx[i] & 1))
+            cols["z"].append(int(fz[i]) - 1)
+            cols["x"].append(int(fx[i]) >> 1)
+            cols["y"].append(int(fy[i]) >> 1)
+            cols["okey"].append((child << 40) | j)
+            cols["fid"].append(int(fid[i]))
+            cols["ring"].append(h.ravel().tobytes())
+            cols["pkey"].append(pkeys[i][0])
+            cols["pval"].append(pvals[i][0])
+        if not cols["z"]:
+            return _EMPTY_POLY_FEATS
+        return pa.table({
+            "z": pa.array(cols["z"], pa.int32()),
+            "x": pa.array(cols["x"], pa.int32()),
+            "y": pa.array(cols["y"], pa.int32()),
+            "okey": pa.array(cols["okey"], pa.int64()),
+            "fid": pa.array(cols["fid"], pa.int64()),
+            "ring": pa.array(cols["ring"], pa.binary()),
+            "pkey": pa.array(cols["pkey"], pa.string()),
+            "pval": pa.array(cols["pval"], pa.binary()),
+        })
+
+
+def downzoom_polygons(tiles_ds, levels: int = 1,
+                      layer_name: str = "hotcells", extent: int = 4096,
+                      n_buckets: int = 64):
+    """Polygon tiles(z) → tiles(z−levels): one decode scan + one
+    tile-row shuffle per level, scalar re-encode in (child raster,
+    in-child) order. Output schema matches raster_to_vector
+    (z, x, y, mvt, n_cells), so levels compose with overzoom_polygons."""
+    import pandas as pd
+
+    from ..stages.encode import add_tile_bucket
+
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+
+    def encode_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = {"z": [], "x": [], "y": [], "mvt": [], "n_cells": []}
+        for (z, x, y), g in df.groupby(["z", "x", "y"], sort=True):
+            g = g.sort_values("okey", kind="stable")
+            tb = TileBuilder()
+            lb = tb.add_layer(layer_name, 2, extent)
+            for r in g.itertuples():
+                pts = np.frombuffer(r.ring, np.int64).reshape(-1, 2)
+                fb = PolygonFeatureBuilder(lb)
+                fb.set_id(int(r.fid))
+                fb.add_ring(pts.shape[0] + 1)
+                for px_, py_ in pts:
+                    fb.set_point(int(px_), int(py_))
+                fb.close_ring()
+                fb.add_property(r.pkey, raw=r.pval)
+                fb.commit()
+            out["z"].append(z)
+            out["x"].append(x)
+            out["y"].append(y)
+            out["mvt"].append(tb.serialize())
+            out["n_cells"].append(len(g))
+        return pd.DataFrame({
+            "z": pd.Series(out["z"], dtype="int32"),
+            "x": pd.Series(out["x"], dtype="int32"),
+            "y": pd.Series(out["y"], dtype="int32"),
+            "mvt": pd.Series(out["mvt"], dtype=object),
+            "n_cells": pd.Series(out["n_cells"], dtype="int64")})
+
+    out = tiles_ds
+    for _ in range(levels):
+        featrows = out.map_batches(DownzoomPolygonsToFeatures(extent),
+                                   batch_format="pyarrow")
+        featrows = featrows.map_batches(add_tile_bucket,
+                                        batch_format="pyarrow",
+                                        fn_kwargs={"n_buckets": n_buckets})
+
+        def enc(df):
+            return encode_group(df.drop(columns=["bucket"]))
+
+        out = featrows.groupby("bucket").map_groups(
+            enc, batch_format="pandas") \
+            .map_batches(lambda t: t, batch_format="pyarrow")
+    return out
+
+
 def overzoom_polygons(tiles_ds, levels: int = 1,
                       layer_name: str = "hotcells", extent: int = 4096):
     """Polygon tiles(z) → tiles(z+levels), one stateless scan per level."""
