@@ -516,6 +516,44 @@ def _q_overzoom_cells_z7(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def _q_overzoom_holed_z7(sf_dir: str):
+    """HOLED-polygon overzoom: z6 hotcell polygons carrying an inner
+    ring (inset-64 hole, spec 4.3.4.4 ring pairing) → z7 children. The
+    doubled 512-px outer and its doubled 256-px hole land wholly in one
+    child (512 | 4096), so the SQL twin is closed-form: net area2 =
+    2·512² − 2·256², two rings per feature. The kernel itself clips
+    straddling holes (tested on hand geometry)."""
+    from vtzero_ray.pipelines.overzoom import (overzoom_polygons,
+                                               polygon_tile_summary_batch)
+    from vtzero_ray.pipelines.tiling import tiles_pipeline
+    from vtzero_ray.stages.raster import raster_to_vector, rasterize_tiles
+
+    tiles = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
+    vec = raster_to_vector(rasterize_tiles(tiles, grid=16), threshold=1,
+                           grid=16, hole_inset=64)
+    kids = overzoom_polygons(vec, levels=1)
+    return kids.map_batches(polygon_tile_summary_batch,
+                            batch_format="pyarrow")
+
+
+def _q_downzoom_holed_z5(sf_dir: str):
+    """HOLED-polygon downzoom: the inset-64 holed hotcells floor-halve
+    into z5 parents — outer 128-px squares keep exact 64-px holes (all
+    corner coordinates stay even through the halving), net area2 =
+    2·128² − 2·64² per feature, two rings each."""
+    from vtzero_ray.pipelines.overzoom import (downzoom_polygons,
+                                               polygon_tile_summary_batch)
+    from vtzero_ray.pipelines.tiling import tiles_pipeline
+    from vtzero_ray.stages.raster import raster_to_vector, rasterize_tiles
+
+    tiles = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
+    vec = raster_to_vector(rasterize_tiles(tiles, grid=16), threshold=1,
+                           grid=16, hole_inset=64)
+    parents = downzoom_polygons(vec, levels=1)
+    return parents.map_batches(polygon_tile_summary_batch,
+                               batch_format="pyarrow")
+
+
 def _q_set_join_exact(sf_dir: str):
     """EXACT set-similarity self-join (All-Pairs prefix filter,
     Bayardo et al. 2007): every pair with k-shingle Jaccard >= 1/2,
@@ -2296,7 +2334,15 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   "cms_token_est",
                   # polygon downzoom (downzoom_z5 holds the driver
                   # pyramid-build slot; this completes the geometry set)
-                  "downzoom_cells_z5")
+                  "downzoom_cells_z5",
+                  # holed-polygon downzoom twin (overzoom_holed_z7 is
+                  # PROMOTED to the main 50 as the ring-pairing driver
+                  # row; the halving direction parks here)
+                  "downzoom_holed_z5",
+                  # demoted for the overzoom_holed_z7 slot: the raster
+                  # derivation stays driver-exercised through
+                  # raster_to_vector_z6 and every polygon pyramid row
+                  "rasterize_z6")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -2324,6 +2370,8 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "overzoom_z7": _q_overzoom_z7,
         "overzoom_paths_z3": _q_overzoom_paths_z3,
         "overzoom_cells_z7": _q_overzoom_cells_z7,
+        "overzoom_holed_z7": _q_overzoom_holed_z7,
+        "downzoom_holed_z5": _q_downzoom_holed_z5,
         "downzoom_z5": _q_downzoom_z5,
         "downzoom_cells_z5": _q_downzoom_cells_z5,
         "pyramid_store_z4": _q_pyramid_store_z4,
@@ -2893,8 +2941,44 @@ def _all_oracle_sql() -> dict[str, str]:
             f"CAST(SUM(512 * (c % 8)) AS BIGINT) AS sum_x0, "
             f"CAST(SUM(512 * (r % 8)) AS BIGINT) AS sum_y0, "
             f"CAST(COUNT(*) * 524288 AS BIGINT) AS sum_area2, "
-            f"CAST(SUM(n) AS BIGINT) AS sum_points "
+            f"CAST(SUM(n) AS BIGINT) AS sum_points, "
+            f"CAST(COUNT(*) AS BIGINT) AS sum_rings "
             f"FROM cells WHERE n >= 1 GROUP BY 1, 2, 3"
+        ),
+        # holed overzoom: the doubled 512-px outer AND its doubled
+        # 256-px inset hole land wholly in one child — net area2 =
+        # 2·512² − 2·256² = 393216, two rings per feature
+        "overzoom_holed_z7": (
+            f"WITH cells AS (SELECT {t6['x']} AS x6, {t6['y']} AS y6, "
+            f"(CAST(floor(({t6['fy']} - floor({t6['fy']})) * 4096) AS INTEGER) // 256) AS r, "
+            f"(CAST(floor(({t6['fx']} - floor({t6['fx']})) * 4096) AS INTEGER) // 256) AS c, "
+            f"COUNT(*) AS n FROM documents GROUP BY 1, 2, 3, 4) "
+            f"SELECT 7 AS z, 2 * x6 + (c // 8) AS x, 2 * y6 + (r // 8) AS y, "
+            f"COUNT(*) AS n_features, "
+            f"CAST(SUM(r * 16 + c) AS BIGINT) AS sum_fid, "
+            f"CAST(SUM(512 * (c % 8)) AS BIGINT) AS sum_x0, "
+            f"CAST(SUM(512 * (r % 8)) AS BIGINT) AS sum_y0, "
+            f"CAST(COUNT(*) * 393216 AS BIGINT) AS sum_area2, "
+            f"CAST(SUM(n) AS BIGINT) AS sum_points, "
+            f"CAST(COUNT(*) * 2 AS BIGINT) AS sum_rings "
+            f"FROM cells WHERE n >= 1 GROUP BY 1, 2, 3"
+        ),
+        # holed downzoom: outer halves to 128 px, hole to 64 px (all
+        # corner coords stay even) — net area2 = 2·128² − 2·64² = 24576
+        "downzoom_holed_z5": (
+            f"WITH cells AS (SELECT {t6['x']} AS x6, {t6['y']} AS y6, "
+            f"(CAST(floor(({t6['fy']} - floor({t6['fy']})) * 4096) AS INTEGER) // 256) AS r, "
+            f"(CAST(floor(({t6['fx']} - floor({t6['fx']})) * 4096) AS INTEGER) // 256) AS c, "
+            f"COUNT(*) AS n FROM documents GROUP BY 1, 2, 3, 4) "
+            f"SELECT 5 AS z, x6 // 2 AS x, y6 // 2 AS y, "
+            f"COUNT(*) AS n_features, "
+            f"CAST(SUM(r * 16 + c) AS BIGINT) AS sum_fid, "
+            f"CAST(SUM(2048 * (x6 % 2) + 128 * c) AS BIGINT) AS sum_x0, "
+            f"CAST(SUM(2048 * (y6 % 2) + 128 * r) AS BIGINT) AS sum_y0, "
+            f"CAST(COUNT(*) * 24576 AS BIGINT) AS sum_area2, "
+            f"CAST(SUM(n) AS BIGINT) AS sum_points, "
+            f"CAST(COUNT(*) * 2 AS BIGINT) AS sum_rings "
+            f"FROM cells GROUP BY 1, 2, 3"
         ),
         # ordered funnel: same prefilter, same (ts, event_id) sequence
         # order, same strict first-occurrence-after chain
@@ -2983,7 +3067,8 @@ def _all_oracle_sql() -> dict[str, str]:
             f"CAST(SUM(2048 * (x6 % 2) + 128 * c) AS BIGINT) AS sum_x0, "
             f"CAST(SUM(2048 * (y6 % 2) + 128 * r) AS BIGINT) AS sum_y0, "
             f"CAST(COUNT(*) * 32768 AS BIGINT) AS sum_area2, "
-            f"CAST(SUM(n) AS BIGINT) AS sum_points "
+            f"CAST(SUM(n) AS BIGINT) AS sum_points, "
+            f"CAST(COUNT(*) AS BIGINT) AS sum_rings "
             f"FROM cells GROUP BY 1, 2, 3"
         ),
         # downzoom: parent pixel = halved child pixel with the sibling

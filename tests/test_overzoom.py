@@ -573,19 +573,17 @@ class TestOverzoomPolygons:
             ri = g.index(e[0])
             assert e == g[ri:] + g[:ri], k
 
-    def test_rejects_holes_and_points(self):
+    def test_rejects_first_ring_not_outer_and_points(self):
         from vtzero_ray.mvt import builder as b
         from vtzero_ray.pipelines.overzoom import OverzoomPolygons
 
+        # first ring traverses +y-then-+x → negative shoelace → classified
+        # INNER; ring pairing has no owner for it (geometry.hpp:120-169)
         tb = b.TileBuilder()
         lb = tb.add_layer("hotcells", 2, 4096)
         fb = b.PolygonFeatureBuilder(lb)
         fb.set_id(1)
         fb.add_ring(5)
-        for px, py in [(0, 0), (100, 0), (100, 100), (0, 100)]:
-            fb.set_point(px, py)
-        fb.close_ring()
-        fb.add_ring(5)  # hole (CW on screen axes)
         for px, py in [(10, 10), (10, 20), (20, 20), (20, 10)]:
             fb.set_point(px, py)
         fb.close_ring()
@@ -596,7 +594,7 @@ class TestOverzoomPolygons:
             "y": pa.array([0], pa.int32()),
             "mvt": pa.array([tb.serialize()], pa.binary()),
         })
-        with pytest.raises(ValueError, match="outer ring"):
+        with pytest.raises(ValueError, match="not an outer ring"):
             OverzoomPolygons()(t)
 
         fids, px, py, urls, langs = make_case(3, seed=4)
@@ -611,6 +609,154 @@ class TestOverzoomPolygons:
         }))
         with pytest.raises(ValueError, match="polygon"):
             OverzoomPolygons()(pts)
+
+
+def holed_tile(z, x, y, squares, layer="hotcells"):
+    """(fid, x0, y0, size, inset, n_points) → polygon tile; inset > 0
+    adds a centered inset-square hole (reversed traversal → inner)."""
+    from vtzero_ray.mvt import builder as b
+
+    tb = b.TileBuilder()
+    lb = tb.add_layer(layer, 2, 4096)
+    for fid, x0, y0, size, inset, npnts in squares:
+        x1, y1 = x0 + size, y0 + size
+        fb = b.PolygonFeatureBuilder(lb)
+        fb.set_id(fid)
+        fb.add_ring(5)
+        fb.set_point(x0, y0)
+        fb.set_point(x1, y0)
+        fb.set_point(x1, y1)
+        fb.set_point(x0, y1)
+        fb.close_ring()
+        if inset:
+            ix0, iy0, ix1, iy1 = x0 + inset, y0 + inset, x1 - inset, y1 - inset
+            fb.add_ring(5)
+            fb.set_point(ix0, iy0)
+            fb.set_point(ix0, iy1)
+            fb.set_point(ix1, iy1)
+            fb.set_point(ix1, iy0)
+            fb.close_ring()
+        fb.add_property("n_points", npnts)
+        fb.commit()
+    return pa.table({
+        "z": pa.array([z], pa.int32()), "x": pa.array([x], pa.int32()),
+        "y": pa.array([y], pa.int32()),
+        "mvt": pa.array([tb.serialize()], pa.binary()),
+    })
+
+
+class TestHoledPolygons:
+    def test_interior_holed_square_exact(self):
+        from vtzero_ray.pipelines.overzoom import (OverzoomPolygons,
+                                                   polygon_tile_summary_batch)
+
+        kids = OverzoomPolygons()(holed_tile(6, 10, 20,
+                                             [(5, 256, 512, 256, 64, 9)]))
+        assert check_tile(kids.column("mvt")[0].as_py())[0] == 0
+        s = polygon_tile_summary_batch(kids).to_pydict()
+        # doubled: outer 512² at (512, 1024), hole 256² — wholly NW child
+        assert (s["z"], s["x"], s["y"]) == ([7], [20], [40])
+        assert s["sum_rings"] == [2]
+        assert s["sum_x0"] == [512] and s["sum_y0"] == [1024]
+        assert s["sum_area2"] == [2 * 512 * 512 - 2 * 256 * 256]
+        assert s["sum_points"] == [9]
+
+    def test_straddling_hole_quarters_into_all_children(self):
+        from vtzero_ray.pipelines.overzoom import (OverzoomPolygons,
+                                                   polygon_tile_summary_batch)
+
+        # outer [1792,2304]² and hole [1920,2176]² BOTH straddle the
+        # center → every child keeps a 512² outer corner minus a 256²
+        # hole corner
+        kids = OverzoomPolygons()(holed_tile(6, 10, 20,
+                                             [(3, 1792, 1792, 512, 128, 4)]))
+        s = polygon_tile_summary_batch(kids).to_pydict()
+        assert sorted(zip(s["x"], s["y"])) == [(20, 40), (20, 41),
+                                               (21, 40), (21, 41)]
+        assert s["sum_rings"] == [2] * 4
+        assert s["sum_area2"] == [2 * 512 * 512 - 2 * 256 * 256] * 4
+        assert s["n_features"] == [1] * 4
+
+    def test_hole_in_one_child_drops_alone_elsewhere(self):
+        from vtzero_ray.mvt import builder as b
+        from vtzero_ray.pipelines.overzoom import (OverzoomPolygons,
+                                                   polygon_tile_summary_batch)
+
+        # outer straddles the center; the hole sits wholly in the NW
+        # quadrant — the other three children keep the outer corner only
+        tb = b.TileBuilder()
+        lb = tb.add_layer("hotcells", 2, 4096)
+        fb = b.PolygonFeatureBuilder(lb)
+        fb.set_id(1)
+        fb.add_ring(5)
+        for px, py in [(1792, 1792), (2304, 1792), (2304, 2304),
+                       (1792, 2304)]:
+            fb.set_point(px, py)
+        fb.close_ring()
+        fb.add_ring(5)
+        for px, py in [(1856, 1856), (1856, 1920), (1920, 1920),
+                       (1920, 1856)]:
+            fb.set_point(px, py)
+        fb.close_ring()
+        fb.add_property("n_points", 2)
+        fb.commit()
+        t = pa.table({
+            "z": pa.array([6], pa.int32()), "x": pa.array([10], pa.int32()),
+            "y": pa.array([20], pa.int32()),
+            "mvt": pa.array([tb.serialize()], pa.binary()),
+        })
+        s = polygon_tile_summary_batch(OverzoomPolygons()(t)).to_pydict()
+        by_child = {(x, y): (r, a) for x, y, r, a in
+                    zip(s["x"], s["y"], s["sum_rings"], s["sum_area2"])}
+        assert by_child[(20, 40)] == (2, 2 * 512 * 512 - 2 * 128 * 128)
+        for k in [(20, 41), (21, 40), (21, 41)]:
+            assert by_child[k] == (1, 2 * 512 * 512)
+
+    def test_net_area_cancellation_drops_polygon(self):
+        from vtzero_ray.pipelines.overzoom import _clip_poly_to_box
+
+        outer = np.array([[-100, -100], [4196, -100], [4196, 4196],
+                          [-100, 4196]], np.int64)
+        # a hole congruent to the outer cancels the whole clipped box
+        assert _clip_poly_to_box(outer, [outer[::-1]], 4096) is None
+        rings = _clip_poly_to_box(outer, [], 4096)
+        assert rings is not None and len(rings) == 1
+        assert sorted(map(tuple, rings[0].tolist())) == \
+            [(0, 0), (0, 4096), (4096, 0), (4096, 4096)]
+
+    def test_downzoom_holed_exact(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.pipelines.overzoom import (
+            downzoom_polygons, polygon_tile_summary_batch)
+
+        t = holed_tile(6, 10, 20, [(5, 256, 512, 256, 64, 9)])
+        out = downzoom_polygons(rd.from_arrow(t))
+        s = pa.concat_tables(
+            polygon_tile_summary_batch(b)
+            for b in out.iter_batches(batch_format="pyarrow")).to_pydict()
+        # even (x, y) → child offset (0, 0): outer halves to 128² at
+        # (128, 256), hole to 64²
+        assert (s["z"], s["x"], s["y"]) == ([5], [5], [10])
+        assert s["sum_rings"] == [2]
+        assert s["sum_x0"] == [128] and s["sum_y0"] == [256]
+        assert s["sum_area2"] == [2 * 128 * 128 - 2 * 64 * 64]
+
+    def test_downzoom_tiny_hole_collapses_alone(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.pipelines.overzoom import (
+            downzoom_polygons, polygon_tile_summary_batch)
+
+        # inner side 257 − 2·128 = 1 halves to < 3 distinct points →
+        # the hole sliver-drops; the outer survives
+        t = holed_tile(6, 10, 20, [(5, 256, 512, 257, 128, 9)])
+        out = downzoom_polygons(rd.from_arrow(t))
+        s = pa.concat_tables(
+            polygon_tile_summary_batch(b)
+            for b in out.iter_batches(batch_format="pyarrow")).to_pydict()
+        assert s["sum_rings"] == [1]
+        assert s["n_features"] == [1]
 
 
 class TestDownzoomPolygons:
@@ -633,7 +779,7 @@ class TestDownzoomPolygons:
                      "sum_fid": [14], "sum_x0": [128 + 2048],
                      "sum_y0": [256 + 0],
                      "sum_area2": [2 * 128 * 128 + 2 * 256 * 256],
-                     "sum_points": [11]}
+                     "sum_points": [11], "sum_rings": [2]}
 
     def test_sliver_drops(self, ray_session):
         import ray.data as rd

@@ -103,3 +103,31 @@ class TestRasterVectorByteIdentity:
         for a, b in zip(fast.itertuples(), slow.itertuples()):
             assert (a.z, a.x, a.y) == (b.z, b.x, b.y)
             assert bytes(a.mvt) == bytes(b.mvt)
+
+    def test_holed_vectorized_matches_scalar_builders(self, ray_session,
+                                                      tiles):
+        from vtzero_ray.stages.raster import (raster_to_vector,
+                                              raster_to_vector_scalar,
+                                              rasterize_tiles)
+
+        r = rasterize_tiles(tiles, grid=16).materialize()
+        fast = raster_to_vector(r, threshold=2, grid=16,
+                                hole_inset=64).to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        slow = raster_to_vector_scalar(r, threshold=2, grid=16,
+                                       hole_inset=64).to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        assert len(fast) == len(slow) > 0
+        for a, b in zip(fast.itertuples(), slow.itertuples()):
+            assert (a.z, a.x, a.y) == (b.z, b.x, b.y)
+            assert bytes(a.mvt) == bytes(b.mvt)
+        # holed tiles validate and decode to paired (outer, inner) rings
+        code, diags = check_tile(fast.iloc[0].mvt)
+        assert code == 0, diags
+        layer = VectorTile(fast.iloc[0].mvt).get_layer(0)
+        for f in layer.features():
+            rings = f.decode_geometry()
+            assert [rt for _r, _a, rt in rings] == [codec.RING_OUTER,
+                                                    codec.RING_INNER]
+            assert rings[0][1] == 2 * 256 * 256
+            assert rings[1][1] == -2 * 128 * 128

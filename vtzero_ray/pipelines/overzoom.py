@@ -555,6 +555,79 @@ _EMPTY_CELLS = pa.table({
 })
 
 
+def _pair_rings(rings, op: str):
+    """Group a decoded ring sequence into polygons: each RING_OUTER
+    starts a polygon, following RING_INNERs are its holes (spec 4.3.4.4;
+    reference geometry.hpp:120-169 classifies by shoelace sign and
+    treats a first-ring-not-outer as invalid). Returns
+    ``[(outer_pts, [inner_pts, ...]), ...]`` with closing duplicates
+    dropped; zero-area rings raise loudly."""
+    polys: list[tuple[np.ndarray, list]] = []
+    for pts, _s, rt in rings:
+        if rt == codec.RING_INVALID:
+            raise ValueError(f"polygon {op}: zero-area ring")
+        ring = pts[:-1].astype(np.int64)  # drop closing dup
+        if rt == codec.RING_OUTER:
+            polys.append((ring, []))
+        else:
+            if not polys:
+                raise ValueError(
+                    f"polygon {op}: first ring is not an outer ring")
+            polys[-1][1].append(ring)
+    return polys
+
+
+def _round_dedup_area(pts: np.ndarray):
+    """Round float ring points to the integer grid, collapse consecutive
+    duplicates (incl. the wraparound), and return (pts, 2×shoelace-area)
+    — ``(None, 0)`` when fewer than 3 distinct points survive."""
+    return _dedup_area_int(np.floor(pts + 0.5).astype(np.int64))
+
+
+def _dedup_area_int(pts: np.ndarray):
+    """Integer-grid half of ``_round_dedup_area`` (shared with the
+    downzoom halving path, which floors via ``>> 1`` instead of
+    rounding)."""
+    if pts.shape[0] < 3:
+        return None, 0
+    keep = np.ones(pts.shape[0], bool)
+    keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
+    pts = pts[keep]
+    if pts.shape[0] >= 2 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    if pts.shape[0] < 3:
+        return None, 0
+    b = np.roll(pts, -1, axis=0)
+    return pts, int((pts[:, 0] * b[:, 1] - b[:, 0] * pts[:, 1]).sum())
+
+
+def _clip_poly_to_box(outer: np.ndarray, inners: list, ext: int):
+    """Clip one (outer, holes) polygon — already in child-local integer
+    space — against [0, ext]² with Sutherland-Hodgman per ring, round,
+    and drop degenerates: a hole clipping to <3 distinct points or a
+    non-negative area drops alone (the hole left this child); an outer
+    clipping degenerate, or a net area ≤ 0 (hole covers the whole
+    clipped outer), drops the polygon. Returns the surviving ring list
+    (outer first) or None. SH preserves orientation, so the shoelace
+    sign re-classifies each clipped ring."""
+    cl = clip_ring(outer.astype(np.float64), 0.0, float(ext))
+    opts, oa2 = _round_dedup_area(cl)
+    if opts is None or oa2 <= 0:
+        return None
+    rings = [opts]
+    net = oa2
+    for inner in inners:
+        cli = clip_ring(inner.astype(np.float64), 0.0, float(ext))
+        ipts, ia2 = _round_dedup_area(cli)
+        if ipts is None or ia2 >= 0:
+            continue   # hole degenerated in this child — sliver-drop
+        rings.append(ipts)
+        net += ia2
+    if net <= 0:
+        return None    # holes cancel the outer (hole covers the child)
+    return rings
+
+
 class OverzoomPolygons:
     """map_batches kernel: parent POLYGON tile rows (z,x,y,mvt) → z+1
     children — the third geometry type (points: OverzoomPoints, lines:
@@ -564,10 +637,12 @@ class OverzoomPolygons:
     degenerate (<3 distinct points or zero-area) results, and re-encodes
     through the scalar PolygonFeatureBuilder in parent feature order.
 
-    Scope: single-outer-ring features with uint properties (the
-    raster_to_vector hotcells shape); multi-ring/holed polygons raise
-    loudly (hole overzoom needs ring-pairing semantics). One stateless
-    scan, zero shuffles, corpus never re-read.
+    Multi-ring features pair per spec 4.3.4.4 (outer + following
+    inners, reference geometry.hpp:120-169): holes re-clip with the
+    same kernel, re-classify by shoelace sign, and sliver-drop
+    independently; a polygon whose holes cancel its clipped outer
+    (net area ≤ 0 — the hole covers the child) drops whole. One
+    stateless scan, zero shuffles, corpus never re-read.
     """
 
     def __init__(self, layer_name: str = "hotcells",
@@ -608,56 +683,44 @@ class OverzoomPolygons:
         ext = self.extent
         children: dict[tuple, list] = {}
         for i in range(n):
-            rings = codec.decode_polygon(
-                np.asarray(geom[i].as_py(), dtype=np.uint32))
-            if len(rings) != 1 or rings[0][2] != codec.RING_OUTER:
-                raise ValueError("polygon overzoom: expected exactly one "
-                                 "outer ring (holes need ring pairing)")
-            ring = rings[0][0][:-1].astype(np.int64)  # drop closing dup
-            dbl = 2 * ring
-            lo_dx = max(0, int(dbl[:, 0].min()) // ext)
-            hi_dx = min(1, max(0, (int(dbl[:, 0].max()) - 1) // ext))
-            lo_dy = max(0, int(dbl[:, 1].min()) // ext)
-            hi_dy = min(1, max(0, (int(dbl[:, 1].max()) - 1) // ext))
-            for dx in range(lo_dx, hi_dx + 1):
-                for dy in range(lo_dy, hi_dy + 1):
-                    local = dbl - np.array([dx * ext, dy * ext])
-                    cl = clip_ring(local, 0.0, float(ext))
-                    if cl.shape[0] < 3:
-                        continue
-                    pts = np.floor(cl + 0.5).astype(np.int64)
-                    # drop consecutive dups including the wraparound
-                    keep = np.ones(pts.shape[0], bool)
-                    keep[1:] = (pts[1:] != pts[:-1]).any(axis=1)
-                    pts = pts[keep]
-                    if pts.shape[0] >= 2 and (pts[0] == pts[-1]).all():
-                        pts = pts[:-1]
-                    if pts.shape[0] < 3:
-                        continue
-                    a = pts
-                    b = np.roll(pts, -1, axis=0)
-                    area2 = int((a[:, 0] * b[:, 1] - b[:, 0] * a[:, 1]).sum())
-                    if area2 <= 0:
-                        # zero → degenerate; negative cannot arise from
-                        # clipping an outer ring (SH preserves orientation)
-                        continue
-                    key = (int(fz[i]) + 1, int(2 * fx[i] + dx),
-                           int(2 * fy[i] + dy))
-                    children.setdefault(key, []).append(
-                        (int(fid[i]), pts, pkeys[i], pvals[i]))
+            polys = _pair_rings(codec.decode_polygon(
+                np.asarray(geom[i].as_py(), dtype=np.uint32)), "overzoom")
+            # per-polygon bbox fan-out (holes are inside their outer)
+            per_child: dict[tuple, list] = {}
+            for outer, inners in polys:
+                dbl_o = 2 * outer
+                dbl_i = [2 * r for r in inners]
+                lo_dx = max(0, int(dbl_o[:, 0].min()) // ext)
+                hi_dx = min(1, max(0, (int(dbl_o[:, 0].max()) - 1) // ext))
+                lo_dy = max(0, int(dbl_o[:, 1].min()) // ext)
+                hi_dy = min(1, max(0, (int(dbl_o[:, 1].max()) - 1) // ext))
+                for dx in range(lo_dx, hi_dx + 1):
+                    for dy in range(lo_dy, hi_dy + 1):
+                        off = np.array([dx * ext, dy * ext])
+                        rings = _clip_poly_to_box(
+                            dbl_o - off, [r - off for r in dbl_i], ext)
+                        if rings is None:
+                            continue
+                        per_child.setdefault((dx, dy), []).extend(rings)
+            for (dx, dy), rings in per_child.items():
+                key = (int(fz[i]) + 1, int(2 * fx[i] + dx),
+                       int(2 * fy[i] + dy))
+                children.setdefault(key, []).append(
+                    (int(fid[i]), rings, pkeys[i], pvals[i]))
         if not children:
             return _EMPTY_CELLS
         out = {"z": [], "x": [], "y": [], "mvt": [], "n_cells": []}
         for key in sorted(children):
             tb = TileBuilder()
             lb = tb.add_layer(self.layer_name, 2, ext)
-            for f, pts, keys, vals in children[key]:
+            for f, rings, keys, vals in children[key]:
                 fb = PolygonFeatureBuilder(lb)
                 fb.set_id(f)
-                fb.add_ring(pts.shape[0] + 1)
-                for px_, py_ in pts:
-                    fb.set_point(int(px_), int(py_))
-                fb.close_ring()
+                for pts in rings:
+                    fb.add_ring(pts.shape[0] + 1)
+                    for px_, py_ in pts:
+                        fb.set_point(int(px_), int(py_))
+                    fb.close_ring()
                 for k, v in zip(keys, vals):
                     fb.add_property(k, raw=v)
                 fb.commit()
@@ -686,10 +749,13 @@ _EMPTY_POLY_FEATS = pa.table({
 class DownzoomPolygonsToFeatures:
     """map_batches kernel: child POLYGON tiles → PARENT-space feature
     rows — the polygon pyramid-BUILD step (completing downzoom across
-    all three geometry types): outer rings floor-halve with the sibling
+    all three geometry types): rings floor-halve with the sibling
     offset folded in, consecutive duplicate points (and the wraparound)
     collapse, rings shrinking below 3 distinct points or to zero area
-    drop as slivers. Features from the 4 children keep their identity
+    drop as slivers. Multi-ring features pair per spec 4.3.4.4 — holes
+    halve with the same kernel and sliver-drop independently; a polygon
+    whose halved holes cancel its halved outer drops whole.
+    Features from the 4 children keep their identity
     (no cross-child union — that needs polygon clipping algebra) and
     order deterministically by (child raster order, in-child position)
     via ``okey``. Ring bytes travel packed (int64 xy pairs) through ONE
@@ -734,37 +800,45 @@ class DownzoomPolygonsToFeatures:
         cols = {k: [] for k in _EMPTY_POLY_FEATS.column_names}
         pos_in_child: dict[tuple, int] = {}
         for i in range(n):
-            rings = codec.decode_polygon(
-                np.asarray(geom[i].as_py(), dtype=np.uint32))
-            if len(rings) != 1 or rings[0][2] != codec.RING_OUTER:
-                raise ValueError("polygon downzoom: expected exactly one "
-                                 "outer ring")
+            polys = _pair_rings(codec.decode_polygon(
+                np.asarray(geom[i].as_py(), dtype=np.uint32)), "downzoom")
             if len(pkeys[i]) != 1:
                 raise ValueError("polygon downzoom: expected one property")
-            ring = rings[0][0][:-1].astype(np.int64)
-            h = (ring + np.array([int(fx[i] & 1) * ext,
-                                  int(fy[i] & 1) * ext])) >> 1
-            keep = np.empty(h.shape[0], bool)
-            keep[0] = True
-            keep[1:] = (h[1:] != h[:-1]).any(axis=1)
-            h = h[keep]
-            if h.shape[0] >= 2 and (h[0] == h[-1]).all():
-                h = h[:-1]
-            if h.shape[0] < 3:
+            off = np.array([int(fx[i] & 1) * ext, int(fy[i] & 1) * ext])
+            out_rings: list[np.ndarray] = []
+            for outer, inners in polys:
+                ho, oa2 = _dedup_area_int((outer + off) >> 1)
+                if ho is None or oa2 <= 0:
+                    continue   # outer collapsed to a sliver
+                rs = [ho]
+                net = oa2
+                for inner in inners:
+                    hi_, ia2 = _dedup_area_int((inner + off) >> 1)
+                    if hi_ is None or ia2 >= 0:
+                        continue   # hole collapsed — sliver-drop alone
+                    rs.append(hi_)
+                    net += ia2
+                if net <= 0:
+                    continue   # holes cancel the halved outer
+                out_rings.extend(rs)
+            if not out_rings:
                 continue
-            b = np.roll(h, -1, axis=0)
-            if int((h[:, 0] * b[:, 1] - b[:, 0] * h[:, 1]).sum()) <= 0:
-                continue   # sliver collapsed to zero area
             tk = (int(fz[i]), int(fx[i]), int(fy[i]))
             j = pos_in_child.get(tk, 0)
             pos_in_child[tk] = j + 1
             child = int((fy[i] & 1) * 2 + (fx[i] & 1))
+            # pack [n_rings, len0, pts0…, len1, pts1…] as int64 — the
+            # shuffle payload stays a single binary column
+            parts = [np.array([len(out_rings)], np.int64)]
+            for r_ in out_rings:
+                parts.append(np.array([r_.shape[0]], np.int64))
+                parts.append(r_.ravel())
             cols["z"].append(int(fz[i]) - 1)
             cols["x"].append(int(fx[i]) >> 1)
             cols["y"].append(int(fy[i]) >> 1)
             cols["okey"].append((child << 40) | j)
             cols["fid"].append(int(fid[i]))
-            cols["ring"].append(h.ravel().tobytes())
+            cols["ring"].append(np.concatenate(parts).tobytes())
             cols["pkey"].append(pkeys[i][0])
             cols["pval"].append(pvals[i][0])
         if not cols["z"]:
@@ -802,13 +876,18 @@ def downzoom_polygons(tiles_ds, levels: int = 1,
             tb = TileBuilder()
             lb = tb.add_layer(layer_name, 2, extent)
             for r in g.itertuples():
-                pts = np.frombuffer(r.ring, np.int64).reshape(-1, 2)
+                a = np.frombuffer(r.ring, np.int64)
                 fb = PolygonFeatureBuilder(lb)
                 fb.set_id(int(r.fid))
-                fb.add_ring(pts.shape[0] + 1)
-                for px_, py_ in pts:
-                    fb.set_point(int(px_), int(py_))
-                fb.close_ring()
+                p = 1
+                for _ in range(int(a[0])):
+                    n_ = int(a[p])
+                    pts = a[p + 1:p + 1 + 2 * n_].reshape(-1, 2)
+                    p += 1 + 2 * n_
+                    fb.add_ring(n_ + 1)
+                    for px_, py_ in pts:
+                        fb.set_point(int(px_), int(py_))
+                    fb.close_ring()
                 fb.add_property(r.pkey, raw=r.pval)
                 fb.commit()
             out["z"].append(z)
@@ -854,8 +933,10 @@ def overzoom_polygons(tiles_ds, levels: int = 1,
 
 def polygon_tile_summary_batch(batch: pa.Table) -> pa.Table:
     """Per-tile decode summary for POLYGON tiles: feature count, id and
-    property sums, first-ring-point sums, and 2×area sums read back
-    through the real decoder — the oracle surface for polygon overzoom."""
+    property sums, first-ring-point sums, ring-count sums, and NET
+    2×area sums (signed over every ring, so holes subtract) read back
+    through the real decoder — the oracle surface for polygon overzoom
+    (the first ring must classify as outer; rings pair per 4.3.4.4)."""
     feats = decode_tiles_batch_v(batch, with_props=True, with_geometry=True)
     gt = feats.column("geom_type").to_numpy()
     if (gt != 3).any():
@@ -870,15 +951,16 @@ def polygon_tile_summary_batch(batch: pa.Table) -> pa.Table:
     x0 = np.empty(n, np.int64)
     y0 = np.empty(n, np.int64)
     area2 = np.empty(n, np.int64)
+    nrings = np.empty(n, np.int64)
     npts = np.empty(n, np.int64)
     for i in range(n):
         rings = codec.decode_polygon(
             np.asarray(geom[i].as_py(), dtype=np.uint32))
-        if len(rings) != 1:
-            raise ValueError("polygon_tile_summary: expected one ring")
-        ring, s, _rt = rings[0]
-        x0[i], y0[i] = int(ring[0, 0]), int(ring[0, 1])
-        area2[i] = s
+        if rings[0][2] != codec.RING_OUTER:
+            raise ValueError("polygon_tile_summary: first ring not outer")
+        x0[i], y0[i] = int(rings[0][0][0, 0]), int(rings[0][0][0, 1])
+        area2[i] = sum(s for _r, s, _rt in rings)
+        nrings[i] = len(rings)
         ki = pkeys[i].index("n_points")
         _, npts[i] = decode_value(pvals[i][ki])
     fz = feats.column("z").to_numpy().astype(np.int64)
@@ -887,13 +969,14 @@ def polygon_tile_summary_batch(batch: pa.Table) -> pa.Table:
     key = (fz << np.int64(58)) | (fx << np.int64(29)) | fy
     uk, inv = np.unique(key, return_inverse=True)
     agg = {name: np.zeros(uk.shape[0], np.int64)
-           for name in ("cnt", "sfid", "sx0", "sy0", "sa2", "snp")}
+           for name in ("cnt", "sfid", "sx0", "sy0", "sa2", "snp", "srng")}
     np.add.at(agg["cnt"], inv, 1)
     np.add.at(agg["sfid"], inv, fid)
     np.add.at(agg["sx0"], inv, x0)
     np.add.at(agg["sy0"], inv, y0)
     np.add.at(agg["sa2"], inv, area2)
     np.add.at(agg["snp"], inv, npts)
+    np.add.at(agg["srng"], inv, nrings)
     bz = batch.column("z").to_numpy().astype(np.int64)
     bx = batch.column("x").to_numpy().astype(np.int64)
     by = batch.column("y").to_numpy().astype(np.int64)
@@ -910,6 +993,7 @@ def polygon_tile_summary_batch(batch: pa.Table) -> pa.Table:
         "sum_y0": pa.array(agg["sy0"][pos]),
         "sum_area2": pa.array(agg["sa2"][pos]),
         "sum_points": pa.array(agg["snp"][pos]),
+        "sum_rings": pa.array(agg["srng"][pos]),
     })
 
 

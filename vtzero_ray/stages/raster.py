@@ -88,24 +88,38 @@ def rasterize_tiles(tiles_ds, grid: int = 16, extent: int = 4096):
 
 def raster_to_vector(raster_ds, threshold: int = 2, grid: int = 16,
                      extent: int = 4096, layer_name: str = "hotcells",
-                     n_buckets: int = 64):
+                     n_buckets: int = 64, hole_inset: int = 0):
     """Density rows → MVT polygon tiles: one CCW square ring per cell with
     n_points >= threshold; properties: n_points (uint). Returns a tiles
     Dataset (z,x,y,mvt,n_cells) that passes vtzero-check.
 
+    ``hole_inset > 0`` adds an INNER ring per cell (the inset square,
+    reversed traversal → negative shoelace, spec 4.3.4.4 ring pairing /
+    reference geometry.hpp:120-169 classification) — the holed-polygon
+    corpus for the pyramid family.
+
     Polygon geometry is VECTORIZED per tile: all square-ring command
     words (MoveTo + LineTo(3) + ClosePath, cursor math inlined) come from
     one (F, 11) u32 matrix — only zigzag(x0)/zigzag(y0) vary per feature —
-    then framed through add_feature_encoded (interning through the layer,
-    byte-identical to the scalar PolygonFeatureBuilder path, asserted in
-    test_raster). Tiles shuffle on a fixed-count bucket key, not the raw
-    high-cardinality (z,x,y) key."""
+    (a constant 11-word inner-ring block appends when holed: the hole's
+    MoveTo delta from the outer ring's end cursor is the same for every
+    cell) then framed through add_feature_encoded (interning through the
+    layer, byte-identical to the scalar PolygonFeatureBuilder path,
+    asserted in test_raster). Tiles shuffle on a fixed-count bucket key,
+    not the raw high-cardinality (z,x,y) key."""
     from ..mvt.pbf import zigzag_encode32
     from .encode import add_tile_bucket
 
     cell = extent // grid
+    if hole_inset and not 0 < 2 * hole_inset < cell:
+        raise ValueError("hole_inset must satisfy 0 < 2*inset < cell")
     zz_cell = zigzag_encode32(cell)
     zz_ncell = zigzag_encode32(-cell)
+    iside = cell - 2 * hole_inset  # inner square side
+    hole_block = np.array([
+        9, zigzag_encode32(hole_inset), zigzag_encode32(hole_inset - cell),
+        26, 0, zigzag_encode32(iside), zigzag_encode32(iside), 0,
+        0, zigzag_encode32(-iside), 15], np.uint32)
 
     def per_bucket(t: pa.Table) -> pa.Table:
         # Arrow-native group processor (VERDICT r3 #8): threshold filter,
@@ -151,6 +165,9 @@ def raster_to_vector(raster_ds, threshold: int = 2, grid: int = 16,
             cmds[:, 8] = zz_ncell
             cmds[:, 9] = 0
             cmds[:, 10] = 15                                 # ClosePath(1)
+            if hole_inset:
+                cmds = np.concatenate(
+                    [cmds, np.broadcast_to(hole_block, (F, 11))], axis=1)
             tb = TileBuilder()
             lb = tb.add_layer(layer_name, 2, extent)
             for i in range(F):
@@ -179,10 +196,13 @@ def raster_to_vector(raster_ds, threshold: int = 2, grid: int = 16,
 
 
 def raster_to_vector_scalar(raster_ds, threshold: int = 2, grid: int = 16,
-                            extent: int = 4096, layer_name: str = "hotcells"):
+                            extent: int = 4096, layer_name: str = "hotcells",
+                            hole_inset: int = 0):
     """Scalar reference path (full PolygonFeatureBuilder state machine) —
     kept for the byte-identity test against the vectorized kernel."""
     cell = extent // grid
+    if hole_inset and not 0 < 2 * hole_inset < cell:
+        raise ValueError("hole_inset must satisfy 0 < 2*inset < cell")
 
     def per_group(df):
         import pandas as pd
@@ -212,6 +232,17 @@ def raster_to_vector_scalar(raster_ds, threshold: int = 2, grid: int = 16,
             fb.set_point(x1, y1)
             fb.set_point(x0, y1)
             fb.close_ring()
+            if hole_inset:
+                # inner ring: inset square, reversed (+y first, then +x)
+                # traversal → negative shoelace on screen-y-down axes
+                ix0, iy0 = x0 + hole_inset, y0 + hole_inset
+                ix1, iy1 = x1 - hole_inset, y1 - hole_inset
+                fb.add_ring(5)
+                fb.set_point(ix0, iy0)
+                fb.set_point(ix0, iy1)
+                fb.set_point(ix1, iy1)
+                fb.set_point(ix1, iy0)
+                fb.close_ring()
             fb.add_property("n_points", int(r.n_points), type_hint=VT_UINT)
             fb.commit()
         return pd.DataFrame({"z": [z], "x": [x], "y": [y],
