@@ -80,6 +80,41 @@ class TestSetJoinExact:
         exp = brute_force(texts, 1.0, 5)
         pd.testing.assert_frame_equal(got.astype("int64"), exp)
 
+    def test_positional_filter_prunes_but_preserves_output(
+            self, ray_session):
+        import ray.data as rd
+
+        # 20 docs of 3 shingles each sharing exactly ONE common 5-word
+        # run: the run's shingle has df=20 (ranks LAST, position 2,
+        # still inside the t=0.3 prefix of length 3), so every pair is
+        # a prefix-filter candidate — but the positional bound at that
+        # match is 1 + min(0, 0) = 1 < required overlap 2, refuting all
+        # 190 pairs before verification. Two exact dups stay true pairs.
+        texts = [f"u{i}a u{i}b r1 r2 r3 r4 r5" for i in range(20)]
+        texts += ["same text one two three four five six"] * 2
+        t = pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+        })
+        with_pos = set_join_exact(
+            lambda: rd.from_arrow(t).repartition(4), threshold=0.3,
+            k=5, _candidates_only=True).to_pandas()
+        without = set_join_exact(
+            lambda: rd.from_arrow(t).repartition(4), threshold=0.3,
+            k=5, positional=False, _candidates_only=True).to_pandas()
+        sw = set(map(tuple, with_pos.to_numpy()))
+        so = set(map(tuple, without.to_numpy()))
+        assert sw <= so
+        assert len(sw) < len(so)   # the bound actually bites
+        # and every true pair survives: final outputs identical
+        got = set_join_exact(
+            lambda: rd.from_arrow(t).repartition(4), threshold=0.3,
+            k=5).to_pandas().sort_values(["doc_a", "doc_b"]) \
+            .reset_index(drop=True)
+        exp = brute_force(texts, 0.3, 5) \
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
     def test_large_ids_fallback(self, ray_session):
         import ray.data as rd
 
