@@ -1856,6 +1856,20 @@ def _q_ann_lsh(sf_dir: str):
     return topk_lsh(ds, sf_dir, k=5, n_queries=10)
 
 
+def _q_ann_lsh_mp(sf_dir: str):
+    """Multi-probe LSH (Lv et al. 2007): each query also probes the
+    Hamming-1 buckets of its two lowest-|margin| hyperplane bits —
+    recall rises at FIXED table count; the twin is the probed-bucket
+    union (same margins via integer dots, same XOR flips)."""
+    import ray.data as rd
+
+    from vtzero_ray.functions.ann import topk_lsh
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return topk_lsh(ds, sf_dir, k=5, n_queries=10, n_probes=3)
+
+
 def _q_ann_ivf(sf_dir: str):
     """Inline IVF twin (queries_extra since round 4): centroid-bucketed +
     partition-pruned probe search WITHOUT the persisted index — re-assigns
@@ -2180,6 +2194,8 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # exact-cosine baseline — LSH + persisted IVF keep the
                   # driver ANN slots; slot freed for cluster_docs
                   "ann_topk_bruteforce",
+                  # multi-probe LSH twin (ann_topk_lsh holds the driver slot)
+                  "ann_topk_lsh_mp",
                   # tumbling window — sessions (harder) + hopping (extra)
                   # keep the family; slot freed for mix_weighted
                   "events_window",
@@ -2497,6 +2513,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "cluster_docs": _q_cluster_docs,
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_lsh_mp": _q_ann_lsh_mp,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_ivf_indexed": _q_ann_ivf_indexed,
         "pq_codes": _q_pq_codes,
@@ -3576,6 +3593,8 @@ def _all_oracle_sql() -> dict[str, str]:
         # engines (functions/ann.py topk_lsh_sql)
         "cluster_docs": cluster_sizes_sql(n_centroids=16),
         "ann_topk_lsh": ann_lsh_sql(),
+        # multi-probe twin: probed-bucket union at n_probes=3
+        "ann_topk_lsh_mp": ann_lsh_sql(n_probes=3),
         # ann_topk_ivf: same quantization; centroid assignment, probe
         # routing and re-rank are all exact-int dots + one float divide
         "ann_topk_ivf": ann_ivf_sql(),

@@ -171,6 +171,71 @@ class TestANN:
         ak = set(zip(approx.query_id, approx.vec_id))
         assert len(ek & ak) / len(ek) > 0.3
 
+    def test_multiprobe_lifts_recall_at_fixed_candidate_budget(self):
+        """Multi-probe LSH (Lv et al. 2007): flipping the lowest-|margin|
+        bits must (a) strictly beat single-probe recall at the same
+        table count, and (b) match single-probe recall achieved with 3×
+        the tables while generating FEWER candidates — recall per
+        candidate budget improves, which is the whole point."""
+        from vtzero_ray.functions.ann import (_int_probe_buckets,
+                                              lsh_candidate_scores,
+                                              quantize, sign_tensor)
+
+        rng = np.random.default_rng(7)
+        dim, N, Q, k = 8, 400, 12, 5
+        mat_f = rng.normal(size=(N, dim))
+        mat_f /= np.linalg.norm(mat_f, axis=1, keepdims=True)
+        mat = quantize(mat_f)
+        ids = np.arange(N, dtype=np.int64)
+        qids, qmat = ids[:Q], mat[:Q]
+        s = (qmat @ mat.T).astype(np.float64) / \
+            np.sqrt((mat * mat).sum(axis=1))
+        truth = [set(np.lexsort((np.arange(N), -s[i]))[:k].tolist())
+                 for i in range(Q)]
+
+        def run(n_tables, n_probes):
+            signs = sign_tensor(n_tables, 8, dim)
+            qb = _int_probe_buckets(qmat, signs, n_probes)
+            df = lsh_candidate_scores(ids, mat, qids, qmat, signs,
+                                      qb).to_pandas()
+            hit = 0
+            for i in range(Q):
+                g = df[df.query_id == qids[i]] \
+                    .sort_values(["score", "vec_id"],
+                                 ascending=[False, True]).head(k) \
+                    .vec_id.tolist()
+                hit += len(set(g) & truth[i])
+            return len(df), hit / (Q * k)
+
+        c_sp, r_sp = run(2, 1)
+        c_mp, r_mp = run(2, 4)
+        c_sp6, r_sp6 = run(6, 1)
+        assert r_mp > r_sp                      # same tables, better recall
+        assert r_mp >= r_sp6 and c_mp < c_sp6   # 1/3 the tables, fewer
+        #                                         candidates, equal recall
+
+    def test_multiprobe_probe_set_shape(self):
+        """Probe 0 is the exact bucket; extra probes are Hamming-1 flips
+        of distinct bits, deterministic under the (|margin|, bit) order."""
+        from vtzero_ray.functions.ann import (_int_buckets,
+                                              _int_probe_buckets,
+                                              sign_tensor)
+
+        rng = np.random.default_rng(3)
+        qmat = rng.integers(-4096, 4096, size=(6, 8)).astype(np.int64)
+        signs = sign_tensor(2, 8, 8)
+        base = _int_buckets(qmat, signs)
+        mp = _int_probe_buckets(qmat, signs, 4)
+        assert (mp[:, 0, :] == base).all()
+        for t in range(2):
+            for qi in range(6):
+                flips = mp[t, 1:, qi] ^ base[t, qi]
+                # each probe flips exactly one DISTINCT bit
+                assert all(f > 0 and (f & (f - 1)) == 0 for f in flips)
+                assert len(set(flips.tolist())) == 3
+        with pytest.raises(ValueError, match="n_probes"):
+            _int_probe_buckets(qmat, signs, 10)
+
     def test_lsh_prunes_compute(self, sf_dir):
         """The candidate dot products are computed only over bucket-hit
         columns — the gathered matrix must be smaller than the full corpus

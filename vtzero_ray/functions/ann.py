@@ -142,6 +142,33 @@ def _int_buckets(qmat: np.ndarray, signs: np.ndarray) -> np.ndarray:
     return out
 
 
+def _int_probe_buckets(qmat: np.ndarray, signs: np.ndarray,
+                       n_probes: int) -> np.ndarray:
+    """Multi-probe bucket keys (Lv et al. 2007): (n_tables, n_probes, Q).
+    Probe 0 is the exact bucket; probes 1..P−1 flip the query's
+    LOWEST-|margin| hyperplane bits first (margin = exact integer dot
+    with the hyperplane — the bits most likely to be on the wrong side
+    of a near neighbor), deterministic tie-break on bit index."""
+    n_tables, n_bits, _ = signs.shape
+    if n_probes > n_bits + 1:
+        raise ValueError("n_probes exceeds n_bits + 1 Hamming-1 probes")
+    Q = qmat.shape[0]
+    out = np.empty((n_tables, n_probes, Q), np.int64)
+    bitvals = 1 << np.arange(n_bits, dtype=np.int64)
+    for t in range(n_tables):
+        marg = qmat @ signs[t].T                     # (Q, n_bits) int64
+        base = ((marg > 0).astype(np.int64) * bitvals).sum(axis=1)
+        out[t, 0] = base
+        if n_probes > 1:
+            # per query: bits ordered by (|margin| ASC, bit ASC) —
+            # lexsort over the last axis, bit index breaks ties
+            jmat = np.broadcast_to(np.arange(n_bits), (Q, n_bits))
+            order = np.lexsort((jmat, np.abs(marg)))  # (Q, n_bits)
+            flips = order[:, :n_probes - 1]           # (Q, P-1)
+            out[t, 1:] = (base[:, None] ^ bitvals[flips]).T
+    return out
+
+
 def load_queries_quantized(sf_dir: str, n_queries: int = 10):
     """First n embeddings by vec_id, integer-quantized."""
     import pyarrow.parquet as pq
@@ -154,11 +181,16 @@ def load_queries_quantized(sf_dir: str, n_queries: int = 10):
 
 
 def topk_lsh(ds, sf_dir: str, k: int = 5, n_queries: int = 10, n_bits: int = 8,
-             n_tables: int = 4):
+             n_tables: int = 4, n_probes: int = 1):
     """LSH-bucketed ANN over INTEGER-QUANTIZED embeddings: candidates share
     a bucket with the query in any of n_tables hash tables; re-rank by
     exact integer dot over the quantized vectors (score = qdot/sqrt(sumsq),
     deterministic float from exact ints → identical in the SQL oracle).
+
+    ``n_probes > 1`` turns on multi-probe (Lv et al. 2007): each query
+    additionally probes the Hamming-1 buckets of its lowest-|margin|
+    hyperplane bits — recall rises at FIXED table count (no extra index
+    storage or shuffle width; only probe fan-out grows).
 
     The bucket keys partition the corpus — at scale this becomes a
     groupby(bucket) co-partitioning instead of a broadcast (documented
@@ -169,7 +201,7 @@ def topk_lsh(ds, sf_dir: str, k: int = 5, n_queries: int = 10, n_bits: int = 8,
     qids, qmat = load_queries_quantized(sf_dir, n_queries)
     dim = qmat.shape[1]
     signs = sign_tensor(n_tables, n_bits, dim)
-    qbuckets = _int_buckets(qmat, signs)  # (n_tables, Q)
+    qbuckets = _int_probe_buckets(qmat, signs, n_probes)  # (T, P, Q)
     qref = ray.put((qids, qmat, signs, qbuckets))
 
     def candidates(batch: pa.Table) -> pa.Table:
@@ -206,11 +238,16 @@ def _hit_pair_scores(ids, mat, q_ids, q_mat, hit) -> pa.Table:
 
 
 def lsh_candidate_scores(ids, mat, q_ids, q_mat, sgn, q_b) -> pa.Table:
-    """Bucket-hit candidate scoring for one batch (compute-pruned)."""
+    """Bucket-hit candidate scoring for one batch (compute-pruned).
+    ``q_b`` is (n_tables, Q) single-probe or (n_tables, n_probes, Q)
+    multi-probe — a vector is a candidate when ANY probe hits it."""
     v_b = _int_buckets(mat, sgn)  # (n_tables, B)
+    if q_b.ndim == 2:
+        q_b = q_b[:, None, :]
     hit = np.zeros((q_ids.shape[0], ids.shape[0]), dtype=bool)
     for t in range(v_b.shape[0]):
-        hit |= q_b[t][:, None] == v_b[t][None, :]
+        for p in range(q_b.shape[1]):
+            hit |= q_b[t, p][:, None] == v_b[t][None, :]
     return _hit_pair_scores(ids, mat, q_ids, q_mat, hit)
 
 
@@ -629,9 +666,36 @@ def topk_ivf_sql(k: int = 5, n_queries: int = 10, n_centroids: int = 16,
 
 
 def topk_lsh_sql(k: int = 5, n_queries: int = 10, n_bits: int = 8,
-                 n_tables: int = 4) -> str:
+                 n_tables: int = 4, n_probes: int = 1) -> str:
     """DuckDB oracle for topk_lsh — same quantization, same md5 signs,
-    same exact-int dots, same score ordering."""
+    same exact-int dots, same score ordering. ``n_probes > 1`` probes
+    the same lowest-|margin| Hamming-1 buckets (row_number over
+    (abs(margin), bit), bucket XOR 2^bit) — the probed-bucket UNION."""
+    if n_probes == 1:
+        probe_cte = (
+            "qprobes AS (SELECT vec_id, t, bucket FROM buckets"
+            " WHERE vec_id IN (SELECT vec_id FROM qv)), "
+        )
+    else:
+        probe_cte = (
+            f"qmarg AS (SELECT q.vec_id, s.t, s.j,"
+            f" CAST(SUM(q.v * s.s) AS BIGINT) AS marg"
+            f" FROM q JOIN signs s ON s.d = q.d"
+            f" WHERE q.vec_id IN (SELECT vec_id FROM qv)"
+            f" GROUP BY 1, 2, 3), "
+            f"flips AS (SELECT vec_id, t, j FROM ("
+            f"SELECT vec_id, t, j, row_number() OVER ("
+            f"PARTITION BY vec_id, t ORDER BY abs(marg), j) AS rn"
+            f" FROM qmarg) WHERE rn <= {n_probes - 1}), "
+            f"qprobes AS ("
+            f"SELECT vec_id, t, bucket FROM buckets"
+            f" WHERE vec_id IN (SELECT vec_id FROM qv)"
+            f" UNION "
+            f"SELECT f.vec_id, f.t,"
+            f" xor(b.bucket, CAST(power(2, f.j) AS BIGINT)) AS bucket"
+            f" FROM flips f JOIN buckets b"
+            f" ON b.vec_id = f.vec_id AND b.t = f.t), "
+        )
     return (
         f"WITH e AS (SELECT vec_id, embedding FROM embeddings), "
         f"comp0 AS (SELECT vec_id, unnest(embedding) AS x0,"
@@ -650,10 +714,10 @@ def topk_lsh_sql(k: int = 5, n_queries: int = 10, n_bits: int = 8,
         f" SUM(bit * CAST(power(2, j) AS BIGINT)) AS bucket"
         f" FROM bits GROUP BY 1, 2), "
         f"qv AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT {n_queries}), "
-        f"cand AS (SELECT DISTINCT bq.vec_id AS query_id, bv.vec_id AS vec_id"
-        f" FROM buckets bq JOIN buckets bv"
-        f" ON bq.t = bv.t AND bq.bucket = bv.bucket"
-        f" WHERE bq.vec_id IN (SELECT vec_id FROM qv)), "
+        f"{probe_cte}"
+        f"cand AS (SELECT DISTINCT qp.vec_id AS query_id, bv.vec_id AS vec_id"
+        f" FROM qprobes qp JOIN buckets bv"
+        f" ON bv.t = qp.t AND bv.bucket = qp.bucket), "
         f"sumsq AS (SELECT vec_id, SUM(v * v) AS s2 FROM q GROUP BY 1), "
         # BIGINT cast: see topk_ivf_sql — int64 on both engines or the
         # driver's dtype-sensitive value hash disagrees
