@@ -274,3 +274,108 @@ class TestIVFPQ:
         r1 = full[full["rank"] == 1]
         assert (r1.vec_id.to_numpy() == r1.query_id.to_numpy()).all()
         assert (r1.pq_dist.to_numpy() == 0).all()
+
+
+class TestTrainedPQ:
+    """Trained (per-subspace Lloyd) codebooks vs the first-N seed on a
+    SKEWED corpus: the seed vectors all sit in one cluster, so first-N
+    codebooks cannot represent the other — training must cut
+    reconstruction error by a wide margin without hurting recall."""
+
+    @pytest.fixture(scope="class")
+    def skew_sf(self, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pqw
+
+        rng = np.random.default_rng(11)
+        N, dim, K = 240, 8, 16
+        rows = []
+        for i in range(N):
+            if i < K or i % 3 == 0:
+                v = rng.normal(1.0, 0.05, dim)     # cluster A (seed ids)
+            else:
+                v = rng.normal(-1.0, 0.1, dim)     # cluster B + spike
+                v[i % dim] += (-1.5 if i % 2 else 1.5)
+            rows.append(v)
+        mat = np.stack(rows)
+        d = tmp_path_factory.mktemp("pqskew")
+        pqw.write_table(pa.table({
+            "vec_id": pa.array(np.arange(N), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat],
+                                  pa.list_(pa.float64())),
+        }), f"{d}/embeddings.parquet")
+        return str(d), mat
+
+    def test_trained_beats_first_n(self, ray_session, skew_sf):
+        import ray.data as rd
+
+        from vtzero_ray.functions.pq import (_encode_mat,
+                                             load_pq_codebooks,
+                                             quantize_unit,
+                                             train_pq_codebooks)
+
+        sf, mat = skew_sf
+        N, K = mat.shape[0], 16
+        ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+        cb0 = load_pq_codebooks(sf, n_sub=4, n_codes=K)
+        cbT = train_pq_codebooks(ds, sf, n_sub=4, n_codes=K, n_iters=6)
+        u = quantize_unit(mat)
+
+        def recon_err(cb):
+            codes = _encode_mat(u, cb)
+            rec = np.concatenate([cb[codes[:, m], m]
+                                  for m in range(cb.shape[1])], axis=1)
+            return int(((u - rec) ** 2).sum())
+
+        e0, eT = recon_err(cb0), recon_err(cbT)
+        assert eT * 5 < e0     # wide-margin distortion win
+        # codewords stay on the int64 grid (every later compare exact)
+        assert cbT.dtype == np.int64
+
+        def recall(cb, Q=30, k=5):
+            qm = u[N - Q:]
+            d_true = ((qm[:, None, :] - u[None, :, :]) ** 2).sum(axis=2)
+            codes = _encode_mat(u, cb)
+            lut = ((qm.reshape(Q, 4, 2)[:, None, :, :]
+                    - cb[None, :, :, :]) ** 2).sum(axis=3)
+            dist = np.zeros((Q, N), np.int64)
+            for m in range(4):
+                dist += lut[:, codes[:, m], m]
+            hit = 0
+            for qi in range(Q):
+                t_ = set(np.lexsort((np.arange(N), d_true[qi]))[:k])
+                g_ = set(np.lexsort((np.arange(N), dist[qi]))[:k])
+                hit += len(t_ & g_)
+            return hit / (Q * k)
+
+        assert recall(cbT) >= recall(cb0)
+
+    def test_trained_codebooks_thread_through_pipeline(self, ray_session,
+                                                       skew_sf):
+        """topk_pq/pq_codes accept the trained codebook and stay
+        batching-independent (the determinism contract holds for ANY
+        codebook, not just the first-N twin)."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.pq import (pq_codes, topk_pq,
+                                             train_pq_codebooks)
+
+        sf, _ = skew_sf
+
+        def ds():
+            return rd.read_parquet(f"{sf}/embeddings.parquet")
+
+        cbT = train_pq_codebooks(ds(), sf, n_sub=4, n_codes=16, n_iters=3)
+        a = (topk_pq(ds(), sf, k=5, n_queries=6, n_codes=16,
+                     codebooks=cbT).to_pandas()
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+        b = (topk_pq(ds().repartition(7), sf, k=5, n_queries=6,
+                     n_codes=16, codebooks=cbT).to_pandas()
+             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+        assert a.equals(b) and len(a) == 30
+        c1 = (pq_codes(ds(), sf, n_codes=16, codebooks=cbT).to_pandas()
+              .sort_values(["vec_id", "sub"]).reset_index(drop=True))
+        c2 = (pq_codes(ds().repartition(5), sf, n_codes=16,
+                       codebooks=cbT).to_pandas()
+              .sort_values(["vec_id", "sub"]).reset_index(drop=True))
+        assert c1.equals(c2)

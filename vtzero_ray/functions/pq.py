@@ -89,12 +89,98 @@ def _encode_mat(qmat: np.ndarray, cb: np.ndarray) -> np.ndarray:
     return d2.argmin(axis=1)
 
 
-def pq_codes(ds, sf_dir: str, n_sub: int = 4, n_codes: int = 16):
-    """Encode the corpus -> Dataset (vec_id, sub, code), long form (one
-    row per subspace) so the SQL twin compares row-for-row."""
+def train_pq_codebooks(ds, sf_dir: str, n_sub: int = 4, n_codes: int = 16,
+                       n_iters: int = 4, sample_mod: int = 1) -> np.ndarray:
+    """Per-subspace Lloyd k-means on the unit grid — the trained
+    codebook beside the first-N SQL twin (the train_centroids
+    precedent, applied independently to each of the M subspaces).
+
+    Determinism (bit-exact under any block scheduling):
+    - assignment is ``_encode_mat``'s exact int64 L2² argmin (ties →
+      smallest code) — the SAME kernel encode and search use;
+    - updates sum int64 subvectors per (sub, code) inside map_batches;
+      integer addition is order-independent, so combining the per-batch
+      partials on the driver is schedule-free;
+    - new codewords are round-half-up integer divisions
+      ``(2·s + c) // (2·c)`` — they stay ON the unit grid, so every
+      later distance is exact int64;
+    - an empty code keeps its previous codeword.
+
+    ``sample_mod > 1`` trains on the deterministic ``vec_id %
+    sample_mod == 0`` subsample, materialized once (the mini-batch /
+    100-TB path: iterations re-read cached blocks, never full-corpus
+    lineage). Driver state is (M·K) rows per input block — tiny."""
     import ray
 
-    cb_ref = ray.put(load_pq_codebooks(sf_dir, n_sub, n_codes))
+    if sample_mod > 1:
+        def samp(batch: pa.Table) -> pa.Table:
+            ids = batch.column("vec_id").to_numpy()
+            return batch.filter(pa.array(ids % sample_mod == 0))
+
+        ds = ds.map_batches(samp, batch_format="pyarrow",
+                            batch_size=None).materialize()
+
+    cb = load_pq_codebooks(sf_dir, n_sub, n_codes)
+    K, M, dsub = cb.shape
+
+    for _ in range(max(0, n_iters)):
+        ref = ray.put(cb)
+
+        def partial_sums(batch: pa.Table) -> pa.Table:
+            tune_allocator()
+            cb_ = ray.get(ref)
+            empty = pa.table({"sub": pa.array([], pa.int64()),
+                              "code": pa.array([], pa.int64()),
+                              "vsum": pa.array([], pa.list_(pa.int64())),
+                              "cnt": pa.array([], pa.int64())})
+            if len(batch) == 0:
+                return empty
+            mat = quantize_unit(np.stack(
+                batch.column("embedding").to_numpy(zero_copy_only=False)))
+            codes = _encode_mat(mat, cb_)               # (N, M)
+            sub = mat.reshape(mat.shape[0], M, dsub)
+            out_m, out_k, out_s, out_n = [], [], [], []
+            for m_ in range(M):
+                sums = np.zeros((K, dsub), np.int64)
+                cnts = np.zeros(K, np.int64)
+                np.add.at(sums, codes[:, m_], sub[:, m_])
+                np.add.at(cnts, codes[:, m_], 1)
+                for k_ in np.flatnonzero(cnts):
+                    out_m.append(m_)
+                    out_k.append(int(k_))
+                    out_s.append(sums[k_].tolist())
+                    out_n.append(int(cnts[k_]))
+            if not out_m:
+                return empty
+            return pa.table({"sub": pa.array(out_m, pa.int64()),
+                             "code": pa.array(out_k, pa.int64()),
+                             "vsum": pa.array(out_s, pa.list_(pa.int64())),
+                             "cnt": pa.array(out_n, pa.int64())})
+
+        parts = ds.map_batches(partial_sums, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+        new = cb.copy()
+        grp = parts.groupby(["sub", "code"], sort=False)
+        for (m_, k_), rows in grp:
+            s = np.sum(np.stack([np.asarray(v, np.int64)
+                                 for v in rows.vsum]),
+                       axis=0, dtype=np.int64)
+            c = int(rows.cnt.sum())
+            new[int(k_), int(m_)] = (2 * s + c) // (2 * c)
+        cb = new
+    return cb
+
+
+def pq_codes(ds, sf_dir: str, n_sub: int = 4, n_codes: int = 16,
+             codebooks: np.ndarray | None = None):
+    """Encode the corpus -> Dataset (vec_id, sub, code), long form (one
+    row per subspace) so the SQL twin compares row-for-row.
+    ``codebooks`` swaps in a trained (K, M, dsub) codebook
+    (train_pq_codebooks); default first-N stays the SQL twin."""
+    import ray
+
+    cb_ref = ray.put(load_pq_codebooks(sf_dir, n_sub, n_codes)
+                     if codebooks is None else codebooks)
 
     def enc(batch: pa.Table) -> pa.Table:
         tune_allocator()
@@ -115,13 +201,15 @@ def pq_codes(ds, sf_dir: str, n_sub: int = 4, n_codes: int = 16):
 
 
 def topk_pq(ds, sf_dir: str, k: int = 5, n_queries: int = 10,
-            n_sub: int = 4, n_codes: int = 16):
+            n_sub: int = 4, n_codes: int = 16,
+            codebooks: np.ndarray | None = None):
     """ADC top-k -> (query_id, vec_id, pq_dist, rank): per-query LUT of
     int64 subspace distances, corpus scanned once, per-batch pruning,
-    single merge task."""
+    single merge task. ``codebooks`` swaps in a trained codebook."""
     import ray
 
-    cb = load_pq_codebooks(sf_dir, n_sub, n_codes)
+    cb = (load_pq_codebooks(sf_dir, n_sub, n_codes)
+          if codebooks is None else codebooks)
     q_ids, q_mat = load_queries_unit(sf_dir, n_queries)
     n_codes_, n_sub_, dsub = cb.shape
     q_sub = q_mat.reshape(q_mat.shape[0], n_sub_, dsub)
