@@ -450,6 +450,87 @@ class TestDownzoomPaths:
         assert parts[0].tolist() == [[2000, 48], [2048, 48]]
         assert parts[1].tolist() == [[2048, 48], [2148, 48]]
 
+    def test_stitch_merges_seam_meeting_parts(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.mvt import codec
+        from vtzero_ray.pipelines.decode import decode_tiles_batch_v
+        from vtzero_ray.pipelines.overzoom import downzoom_paths
+
+        # the test_children_stay_separate_parts geometry, stitched:
+        # NW piece ends (2048,48) exactly where the NE piece starts —
+        # stitch=True merges them into ONE 3-point part
+        pt1 = path_tiles_from_segments([(3, 2, 2, 7, 0, 4000, 96, 4096, 96)])
+        pt2 = path_tiles_from_segments([(3, 3, 2, 7, 0, 0, 96, 200, 96)])
+        tiles = pa.concat_tables([pt1, pt2])
+        out = downzoom_paths(rd.from_arrow(tiles), stitch=True).to_pandas()
+        assert len(out) == 1
+        t = pa.table({
+            "z": pa.array(out["z"].astype("int32")),
+            "x": pa.array(out["x"].astype("int32")),
+            "y": pa.array(out["y"].astype("int32")),
+            "mvt": pa.array(list(out["mvt"]), pa.binary()),
+        })
+        feats = decode_tiles_batch_v(t, with_props=True, with_geometry=True)
+        parts = codec.decode_linestring(
+            np.asarray(feats.column("geom_cmds")[0].as_py(), np.uint32))
+        assert len(parts) == 1
+        assert parts[0].tolist() == [[2000, 48], [2048, 48], [2148, 48]]
+        # n_parts property tracks the stitched count
+        from vtzero_ray.mvt.values import decode_value
+        pk = feats.column("prop_keys")[0].as_py()
+        pv = feats.column("prop_vals_raw")[0].as_py()
+        assert decode_value(pv[pk.index("n_parts")])[1] == 1
+
+    def test_stitch_byte_identity_on_seam_free_input(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.pipelines.overzoom import downzoom_paths
+
+        # two disjoint pieces in different children whose halved
+        # endpoints do NOT meet: stitched and unstitched tile bytes
+        # must be identical
+        pt1 = path_tiles_from_segments([(3, 2, 2, 7, 0, 100, 96, 600, 96)])
+        pt2 = path_tiles_from_segments([(3, 3, 2, 7, 0, 300, 96, 900, 96)])
+        tiles = pa.concat_tables([pt1, pt2])
+        a = downzoom_paths(rd.from_arrow(tiles), stitch=True).to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        b = downzoom_paths(rd.from_arrow(tiles), stitch=False).to_pandas() \
+            .sort_values(["z", "x", "y"]).reset_index(drop=True)
+        assert len(a) == len(b) == 1
+        assert bytes(a.iloc[0]["mvt"]) == bytes(b.iloc[0]["mvt"])
+
+    def test_stitch_transitive_chain(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.mvt import codec
+        from vtzero_ray.pipelines.decode import decode_tiles_batch_v
+        from vtzero_ray.pipelines.overzoom import downzoom_paths
+
+        # three pieces across three children chaining end-to-start:
+        # NW → NE at (2048,48), NE → SW? no — same row children; use a
+        # path re-entering: NW piece, NE piece, then a second NE part
+        # continuing from the first's end
+        pt1 = path_tiles_from_segments([(3, 2, 2, 7, 0, 4000, 96, 4096, 96)])
+        pt2 = path_tiles_from_segments(
+            [(3, 3, 2, 7, 0, 0, 96, 200, 96),
+             (3, 3, 2, 7, 5, 200, 96, 300, 200)])  # gap in seg_idx → new
+        #                                             part, but meets end
+        tiles = pa.concat_tables([pt1, pt2])
+        out = downzoom_paths(rd.from_arrow(tiles), stitch=True).to_pandas()
+        t = pa.table({
+            "z": pa.array(out["z"].astype("int32")),
+            "x": pa.array(out["x"].astype("int32")),
+            "y": pa.array(out["y"].astype("int32")),
+            "mvt": pa.array(list(out["mvt"]), pa.binary()),
+        })
+        feats = decode_tiles_batch_v(t, with_props=True, with_geometry=True)
+        parts = codec.decode_linestring(
+            np.asarray(feats.column("geom_cmds")[0].as_py(), np.uint32))
+        assert len(parts) == 1
+        assert parts[0].tolist() == [[2000, 48], [2048, 48], [2148, 48],
+                                     [2198, 100]]
+
     def test_negative_buffer_coords_floor(self, ray_session):
         import ray.data as rd
 

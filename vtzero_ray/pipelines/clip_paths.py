@@ -198,11 +198,32 @@ def clipped_path_stats(sf_dir: str, zoom: int = 2, extent: int = 4096,
     return out.map_batches(lambda t: t, batch_format="pyarrow")
 
 
-def _encode_tile_group(df: pd.DataFrame, extent: int) -> pd.DataFrame:
+def _stitch_parts(parts: list) -> list:
+    """Cross-child part stitching (downzoom seam repair): in part
+    order, append each part to the EARLIEST previously-emitted part
+    whose last point exactly equals its first point (dropping the
+    duplicated junction point); chains extend transitively. Seam-free
+    inputs (no endpoint meets) pass through unchanged — the
+    byte-identity anchor against the unstitched twin."""
+    out: list = []
+    for p in parts:
+        for j, q in enumerate(out):
+            if q[-1, 0] == p[0, 0] and q[-1, 1] == p[0, 1]:
+                out[j] = np.concatenate([q, p[1:]], axis=0)
+                break
+        else:
+            out.append(p)
+    return out
+
+
+def _encode_tile_group(df: pd.DataFrame, extent: int,
+                       stitch: bool = False) -> pd.DataFrame:
     """One bucket of tiles → MVT bytes: one multi-part linestring feature
     per site (feature_id = site, props site/n_parts), scalar builder per
     tile (features per tile are few; the vectorized line kernel covers
-    the single-part hot path in stages/encode_lines)."""
+    the single-part hot path in stages/encode_lines). ``stitch`` merges
+    parts whose endpoints meet exactly (the downzoom child-seam case —
+    see _stitch_parts); the clip pipeline never sets it."""
     rows = []
     for (z, x, y), tile_g in df.groupby(["z", "x", "y"], sort=True):
         tb = TileBuilder()
@@ -217,6 +238,8 @@ def _encode_tile_group(df: pd.DataFrame, extent: int) -> pd.DataFrame:
             parts = [np.stack([px[offs[i]:offs[i + 1]],
                                py[offs[i]:offs[i + 1]]], axis=1)
                      for i in range(offs.shape[0] - 1)]
+            if stitch:
+                parts = _stitch_parts(parts)
             cmds = codec.encode_linestring(parts)
             lb.add_feature_encoded(
                 codec.GEOM_LINESTRING, cmds, feature_id=int(site),

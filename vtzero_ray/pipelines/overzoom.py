@@ -474,11 +474,16 @@ class DownzoomPathsToSegments:
 
 def downzoom_paths(tiles_ds, levels: int = 1,
                    layer_name: str = "clipped_paths", extent: int = 4096,
-                   n_buckets: int = 64):
+                   n_buckets: int = 64, stitch: bool = False):
     """Clipped-path tiles(z) → tiles(z−levels): per level ONE decode
     scan + ONE bucketed tile-row shuffle re-encoding through the SAME
     builder path as clipped_path_tiles — children are format-identical,
-    so levels compose (and overzoom_paths can re-derive them)."""
+    so levels compose (and overzoom_paths can re-derive them).
+
+    ``stitch=True`` merges parts whose endpoints meet EXACTLY at child
+    seams after halving (clip_paths._stitch_parts) — pieces that merely
+    OVERLAP through the clip buffer stay separate (overlap dedup is out
+    of scope); seam-free tiles are byte-identical either way."""
     import functools
 
     from ..stages.encode import add_tile_bucket
@@ -492,8 +497,9 @@ def downzoom_paths(tiles_ds, levels: int = 1,
         segs = segs.map_batches(add_tile_bucket, batch_format="pyarrow",
                                 fn_kwargs={"n_buckets": n_buckets})
 
-        def enc(df, _ext=extent):
-            return _encode_tile_group(df.drop(columns=["bucket"]), _ext)
+        def enc(df, _ext=extent, _st=stitch):
+            return _encode_tile_group(df.drop(columns=["bucket"]), _ext,
+                                      stitch=_st)
 
         out = segs.groupby("bucket").map_groups(enc,
                                                 batch_format="pandas") \
