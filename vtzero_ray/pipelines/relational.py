@@ -83,16 +83,31 @@ def orders_by_segment(sf_dir: str):
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_map = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    # broadcast as (sorted keys, dictionary codes, categories): the
+    # per-batch lookup is a vectorized searchsorted + take, not a
+    # per-row Python dict probe (VERDICT r4 #6)
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck, kind="stable")
+    cats, codes = np.unique(cust["c_mktsegment"].to_numpy()[order],
+                            return_inverse=True)
+    seg_map = ray.put((ck[order], codes.astype(np.int64), cats))
 
     class JoinSeg:
         def __init__(self) -> None:
-            self.map = ray.get(seg_map)
+            self.keys, self.codes, self.cats = ray.get(seg_map)
+            self.cat_arr = pa.array(self.cats, pa.string())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("o_custkey").to_pandas()
-            seg = keys.map(self.map)
-            return batch.append_column("c_mktsegment", pa.array(seg, pa.string()))
+            k = batch.column("o_custkey").to_numpy().astype(np.int64)
+            pos = np.searchsorted(self.keys, k)
+            if (pos >= self.keys.shape[0]).any() or \
+                    (self.keys[np.minimum(pos, self.keys.shape[0] - 1)]
+                     != k).any():
+                raise ValueError("orders_by_segment: o_custkey missing "
+                                 "from customer")
+            seg = pa.compute.take(self.cat_arr,
+                                  pa.array(self.codes[pos], pa.int64()))
+            return batch.append_column("c_mktsegment", seg)
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])

@@ -274,45 +274,69 @@ def cell_knn_join(points_ds, cell_us: int = 10_000_000, rings: int = 3,
 
     guard2 = (rings * cell_us) ** 2
 
-    def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        empty = pd.DataFrame({"url": pd.Series([], dtype=object),
-                              "poi_id": pd.Series([], dtype="int64"),
-                              "poi_d2": pd.Series([], dtype="int64"),
-                              "certain": pd.Series([], dtype=bool),
-                              "lat": pd.Series([], dtype="float64"),
-                              "lon": pd.Series([], dtype="float64")})
-        for (cx, cy), g in df.groupby(["cellx", "celly"], sort=False):
-            p = g[g["kind"] == 0]
-            if p.empty:
-                continue
-            # lat/lon ride along so the sparse-tail fallback needs no join
-            lat = p["b_us"].to_numpy() / 1e6
-            lon = p["a_us"].to_numpy() / 1e6
-            c = g[g["kind"] == 1]
-            if c.empty:
-                out.append(pd.DataFrame({
-                    "url": p["url"].to_numpy(),
-                    "poi_id": np.int64(-1), "poi_d2": np.int64(-1),
-                    "certain": False, "lat": lat, "lon": lon}))
-                continue
-            dx = p["a_us"].to_numpy()[:, None] - c["a_us"].to_numpy()[None, :]
-            dy = p["b_us"].to_numpy()[:, None] - c["b_us"].to_numpy()[None, :]
-            d2 = dx * dx + dy * dy
-            best = np.argmin(d2, axis=1)  # candidates sorted by poi_id → ties ok
-            bd2 = d2[np.arange(d2.shape[0]), best]
-            out.append(pd.DataFrame({
-                "url": p["url"].to_numpy(),
-                "poi_id": c["poi_id"].to_numpy()[best],
-                "poi_d2": bd2,
-                "certain": bd2 < guard2,
-                "lat": lat, "lon": lon,
-            }))
-        if not out:
+    def resolve(t: pa.Table) -> pa.Table:
+        # Arrow-native group processor (VERDICT r4 #6): ONE lexsort puts
+        # each cell's rows contiguous with points (kind 0, original
+        # order) before its poi_id-ascending candidates — argmin's
+        # first-minimum rule then implements the (d2, poi_id) tie-break
+        # exactly as the old pandas groupby did.
+        empty = pa.table({"url": pa.array([], pa.string()),
+                          "poi_id": pa.array([], pa.int64()),
+                          "poi_d2": pa.array([], pa.int64()),
+                          "certain": pa.array([], pa.bool_()),
+                          "lat": pa.array([], pa.float64()),
+                          "lon": pa.array([], pa.float64())})
+        if len(t) == 0:
             return empty
-        return pd.concat(out, ignore_index=True)
+        kind = t.column("kind").to_numpy().astype(np.int8)
+        a = t.column("a_us").to_numpy().astype(np.int64)
+        b = t.column("b_us").to_numpy().astype(np.int64)
+        cx_ = t.column("cellx").to_numpy().astype(np.int64)
+        cy_ = t.column("celly").to_numpy().astype(np.int64)
+        pid = t.column("poi_id").to_numpy().astype(np.int64)
+        urls = t.column("url")
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        order = np.lexsort((pid, kind, cy_, cx_))
+        sc_x, sc_y, sk = cx_[order], cy_[order], kind[order]
+        change = np.r_[True, (sc_x[1:] != sc_x[:-1])
+                       | (sc_y[1:] != sc_y[:-1])]
+        bounds = np.r_[np.flatnonzero(change), order.shape[0]]
+        out_u, out_pid, out_d2, out_cert = [], [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            n_p = int(np.searchsorted(sk[s:e], 1))
+            if n_p == 0:
+                continue
+            p_idx = order[s:s + n_p]
+            c_idx = order[s + n_p:e]
+            out_u.append(p_idx)
+            if c_idx.shape[0] == 0:
+                out_pid.append(np.full(n_p, -1, np.int64))
+                out_d2.append(np.full(n_p, -1, np.int64))
+                out_cert.append(np.zeros(n_p, bool))
+                continue
+            dx = a[p_idx][:, None] - a[c_idx][None, :]
+            dy = b[p_idx][:, None] - b[c_idx][None, :]
+            d2 = dx * dx + dy * dy
+            best = np.argmin(d2, axis=1)
+            bd2 = d2[np.arange(d2.shape[0]), best]
+            out_pid.append(pid[c_idx][best])
+            out_d2.append(bd2)
+            out_cert.append(bd2 < guard2)
+        if not out_u:
+            return empty
+        u = np.concatenate(out_u)
+        return pa.table({
+            "url": pa.compute.take(urls, pa.array(u)),
+            "poi_id": pa.array(np.concatenate(out_pid)),
+            "poi_d2": pa.array(np.concatenate(out_d2)),
+            "certain": pa.array(np.concatenate(out_cert)),
+            "lat": pa.array(b[u] / 1e6, pa.float64()),
+            "lon": pa.array(a[u] / 1e6, pa.float64()),
+        })
 
-    resolved = both.groupby("bucket").map_groups(resolve, batch_format="pandas")
+    resolved = both.groupby("bucket").map_groups(resolve,
+                                                 batch_format="pyarrow")
 
     # sparse-region fallback FUSED into one pass-through stage: certain rows
     # keep their local result, uncertain rows are re-resolved exactly against
