@@ -379,3 +379,39 @@ class TestTrainedPQ:
                        codebooks=cbT).to_pandas()
               .sort_values(["vec_id", "sub"]).reset_index(drop=True))
         assert c1.equals(c2)
+
+
+class TestTrainedIVFPQ:
+    def test_trained_index_round_trips_through_files(self, ray_session,
+                                                     sf_dir, tmp_path):
+        """A trained IVF-PQ index persists its trained quantizers and
+        topk_ivfpq serves them back unchanged — no code path differs
+        between first-N and trained indexes after the build."""
+        import numpy as np
+
+        from vtzero_ray.functions.ivfpq import (_load_codebooks,
+                                                build_ivfpq_index,
+                                                topk_ivfpq)
+        from vtzero_ray.functions.ann import load_ivf_centroids
+        from vtzero_ray.functions.pq import load_pq_codebooks
+
+        idx0 = str(tmp_path / "ivfpq_first_n")
+        idxT = str(tmp_path / "ivfpq_trained")
+        build_ivfpq_index(_ds(sf_dir), idx0, sf_dir)
+        build_ivfpq_index(_ds(sf_dir), idxT, sf_dir,
+                          train_iters=2, pq_train_iters=2)
+        # the trained quantizers land in the index files and differ
+        # from the first-N seeds
+        cb_seed = load_pq_codebooks(sf_dir)
+        cbT = _load_codebooks(idxT).reshape(cb_seed.shape)
+        assert (cbT != cb_seed).any()
+        _, cm0 = load_ivf_centroids(idx0)
+        _, cmT = load_ivf_centroids(idxT)
+        assert (cmT != cm0).any()
+        # both serve deterministic full-rank results
+        a = topk_ivfpq(idxT, sf_dir).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = topk_ivfpq(idxT, sf_dir).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert a.equals(b) and len(a) > 0
+        assert (a.groupby("query_id")["rank"].min() == 1).all()

@@ -37,21 +37,43 @@ from .pq import quantize_unit
 
 def build_ivfpq_index(ds, out_dir: str, sf_dir: str,
                       n_centroids: int = 16, n_sub: int = 4,
-                      n_codes: int = 16) -> str:
+                      n_codes: int = 16, train_iters: int = 0,
+                      pq_train_iters: int = 0,
+                      train_sample_mod: int = 1) -> str:
     """Build the persisted IVF-PQ index: one fused assign+encode corpus
     pass → parquet partitioned by coarse centroid, rows are
     (vec_id, centroid_id, code_0..code_{M-1}); centroids, codebooks and
     params land in meta files; atomic temp-dir + rename publish with
     centroids.parquet written LAST (presence implies completeness —
-    the build_ivf_index contract)."""
+    the build_ivf_index contract).
+
+    ``train_iters`` / ``pq_train_iters`` train the coarse centroids
+    (ann.train_centroids) and the PQ codebooks (pq.train_pq_codebooks)
+    before the build — queries read BOTH quantizers back from the index
+    files, so topk_ivfpq serves trained indexes with no code change.
+    Defaults stay first-N (the SQL-expressible driver twin)."""
     import os
     import shutil
 
     import ray
     import pyarrow.parquet as pq_
 
-    cids, cmat = load_centroids(sf_dir, n_centroids)
-    cb = load_pq_codebooks(sf_dir, n_sub, n_codes)
+    from .ann import train_centroids
+    from .pq import train_pq_codebooks
+
+    if train_iters > 0:
+        cids, cmat = train_centroids(
+            ds, n_centroids, n_iters=train_iters,
+            seed_centroids=load_centroids(sf_dir, n_centroids),
+            sample_mod=train_sample_mod)
+    else:
+        cids, cmat = load_centroids(sf_dir, n_centroids)
+    if pq_train_iters > 0:
+        cb = train_pq_codebooks(ds, sf_dir, n_sub=n_sub, n_codes=n_codes,
+                                n_iters=pq_train_iters,
+                                sample_mod=train_sample_mod)
+    else:
+        cb = load_pq_codebooks(sf_dir, n_sub, n_codes)
     bref = ray.put((cids, cmat, cb))
 
     def assign_encode(batch: pa.Table) -> pa.Table:
