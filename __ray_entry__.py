@@ -221,6 +221,49 @@ def _q_pyramid_store_z4(sf_dir: str):
     return back.map_batches(point_tile_summary_batch, batch_format="pyarrow")
 
 
+def _q_pyramid_update_z4(sf_dir: str):
+    """INCREMENTAL pyramid maintenance: the store builds from the
+    doc_id%5!=0 split, then the %5==0 shard arrives as an update —
+    update_pyramid re-derives ONLY the shard's affected tiles per level
+    (4×-shrinking key sets) and publishes one atomic delta generation.
+    The current view must equal a from-scratch build of the full corpus
+    (byte-identity is test-pinned), so the oracle is the
+    pyramid_store_z4 SQL verbatim over the WHOLE documents table."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from vtzero_ray.pipelines.overzoom import point_tile_summary_batch
+    from vtzero_ray.pipelines.pyramid import (build_pyramid,
+                                              read_tiles_current,
+                                              update_pyramid)
+    from vtzero_ray.pipelines.tiling import features_dataset, validate_tiles
+    from vtzero_ray.stages.encode import PointTileAssembler, add_tile_bucket
+
+    def split(rem_ok):
+        ds = features_dataset(sf_dir, zooms=(6,)) \
+            .select_columns(["z", "x", "y", "doc_id", "px", "py",
+                             "url", "lang"])
+
+        def f(t):
+            ids = t.column("doc_id").to_numpy()
+            return t.filter(pa.array(rem_ok(ids)))
+
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    base = split(lambda i: i % 5 != 0) \
+        .map_batches(add_tile_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(PointTileAssembler(),
+                                      batch_format="pyarrow")
+    out_dir = tempfile.mkdtemp(prefix="pyramid_upd_")
+    build_pyramid(base, out_dir, base_zoom=6, min_zoom=4)
+    update_pyramid(out_dir, split(lambda i: i % 5 == 0),
+                   base_zoom=6, min_zoom=4)
+    back = read_tiles_current(out_dir).select_columns(["z", "x", "y", "mvt"])
+    back = back.map_batches(validate_tiles, batch_format="pyarrow")
+    return back.map_batches(point_tile_summary_batch, batch_format="pyarrow")
+
+
 def _q_tile_stats_z6(sf_dir: str):
     """Full encode→decode round trip: vtzero-stats (A1) over freshly encoded
     tiles; geometry byte sums and value-table sizes are SQL-predictable."""
@@ -2355,6 +2398,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # PROMOTED to the main 50 as the ring-pairing driver
                   # row; the halving direction parks here)
                   "downzoom_holed_z5",
+                  # incremental pyramid update (pyramid_store_z4 holds
+                  # the driver store slot; the delta path parks here)
+                  "pyramid_update_z4",
                   # demoted for the overzoom_holed_z7 slot: the raster
                   # derivation stays driver-exercised through
                   # raster_to_vector_z6 and every polygon pyramid row
@@ -2391,6 +2437,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "downzoom_z5": _q_downzoom_z5,
         "downzoom_cells_z5": _q_downzoom_cells_z5,
         "pyramid_store_z4": _q_pyramid_store_z4,
+        "pyramid_update_z4": _q_pyramid_update_z4,
         "profile_documents": _q_profile_documents,
         "validate_documents": _q_validate_documents,
         "events_funnel": _q_events_funnel,
@@ -2836,7 +2883,7 @@ def _all_oracle_sql() -> dict[str, str]:
     pages_cte = (
         f"(SELECT {SQL_URL} AS url, {SQL_LAT_US} AS lat_us, {SQL_LON_US} AS lon_us FROM documents)"
     )
-    return {
+    out = {
         "pages_text_identity": f"SELECT {SQL_URL} AS url, {_SQL_TEXT} AS text FROM documents",
         "geoparse": f"SELECT {SQL_URL} AS url, {_SQL_LAT} AS lat, {_SQL_LON} AS lon FROM documents",
         "tile_assignment_z6": (
@@ -3688,3 +3735,8 @@ def _all_oracle_sql() -> dict[str, str]:
             "FROM s GROUP BY user_id, sid"
         ),
     }
+    # incremental update serves EXACTLY the full-corpus pyramid (the
+    # byte-identity is test-pinned), so the delta row shares the store
+    # oracle verbatim
+    out["pyramid_update_z4"] = out["pyramid_store_z4"]
+    return out

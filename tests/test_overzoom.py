@@ -1106,3 +1106,111 @@ class TestOverzoomDataset:
             key = (int(row["z"]), int(row["x"]), int(row["y"]))
             assert exp[key] == (int(row["n_features"]),
                                 int(row["sum_px"]), int(row["sum_py"]))
+
+
+class TestUpdatePyramid:
+    """Incremental pyramid maintenance: update(store(A), shard(B)) must
+    serve EXACTLY the tiles of build(A ∪ B), touching only the shard's
+    affected keys (4×-shrinking per level)."""
+
+    @staticmethod
+    def _features(pred):
+        from vtzero_ray.pipelines.tiling import features_dataset
+
+        ds = features_dataset("/root/testdata/sf0.001", zooms=(6,)) \
+            .select_columns(["z", "x", "y", "doc_id", "px", "py",
+                             "url", "lang"])
+
+        def f(t):
+            ids = t.column("doc_id").to_numpy()
+            mask = np.broadcast_to(np.asarray(pred(ids), dtype=bool),
+                                   ids.shape)
+            return t.filter(pa.array(np.ascontiguousarray(mask)))
+
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    @staticmethod
+    def _assemble(feats):
+        from vtzero_ray.stages.encode import (PointTileAssembler,
+                                              add_tile_bucket)
+
+        return feats.map_batches(add_tile_bucket, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(PointTileAssembler(),
+                                          batch_format="pyarrow")
+
+    def test_update_equals_full_rebuild(self, ray_session, tmp_path):
+        import glob
+        import os
+
+        from vtzero_ray.pipelines.pyramid import (build_pyramid,
+                                                  compact_pyramid,
+                                                  get_tile,
+                                                  read_tiles_current,
+                                                  update_pyramid)
+        from vtzero_ray.sources.mvt_io import read_tiles
+
+        store = str(tmp_path / "store")
+        full = str(tmp_path / "full")
+        base = self._assemble(self._features(lambda i: i % 5 != 0))
+        build_pyramid(base, store, base_zoom=6, min_zoom=4)
+        base_files = {f: os.path.getmtime(f) for f in
+                      glob.glob(f"{store}/z=*/*.parquet")}
+
+        shard = self._features(lambda i: i % 5 == 0)
+        delta = update_pyramid(store, shard, base_zoom=6, min_zoom=4)
+        assert os.path.isdir(delta)
+        # base generation files untouched — the update is purely additive
+        assert base_files == {f: os.path.getmtime(f) for f in
+                              glob.glob(f"{store}/z=*/*.parquet")}
+
+        both = self._assemble(self._features(lambda i: True))
+        build_pyramid(both, full, base_zoom=6, min_zoom=4)
+        exp = read_tiles(full).to_pandas()
+        got = read_tiles_current(store).to_pandas()
+        em = {(r.z, r.x, r.y): bytes(r.mvt) for r in exp.itertuples()}
+        gm = {(r.z, r.x, r.y): bytes(r.mvt) for r in got.itertuples()}
+        assert gm == em   # byte-identical current view, every level
+
+        # the delta holds ONLY the shard's affected keys at the base
+        shard_keys = set(map(tuple, self._features(
+            lambda i: i % 5 == 0).select_columns(["x", "y"]).to_pandas()
+            .drop_duplicates().to_numpy().tolist()))
+        import pyarrow.parquet as pqr
+        dz6 = pa.concat_tables([
+            pqr.read_table(f, columns=["x", "y"])
+            for f in glob.glob(f"{delta}/z=6/*.parquet")]).to_pandas()
+        assert set(map(tuple, dz6.to_numpy().tolist())) == shard_keys
+
+        # point reads serve the updated bytes
+        zz, xx, yy = next(iter(shard_keys.__iter__())), None, None
+        k = next(iter(sorted(shard_keys)))
+        assert get_tile(store, 6, k[0], k[1]) == em[(6, k[0], k[1])]
+
+        # compaction folds the chain into an identical plain store
+        comp = str(tmp_path / "compact")
+        compact_pyramid(store, comp)
+        cm = {(r.z, r.x, r.y): bytes(r.mvt)
+              for r in read_tiles(comp).to_pandas().itertuples()}
+        assert cm == em
+
+    def test_second_update_stacks_generations(self, ray_session, tmp_path):
+        from vtzero_ray.pipelines.pyramid import (build_pyramid,
+                                                  read_tiles_current,
+                                                  update_pyramid)
+        from vtzero_ray.sources.mvt_io import read_tiles
+
+        store = str(tmp_path / "store")
+        full = str(tmp_path / "full")
+        build_pyramid(self._assemble(self._features(lambda i: i % 3 == 0)),
+                      store, base_zoom=6, min_zoom=5)
+        update_pyramid(store, self._features(lambda i: i % 3 == 1),
+                       base_zoom=6, min_zoom=5)
+        update_pyramid(store, self._features(lambda i: i % 3 == 2),
+                       base_zoom=6, min_zoom=5)
+        build_pyramid(self._assemble(self._features(lambda i: True)),
+                      full, base_zoom=6, min_zoom=5)
+        em = {(r.z, r.x, r.y): bytes(r.mvt)
+              for r in read_tiles(full).to_pandas().itertuples()}
+        gm = {(r.z, r.x, r.y): bytes(r.mvt)
+              for r in read_tiles_current(store).to_pandas().itertuples()}
+        assert gm == em

@@ -1055,6 +1055,37 @@ class DownzoomToFeatures:
         })
 
 
+class TilesToFeatures:
+    """map_batches kernel: POINT tile rows (z,x,y,mvt) → SAME-space
+    feature rows (z,x,y,doc_id,px,py,url,lang) — the assembler's input
+    schema with no coordinate transform. The read half of incremental
+    tile maintenance (pyramid.update_pyramid): stored tiles decode back
+    to features, union with a new shard's features, and re-assemble
+    byte-identically to a from-scratch build of the same tile (the
+    assembler's fid-ascending order makes the merge order-free)."""
+
+    def __init__(self, extent: int = 4096) -> None:
+        self.extent = extent
+        self.__name__ = "TilesToFeatures"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_FEATURES
+        dec = _point_tile_features(batch)
+        if dec is None:
+            return _EMPTY_FEATURES
+        z, x, y, fid, px, py, url, lang = dec
+        return pa.table({
+            "z": pa.array(z.astype(np.int32)),
+            "x": pa.array(x.astype(np.int32)),
+            "y": pa.array(y.astype(np.int32)),
+            "doc_id": pa.array(fid.astype(np.int64)),
+            "px": pa.array(px.astype(np.int32)),
+            "py": pa.array(py.astype(np.int32)),
+            "url": url, "lang": lang,
+        })
+
+
 def downzoom_points(tiles_ds, levels: int = 1, extent: int = 4096):
     """tiles(z) → tiles(z−levels): per level ONE stateless decode scan +
     ONE bucketed tile shuffle over TILE rows (≤ the tile count, shrinking

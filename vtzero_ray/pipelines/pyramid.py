@@ -101,6 +101,203 @@ def build_pyramid(tiles_ds, out_dir: str, base_zoom: int, min_zoom: int,
     return manifests
 
 
+def _delta_dirs(store_dir: str) -> list:
+    """Completed delta generations, oldest first (delta-0, delta-1, …).
+    Incomplete ``.building`` dirs are invisible by construction."""
+    import os
+    import re
+
+    out = []
+    for d in os.listdir(store_dir):
+        m = re.fullmatch(r"delta-(\d+)", d)
+        if m:
+            out.append((int(m.group(1)), os.path.join(store_dir, d)))
+    return [p for _i, p in sorted(out)]
+
+
+def read_tiles_current(store_dir: str, zoom: int | None = None,
+                       n_buckets: int = 64):
+    """Read the CURRENT view of an updatable pyramid store: the base
+    tiles plus every completed delta generation, each (z, x, y) resolved
+    to its newest generation's row (LSM last-wins). With no deltas this
+    is a plain pruned read — no shuffle; with deltas, ONE tile-bounded
+    bucketed shuffle picks winners."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    def level_paths(root):
+        if zoom is None:
+            return sorted(glob.glob(os.path.join(root, "z=*", "*.parquet")))
+        return sorted(glob.glob(os.path.join(root, f"z={zoom}",
+                                             "*.parquet")))
+
+    gens = [store_dir] + _delta_dirs(store_dir)
+    cols = ["z", "x", "y", "mvt", "n_features"]
+    parts = []
+    for gi, root in enumerate(gens):
+        paths = level_paths(root)
+        if not paths:
+            continue
+        ds = rd.read_parquet(paths, columns=cols)
+        if len(gens) > 1:
+            def tag(t: pa.Table, _g=gi) -> pa.Table:
+                return t.append_column(
+                    "gen", pa.array(np.full(len(t), _g, np.int64)))
+            ds = ds.map_batches(tag, batch_format="pyarrow",
+                                batch_size=None)
+        parts.append(ds)
+    if not parts:
+        raise ValueError(f"no completed levels in {store_dir}")
+    if len(parts) == 1 and len(gens) == 1:
+        return parts[0]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.union(p)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        z = t.column("z").to_numpy().astype(np.int64)
+        x = t.column("x").to_numpy().astype(np.int64)
+        y = t.column("y").to_numpy().astype(np.int64)
+        b = ((((z << 44) ^ (x << 22) ^ y) * _KNUTH) % (1 << 32)) % n_buckets
+        return t.append_column("bucket", pa.array(b.astype(np.int32)))
+
+    def newest(df):
+        df = df.sort_values(["z", "x", "y", "gen"], kind="stable")
+        df = df.drop_duplicates(["z", "x", "y"], keep="last")
+        return df[["z", "x", "y", "mvt", "n_features"]]
+
+    return (u.map_batches(add_bucket, batch_format="pyarrow",
+                          batch_size=None)
+            .groupby("bucket").map_groups(newest, batch_format="pandas"))
+
+
+def update_pyramid(store_dir: str, new_feats_ds, base_zoom: int,
+                   min_zoom: int, extent: int = 4096) -> str:
+    """INCREMENTAL pyramid maintenance — the continuous-crawl shape for
+    tiles (the dedup_index extend loop applied to the tile store): a new
+    shard of base-zoom feature rows touches only its own tiles, never
+    the rest of the pyramid.
+
+    Per level, the affected key set starts at the shard's distinct base
+    tiles (shard-bounded, held on the driver like the hot-set filter)
+    and SHRINKS 4× per parent step. Affected base tiles decode back to
+    features (TilesToFeatures), union with the shard, and re-assemble
+    through the STANDARD bucketed tile shuffle — byte-identical to a
+    from-scratch build of those tiles (the assembler sorts by doc_id, so
+    old∪new merge order cannot matter; asserted in tests). Each parent
+    level re-derives from the CURRENT child tiles: updated children plus
+    the stored, untouched siblings of affected parents.
+
+    The whole update builds in a private temp dir and publishes as ONE
+    atomic rename to ``delta-N/`` (readers never see a torn update; a
+    crashed build leaves only an invisible ``.building`` dir; two racing
+    updaters — the loser's rename fails and it retries as delta-N+1).
+    Reads resolve last-wins via read_tiles_current / get_tile; fold
+    generations down with compact_pyramid when the delta chain grows.
+
+    Additive semantics: shards ADD features; tile deletion is out of
+    scope (a tombstone generation would slot into the same last-wins
+    read, documented here rather than half-built).
+
+    At 100 TB: the affected-sibling reads below read a LEVEL and filter;
+    with a Hilbert-ordered store (sort_tiles_hilbert +
+    file_hilbert_ranges) they prune to the files whose key ranges
+    intersect the affected set. Returns the published delta dir."""
+    import os
+    import shutil
+
+    import ray
+
+    from ..sources.mvt_io import write_tiles
+    from ..stages.encode import PointTileAssembler, add_tile_bucket
+    from .overzoom import TilesToFeatures, downzoom_points
+
+    if min_zoom > base_zoom or min_zoom < 0:
+        raise ValueError(f"min_zoom {min_zoom} must lie in [0, {base_zoom}]")
+
+    # 1. shard's distinct base tiles (shard-bounded driver set)
+    def key_part(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy().astype(np.int64)
+        y = t.column("y").to_numpy().astype(np.int64)
+        u = np.unique((x << 32) | y)
+        return pa.table({"k": pa.array(u)})
+
+    kparts = new_feats_ds.select_columns(["x", "y"]).map_batches(
+        key_part, batch_format="pyarrow", batch_size=None).to_pandas()
+    aff = np.unique(kparts["k"].to_numpy(np.int64))
+    if aff.size == 0:
+        raise ValueError("update_pyramid: empty shard")
+
+    def key_filter(keys_sorted):
+        kref = ray.put(keys_sorted)
+
+        def f(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            x = t.column("x").to_numpy().astype(np.int64)
+            y = t.column("y").to_numpy().astype(np.int64)
+            k = (x << 32) | y
+            pos = np.searchsorted(ks, k)
+            hit = (pos < ks.shape[0]) & (ks[np.minimum(
+                pos, ks.shape[0] - 1)] == k)
+            return t.filter(pa.array(hit))
+        return f
+
+    # 2. affected base tiles: stored current view → features ∪ shard
+    old = read_tiles_current(store_dir, zoom=base_zoom) \
+        .map_batches(key_filter(aff), batch_format="pyarrow",
+                     batch_size=None) \
+        .map_batches(TilesToFeatures(extent), batch_format="pyarrow")
+    feats = old.union(new_feats_ds.select_columns(
+        ["z", "x", "y", "doc_id", "px", "py", "url", "lang"]))
+    cur = feats.map_batches(add_tile_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            PointTileAssembler(extent=extent), batch_format="pyarrow") \
+        .materialize()
+
+    n_delta = len(_delta_dirs(store_dir))
+    tmp = os.path.join(store_dir, f".delta-{n_delta}.building.{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        write_tiles(cur, tmp)
+        cur_keys = aff
+        for z in range(base_zoom, min_zoom, -1):
+            parents = np.unique(((cur_keys >> 32) >> 1 << 32)
+                                | ((cur_keys & 0xFFFFFFFF) >> 1))
+            # children of affected parents at level z
+            child_keys = np.unique(np.concatenate([
+                ((parents >> 32) * 2 + dx) << 32
+                | ((parents & 0xFFFFFFFF) * 2 + dy)
+                for dx in (0, 1) for dy in (0, 1)]))
+            sib_keys = np.setdiff1d(child_keys, cur_keys)
+            lvl = cur
+            if sib_keys.size:
+                sibs = read_tiles_current(store_dir, zoom=z).map_batches(
+                    key_filter(sib_keys), batch_format="pyarrow",
+                    batch_size=None)
+                lvl = cur.union(sibs)
+            cur = downzoom_points(lvl, levels=1,
+                                  extent=extent).materialize()
+            write_tiles(cur, tmp)
+            cur_keys = parents
+        final = os.path.join(store_dir, f"delta-{n_delta}")
+        os.rename(tmp, final)
+        return final
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def compact_pyramid(store_dir: str, out_dir: str) -> dict:
+    """Fold the base + delta chain into a fresh single-generation store
+    (read_tiles_current → write_tiles). The new store serves identical
+    tiles with plain pruned reads; swap it in for ``store_dir`` when the
+    delta chain gets long."""
+    from ..sources.mvt_io import write_tiles
+
+    return write_tiles(read_tiles_current(store_dir), out_dir)
+
+
 def get_tile(store_dir: str, z: int, x: int, y: int,
              extent: int = 4096) -> bytes | None:
     """Serve ONE tile from a build_pyramid store, overzooming on demand:
@@ -131,12 +328,16 @@ def get_tile(store_dir: str, z: int, x: int, y: int,
     src = max(candidates)
     ax, ay = x >> (z - src), y >> (z - src)
     rows = None
-    for f in glob.glob(os.path.join(store_dir, f"z={src}", "*.parquet")):
-        t = pq.read_table(f, columns=["z", "x", "y", "mvt"])
-        m = t.filter(pc.and_(pc.equal(t.column("x"), ax),
-                             pc.equal(t.column("y"), ay)))
-        if len(m):
-            rows = m
+    # newest delta generation wins (update_pyramid last-wins read)
+    for root in [*reversed(_delta_dirs(store_dir)), store_dir]:
+        for f in glob.glob(os.path.join(root, f"z={src}", "*.parquet")):
+            t = pq.read_table(f, columns=["z", "x", "y", "mvt"])
+            m = t.filter(pc.and_(pc.equal(t.column("x"), ax),
+                                 pc.equal(t.column("y"), ay)))
+            if len(m):
+                rows = m
+                break
+        if rows is not None:
             break
     if rows is None:
         return None
