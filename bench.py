@@ -324,7 +324,11 @@ def run_bench() -> dict:
                      "events_funnel", "strip_boilerplate",
                      "pca_moments", "downzoom_paths_z1",
                      "crosstab_lang_source", "ppr_hosts",
-                     "set_join_exact", "downzoom_cells_z5"):
+                     "set_join_exact", "downzoom_cells_z5",
+                     # round 5: holed-polygon pyramid, multi-probe LSH,
+                     # incremental pyramid delta update
+                     "overzoom_holed_z7", "downzoom_holed_z5",
+                     "ann_topk_lsh_mp", "pyramid_update_z4"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)
