@@ -2,6 +2,7 @@
 batching independence, and ADC search vs an in-process NumPy oracle."""
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq_
 import pytest
 
@@ -415,3 +416,116 @@ class TestTrainedIVFPQ:
             .sort_values(["query_id", "rank"]).reset_index(drop=True)
         assert a.equals(b) and len(a) > 0
         assert (a.groupby("query_id")["rank"].min() == 1).all()
+
+
+def _split_ds(sf_dir, pred):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def f(t):
+        ids = t.column("vec_id").to_numpy()
+        mask = np.broadcast_to(np.asarray(pred(ids), dtype=bool), ids.shape)
+        return t.filter(pa.array(np.ascontiguousarray(mask)))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+class TestExtendIndexes:
+    def test_ivf_extend_equals_full_build(self, ray_session, sf_dir,
+                                          tmp_path):
+        """index(A) + extend(B) must answer queries identically to a
+        fresh index over A ∪ B: the stored centroids partition both the
+        base and every extension, so the probed candidate sets are the
+        same vectors."""
+        import glob
+        import os
+        import shutil
+
+        from vtzero_ray.functions.ann import (extend_ivf_index,
+                                              topk_ivf_indexed)
+        from vtzero_ray.functions.ann import build_ivf_index
+
+        inc = str(tmp_path / "ivf_inc")
+        full = str(tmp_path / "ivf_full")
+        build_ivf_index(_split_ds(sf_dir, lambda i: i % 2 == 0), inc,
+                        sf_dir)
+        ext = extend_ivf_index(inc, _split_ds(sf_dir, lambda i: i % 2 == 1))
+        assert os.path.isdir(ext)
+        build_ivf_index(_split_ds(sf_dir, lambda i: True), full, sf_dir)
+        a = topk_ivf_indexed(inc, sf_dir).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = topk_ivf_indexed(full, sf_dir).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert a.equals(b) and len(a) > 0
+
+        # pruning survives extension: unprobed partitions (base AND
+        # extension) can vanish without changing the answer
+        from vtzero_ray.functions.ann import (_query_probes,
+                                              load_ivf_centroids,
+                                              load_queries_quantized)
+        import numpy as np
+
+        cids, cmat = load_ivf_centroids(inc)
+        qids, qmat = load_queries_quantized(sf_dir, 10)
+        probed = set(np.unique(
+            _query_probes(qmat, qids, cids, cmat, 4)).tolist())
+        for d in glob.glob(f"{inc}/corpus/cpart=*") + \
+                glob.glob(f"{inc}/extend-*/cpart=*"):
+            if int(d.rsplit("=", 1)[1]) not in probed:
+                shutil.rmtree(d)
+        c = topk_ivf_indexed(inc, sf_dir).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert c.equals(a)
+
+    def test_ivfpq_extend_equals_full_build(self, ray_session, sf_dir,
+                                            tmp_path):
+        from vtzero_ray.functions.ivfpq import (build_ivfpq_index,
+                                                extend_ivfpq_index,
+                                                topk_ivfpq)
+
+        inc = str(tmp_path / "ivfpq_inc")
+        full = str(tmp_path / "ivfpq_full")
+        build_ivfpq_index(_split_ds(sf_dir, lambda i: i % 2 == 0), inc,
+                          sf_dir)
+        extend_ivfpq_index(inc, _split_ds(sf_dir, lambda i: i % 2 == 1))
+        build_ivfpq_index(_split_ds(sf_dir, lambda i: True), full, sf_dir)
+        a = topk_ivfpq(inc, sf_dir).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = topk_ivfpq(full, sf_dir).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert a.equals(b) and len(a) > 0
+
+    def test_trained_ivfpq_extends_with_stored_quantizers(
+            self, ray_session, sf_dir, tmp_path):
+        """Extending a TRAINED index uses the quantizers read back from
+        the index files — the extension's stored codes must equal
+        encoding the shard directly with those quantizers."""
+        import glob
+
+        import numpy as np
+        import pyarrow.parquet as pqr
+
+        from vtzero_ray.functions.ivfpq import (_load_codebooks,
+                                                build_ivfpq_index,
+                                                extend_ivfpq_index)
+        from vtzero_ray.functions.pq import _encode_mat, quantize_unit
+
+        idx = str(tmp_path / "ivfpq_trained")
+        build_ivfpq_index(_split_ds(sf_dir, lambda i: i % 2 == 0), idx,
+                          sf_dir, train_iters=2, pq_train_iters=2)
+        ext = extend_ivfpq_index(idx,
+                                 _split_ds(sf_dir, lambda i: i % 2 == 1))
+        cb = _load_codebooks(idx)
+        cb = cb.reshape(cb.shape[0], 4, -1)
+        got = pa.concat_tables([
+            pqr.read_table(f) for f in
+            glob.glob(f"{ext}/cpart=*/*.parquet")]).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        shard = _split_ds(sf_dir, lambda i: i % 2 == 1).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        want = _encode_mat(
+            quantize_unit(np.stack(shard["embedding"].to_numpy())), cb)
+        codes = got[[f"code_{m}" for m in range(4)]].to_numpy()
+        np.testing.assert_array_equal(codes, want)

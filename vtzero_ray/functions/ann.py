@@ -569,6 +569,68 @@ def _query_probes(qmat: np.ndarray, qids: np.ndarray, cids: np.ndarray,
     return cids[order[:, :nprobe]]
 
 
+def _extension_dirs(index_dir: str) -> list:
+    """Completed append-only extension generations, oldest first
+    (extend-0, extend-1, …). ``.building`` dirs are invisible."""
+    import os
+    import re
+
+    out = []
+    for d in os.listdir(index_dir):
+        m = re.fullmatch(r"extend-(\d+)", d)
+        if m:
+            out.append((int(m.group(1)), os.path.join(index_dir, d)))
+    return [p for _i, p in sorted(out)]
+
+
+def _index_part_paths(index_dir: str, probe_set) -> list:
+    """Parquet files of the probed partitions across the base corpus and
+    every completed extension — unprobed partitions are never listed in
+    ANY generation."""
+    import glob
+    import os
+
+    roots = [os.path.join(index_dir, "corpus")] + _extension_dirs(index_dir)
+    return sorted(f for r in roots for c in probe_set
+                  for f in glob.glob(f"{r}/cpart={int(c)}/*.parquet"))
+
+
+def extend_ivf_index(index_dir: str, new_ds) -> str:
+    """INCREMENTAL index extension — the extend_md5_index crawl loop for
+    vectors: a new shard assigns to the STORED centroids (partitioning
+    stays coherent with every earlier generation, so queries need no
+    re-probe logic) and publishes as ONE atomic ``extend-N`` rename.
+    Vectors are additive, so reads are a plain union of generations —
+    no last-wins resolution. A crashed build leaves only an invisible
+    ``.building`` dir (retry-safe); each shard extends ONCE (re-sending
+    an already-published shard would duplicate rows — the caller's
+    bookkeeping, as with the md5-index loop). Centroids never move on
+    extend; retrain + rebuild when drift warrants (compaction)."""
+    import os
+    import shutil
+
+    import ray
+
+    cids, cmat = load_ivf_centroids(index_dir)
+    indexed = assign_centroids(new_ds, ray.put((cids, cmat)))
+
+    def dup_part_col(t: pa.Table) -> pa.Table:
+        return t.append_column("cpart", t.column("centroid_id"))
+
+    indexed = indexed.map_batches(dup_part_col, batch_format="pyarrow",
+                                  batch_size=None)
+    n = len(_extension_dirs(index_dir))
+    tmp = os.path.join(index_dir, f".extend-{n}.building.{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        indexed.write_parquet(tmp, partition_cols=["cpart"])
+        final = os.path.join(index_dir, f"extend-{n}")
+        os.rename(tmp, final)
+        return final
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def topk_ivf_indexed(index_dir: str, sf_dir: str, k: int = 5,
                      n_queries: int = 10, nprobe: int = 4):
     """IVF search over a PERSISTED index (build_ivf_index): only the
@@ -588,11 +650,9 @@ def topk_ivf_indexed(index_dir: str, sf_dir: str, k: int = 5,
     qref = ray.put((qids, qmat, probes))
 
     # expand partition dirs to files (pyarrow rejects dirs in path lists);
-    # unprobed partitions are never listed, let alone read
-    import glob
-
-    paths = sorted(f for c in probe_set
-                   for f in glob.glob(f"{index_dir}/corpus/cpart={int(c)}/*.parquet"))
+    # unprobed partitions are never listed, let alone read — in the base
+    # corpus OR any extend-N generation (extend_ivf_index)
+    paths = _index_part_paths(index_dir, probe_set)
     pruned = rd.read_parquet(paths,
                              columns=["vec_id", "embedding", "centroid_id"])
 

@@ -130,6 +130,71 @@ def build_ivfpq_index(ds, out_dir: str, sf_dir: str,
     return out_dir
 
 
+def extend_ivfpq_index(index_dir: str, new_ds) -> str:
+    """Incremental IVF-PQ extension (extend_ivf_index for the
+    codes-only layout): the new shard assigns + encodes with the
+    STORED quantizers (read back from the index files — trained or
+    first-N alike), publishes as one atomic ``extend-N`` rename; reads
+    union generations with the same partition pruning."""
+    import os
+    import shutil
+
+    import ray
+
+    from .ann import _extension_dirs, load_ivf_centroids
+
+    cids, cmat = load_ivf_centroids(index_dir)
+    flat_cb = _load_codebooks(index_dir)
+    # recover (K, M, dsub) — n_sub from the base corpus schema
+    import glob
+
+    import pyarrow.parquet as pq_
+
+    sample = sorted(glob.glob(f"{index_dir}/corpus/cpart=*/*.parquet"))[0]
+    n_sub = sum(1 for c in pq_.read_schema(sample).names
+                if c.startswith("code_"))
+    cb = flat_cb.reshape(flat_cb.shape[0], n_sub, -1)
+    bref = ray.put((cids, cmat, cb))
+
+    def assign_encode(batch: pa.Table) -> pa.Table:
+        tune_allocator()
+        cids_, cmat_, cb_ = ray.get(bref)
+        ids = batch.column("vec_id").to_numpy()
+        cols = {"vec_id": pa.array([], pa.int64()),
+                "centroid_id": pa.array([], pa.int64()),
+                "cpart": pa.array([], pa.int64())}
+        if len(batch) == 0:
+            for m in range(cb_.shape[1]):
+                cols[f"code_{m}"] = pa.array([], pa.int64())
+            return pa.table(cols)
+        raw = np.stack(batch.column("embedding")
+                       .to_numpy(zero_copy_only=False))
+        mat = quantize(raw)
+        cnorm = np.sqrt((cmat_ * cmat_).sum(axis=1).astype(np.float64))
+        sim = (cmat_ @ mat.T).astype(np.float64) / cnorm[:, None]
+        cent = cids_[np.argmax(sim, axis=0)]
+        codes = _encode_mat(quantize_unit(raw), cb_)
+        cols = {"vec_id": pa.array(ids, pa.int64()),
+                "centroid_id": pa.array(cent, pa.int64()),
+                "cpart": pa.array(cent, pa.int64())}
+        for m in range(cb_.shape[1]):
+            cols[f"code_{m}"] = pa.array(codes[:, m].astype(np.int64))
+        return pa.table(cols)
+
+    indexed = new_ds.map_batches(assign_encode, batch_format="pyarrow",
+                                 batch_size=4096)
+    n = len(_extension_dirs(index_dir))
+    tmp = os.path.join(index_dir, f".extend-{n}.building.{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        indexed.write_parquet(tmp, partition_cols=["cpart"])
+        final = os.path.join(index_dir, f"extend-{n}")
+        os.rename(tmp, final)
+        return final
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _load_codebooks(index_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq_
 
@@ -168,10 +233,10 @@ def topk_ivfpq(index_dir: str, sf_dir: str, k: int = 5,
     lut = ((q_sub[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
     qref = ray.put((qids, lut, probes))
 
+    from .ann import _index_part_paths
+
     code_cols = [f"code_{m}" for m in range(n_sub)]
-    paths = sorted(
-        f for c in probe_set
-        for f in glob.glob(f"{index_dir}/corpus/cpart={int(c)}/*.parquet"))
+    paths = _index_part_paths(index_dir, probe_set)
     pruned = rd.read_parquet(paths, columns=["vec_id", "centroid_id",
                                              *code_cols])
 
