@@ -1214,3 +1214,85 @@ class TestUpdatePyramid:
         gm = {(r.z, r.x, r.y): bytes(r.mvt)
               for r in read_tiles_current(store).to_pandas().itertuples()}
         assert gm == em
+
+
+class TestPyramidKinds:
+    """build_pyramid / get_tile across all three geometry kinds —
+    polygon stores carry holed multi-ring features end to end."""
+
+    def test_polygon_pyramid_store_and_serve(self, ray_session, tmp_path):
+        from vtzero_ray.pipelines.overzoom import (OverzoomPolygons,
+                                                   downzoom_polygons)
+        from vtzero_ray.pipelines.pyramid import build_pyramid, get_tile
+        from vtzero_ray.pipelines.tiling import tiles_pipeline
+        from vtzero_ray.sources.mvt_io import read_tiles
+        from vtzero_ray.stages.raster import (raster_to_vector,
+                                              rasterize_tiles)
+
+        store = str(tmp_path / "polystore")
+        tiles = tiles_pipeline("/root/testdata/sf0.001", zooms=(6,),
+                               validate=False)
+        vec = raster_to_vector(rasterize_tiles(tiles, grid=16),
+                               threshold=1, grid=16,
+                               hole_inset=64).materialize()
+        build_pyramid(vec, store, base_zoom=6, min_zoom=5,
+                      kind="polygons")
+        back = read_tiles(store).to_pandas()
+        assert sorted(back["z"].unique()) == [5, 6]
+        # stored z5 equals a fresh polygon downzoom of the base
+        exp = downzoom_polygons(vec, levels=1).to_pandas()
+        gm = {(r.x, r.y): bytes(r.mvt)
+              for r in back[back.z == 5].itertuples()}
+        em = {(r.x, r.y): bytes(r.mvt) for r in exp.itertuples()}
+        assert gm == em
+        # virtual deep zoom auto-sniffs the polygon kind: z7 serve
+        # equals overzooming the stored base tile directly
+        b6 = back[back.z == 6].iloc[0]
+        kids = OverzoomPolygons()(pa.table({
+            "z": pa.array([6], pa.int32()),
+            "x": pa.array([int(b6.x)], pa.int32()),
+            "y": pa.array([int(b6.y)], pa.int32()),
+            "mvt": pa.array([bytes(b6.mvt)], pa.binary()),
+        }))
+        for i in range(len(kids)):
+            kx = kids.column("x")[i].as_py()
+            ky = kids.column("y")[i].as_py()
+            got = get_tile(store, 7, kx, ky)
+            assert got == kids.column("mvt")[i].as_py()
+
+    def test_paths_pyramid_store_and_serve(self, ray_session, tmp_path):
+        from vtzero_ray.pipelines.clip_paths import clipped_path_tiles
+        from vtzero_ray.pipelines.overzoom import (OverzoomPaths,
+                                                   downzoom_paths)
+        from vtzero_ray.pipelines.pyramid import build_pyramid, get_tile
+        from vtzero_ray.sources.mvt_io import read_tiles
+
+        store = str(tmp_path / "pathstore")
+        tiles = clipped_path_tiles("/root/testdata/sf0.001",
+                                   zoom=2).materialize()
+        build_pyramid(tiles, store, base_zoom=2, min_zoom=1, kind="paths")
+        back = read_tiles(store).to_pandas()
+        assert sorted(back["z"].unique()) == [1, 2]
+        exp = downzoom_paths(tiles, levels=1).to_pandas()
+        gm = {(r.x, r.y): bytes(r.mvt)
+              for r in back[back.z == 1].itertuples()}
+        em = {(r.x, r.y): bytes(r.mvt) for r in exp.itertuples()}
+        assert gm == em
+        b2 = back[back.z == 2].iloc[0]
+        kids = OverzoomPaths()(pa.table({
+            "z": pa.array([2], pa.int32()),
+            "x": pa.array([int(b2.x)], pa.int32()),
+            "y": pa.array([int(b2.y)], pa.int32()),
+            "mvt": pa.array([bytes(b2.mvt)], pa.binary()),
+        }))
+        for i in range(min(2, len(kids))):
+            kx = kids.column("x")[i].as_py()
+            ky = kids.column("y")[i].as_py()
+            assert get_tile(store, 3, kx, ky) == \
+                kids.column("mvt")[i].as_py()
+
+    def test_unknown_kind_raises(self, ray_session):
+        from vtzero_ray.pipelines.pyramid import _downzoom_fn
+
+        with pytest.raises(ValueError, match="unknown pyramid kind"):
+            _downzoom_fn("hexagons")

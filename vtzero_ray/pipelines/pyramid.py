@@ -71,12 +71,39 @@ def tile_pyramid(ds, base_zoom: int = 10, levels=(10, 8, 6, 4),
             .groupby("bucket").map_groups(merge, batch_format="pandas"))
 
 
+def _downzoom_fn(kind: str):
+    from .overzoom import (downzoom_paths, downzoom_points,
+                           downzoom_polygons)
+
+    try:
+        return {"points": downzoom_points,
+                "paths": downzoom_paths,
+                "polygons": downzoom_polygons}[kind]
+    except KeyError:
+        raise ValueError(f"unknown pyramid kind {kind!r} "
+                         "(points | paths | polygons)") from None
+
+
+def _overzoom_kernel(kind: str, extent: int):
+    from .overzoom import OverzoomPaths, OverzoomPoints, OverzoomPolygons
+
+    try:
+        return {"points": lambda: OverzoomPoints(extent=extent),
+                "paths": lambda: OverzoomPaths(extent=extent),
+                "polygons": lambda: OverzoomPolygons(extent=extent)}[kind]()
+    except KeyError:
+        raise ValueError(f"unknown pyramid kind {kind!r} "
+                         "(points | paths | polygons)") from None
+
+
 def build_pyramid(tiles_ds, out_dir: str, base_zoom: int, min_zoom: int,
-                  extent: int = 4096) -> list:
+                  extent: int = 4096, kind: str = "points") -> list:
     """Materialize a full MVT tile PYRAMID store: write the base-zoom
     tiles, then derive each coarser level from the PREVIOUS level's tiles
-    (pipelines/overzoom.downzoom_points — the exact integer halving) and
-    write it into the SAME z-partitioned store.
+    (pipelines/overzoom downzoom — the exact integer halving for the
+    requested geometry ``kind``: points | paths | polygons, the latter
+    including holed multi-ring features) and write it into the SAME
+    z-partitioned store.
 
     The write_tiles sink partitions by z, publishes atomically per
     partition, and skips z-partitions already marked complete — so a
@@ -89,14 +116,27 @@ def build_pyramid(tiles_ds, out_dir: str, base_zoom: int, min_zoom: int,
     Returns the list of write_tiles manifests, finest level first.
     """
     from ..sources.mvt_io import write_tiles
-    from .overzoom import downzoom_points
 
+    dz = _downzoom_fn(kind)
     if min_zoom > base_zoom or min_zoom < 0:
         raise ValueError(f"min_zoom {min_zoom} must lie in [0, {base_zoom}]")
-    cur = tiles_ds.materialize()
+
+    def norm(t: pa.Table) -> pa.Table:
+        # polygon pipelines count features as n_cells — the sink's
+        # stats column is n_features
+        if "n_cells" in t.column_names:
+            return t.rename_columns(
+                ["n_features" if c == "n_cells" else c
+                 for c in t.column_names])
+        return t
+
+    cur = tiles_ds.map_batches(norm, batch_format="pyarrow",
+                               batch_size=None).materialize()
     manifests = [write_tiles(cur, out_dir)]
     for _z in range(base_zoom, min_zoom, -1):
-        cur = downzoom_points(cur, levels=1, extent=extent).materialize()
+        cur = dz(cur, levels=1, extent=extent) \
+            .map_batches(norm, batch_format="pyarrow",
+                         batch_size=None).materialize()
         manifests.append(write_tiles(cur, out_dir))
     return manifests
 
@@ -299,13 +339,16 @@ def compact_pyramid(store_dir: str, out_dir: str) -> dict:
 
 
 def get_tile(store_dir: str, z: int, x: int, y: int,
-             extent: int = 4096) -> bytes | None:
+             extent: int = 4096, kind: str | None = None) -> bytes | None:
     """Serve ONE tile from a build_pyramid store, overzooming on demand:
     if (z,x,y) is deeper than the stored base, the deepest stored
     ancestor is decoded and overzoomed down the quadtree path — the
-    tileserver "virtual deep zoom" read. Returns the MVT bytes or None
-    for an empty tile. Driver-side point lookup: reads ONLY the ancestor
-    level's parquet files (z-partition pruning), never a full level.
+    tileserver "virtual deep zoom" read, for ALL three geometry kinds
+    (``kind`` = points | paths | polygons; None sniffs the ancestor
+    tile's geometry type through the real decoder). Returns the MVT
+    bytes or None for an empty tile. Driver-side point lookup: reads
+    ONLY the ancestor level's parquet files (z-partition pruning),
+    never a full level.
     """
     import glob
     import os
@@ -313,7 +356,7 @@ def get_tile(store_dir: str, z: int, x: int, y: int,
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from .overzoom import OverzoomPoints
+    from .decode import decode_tiles_batch_v
 
     stored = sorted(
         int(d.split("=")[1]) for d in os.listdir(store_dir)
@@ -341,9 +384,20 @@ def get_tile(store_dir: str, z: int, x: int, y: int,
             break
     if rows is None:
         return None
+    if kind is None:
+        gt = decode_tiles_batch_v(
+            rows.select(["z", "x", "y", "mvt"]),
+            with_props=False, with_geometry=False) \
+            .column("geom_type").to_numpy()
+        if gt.shape[0] == 0:
+            return None
+        kind = {1: "points", 2: "paths", 3: "polygons"}.get(int(gt[0]))
+        if kind is None:
+            raise ValueError(f"get_tile: unknown geometry type {gt[0]}")
+    kernel = _overzoom_kernel(kind, extent)
     cur = rows
     for _lvl in range(z - src):
-        cur = OverzoomPoints(extent=extent)(cur)
+        cur = kernel(cur)
         # keep only the child on the quadtree path to (z, x, y)
         cz = cur.column("z").to_numpy()
         assert (cz == cz[0]).all()
