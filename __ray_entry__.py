@@ -1515,6 +1515,17 @@ def _q_near_dedup(sf_dir: str):
     return near_dedup_corpus(lambda: _docs(sf_dir), threshold=0.5)
 
 
+def _q_near_dedup_longest(sf_dir: str):
+    """Quality-aware fuzzy-dedup removal: the near_dedup composition
+    with the RefinedWeb keep rule — each cluster's survivor is its
+    LONGEST member (ties → min doc_id); lengths attach via a doc-bucket
+    integer tagged union, winners resolve per cluster bucket."""
+    from vtzero_ray.functions.dedup import near_dedup_corpus
+
+    return near_dedup_corpus(lambda: _docs(sf_dir), threshold=0.5,
+                             keep="longest")
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR data selection (Xie et al. 2023): hashed-bigram importance
     log-weights vs the doc_id % 20 == 0 target split. Fit = one scan of
@@ -2401,6 +2412,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # incremental pyramid update (pyramid_store_z4 holds
                   # the driver store slot; the delta path parks here)
                   "pyramid_update_z4",
+                  # quality-aware dedup keep rule (near_dedup holds the
+                  # driver fuzzy-dedup slot)
+                  "near_dedup_longest",
                   # demoted for the overzoom_holed_z7 slot: the raster
                   # derivation stays driver-exercised through
                   # raster_to_vector_z6 and every polygon pyramid row
@@ -2543,6 +2557,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": _q_distinct_langs,
         "dup_clusters": _q_dup_clusters,
         "near_dedup": _q_near_dedup,
+        "near_dedup_longest": _q_near_dedup_longest,
         "dsir_weights": _q_dsir_weights,
         "dsir_select": _q_dsir_select,
         "path_lengths_z6": _q_path_lengths,
@@ -2840,6 +2855,7 @@ def _all_oracle_sql() -> dict[str, str]:
     from vtzero_ray.functions.dedup_sql import (dup_clusters_sql,
                                                 jaccard_verified_sql,
                                                 minhash_candidates_sql,
+                                                near_dedup_longest_sql,
                                                 near_dedup_sql,
                                                 simhash_near_dups_sql,
                                                 simhash_sql)
@@ -3557,6 +3573,8 @@ def _all_oracle_sql() -> dict[str, str]:
         # near_dedup: verified pairs (J >= 1/2) → recursive closure →
         # survivors (unpaired docs + each cluster's min doc_id)
         "near_dedup": near_dedup_sql(),
+        # quality-aware keep rule: winner = (length DESC, id ASC)
+        "near_dedup_longest": near_dedup_longest_sql(),
         # dsir_weights: hashed-bigram importance log-weights, quantized
         # per-feature log-ratio (integer-derived ln args) × integer tf
         "dsir_weights": dsir_weights_sql(n_dims=256, target_mod=20),

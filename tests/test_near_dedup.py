@@ -102,3 +102,36 @@ class TestNearDedup:
         b = near_dedup_corpus(
             lambda: rd.from_pandas(df).repartition(7)).to_pandas()
         assert set(a.doc_id) == set(b.doc_id)
+
+    def test_keep_longest_rule(self, ray_session):
+        """RefinedWeb quality-aware canonical pick: max character count
+        wins, ties break to min doc_id. Cluster A's tails ' today' /
+        ' again' are 6 chars longer than the base, equal to each other →
+        doc 1 survives instead of 0; cluster B is an exact dup pair →
+        the tie keeps 10 as before."""
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup import near_dedup_corpus
+
+        df = _corpus()
+        out = near_dedup_corpus(lambda: rd.from_pandas(df),
+                                threshold=0.5, keep="longest").to_pandas()
+        got = set(out.doc_id)
+        exp = (_expected_survivors(df) - {0}) | {1}
+        assert got == exp
+        assert 1 in got and got.isdisjoint({0, 2, 11})
+        texts = dict(zip(df.doc_id, df.text))
+        assert all(t == texts[i] for i, t in zip(out.doc_id, out.text))
+        # partitioning invariance for the longest rule too
+        b = near_dedup_corpus(lambda: rd.from_pandas(df).repartition(7),
+                              threshold=0.5, keep="longest").to_pandas()
+        assert set(b.doc_id) == exp
+
+    def test_unknown_keep_rule_raises(self, ray_session):
+        import ray.data as rd
+
+        from vtzero_ray.functions.dedup import near_dedup_corpus
+
+        with pytest.raises(ValueError, match="keep rule"):
+            near_dedup_corpus(lambda: rd.from_pandas(_corpus()),
+                              keep="shortest")

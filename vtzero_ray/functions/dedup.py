@@ -954,15 +954,111 @@ def embedding_near_dups(ds, threshold: float = 0.95, target_blocks: int = 32):
 # ---------------------------------------------------------------------------
 
 
+def _drops_keep_longest(clusters, docs_factory, bucket_of, drop_table,
+                        n_buckets: int):
+    """Drop-set under the quality-aware keep rule: per cluster, the
+    member with the MOST characters survives (ties → min doc_id).
+
+    Two bounded shuffles: (1) a doc-bucket tagged union of corpus
+    (doc_id, n_chars) integer rows (kind 0) with cluster-member rows
+    (kind 1) — each member's length is a local lookup; (2) a
+    cluster-bucket pass where every member of a cluster is colocated,
+    so the winner is one lexsort. The corpus TEXT never reshuffles."""
+    import pyarrow.compute as pc
+
+    def len_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        nch = pc.utf8_length(t.column("text")).to_numpy() \
+            .astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bucket_of(ids), pa.int32()),
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "val": pa.array(nch),
+            "kind": pa.array(np.zeros(len(t), np.int8)),
+        })
+
+    def member_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            t = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "cluster_id": pa.array([], pa.int64())})
+        ids = t.column("doc_id").to_numpy()
+        return pa.table({
+            "bucket": pa.array(bucket_of(ids), pa.int32()),
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "val": pa.array(t.column("cluster_id").to_numpy()
+                            .astype(np.int64)),
+            "kind": pa.array(np.ones(len(t), np.int8)),
+        })
+
+    def attach_len(df):
+        import pandas as pd
+
+        lens = df[df["kind"] == 0]
+        mem = df[df["kind"] == 1]
+        if mem.empty:
+            return pd.DataFrame({
+                "bucket": pd.Series([], dtype="int32"),
+                "cluster_id": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_chars": pd.Series([], dtype="int64")})
+        lid = lens["doc_id"].to_numpy(np.int64)
+        lval = lens["val"].to_numpy(np.int64)
+        order = np.argsort(lid, kind="stable")
+        lid, lval = lid[order], lval[order]
+        mid = mem["doc_id"].to_numpy(np.int64)
+        pos = np.searchsorted(lid, mid)
+        if (pos >= lid.shape[0]).any() or \
+                (lid[np.minimum(pos, lid.shape[0] - 1)] != mid).any():
+            raise ValueError("near_dedup: cluster member missing from "
+                             "corpus")
+        cid = mem["val"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "bucket": bucket_of(cid).astype(np.int32),
+            "cluster_id": cid, "doc_id": mid,
+            "n_chars": lval[pos]})
+
+    def winner_drops(df) -> pa.Table:
+        if df.empty:
+            return drop_table(np.empty(0, np.int64))
+        cid = df["cluster_id"].to_numpy(np.int64)
+        did = df["doc_id"].to_numpy(np.int64)
+        nch = df["n_chars"].to_numpy(np.int64)
+        # (cluster ASC, n_chars DESC, doc_id ASC): first row per
+        # cluster is the keeper, the rest drop
+        order = np.lexsort((did, -nch, cid))
+        cs = cid[order]
+        first = np.r_[True, cs[1:] != cs[:-1]]
+        return drop_table(did[order][~first])
+
+    lens_ds = docs_factory().map_batches(len_rows, batch_format="pyarrow",
+                                         batch_size=None)
+    mems = clusters.map_batches(member_rows, batch_format="pyarrow",
+                                batch_size=None)
+    attached = lens_ds.union(mems).groupby("bucket").map_groups(
+        attach_len, batch_format="pandas")
+    return attached.groupby("bucket").map_groups(
+        winner_drops, batch_format="pandas") \
+        .map_batches(lambda t: t, batch_format="pyarrow")
+
+
 def near_dedup_corpus(docs_factory, n_perm: int = 128, n_bands: int = 16,
                       k: int = 5, seed: int = 42, threshold: float = 0.5,
-                      n_buckets: int = 64):
+                      n_buckets: int = 64, keep: str = "min_id"):
     """Fuzzy-dedup REMOVAL, composed from the engine's proven stages
     (the GPT-3 appendix-A / RefinedWeb recipe): MinHash+LSH candidate
     pairs → DISTRIBUTED exact n-gram Jaccard verification (keep pairs
     with J >= threshold) → connected components (tree-reduced
-    union-find) → each cluster keeps ONLY its min doc_id; every other
+    union-find) → each cluster keeps ONE canonical member; every other
     member leaves the corpus.
+
+    ``keep`` picks the canonical member: ``"min_id"`` (the GPT-3
+    convention — free, the union-find label IS the min id) or
+    ``"longest"`` (the RefinedWeb quality-aware rule: max character
+    count, ties → min doc_id). The longest rule costs two extra bounded
+    shuffles: a doc-bucket tagged union attaches each member's length
+    (lengths ride as (id, len) integer rows — the corpus text never
+    reshuffles), then a cluster-bucket pass picks each cluster's winner
+    locally.
 
     ``docs_factory`` is a zero-arg callable returning a FRESH
     (doc_id, text) Dataset per call — the signature/verify/anti-join
@@ -999,24 +1095,32 @@ def near_dedup_corpus(docs_factory, n_perm: int = 128, n_bands: int = 16,
             "is_drop": pa.array(np.zeros(len(t), np.int8)),
         })
 
+    def _drop_table(ids: np.ndarray) -> pa.Table:
+        return pa.table({
+            "bucket": pa.array(_bucket_of(ids), pa.int32()),
+            "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "text": pa.array([""] * len(ids), pa.string()),
+            "is_drop": pa.array(np.ones(len(ids), np.int8)),
+        })
+
     def to_drops(t: pa.Table) -> pa.Table:
         if t.num_columns == 0 or len(t) == 0:
             t = pa.table({"doc_id": pa.array([], pa.int64()),
                           "cluster_id": pa.array([], pa.int64())})
         t = t.filter(pc.not_equal(t.column("doc_id"),
                                   t.column("cluster_id")))
-        ids = t.column("doc_id").to_numpy()
-        return pa.table({
-            "bucket": pa.array(_bucket_of(ids), pa.int32()),
-            "doc_id": pa.array(ids, pa.int64()),
-            "text": pa.array([""] * len(ids), pa.string()),
-            "is_drop": pa.array(np.ones(len(ids), np.int8)),
-        })
+        return _drop_table(t.column("doc_id").to_numpy())
 
     corpus = docs_factory().map_batches(tag_corpus, batch_format="pyarrow",
                                         batch_size=None)
-    drops = clusters.map_batches(to_drops, batch_format="pyarrow",
-                                 batch_size=None)
+    if keep == "min_id":
+        drops = clusters.map_batches(to_drops, batch_format="pyarrow",
+                                     batch_size=None)
+    elif keep == "longest":
+        drops = _drops_keep_longest(clusters, docs_factory, _bucket_of,
+                                    _drop_table, n_buckets)
+    else:
+        raise ValueError(f"unknown keep rule {keep!r} (min_id | longest)")
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         drop_ids = df.loc[df["is_drop"] == 1, "doc_id"]

@@ -234,3 +234,28 @@ def near_dedup_sql(n_perm: int = 128, n_bands: int = 16, k: int = 5,
         f" LEFT JOIN clus c ON c.doc_id = d.doc_id"
         f" WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id"
     )
+
+
+def near_dedup_longest_sql(n_perm: int = 128, n_bands: int = 16,
+                           k: int = 5, seed: int = 42, thr_num: int = 1,
+                           thr_den: int = 2) -> str:
+    """DuckDB twin of near_dedup_corpus(keep="longest"): the same
+    closure, but each cluster's survivor is the member with the most
+    characters (row_number over length(text) DESC, doc_id ASC)."""
+    base = near_dedup_sql(n_perm, n_bands, k, seed, thr_num, thr_den)
+    tail = (f"SELECT d.doc_id, d.text FROM documents d"
+            f" LEFT JOIN clus c ON c.doc_id = d.doc_id"
+            f" WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id")
+    assert base.endswith(tail)
+    return base[:-len(tail)] + (
+        ", winners AS (SELECT doc_id FROM ("
+        "SELECT c.doc_id, row_number() OVER ("
+        "PARTITION BY c.cluster_id"
+        " ORDER BY length(d.text) DESC, c.doc_id) AS rn"
+        " FROM clus c JOIN documents d ON d.doc_id = c.doc_id)"
+        " WHERE rn = 1) "
+        "SELECT d.doc_id, d.text FROM documents d"
+        " LEFT JOIN clus c ON c.doc_id = d.doc_id"
+        " WHERE c.doc_id IS NULL"
+        " OR d.doc_id IN (SELECT doc_id FROM winners)"
+    )
