@@ -1296,3 +1296,78 @@ class TestPyramidKinds:
 
         with pytest.raises(ValueError, match="unknown pyramid kind"):
             _downzoom_fn("hexagons")
+
+
+class TestRemoveFromPyramid:
+    def test_removal_equals_rebuild_without(self, ray_session, tmp_path):
+        """remove(store(ALL), R) must serve exactly build(ALL − R),
+        including a TOMBSTONE for a tile that loses every feature."""
+        from vtzero_ray.pipelines.pyramid import (build_pyramid, get_tile,
+                                                  read_tiles_current,
+                                                  remove_from_pyramid)
+        from vtzero_ray.sources.mvt_io import read_tiles
+
+        feats_all = TestUpdatePyramid._features(lambda i: True) \
+            .to_pandas()
+        # victim tile: the first base tile by key — every feature of it
+        # goes, so it must tombstone out of the current view
+        kx, ky = sorted(set(zip(feats_all.x, feats_all.y)))[0]
+        rm = (feats_all.doc_id % 5 == 0) | \
+            ((feats_all.x == kx) & (feats_all.y == ky))
+        removals = feats_all[rm][["x", "y", "doc_id"]]
+        keep_ids = set(feats_all[~rm].doc_id)
+
+        import ray.data as rd
+
+        store = str(tmp_path / "store")
+        full = str(tmp_path / "survivors")
+        build_pyramid(TestUpdatePyramid._assemble(
+            TestUpdatePyramid._features(lambda i: True)),
+            store, base_zoom=6, min_zoom=4)
+        delta = remove_from_pyramid(store, rd.from_pandas(removals),
+                                    base_zoom=6, min_zoom=4)
+        import os
+        assert os.path.isdir(delta)
+        build_pyramid(TestUpdatePyramid._assemble(
+            TestUpdatePyramid._features(
+                lambda i: np.isin(i, list(keep_ids)))),
+            full, base_zoom=6, min_zoom=4)
+        em = {(r.z, r.x, r.y): bytes(r.mvt)
+              for r in read_tiles(full).to_pandas().itertuples()}
+        gm = {(r.z, r.x, r.y): bytes(r.mvt)
+              for r in read_tiles_current(store).to_pandas().itertuples()}
+        assert gm == em
+        # the emptied tile is gone from the current view and the server
+        assert (6, kx, ky) not in gm
+        assert get_tile(store, 6, int(kx), int(ky)) is None
+        # a surviving tile still serves its updated bytes
+        sz, sx, sy = sorted(k for k in gm if k[0] == 6)[0]
+        assert get_tile(store, 6, int(sx), int(sy)) == gm[(6, sx, sy)]
+
+    def test_noop_removal_keeps_bytes(self, ray_session, tmp_path):
+        """Removing a doc_id that is not in its named tile re-encodes
+        the tile to identical bytes — the delta changes nothing."""
+        from vtzero_ray.pipelines.pyramid import (build_pyramid,
+                                                  read_tiles_current,
+                                                  remove_from_pyramid)
+        from vtzero_ray.sources.mvt_io import read_tiles
+
+        import pandas as pd
+        import ray.data as rd
+
+        store = str(tmp_path / "store")
+        build_pyramid(TestUpdatePyramid._assemble(
+            TestUpdatePyramid._features(lambda i: True)),
+            store, base_zoom=6, min_zoom=5)
+        before = {(r.z, r.x, r.y): bytes(r.mvt)
+                  for r in read_tiles(store).to_pandas().itertuples()}
+        feats = TestUpdatePyramid._features(lambda i: True).to_pandas()
+        k = feats.iloc[0]
+        removals = pd.DataFrame({"x": [int(k.x)], "y": [int(k.y)],
+                                 "doc_id": [10**15]})   # absent doc
+        remove_from_pyramid(store, rd.from_pandas(removals),
+                            base_zoom=6, min_zoom=5)
+        after = {(r.z, r.x, r.y): bytes(r.mvt)
+                 for r in read_tiles_current(store).to_pandas()
+                 .itertuples()}
+        assert after == before

@@ -206,6 +206,9 @@ def read_tiles_current(store_dir: str, zoom: int | None = None,
     def newest(df):
         df = df.sort_values(["z", "x", "y", "gen"], kind="stable")
         df = df.drop_duplicates(["z", "x", "y"], keep="last")
+        # a winning TOMBSTONE (remove_from_pyramid: empty mvt) means
+        # the tile no longer exists in the current view
+        df = df[df["mvt"].map(lambda b: len(b) > 0)]
         return df[["z", "x", "y", "mvt", "n_features"]]
 
     return (u.map_batches(add_bucket, batch_format="pyarrow",
@@ -328,6 +331,169 @@ def update_pyramid(store_dir: str, new_feats_ds, base_zoom: int,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def remove_from_pyramid(store_dir: str, removals_ds, base_zoom: int,
+                        min_zoom: int, extent: int = 4096) -> str:
+    """DELETION for the updatable pyramid — the tombstone half of
+    update_pyramid (takedown / right-to-be-forgotten shape): a shard of
+    ``(x, y, doc_id)`` rows at base zoom names features to remove. Each
+    affected tile re-encodes from its CURRENT features minus the listed
+    doc_ids; a tile losing every feature publishes a TOMBSTONE row
+    (empty mvt, n_features = 0) so the last-wins read drops it; parent
+    levels re-derive exactly as in update_pyramid (updated children +
+    stored untouched siblings — a parent emptied of every child also
+    tombstones). One atomic delta-N publish; affected keys are
+    shard-bounded and shrink 4× per level, and the per-level working
+    set is affected-tile-bounded, so it rides the driver like the
+    hot-set filter. Removing a doc_id absent from its tile is a no-op
+    (the tile re-encodes to identical bytes)."""
+    import os
+    import shutil
+
+    import ray
+    import ray.data as rds
+
+    from ..sources.mvt_io import write_tiles
+    from ..stages.encode import PointTileAssembler, add_tile_bucket
+    from .overzoom import TilesToFeatures, downzoom_points
+
+    if min_zoom > base_zoom or min_zoom < 0:
+        raise ValueError(f"min_zoom {min_zoom} must lie in [0, {base_zoom}]")
+
+    rem = removals_ds.select_columns(["x", "y", "doc_id"]).to_pandas()
+    if not len(rem):
+        raise ValueError("remove_from_pyramid: empty removal shard")
+    rx = rem["x"].to_numpy().astype(np.int64)
+    ry = rem["y"].to_numpy().astype(np.int64)
+    rdoc = rem["doc_id"].to_numpy().astype(np.int64)
+    aff = np.unique((rx << 32) | ry)
+    # (tilekey, doc_id) composite for the vectorized drop filter —
+    # doc_ids fit 32 bits in this corpus? NO assumption: use a sorted
+    # 2-column pair table probed with searchsorted on a fused view
+    pairs = np.unique(np.stack([(rx << 32) | ry, rdoc], axis=1), axis=0)
+    pref = ray.put((np.sort(aff), pairs))
+
+    def filter_and_drop(t: pa.Table) -> pa.Table:
+        keys_sorted, prs = ray.get(pref)
+        x = t.column("x").to_numpy().astype(np.int64)
+        y = t.column("y").to_numpy().astype(np.int64)
+        k = (x << 32) | y
+        pos = np.searchsorted(keys_sorted, k)
+        hit = (pos < keys_sorted.shape[0]) & (keys_sorted[np.minimum(
+            pos, keys_sorted.shape[0] - 1)] == k)
+        t = t.filter(pa.array(hit))
+        if len(t) == 0:
+            return t
+        x = t.column("x").to_numpy().astype(np.int64)
+        y = t.column("y").to_numpy().astype(np.int64)
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        row = np.stack([(x << 32) | y, d], axis=1)
+        # membership of (tile, doc) rows in the sorted pair table
+        idx = np.searchsorted(prs[:, 0], row[:, 0], side="left")
+        drop = np.zeros(len(t), bool)
+        # second-key walk stays vectorizable because pairs-per-tile is
+        # tiny; np.searchsorted over a fused float is unsafe for 64-bit
+        # doc ids, so probe each (lo..hi) run with equality
+        hi = np.searchsorted(prs[:, 0], row[:, 0], side="right")
+        multi = hi > idx
+        for i in np.flatnonzero(multi):
+            drop[i] = bool((prs[idx[i]:hi[i], 1] == row[i, 1]).any())
+        return t.filter(pa.array(~drop))
+
+    def tile_filter(t: pa.Table) -> pa.Table:
+        keys_sorted, _prs = ray.get(pref)
+        x = t.column("x").to_numpy().astype(np.int64)
+        y = t.column("y").to_numpy().astype(np.int64)
+        k = (x << 32) | y
+        pos = np.searchsorted(keys_sorted, k)
+        hit = (pos < keys_sorted.shape[0]) & (keys_sorted[np.minimum(
+            pos, keys_sorted.shape[0] - 1)] == k)
+        return t.filter(pa.array(hit))
+
+    feats = read_tiles_current(store_dir, zoom=base_zoom) \
+        .map_batches(tile_filter, batch_format="pyarrow",
+                     batch_size=None) \
+        .map_batches(TilesToFeatures(extent), batch_format="pyarrow") \
+        .map_batches(filter_and_drop, batch_format="pyarrow",
+                     batch_size=None)
+    cur = feats.map_batches(add_tile_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(
+            PointTileAssembler(extent=extent), batch_format="pyarrow") \
+        .materialize()
+
+    _COLS = ["z", "x", "y", "mvt", "n_features"]
+
+    def collect(ds) -> pa.Table:
+        """Affected-set-bounded level → one driver table (the affected
+        keys already live on the driver; this is the same magnitude)."""
+        bs = [b.select(_COLS)
+              for b in ds.iter_batches(batch_format="pyarrow")]
+        if not bs:
+            return pa.table({
+                "z": pa.array([], pa.int32()), "x": pa.array([], pa.int32()),
+                "y": pa.array([], pa.int32()),
+                "mvt": pa.array([], pa.binary()),
+                "n_features": pa.array([], pa.int64())})
+        return pa.concat_tables(bs)
+
+    def tombstones(live: pa.Table, keys: np.ndarray, z: int) -> pa.Table:
+        lx = live.column("x").to_numpy().astype(np.int64)
+        ly = live.column("y").to_numpy().astype(np.int64)
+        gone = np.setdiff1d(keys, (lx << 32) | ly)
+        return pa.table({
+            "z": pa.array(np.full(gone.shape[0], z, np.int32)),
+            "x": pa.array((gone >> 32).astype(np.int32)),
+            "y": pa.array((gone & 0xFFFFFFFF).astype(np.int32)),
+            "mvt": pa.array([b""] * gone.shape[0], pa.binary()),
+            "n_features": pa.array(np.zeros(gone.shape[0], np.int64)),
+        })
+
+    n_delta = len(_delta_dirs(store_dir))
+    tmp = os.path.join(store_dir, f".delta-{n_delta}.building.{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        cur_keys = aff
+        z = base_zoom
+        live = collect(cur)
+        while True:
+            write_tiles(rds.from_arrow(pa.concat_tables(
+                [live, tombstones(live, cur_keys, z)])), tmp)
+            if z == min_zoom:
+                break
+            parents = np.unique(((cur_keys >> 32) >> 1 << 32)
+                                | ((cur_keys & 0xFFFFFFFF) >> 1))
+            child_keys = np.unique(np.concatenate([
+                ((parents >> 32) * 2 + dx) << 32
+                | ((parents & 0xFFFFFFFF) * 2 + dy)
+                for dx in (0, 1) for dy in (0, 1)]))
+            sib_keys = np.setdiff1d(child_keys, cur_keys)
+            lvl = rds.from_arrow(live)
+            if sib_keys.size:
+                sref = ray.put(np.sort(sib_keys))
+
+                def sib_filter(t: pa.Table) -> pa.Table:
+                    ks = ray.get(sref)
+                    x = t.column("x").to_numpy().astype(np.int64)
+                    y = t.column("y").to_numpy().astype(np.int64)
+                    k = (x << 32) | y
+                    pos = np.searchsorted(ks, k)
+                    hit = (pos < ks.shape[0]) & (ks[np.minimum(
+                        pos, ks.shape[0] - 1)] == k)
+                    return t.filter(pa.array(hit))
+
+                sibs = read_tiles_current(store_dir, zoom=z).map_batches(
+                    sib_filter, batch_format="pyarrow", batch_size=None)
+                lvl = lvl.union(sibs)
+            live = collect(downzoom_points(lvl, levels=1, extent=extent))
+            cur_keys = parents
+            z -= 1
+        final = os.path.join(store_dir, f"delta-{n_delta}")
+        os.rename(tmp, final)
+        return final
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+
 def compact_pyramid(store_dir: str, out_dir: str) -> dict:
     """Fold the base + delta chain into a fresh single-generation store
     (read_tiles_current → write_tiles). The new store serves identical
@@ -384,6 +550,8 @@ def get_tile(store_dir: str, z: int, x: int, y: int,
             break
     if rows is None:
         return None
+    if len(rows.column("mvt")[0].as_py()) == 0:
+        return None   # tombstone: the newest generation deleted it
     if kind is None:
         gt = decode_tiles_batch_v(
             rows.select(["z", "x", "y", "mvt"]),
