@@ -2005,6 +2005,77 @@ def _q_ann_ivf_indexed(sf_dir: str):
                             k=5, n_queries=10, nprobe=4)
 
 
+def _q_ann_ivf_extended(sf_dir: str):
+    """INCREMENTAL index growth: the IVF index builds over the even
+    vec_ids and the odd shard arrives as an append-only extend-N
+    generation (stored-centroid assignment, atomic publish). The
+    extended index must answer queries exactly as one built over the
+    full corpus — so the oracle is the ann_topk_ivf SQL verbatim."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vtzero_ray.functions.ann import (build_ivf_index,
+                                          extend_ivf_index,
+                                          topk_ivf_indexed)
+
+    def split(rem):
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+
+        def f(t):
+            ids = t.column("vec_id").to_numpy()
+            return t.filter(pa.array(np.ascontiguousarray(
+                ids % 2 == rem)))
+
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    idx = tempfile.mkdtemp(prefix="ivf_ext_") + "/index"
+    build_ivf_index(split(0), idx, sf_dir, n_centroids=16)
+    extend_ivf_index(idx, split(1))
+    return topk_ivf_indexed(idx, sf_dir, k=5, n_queries=10, nprobe=4)
+
+
+def _q_pyramid_remove_z4(sf_dir: str):
+    """Tombstone DELETION over the pyramid store: the store builds from
+    the full corpus, then every doc_id % 7 == 0 feature is removed via
+    remove_from_pyramid (affected tiles re-encode, emptied tiles
+    tombstone, parents re-derive, one atomic delta). The current view
+    must equal a pyramid built WITHOUT those docs — the oracle is the
+    pyramid_store_z4 SQL with the corpus filtered."""
+    import tempfile
+
+    from vtzero_ray.pipelines.overzoom import point_tile_summary_batch
+    from vtzero_ray.pipelines.pyramid import (build_pyramid,
+                                              read_tiles_current,
+                                              remove_from_pyramid)
+    from vtzero_ray.pipelines.tiling import (features_dataset,
+                                             tiles_pipeline, validate_tiles)
+
+    tiles = tiles_pipeline(sf_dir, zooms=(6,), validate=False)
+    out_dir = tempfile.mkdtemp(prefix="pyramid_rm_")
+    build_pyramid(tiles, out_dir, base_zoom=6, min_zoom=4)
+
+    feats = features_dataset(sf_dir, zooms=(6,)) \
+        .select_columns(["x", "y", "doc_id"])
+
+    def rm_filter(t):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = t.column("doc_id").to_numpy()
+        return t.filter(pa.array(np.ascontiguousarray(ids % 7 == 0)))
+
+    removals = feats.map_batches(rm_filter, batch_format="pyarrow",
+                                 batch_size=None)
+    remove_from_pyramid(out_dir, removals, base_zoom=6, min_zoom=4)
+    back = read_tiles_current(out_dir).select_columns(["z", "x", "y", "mvt"])
+    back = back.map_batches(validate_tiles, batch_format="pyarrow")
+    return back.map_batches(point_tile_summary_batch, batch_format="pyarrow")
+
+
 # -- spatial joins -----------------------------------------------------------
 
 def _geo_pages(sf_dir: str):
@@ -2415,6 +2486,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # quality-aware dedup keep rule (near_dedup holds the
                   # driver fuzzy-dedup slot)
                   "near_dedup_longest",
+                  # incremental layer twins: append-only index growth and
+                  # tombstone deletion, both equal to full rebuilds
+                  "ann_topk_ivf_extended", "pyramid_remove_z4",
                   # demoted for the overzoom_holed_z7 slot: the raster
                   # derivation stays driver-exercised through
                   # raster_to_vector_z6 and every polygon pyramid row
@@ -2452,6 +2526,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "downzoom_cells_z5": _q_downzoom_cells_z5,
         "pyramid_store_z4": _q_pyramid_store_z4,
         "pyramid_update_z4": _q_pyramid_update_z4,
+        "pyramid_remove_z4": _q_pyramid_remove_z4,
         "profile_documents": _q_profile_documents,
         "validate_documents": _q_validate_documents,
         "events_funnel": _q_events_funnel,
@@ -2578,6 +2653,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh_mp": _q_ann_lsh_mp,
         "ann_topk_ivf": _q_ann_ivf,
         "ann_topk_ivf_indexed": _q_ann_ivf_indexed,
+        "ann_topk_ivf_extended": _q_ann_ivf_extended,
         "pq_codes": _q_pq_codes,
         "topk_pq": _q_topk_pq,
         # relational / streaming-shaped (SURVEY §2.5 analogues)
@@ -3757,4 +3833,11 @@ def _all_oracle_sql() -> dict[str, str]:
     # byte-identity is test-pinned), so the delta row shares the store
     # oracle verbatim
     out["pyramid_update_z4"] = out["pyramid_store_z4"]
+    # tombstone deletion == build over the filtered corpus: the store
+    # oracle with its single corpus reference filtered
+    assert out["pyramid_store_z4"].count("FROM documents") == 1
+    out["pyramid_remove_z4"] = out["pyramid_store_z4"].replace(
+        "FROM documents", "FROM documents WHERE doc_id % 7 != 0")
+    # append-only extension == full-corpus index: the ivf oracle verbatim
+    out["ann_topk_ivf_extended"] = out["ann_topk_ivf_indexed"]
     return out
