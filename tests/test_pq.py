@@ -529,3 +529,44 @@ class TestExtendIndexes:
             quantize_unit(np.stack(shard["embedding"].to_numpy())), cb)
         codes = got[[f"code_{m}" for m in range(4)]].to_numpy()
         np.testing.assert_array_equal(codes, want)
+
+    def test_compaction_folds_generations(self, ray_session, sf_dir,
+                                          tmp_path):
+        """compact_index(base+extensions) serves identical answers from
+        a single generation, for BOTH index layouts."""
+        import glob
+        import os
+
+        from vtzero_ray.functions.ann import (build_ivf_index,
+                                              compact_index,
+                                              extend_ivf_index,
+                                              topk_ivf_indexed)
+        from vtzero_ray.functions.ivfpq import (build_ivfpq_index,
+                                                extend_ivfpq_index,
+                                                topk_ivfpq)
+
+        inc = str(tmp_path / "ivf_inc")
+        comp = str(tmp_path / "ivf_comp")
+        build_ivf_index(_split_ds(sf_dir, lambda i: i % 2 == 0), inc,
+                        sf_dir)
+        extend_ivf_index(inc, _split_ds(sf_dir, lambda i: i % 2 == 1))
+        compact_index(inc, comp)
+        assert not glob.glob(f"{comp}/extend-*")
+        a = topk_ivf_indexed(inc, sf_dir).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = topk_ivf_indexed(comp, sf_dir).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert a.equals(b) and len(a) > 0
+
+        pinc = str(tmp_path / "pq_inc")
+        pcomp = str(tmp_path / "pq_comp")
+        build_ivfpq_index(_split_ds(sf_dir, lambda i: i % 2 == 0), pinc,
+                          sf_dir)
+        extend_ivfpq_index(pinc, _split_ds(sf_dir, lambda i: i % 2 == 1))
+        compact_index(pinc, pcomp)
+        assert os.path.isfile(f"{pcomp}/codebooks.parquet")
+        c = topk_ivfpq(pinc, sf_dir).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        d = topk_ivfpq(pcomp, sf_dir).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert c.equals(d) and len(c) > 0

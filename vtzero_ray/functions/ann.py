@@ -631,6 +631,54 @@ def extend_ivf_index(index_dir: str, new_ds) -> str:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def compact_index(index_dir: str, out_dir: str) -> str:
+    """Fold an extended index's generation chain (corpus + extend-N)
+    into a fresh single-generation index — the compaction step of the
+    build → extend* → compact loop, shared by the IVF and IVF-PQ
+    layouts (rows already carry their partition assignment, so
+    compaction is a partition-preserving file merge: ONE distributed
+    read of every generation re-written partitioned, quantizer meta
+    files copied verbatim, centroids.parquet LAST — never a re-assign,
+    never a decode). Atomic temp-dir + rename publish."""
+    import glob
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    roots = [os.path.join(index_dir, "corpus")] + _extension_dirs(index_dir)
+    paths = sorted(f for r in roots
+                   for f in glob.glob(os.path.join(r, "cpart=*",
+                                                   "*.parquet")))
+    if not paths:
+        raise ValueError(f"no index partitions under {index_dir}")
+    rows = rd.read_parquet(paths)
+
+    def dup_part_col(t: pa.Table) -> pa.Table:
+        # hive partition column is consumed by the read — restore it
+        if "cpart" in t.column_names:
+            return t
+        return t.append_column("cpart", t.column("centroid_id"))
+
+    rows = rows.map_batches(dup_part_col, batch_format="pyarrow",
+                            batch_size=None)
+    out_dir = os.path.normpath(out_dir)
+    tmp = f"{out_dir}.building.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        rows.write_parquet(f"{tmp}/corpus", partition_cols=["cpart"])
+        for meta in ("codebooks.parquet",):
+            src = os.path.join(index_dir, meta)
+            if os.path.isfile(src):
+                shutil.copyfile(src, os.path.join(tmp, meta))
+        shutil.copyfile(os.path.join(index_dir, "centroids.parquet"),
+                        os.path.join(tmp, "centroids.parquet"))  # LAST
+        os.rename(tmp, out_dir)
+        return out_dir
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def topk_ivf_indexed(index_dir: str, sf_dir: str, k: int = 5,
                      n_queries: int = 10, nprobe: int = 4):
     """IVF search over a PERSISTED index (build_ivf_index): only the
