@@ -1350,6 +1350,17 @@ def _q_topk_ivfpq(sf_dir: str):
                       k=5, n_queries=10, nprobe=4)
 
 
+def _q_topk_ivfpq_refined(sf_dir: str):
+    """ADC-then-refine (the FAISS refine step): the PQ index proposes
+    each query's top-20 by compressed distance; one vec_id-pruned
+    embedding read re-ranks the pool by the exact integer cosine —
+    exact-search quality on the candidate pool at PQ scan cost."""
+    from vtzero_ray.functions.ivfpq import topk_ivfpq_refined
+
+    return topk_ivfpq_refined(_ivfpq_index_dir(sf_dir), sf_dir,
+                              k=5, n_queries=10, nprobe=4, rerank=20)
+
+
 def _q_triangles(sf_dir: str):
     """Per-edge triangle support (the k-truss ingredient) over the
     quadratic synth link graph: canonical-dedup shuffle → node-bucket
@@ -2489,6 +2500,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # incremental layer twins: append-only index growth and
                   # tombstone deletion, both equal to full rebuilds
                   "ann_topk_ivf_extended", "pyramid_remove_z4",
+                  # ADC-then-exact-rerank refinement (topk_ivfpq holds
+                  # the compressed-search slot)
+                  "topk_ivfpq_refined",
                   # demoted for the overzoom_holed_z7 slot: the raster
                   # derivation stays driver-exercised through
                   # raster_to_vector_z6 and every polygon pyramid row
@@ -2601,6 +2615,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_weighted": _q_pagerank_weighted,
         "hits_hosts": _q_hits,
         "topk_ivfpq": _q_topk_ivfpq,
+        "topk_ivfpq_refined": _q_topk_ivfpq_refined,
         "triangle_support": _q_triangles,
         "adamic_adar": _q_adamic_adar,
         "hilbert_tiles_z6": _q_hilbert_tiles,
@@ -2891,8 +2906,9 @@ def _all_oracle_sql() -> dict[str, str]:
         pagerank_weighted_sql as pagerank_weighted_oracle_sql
     from vtzero_ray.functions.graph import \
         host_hits_sql as host_hits_oracle_sql
-    from vtzero_ray.functions.ivfpq import \
-        topk_ivfpq_sql as ivfpq_oracle_sql
+    from vtzero_ray.functions.ivfpq import (
+        topk_ivfpq_refined_sql as ivfpq_refined_oracle_sql,
+        topk_ivfpq_sql as ivfpq_oracle_sql)
     from vtzero_ray.functions.graph import \
         adamic_adar_sql as aa_oracle_sql
     from vtzero_ray.functions.graph import \
@@ -3581,6 +3597,8 @@ def _all_oracle_sql() -> dict[str, str]:
         "hits_hosts": host_hits_oracle_sql(linked_html_sql_expr()),
         # topk_ivfpq: assignment CTEs (plain grid) + PQ CTEs (unit grid)
         "topk_ivfpq": ivfpq_oracle_sql(),
+        # refine: the PQ pool CTEs + the exact-cosine re-rank
+        "topk_ivfpq_refined": ivfpq_refined_oracle_sql(),
         # triangle_support: adjacency self-join wedges + closing count
         "triangle_support": triangles_oracle_sql(),
         # adamic_adar: wedge self-join with quantized 1/ln(deg) terms,

@@ -570,3 +570,31 @@ class TestExtendIndexes:
         d = topk_ivfpq(pcomp, sf_dir).to_pandas() \
             .sort_values(["query_id", "rank"]).reset_index(drop=True)
         assert c.equals(d) and len(c) > 0
+
+
+class TestRefinedIVFPQ:
+    def test_refine_not_worse_than_adc(self, ray_session, sf_dir,
+                                       tmp_path):
+        """Exact re-ranking of the PQ pool can only improve agreement
+        with exact search (it IS exact search on the pool)."""
+        from vtzero_ray.functions.ann import topk_bruteforce
+        from vtzero_ray.functions.ivfpq import (build_ivfpq_index,
+                                                topk_ivfpq,
+                                                topk_ivfpq_refined)
+
+        idx = str(tmp_path / "ivfpq")
+        build_ivfpq_index(_split_ds(sf_dir, lambda i: i >= 0), idx, sf_dir)
+        exact = topk_bruteforce(_split_ds(sf_dir, lambda i: i >= 0),
+                                sf_dir, k=5, n_queries=8).to_pandas()
+        adc = topk_ivfpq(idx, sf_dir, k=5, n_queries=8).to_pandas()
+        ref = topk_ivfpq_refined(idx, sf_dir, k=5, n_queries=8,
+                                 rerank=20).to_pandas()
+        ek = set(zip(exact.query_id, exact.vec_id))
+        ak = set(zip(adc.query_id, adc.vec_id))
+        rk = set(zip(ref.query_id, ref.vec_id))
+        assert len(rk & ek) >= len(ak & ek)
+        # rank-1 self match survives refinement (the query's own vector
+        # has cosine 1.0 and is always in its own probe pool)
+        e1 = exact[exact["rank"] == 1].set_index("query_id").vec_id
+        r1 = ref[ref["rank"] == 1].set_index("query_id").vec_id
+        assert (e1 == r1.reindex(e1.index)).all()

@@ -295,6 +295,104 @@ def topk_ivfpq(index_dir: str, sf_dir: str, k: int = 5,
                                            batch_size=None)
 
 
+def topk_ivfpq_refined(index_dir: str, sf_dir: str, k: int = 5,
+                       n_queries: int = 10, nprobe: int = 4,
+                       n_sub: int = 4, rerank: int = 20):
+    """ADC-then-refine (the FAISS refine step): the PQ index proposes
+    each query's top-``rerank`` candidates by compressed distance, then
+    ONE pruned read of ONLY those vectors' full embeddings re-ranks
+    them by the engine's exact integer cosine. Quality of exact search
+    on the candidate pool at PQ's scan cost — the candidate read is
+    vec_id-filtered inside the probed partitions... the embeddings live
+    in the source parquet here (the codes-only index stores no
+    vectors), so the refine read is a vec_id-pruned filter scan of the
+    embedding table, candidate-pool-sized rows kept.
+
+    Exactness: candidate pool = topk_ivfpq(k=rerank) (its oracle), and
+    the re-rank is the exact-cosine expression every other vector op
+    ranks by — so the SQL twin composes the two proven CTE families."""
+    import ray
+    import ray.data as rd
+
+    from .ann import _merge_int_topk_single, _partial_topk_int
+
+    pool = topk_ivfpq(index_dir, sf_dir, k=rerank, n_queries=n_queries,
+                      nprobe=nprobe, n_sub=n_sub).to_pandas()
+    # (query, candidate) pairs — output-sized (Q × rerank)
+    qids, qmat = load_queries_quantized(sf_dir, n_queries)
+    qpos = {int(v): i for i, v in enumerate(qids)}
+    cand_ids = np.unique(pool["vec_id"].to_numpy(np.int64))
+    # per-candidate query membership mask (Q × C) for the hit matrix
+    pairs = pool[["query_id", "vec_id"]].to_numpy(np.int64)
+    pref = ray.put((qids, qmat, np.sort(cand_ids), pairs))
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def rerank_batch(batch: pa.Table) -> pa.Table:
+        tune_allocator()
+        from .ann import _hit_pair_scores
+
+        q_ids, q_mat, cids_sorted, prs = ray.get(pref)
+        ids = batch.column("vec_id").to_numpy()
+        pos = np.searchsorted(cids_sorted, ids)
+        keep = (pos < cids_sorted.shape[0]) & (cids_sorted[np.minimum(
+            pos, cids_sorted.shape[0] - 1)] == ids)
+        batch = batch.filter(pa.array(keep))
+        if len(batch) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "qdot": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ids = batch.column("vec_id").to_numpy()
+        mat = quantize(np.stack(
+            batch.column("embedding").to_numpy(zero_copy_only=False)))
+        # hit[q, v] = (q, v) is in the PQ candidate pool
+        hit = np.zeros((q_ids.shape[0], ids.shape[0]), bool)
+        id_pos = {int(v): i for i, v in enumerate(ids)}
+        for qv, vv in prs:
+            j = id_pos.get(int(vv))
+            if j is not None:
+                hit[qpos[int(qv)], j] = True
+        return _hit_pair_scores(ids, mat, q_ids, q_mat, hit)
+
+    scored = emb.map_batches(rerank_batch, batch_format="pyarrow",
+                             batch_size=4096)
+    pruned = scored.map_batches(lambda t: _partial_topk_int(t, k),
+                                batch_format="pyarrow", batch_size=None)
+    return _merge_int_topk_single(pruned, k)
+
+
+def topk_ivfpq_refined_sql(k: int = 5, n_queries: int = 10,
+                           n_centroids: int = 16, nprobe: int = 4,
+                           n_sub: int = 4, n_codes: int = 16,
+                           dim: int = 64, rerank: int = 20) -> str:
+    """DuckDB twin: the topk_ivfpq CTEs at k=rerank propose the pool;
+    the exact-cosine expression (int dot / sqrt(int sumsq)) re-ranks."""
+    base = topk_ivfpq_sql(k=rerank, n_queries=n_queries,
+                          n_centroids=n_centroids, nprobe=nprobe,
+                          n_sub=n_sub, n_codes=n_codes, dim=dim)
+    tail = (f"SELECT query_id, vec_id, pq_dist, rank FROM ranked"
+            f" WHERE rank <= {rerank} ORDER BY query_id, rank")
+    assert base.endswith(tail)
+    return base[:-len(tail)] + (
+        f", pool AS (SELECT query_id, vec_id FROM ranked"
+        f" WHERE rank <= {rerank}), "
+        f"sumsq AS (SELECT vec_id, SUM(v * v) AS s2 FROM qp GROUP BY 1), "
+        f"dots AS (SELECT p.query_id, p.vec_id,"
+        f" CAST(SUM(qa.v * qb.v) AS BIGINT) AS qdot"
+        f" FROM pool p JOIN qp qa ON qa.vec_id = p.query_id"
+        f" JOIN qp qb ON qb.vec_id = p.vec_id AND qb.d = qa.d"
+        f" GROUP BY 1, 2), "
+        f"rranked AS (SELECT d.query_id, d.vec_id, d.qdot,"
+        f" row_number() OVER (PARTITION BY d.query_id ORDER BY"
+        f" (d.qdot::DOUBLE / sqrt(s.s2::DOUBLE)) DESC, d.vec_id) AS rank"
+        f" FROM dots d JOIN sumsq s ON s.vec_id = d.vec_id) "
+        f"SELECT query_id, vec_id, qdot, rank FROM rranked"
+        f" WHERE rank <= {k} ORDER BY query_id, rank"
+    )
+
+
 def topk_ivfpq_sql(k: int = 5, n_queries: int = 10,
                    n_centroids: int = 16, nprobe: int = 4,
                    n_sub: int = 4, n_codes: int = 16,
