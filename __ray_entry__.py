@@ -264,6 +264,55 @@ def _q_pyramid_update_z4(sf_dir: str):
     return back.map_batches(point_tile_summary_batch, batch_format="pyarrow")
 
 
+def _q_pyramid_update_poly(sf_dir: str):
+    """Incremental POLYGON pyramid maintenance with holes: the store
+    builds from the doc_id%2==0 raster (threshold 1, inset-64 holes,
+    levels 6→4), then the %2==1 raster shard adds counts via
+    update_polygon_pyramid — stored tiles invert losslessly to counts,
+    affected tiles re-encode, parents re-derive. The current view must
+    equal a build over the combined raster, so the oracle is the
+    closed-form three-level holed-cell halving over ALL documents."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    from vtzero_ray.pipelines.overzoom import polygon_tile_summary_batch
+    from vtzero_ray.pipelines.pyramid import (build_pyramid,
+                                              read_tiles_current,
+                                              update_polygon_pyramid)
+    from vtzero_ray.pipelines.tiling import features_dataset
+    from vtzero_ray.stages.encode import PointTileAssembler, add_tile_bucket
+    from vtzero_ray.stages.raster import raster_to_vector, rasterize_tiles
+
+    def tiles_of(rem):
+        ds = features_dataset(sf_dir, zooms=(6,)) \
+            .select_columns(["z", "x", "y", "doc_id", "px", "py",
+                             "url", "lang"])
+
+        def f(t):
+            ids = t.column("doc_id").to_numpy()
+            return t.filter(pa.array(np.ascontiguousarray(
+                ids % 2 == rem)))
+
+        return ds.map_batches(f, batch_format="pyarrow",
+                              batch_size=None) \
+            .map_batches(add_tile_bucket, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(PointTileAssembler(),
+                                          batch_format="pyarrow")
+
+    out_dir = tempfile.mkdtemp(prefix="pyramid_poly_upd_")
+    vec = raster_to_vector(rasterize_tiles(tiles_of(0), grid=16),
+                           threshold=1, grid=16, hole_inset=64)
+    build_pyramid(vec, out_dir, base_zoom=6, min_zoom=4, kind="polygons")
+    shard = rasterize_tiles(tiles_of(1), grid=16)
+    update_polygon_pyramid(out_dir, shard, base_zoom=6, min_zoom=4,
+                           grid=16, hole_inset=64)
+    back = read_tiles_current(out_dir).select_columns(["z", "x", "y", "mvt"])
+    return back.map_batches(polygon_tile_summary_batch,
+                            batch_format="pyarrow")
+
+
 def _q_tile_stats_z6(sf_dir: str):
     """Full encode→decode round trip: vtzero-stats (A1) over freshly encoded
     tiles; geometry byte sums and value-table sizes are SQL-predictable."""
@@ -2503,6 +2552,9 @@ _EXTRA_QUERIES = ("tile_assignment_z6", "knn_join", "simhash_signatures",
                   # ADC-then-exact-rerank refinement (topk_ivfpq holds
                   # the compressed-search slot)
                   "topk_ivfpq_refined",
+                  # holed-polygon incremental pyramid update (the points
+                  # delta path holds the pyramid_update_z4 slot)
+                  "pyramid_update_poly",
                   # demoted for the overzoom_holed_z7 slot: the raster
                   # derivation stays driver-exercised through
                   # raster_to_vector_z6 and every polygon pyramid row
@@ -2541,6 +2593,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
         "pyramid_store_z4": _q_pyramid_store_z4,
         "pyramid_update_z4": _q_pyramid_update_z4,
         "pyramid_remove_z4": _q_pyramid_remove_z4,
+        "pyramid_update_poly": _q_pyramid_update_poly,
         "profile_documents": _q_profile_documents,
         "validate_documents": _q_validate_documents,
         "events_funnel": _q_events_funnel,
@@ -3851,6 +3904,42 @@ def _all_oracle_sql() -> dict[str, str]:
     # byte-identity is test-pinned), so the delta row shares the store
     # oracle verbatim
     out["pyramid_update_z4"] = out["pyramid_store_z4"]
+    # holed-polygon pyramid update == build over the combined raster:
+    # three-level closed-form halving of inset-64 cells (base side 256 /
+    # hole 128 → 128/64 → 64/32; x0 folds the sibling offset per level;
+    # every ring stays ≥ 3 distinct points so nothing sliver-drops)
+    out["pyramid_update_poly"] = (
+        f"WITH cells AS (SELECT {t6['x']} AS x6, {t6['y']} AS y6, "
+        f"(CAST(floor(({t6['fy']} - floor({t6['fy']})) * 4096) AS INTEGER) // 256) AS r, "
+        f"(CAST(floor(({t6['fx']} - floor({t6['fx']})) * 4096) AS INTEGER) // 256) AS c, "
+        f"COUNT(*) AS n FROM documents GROUP BY 1, 2, 3, 4) "
+        f"SELECT 6 AS z, x6 AS x, y6 AS y, COUNT(*) AS n_features, "
+        f"CAST(SUM(r * 16 + c) AS BIGINT) AS sum_fid, "
+        f"CAST(SUM(256 * c) AS BIGINT) AS sum_x0, "
+        f"CAST(SUM(256 * r) AS BIGINT) AS sum_y0, "
+        f"CAST(COUNT(*) * 98304 AS BIGINT) AS sum_area2, "
+        f"CAST(SUM(n) AS BIGINT) AS sum_points, "
+        f"CAST(COUNT(*) * 2 AS BIGINT) AS sum_rings "
+        f"FROM cells GROUP BY 2, 3 "
+        f"UNION ALL "
+        f"SELECT 5 AS z, x6 // 2 AS x, y6 // 2 AS y, COUNT(*) AS n_features, "
+        f"CAST(SUM(r * 16 + c) AS BIGINT) AS sum_fid, "
+        f"CAST(SUM(2048 * (x6 % 2) + 128 * c) AS BIGINT) AS sum_x0, "
+        f"CAST(SUM(2048 * (y6 % 2) + 128 * r) AS BIGINT) AS sum_y0, "
+        f"CAST(COUNT(*) * 24576 AS BIGINT) AS sum_area2, "
+        f"CAST(SUM(n) AS BIGINT) AS sum_points, "
+        f"CAST(COUNT(*) * 2 AS BIGINT) AS sum_rings "
+        f"FROM cells GROUP BY 2, 3 "
+        f"UNION ALL "
+        f"SELECT 4 AS z, x6 // 4 AS x, y6 // 4 AS y, COUNT(*) AS n_features, "
+        f"CAST(SUM(r * 16 + c) AS BIGINT) AS sum_fid, "
+        f"CAST(SUM(2048 * ((x6 // 2) % 2) + 1024 * (x6 % 2) + 64 * c) AS BIGINT) AS sum_x0, "
+        f"CAST(SUM(2048 * ((y6 // 2) % 2) + 1024 * (y6 % 2) + 64 * r) AS BIGINT) AS sum_y0, "
+        f"CAST(COUNT(*) * 6144 AS BIGINT) AS sum_area2, "
+        f"CAST(SUM(n) AS BIGINT) AS sum_points, "
+        f"CAST(COUNT(*) * 2 AS BIGINT) AS sum_rings "
+        f"FROM cells GROUP BY 2, 3"
+    )
     # tombstone deletion == build over the filtered corpus: the store
     # oracle with its single corpus reference filtered
     assert out["pyramid_store_z4"].count("FROM documents") == 1

@@ -1371,3 +1371,44 @@ class TestRemoveFromPyramid:
                  for r in read_tiles_current(store).to_pandas()
                  .itertuples()}
         assert after == before
+
+
+class TestUpdatePolygonPyramid:
+    def test_update_equals_full_rebuild(self, ray_session, tmp_path):
+        """update(polygon store(raster A), raster shard B) must serve
+        exactly build(raster A+B) — counts add, holed cells re-encode,
+        parents re-derive."""
+        from vtzero_ray.pipelines.pyramid import (build_pyramid,
+                                                  read_tiles_current,
+                                                  update_polygon_pyramid)
+        from vtzero_ray.sources.mvt_io import read_tiles
+        from vtzero_ray.stages.raster import (raster_to_vector,
+                                              rasterize_tiles)
+
+        def tiles_of(pred):
+            return TestUpdatePyramid._assemble(
+                TestUpdatePyramid._features(pred)).materialize()
+
+        store = str(tmp_path / "polystore")
+        full = str(tmp_path / "polyfull")
+        vec_a = raster_to_vector(
+            rasterize_tiles(tiles_of(lambda i: i % 2 == 0), grid=16),
+            threshold=1, grid=16, hole_inset=64)
+        build_pyramid(vec_a, store, base_zoom=6, min_zoom=4,
+                      kind="polygons")
+        shard = rasterize_tiles(tiles_of(lambda i: i % 2 == 1), grid=16)
+        delta = update_polygon_pyramid(store, shard, base_zoom=6,
+                                       min_zoom=4, grid=16,
+                                       hole_inset=64)
+        import os
+        assert os.path.isdir(delta)
+        vec_all = raster_to_vector(
+            rasterize_tiles(tiles_of(lambda i: True), grid=16),
+            threshold=1, grid=16, hole_inset=64)
+        build_pyramid(vec_all, full, base_zoom=6, min_zoom=4,
+                      kind="polygons")
+        em = {(r.z, r.x, r.y): bytes(r.mvt)
+              for r in read_tiles(full).to_pandas().itertuples()}
+        gm = {(r.z, r.x, r.y): bytes(r.mvt)
+              for r in read_tiles_current(store).to_pandas().itertuples()}
+        assert gm == em and len(gm) > 0

@@ -331,6 +331,134 @@ def update_pyramid(store_dir: str, new_feats_ds, base_zoom: int,
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def update_polygon_pyramid(store_dir: str, raster_shard_ds, base_zoom: int,
+                           min_zoom: int, grid: int = 16,
+                           extent: int = 4096,
+                           hole_inset: int = 0) -> str:
+    """Incremental maintenance for a POLYGON (hotcells) pyramid store
+    built at ``threshold=1``: a raster shard of
+    (z, x, y, cell_row, cell_col, n_points) rows adds counts to its own
+    tiles only. Stored tiles decode back to counts LOSSLESSLY
+    (raster_to_vector at threshold 1 keeps every occupied cell;
+    stages/raster.hotcell_counts_batch inverts it from the feature ids
+    and n_points properties alone), the shard's counts sum in, affected
+    tiles re-encode through raster_to_vector — byte-identical to a
+    from-scratch build over the combined raster — and parent levels
+    re-derive with downzoom_polygons exactly as update_pyramid does for
+    points. One atomic delta-N publish; reads via read_tiles_current.
+
+    Thresholds above 1 are rejected: a thresholded store has DROPPED
+    sub-threshold counts, so stored tiles cannot reproduce the base
+    raster and increments would under-count."""
+    import os
+    import shutil
+
+    import ray
+
+    from ..sources.mvt_io import write_tiles
+    from ..stages.encode import add_tile_bucket
+    from ..stages.raster import hotcell_counts_batch, raster_to_vector
+    from .overzoom import downzoom_polygons
+
+    if min_zoom > base_zoom or min_zoom < 0:
+        raise ValueError(f"min_zoom {min_zoom} must lie in [0, {base_zoom}]")
+
+    def key_part(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy().astype(np.int64)
+        y = t.column("y").to_numpy().astype(np.int64)
+        return pa.table({"k": pa.array(np.unique((x << 32) | y))})
+
+    kparts = raster_shard_ds.select_columns(["x", "y"]).map_batches(
+        key_part, batch_format="pyarrow", batch_size=None).to_pandas()
+    aff = np.unique(kparts["k"].to_numpy(np.int64))
+    if aff.size == 0:
+        raise ValueError("update_polygon_pyramid: empty shard")
+    kref = ray.put(aff)
+
+    def key_filter(t: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        x = t.column("x").to_numpy().astype(np.int64)
+        y = t.column("y").to_numpy().astype(np.int64)
+        k = (x << 32) | y
+        pos = np.searchsorted(ks, k)
+        hit = (pos < ks.shape[0]) & (ks[np.minimum(
+            pos, ks.shape[0] - 1)] == k)
+        return t.filter(pa.array(hit))
+
+    def norm(t: pa.Table) -> pa.Table:
+        if "n_cells" in t.column_names:
+            return t.rename_columns(
+                ["n_features" if c == "n_cells" else c
+                 for c in t.column_names])
+        return t
+
+    old_counts = read_tiles_current(store_dir, zoom=base_zoom) \
+        .map_batches(key_filter, batch_format="pyarrow",
+                     batch_size=None) \
+        .map_batches(hotcell_counts_batch, batch_format="pyarrow",
+                     fn_kwargs={"grid": grid})
+    combined = old_counts.union(raster_shard_ds.select_columns(
+        ["z", "x", "y", "cell_row", "cell_col", "n_points"]))
+
+    def sum_cells(df):
+        out = (df.drop(columns=["bucket"])
+               .groupby(["z", "x", "y", "cell_row", "cell_col"],
+                        sort=False)["n_points"].sum().reset_index())
+        for c in ("z", "x", "y", "cell_row", "cell_col"):
+            out[c] = out[c].astype("int32")
+        out["n_points"] = out["n_points"].astype("int64")
+        return out
+
+    summed = combined.map_batches(add_tile_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(sum_cells, batch_format="pandas")
+    cur = raster_to_vector(summed, threshold=1, grid=grid, extent=extent,
+                           hole_inset=hole_inset) \
+        .map_batches(norm, batch_format="pyarrow",
+                     batch_size=None).materialize()
+
+    n_delta = len(_delta_dirs(store_dir))
+    tmp = os.path.join(store_dir, f".delta-{n_delta}.building.{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        write_tiles(cur, tmp)
+        cur_keys = aff
+        for z in range(base_zoom, min_zoom, -1):
+            parents = np.unique(((cur_keys >> 32) >> 1 << 32)
+                                | ((cur_keys & 0xFFFFFFFF) >> 1))
+            child_keys = np.unique(np.concatenate([
+                ((parents >> 32) * 2 + dx) << 32
+                | ((parents & 0xFFFFFFFF) * 2 + dy)
+                for dx in (0, 1) for dy in (0, 1)]))
+            sib_keys = np.setdiff1d(child_keys, cur_keys)
+            lvl = cur
+            if sib_keys.size:
+                sref = ray.put(np.sort(sib_keys))
+
+                def sib_filter(t: pa.Table, _r=sref) -> pa.Table:
+                    ks = ray.get(_r)
+                    x = t.column("x").to_numpy().astype(np.int64)
+                    y = t.column("y").to_numpy().astype(np.int64)
+                    k = (x << 32) | y
+                    pos = np.searchsorted(ks, k)
+                    hit = (pos < ks.shape[0]) & (ks[np.minimum(
+                        pos, ks.shape[0] - 1)] == k)
+                    return t.filter(pa.array(hit))
+
+                sibs = read_tiles_current(store_dir, zoom=z).map_batches(
+                    sib_filter, batch_format="pyarrow", batch_size=None)
+                lvl = cur.union(sibs)
+            cur = downzoom_polygons(lvl, levels=1, extent=extent) \
+                .map_batches(norm, batch_format="pyarrow",
+                             batch_size=None).materialize()
+            write_tiles(cur, tmp)
+            cur_keys = parents
+        final = os.path.join(store_dir, f"delta-{n_delta}")
+        os.rename(tmp, final)
+        return final
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def remove_from_pyramid(store_dir: str, removals_ds, base_zoom: int,
                         min_zoom: int, extent: int = 4096) -> str:
     """DELETION for the updatable pyramid — the tombstone half of

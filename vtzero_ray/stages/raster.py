@@ -195,6 +195,40 @@ def raster_to_vector(raster_ds, threshold: int = 2, grid: int = 16,
         batch_format="pyarrow")
 
 
+def hotcell_counts_batch(batch: pa.Table, grid: int = 16) -> pa.Table:
+    """POLYGON hotcell tiles → (z,x,y,cell_row,cell_col,n_points) raster
+    rows — the exact inverse of raster_to_vector at threshold=1: the
+    feature id encodes r·grid + c and the n_points property carries the
+    count, so no geometry decode is needed (holes and all). The read
+    half of incremental polygon-pyramid maintenance."""
+    from ..mvt.values import decode_value
+
+    feats = decode_tiles_batch_v(batch, with_props=True,
+                                 with_geometry=False)
+    empty = pa.table({
+        "z": pa.array([], pa.int32()), "x": pa.array([], pa.int32()),
+        "y": pa.array([], pa.int32()),
+        "cell_row": pa.array([], pa.int32()),
+        "cell_col": pa.array([], pa.int32()),
+        "n_points": pa.array([], pa.int64())})
+    n = len(feats)
+    if n == 0:
+        return empty
+    fid = feats.column("feature_id").to_numpy().astype(np.int64)
+    pkeys = feats.column("prop_keys").to_pylist()
+    pvals = feats.column("prop_vals_raw").to_pylist()
+    npts = np.empty(n, np.int64)
+    for i in range(n):
+        _, npts[i] = decode_value(pvals[i][pkeys[i].index("n_points")])
+    return pa.table({
+        "z": feats.column("z"), "x": feats.column("x"),
+        "y": feats.column("y"),
+        "cell_row": pa.array((fid // grid).astype(np.int32)),
+        "cell_col": pa.array((fid % grid).astype(np.int32)),
+        "n_points": pa.array(npts),
+    })
+
+
 def raster_to_vector_scalar(raster_ds, threshold: int = 2, grid: int = 16,
                             extent: int = 4096, layer_name: str = "hotcells",
                             hole_inset: int = 0):
