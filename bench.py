@@ -329,7 +329,8 @@ def run_bench() -> dict:
                      # incremental pyramid delta update
                      "overzoom_holed_z7", "downzoom_holed_z5",
                      "ann_topk_lsh_mp", "pyramid_update_z4",
-                     "near_dedup_longest", "ann_topk_ivf_extended"):
+                     "near_dedup_longest", "ann_topk_ivf_extended",
+                     "topk_ivfpq_refined"):
             if name in qs:
                 t0 = time.time()
                 res = qs[name](SF_DIR)
