@@ -1412,3 +1412,61 @@ class TestUpdatePolygonPyramid:
         gm = {(r.z, r.x, r.y): bytes(r.mvt)
               for r in read_tiles_current(store).to_pandas().itertuples()}
         assert gm == em and len(gm) > 0
+
+
+class TestHilbertPrunedUpdate:
+    def test_file_pruning_and_update_equality(self, ray_session, tmp_path):
+        """A Hilbert-laid-out store lets the incremental update list
+        only the files whose footer hkey range can contain an affected
+        tile — and the update still serves exactly the full rebuild."""
+        import glob
+
+        from vtzero_ray.pipelines.pyramid import (_pruned_level_paths,
+                                                  build_pyramid,
+                                                  read_tiles_current,
+                                                  update_pyramid)
+        from vtzero_ray.sources.mvt_io import read_tiles
+
+        store = str(tmp_path / "hstore")
+        full = str(tmp_path / "hfull")
+        base = TestUpdatePyramid._assemble(
+            TestUpdatePyramid._features(lambda i: i % 5 != 0)) \
+            .repartition(6)
+        build_pyramid(base, store, base_zoom=6, min_zoom=4, hilbert=True)
+        all_files = sorted(glob.glob(f"{store}/z=6/*.parquet"))
+        shard = TestUpdatePyramid._features(lambda i: i % 5 == 0)
+        sk = shard.select_columns(["x", "y"]).to_pandas().drop_duplicates()
+        keys = np.sort((sk["x"].to_numpy(np.int64) << 32)
+                       | sk["y"].to_numpy(np.int64))
+        # restrict to ONE tile key: its file subset must be a strict
+        # subset when the level spans several files
+        one = keys[:1]
+        pruned = _pruned_level_paths(store, 6, one)
+        assert set(pruned) <= set(all_files) and len(pruned) >= 1
+        if len(all_files) > 1:
+            assert len(pruned) < len(all_files)
+
+        update_pyramid(store, shard, base_zoom=6, min_zoom=4)
+        build_pyramid(TestUpdatePyramid._assemble(
+            TestUpdatePyramid._features(lambda i: True)),
+            full, base_zoom=6, min_zoom=4)
+        em = {(r.z, r.x, r.y): bytes(r.mvt)
+              for r in read_tiles(full).to_pandas().itertuples()}
+        gm = {(r.z, r.x, r.y): bytes(r.mvt)
+              for r in read_tiles_current(store).to_pandas().itertuples()}
+        assert gm == em
+
+    def test_unsorted_store_never_prunes(self, ray_session, tmp_path):
+        import glob
+
+        from vtzero_ray.pipelines.pyramid import (_pruned_level_paths,
+                                                  build_pyramid)
+
+        store = str(tmp_path / "plain")
+        build_pyramid(TestUpdatePyramid._assemble(
+            TestUpdatePyramid._features(lambda i: True)),
+            store, base_zoom=6, min_zoom=5)
+        all_files = sorted(glob.glob(f"{store}/z=6/*.parquet"))
+        # no hkey column → every file kept (pruning must stay a superset)
+        assert _pruned_level_paths(store, 6,
+                                   np.array([0], np.int64)) == all_files

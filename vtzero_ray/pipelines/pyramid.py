@@ -97,7 +97,8 @@ def _overzoom_kernel(kind: str, extent: int):
 
 
 def build_pyramid(tiles_ds, out_dir: str, base_zoom: int, min_zoom: int,
-                  extent: int = 4096, kind: str = "points") -> list:
+                  extent: int = 4096, kind: str = "points",
+                  hilbert: bool = False) -> list:
     """Materialize a full MVT tile PYRAMID store: write the base-zoom
     tiles, then derive each coarser level from the PREVIOUS level's tiles
     (pipelines/overzoom downzoom — the exact integer halving for the
@@ -113,9 +114,14 @@ def build_pyramid(tiles_ds, out_dir: str, base_zoom: int, min_zoom: int,
     consumers (the sink and the next level's downzoom) — the lineage
     re-execution rule; level size is tile-bounded.
 
-    Returns the list of write_tiles manifests, finest level first.
+    ``hilbert=True`` sorts each level by its Hilbert key before the
+    write (sort_tiles_hilbert — the paid-once layout investment): the
+    store's files get DISJOINT footer hkey ranges, so incremental
+    updates/removals file-prune their affected-tile reads
+    (read_tiles_current keys=) instead of scanning the level. Returns
+    the list of write_tiles manifests, finest level first.
     """
-    from ..sources.mvt_io import write_tiles
+    from ..sources.mvt_io import sort_tiles_hilbert, write_tiles
 
     dz = _downzoom_fn(kind)
     if min_zoom > base_zoom or min_zoom < 0:
@@ -130,14 +136,20 @@ def build_pyramid(tiles_ds, out_dir: str, base_zoom: int, min_zoom: int,
                  for c in t.column_names])
         return t
 
+    def layout(ds):
+        return sort_tiles_hilbert(ds) if hilbert else ds
+
     cur = tiles_ds.map_batches(norm, batch_format="pyarrow",
                                batch_size=None).materialize()
-    manifests = [write_tiles(cur, out_dir)]
+    manifests = [write_tiles(layout(cur), out_dir)]
     for _z in range(base_zoom, min_zoom, -1):
-        cur = dz(cur, levels=1, extent=extent) \
+        nxt = dz(cur.select_columns(
+            [c for c in cur.schema().names if c != "hkey"]),
+            levels=1, extent=extent) \
             .map_batches(norm, batch_format="pyarrow",
                          batch_size=None).materialize()
-        manifests.append(write_tiles(cur, out_dir))
+        cur = nxt
+        manifests.append(write_tiles(layout(cur), out_dir))
     return manifests
 
 
@@ -155,23 +167,72 @@ def _delta_dirs(store_dir: str) -> list:
     return [p for _i, p in sorted(out)]
 
 
+def _hkeys_of(keys: np.ndarray, zoom: int) -> np.ndarray:
+    """Sorted Hilbert store keys ((z<<52) | d) of (x<<32|y) tile keys."""
+    from ..functions.geo import hilbert_d
+
+    x = (keys >> 32).astype(np.int64)
+    y = (keys & 0xFFFFFFFF).astype(np.int64)
+    return np.sort((np.int64(zoom) << np.int64(52))
+                   | hilbert_d(x, y, int(zoom)))
+
+
+def _pruned_level_paths(root: str, zoom: int, keys) -> list:
+    """One generation's z={zoom} files, FILE-PRUNED to those whose
+    Hilbert key range (parquet footer stats, mvt_io.file_hkey_range)
+    can contain one of the requested tile keys. Generations written
+    without the Hilbert layout (no hkey column / no stats — e.g. delta
+    dirs) keep every file: pruning is always a safe superset, and the
+    caller's exact key filter stays in place."""
+    import glob
+    import os
+
+    from ..sources.mvt_io import file_hkey_range
+
+    paths = sorted(glob.glob(os.path.join(root, f"z={zoom}", "*.parquet")))
+    if keys is None or not paths:
+        return paths
+    hks = _hkeys_of(np.asarray(keys, np.int64), zoom)
+    kept = []
+    for f in paths:
+        rng = file_hkey_range(f)
+        if rng is None:
+            kept.append(f)     # not Hilbert-laid-out — cannot prune
+            continue
+        lo, hi = rng
+        i = np.searchsorted(hks, lo)
+        if i < hks.shape[0] and hks[i] <= hi:
+            kept.append(f)
+    return kept
+
+
 def read_tiles_current(store_dir: str, zoom: int | None = None,
-                       n_buckets: int = 64):
+                       n_buckets: int = 64, keys=None):
     """Read the CURRENT view of an updatable pyramid store: the base
     tiles plus every completed delta generation, each (z, x, y) resolved
     to its newest generation's row (LSM last-wins). With no deltas this
     is a plain pruned read — no shuffle; with deltas, ONE tile-bounded
-    bucketed shuffle picks winners."""
+    bucketed shuffle picks winners.
+
+    ``keys`` (sorted (x<<32|y) composites, requires ``zoom``) turns on
+    FILE-LEVEL pruning for Hilbert-laid-out generations
+    (build_pyramid(hilbert=True) / sort_tiles_hilbert): only files
+    whose footer hkey range can contain a requested tile are listed —
+    the 100-TB shape for incremental updates, where the base level is
+    corpus-scale and the affected set is shard-bounded. Pruning is a
+    superset; callers still apply their exact key filter."""
     import glob
     import os
 
     import ray.data as rd
 
+    if keys is not None and zoom is None:
+        raise ValueError("keys pruning requires an explicit zoom")
+
     def level_paths(root):
         if zoom is None:
             return sorted(glob.glob(os.path.join(root, "z=*", "*.parquet")))
-        return sorted(glob.glob(os.path.join(root, f"z={zoom}",
-                                             "*.parquet")))
+        return _pruned_level_paths(root, zoom, keys)
 
     gens = [store_dir] + _delta_dirs(store_dir)
     cols = ["z", "x", "y", "mvt", "n_features"]
@@ -288,7 +349,9 @@ def update_pyramid(store_dir: str, new_feats_ds, base_zoom: int,
         return f
 
     # 2. affected base tiles: stored current view → features ∪ shard
-    old = read_tiles_current(store_dir, zoom=base_zoom) \
+    # (file-pruned for Hilbert-laid-out generations — keys is a superset
+    # guard; the exact key filter below still applies)
+    old = read_tiles_current(store_dir, zoom=base_zoom, keys=aff) \
         .map_batches(key_filter(aff), batch_format="pyarrow",
                      batch_size=None) \
         .map_batches(TilesToFeatures(extent), batch_format="pyarrow")
@@ -316,7 +379,8 @@ def update_pyramid(store_dir: str, new_feats_ds, base_zoom: int,
             sib_keys = np.setdiff1d(child_keys, cur_keys)
             lvl = cur
             if sib_keys.size:
-                sibs = read_tiles_current(store_dir, zoom=z).map_batches(
+                sibs = read_tiles_current(
+                    store_dir, zoom=z, keys=sib_keys).map_batches(
                     key_filter(sib_keys), batch_format="pyarrow",
                     batch_size=None)
                 lvl = cur.union(sibs)
@@ -392,7 +456,8 @@ def update_polygon_pyramid(store_dir: str, raster_shard_ds, base_zoom: int,
                  for c in t.column_names])
         return t
 
-    old_counts = read_tiles_current(store_dir, zoom=base_zoom) \
+    old_counts = read_tiles_current(store_dir, zoom=base_zoom,
+                                    keys=aff) \
         .map_batches(key_filter, batch_format="pyarrow",
                      batch_size=None) \
         .map_batches(hotcell_counts_batch, batch_format="pyarrow",
@@ -444,7 +509,8 @@ def update_polygon_pyramid(store_dir: str, raster_shard_ds, base_zoom: int,
                         pos, ks.shape[0] - 1)] == k)
                     return t.filter(pa.array(hit))
 
-                sibs = read_tiles_current(store_dir, zoom=z).map_batches(
+                sibs = read_tiles_current(
+                    store_dir, zoom=z, keys=sib_keys).map_batches(
                     sib_filter, batch_format="pyarrow", batch_size=None)
                 lvl = cur.union(sibs)
             cur = downzoom_polygons(lvl, levels=1, extent=extent) \
@@ -537,7 +603,8 @@ def remove_from_pyramid(store_dir: str, removals_ds, base_zoom: int,
             pos, keys_sorted.shape[0] - 1)] == k)
         return t.filter(pa.array(hit))
 
-    feats = read_tiles_current(store_dir, zoom=base_zoom) \
+    feats = read_tiles_current(store_dir, zoom=base_zoom,
+                               keys=np.sort(aff)) \
         .map_batches(tile_filter, batch_format="pyarrow",
                      batch_size=None) \
         .map_batches(TilesToFeatures(extent), batch_format="pyarrow") \
@@ -608,7 +675,8 @@ def remove_from_pyramid(store_dir: str, removals_ds, base_zoom: int,
                         pos, ks.shape[0] - 1)] == k)
                     return t.filter(pa.array(hit))
 
-                sibs = read_tiles_current(store_dir, zoom=z).map_batches(
+                sibs = read_tiles_current(
+                    store_dir, zoom=z, keys=sib_keys).map_batches(
                     sib_filter, batch_format="pyarrow", batch_size=None)
                 lvl = lvl.union(sibs)
             live = collect(downzoom_points(lvl, levels=1, extent=extent))

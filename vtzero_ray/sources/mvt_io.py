@@ -255,6 +255,33 @@ def sort_tiles_hilbert(tiles_ds):
                                 batch_size=None).sort("hkey")
 
 
+def file_hkey_range(path: str):
+    """(hkey_min, hkey_max) of one store file from parquet FOOTER
+    statistics alone — no data pages read; None when the file has no
+    hkey column or its stats are absent (then the caller must keep the
+    file — pruning is only ever a safe superset)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+    try:
+        ci = md.schema.to_arrow_schema().names.index("hkey")
+    except ValueError:
+        return None
+    lo, hi = None, None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            return None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    if lo is None:
+        return None
+    return int(lo), int(hi)
+
+
 def file_hilbert_ranges(out_dir: str) -> list:
     """(path, hkey_min, hkey_max, rows) per data file of a store written
     from a Hilbert-sorted Dataset — the pruning index a range reader
